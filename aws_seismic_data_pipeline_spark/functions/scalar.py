@@ -1,0 +1,269 @@
+"""Scalar function surface (SURVEY.md §2B fn_*).
+
+Seeds: SEED-id/URL string construction (``/root/reference/
+app.py:174-211``), filename field re-extraction by split/substr
+(``app.py:328-330``, ``app.py:451-456``), date window derivation
+(``app.py:560-565``), buffer clamp via max/min (``app.py:373-380``),
+endpoint map lookup (``config.json:16-18`` via ``app.py:239-244``),
+JSON status parsing (``app.py:40-76``), error routing conditionals
+(``app.py:306-313``).
+
+All JVM-side built-ins — no Python UDFs — so the whole projection stays
+inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+        SELECT
+            s_suppkey,
+            CONCAT(s_name, '.', CAST(s_nationkey AS VARCHAR)) AS seed_id,
+            UPPER(s_name) AS uname,
+            SUBSTRING(s_name, 1, 8) AS prefix8,
+            string_split(s_name, '#')[1] AS name_head,
+            string_split(s_name, '#')[-1] AS name_tail,
+            CAST(LENGTH(s_name) AS BIGINT) AS name_len,
+            REPLACE(s_name, 'Supplier', 'SUP') AS renamed,
+            LPAD(CAST(s_suppkey AS VARCHAR), 10, '0') AS padded_key,
+            regexp_extract(s_name, '([0-9]+)', 1) AS digits
+        FROM supplier
+    """,
+    tags=("fn",),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String kernel: concat / case / substring / split / replace / pad /
+    regexp_extract (seeds R7, R9, R16 — the reference builds
+    ``NET.STA.LOC.CHAN`` ids then re-parses them with split('.'))."""
+    sup = load_table(spark, sf_dir, "supplier")
+    parts = F.split(F.col("s_name"), "#")
+    return sup.select(
+        "s_suppkey",
+        F.concat_ws(".", F.col("s_name"), F.col("s_nationkey").cast("string")).alias(
+            "seed_id"
+        ),
+        F.upper("s_name").alias("uname"),
+        F.substring("s_name", 1, 8).alias("prefix8"),
+        F.element_at(parts, 1).alias("name_head"),
+        F.element_at(parts, -1).alias("name_tail"),
+        F.length("s_name").cast("long").alias("name_len"),
+        F.regexp_replace("s_name", "Supplier", "SUP").alias("renamed"),
+        F.lpad(F.col("s_suppkey").cast("string"), 10, "0").alias("padded_key"),
+        F.regexp_extract("s_name", r"([0-9]+)", 1).alias("digits"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+        SELECT
+            o_orderkey,
+            CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS order_day,
+            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+            strftime(o_orderdate, '%Y%m%d') AS day_key,
+            CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+            CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS order_quarter,
+            o_orderdate + INTERVAL 90 DAY AS due_ts,
+            CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+                AS days_since_epoch_start
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    """,
+    tags=("fn",),
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time kernel (seeds R3/R4/R6/R9): truncation, formatting
+    (the reference's ``YYYYMMDD`` S3 prefixes, app.py:454-456),
+    extraction, interval arithmetic, day diffs."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1996-01-01"))
+    )
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("day", "o_orderdate").cast("timestamp_ntz").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("order_month"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("day_key"),
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_ts"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+        SELECT
+            l_orderkey, l_linenumber,
+            ROUND(l_extendedprice, 1) AS price_r1,
+            ABS(l_discount - 0.05) AS disc_dev,
+            GREATEST(l_quantity, 25.0) AS qty_floor25,
+            LEAST(l_quantity, 25.0) AS qty_cap25,
+            CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_bucket,
+            CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS qty_mod7,
+            ROUND(POWER(l_discount, 2.0), 6) AS disc_sq,
+            ROUND(SQRT(l_extendedprice), 4) AS price_sqrt
+        FROM lineitem
+        WHERE l_linenumber = 1
+    """,
+    tags=("fn",),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math kernel (seed R5: greatest/least buffer clamp at
+    app.py:375-376)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("qty_floor25"),
+        F.least("l_quantity", F.lit(25.0)).alias("qty_cap25"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("long").alias("price_bucket"),
+        (F.col("l_quantity").cast("long") % 7).cast("long").alias("qty_mod7"),
+        F.round(F.pow("l_discount", F.lit(2.0)), 6).alias("disc_sq"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+        SELECT
+            doc_id,
+            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+            string_split(text, ' ')[1:5] AS head5,
+            CAST(list_contains(string_split(text, ' '), 'spark') AS BOOLEAN)
+                AS mentions_spark,
+            list_sort(string_split(text, ' '))[1] AS first_token_alpha
+        FROM documents
+    """,
+    tags=("fn",),
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array kernel (seed R4/R16): split/size/slice/contains/sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.slice(toks, 1, 5).alias("head5"),
+        F.array_contains(toks, "spark").alias("mentions_spark"),
+        F.element_at(F.sort_array(toks), 1).alias("first_token_alpha"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+        SELECT
+            n_nationkey, n_name,
+            CASE n_regionkey
+                WHEN 0 THEN 'africa.endpoint:8080'
+                WHEN 1 THEN 'america.endpoint:8080'
+                WHEN 2 THEN 'asia.endpoint:8080'
+                WHEN 3 THEN 'europe.endpoint:8080'
+                WHEN 4 THEN 'mideast.endpoint:8080'
+            END AS endpoint,
+            CASE WHEN n_regionkey IN (0, 1, 2, 3, 4) THEN TRUE ELSE FALSE END
+                AS has_endpoint
+        FROM nation
+    """,
+    tags=("fn",),
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-literal lookup (seed R8: ``zerotier_ips[station]`` endpoint
+    map, config.json:16-18). The map is a broadcast-style literal; the
+    oracle expresses the same lookup as CASE."""
+    nation = load_table(spark, sf_dir, "nation")
+    pairs: list = []
+    for k, v in [
+        (0, "africa.endpoint:8080"),
+        (1, "america.endpoint:8080"),
+        (2, "asia.endpoint:8080"),
+        (3, "europe.endpoint:8080"),
+        (4, "mideast.endpoint:8080"),
+    ]:
+        pairs += [F.lit(k), F.lit(v)]
+    endpoint_map = F.create_map(*pairs)
+    return nation.select(
+        "n_nationkey",
+        "n_name",
+        F.element_at(endpoint_map, F.col("n_regionkey")).alias("endpoint"),
+        F.element_at(endpoint_map, F.col("n_regionkey")).isNotNull().alias(
+            "has_endpoint"
+        ),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+        SELECT
+            event_id,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+            CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                 THEN 'high' ELSE 'low' END AS k_band
+        FROM events
+        WHERE event_type = 'view'
+    """,
+    tags=("fn",),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (seed R30: zerotier-cli JSON status parse,
+    app.py:40-76)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+        SELECT
+            c_custkey,
+            CASE
+                WHEN c_acctbal < 0 THEN 'debtor'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium'
+            END AS tier,
+            COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_alias,
+            CASE WHEN c_acctbal <> 0.0
+                 THEN ROUND(1000.0 / c_acctbal, 6) END AS inv_bal
+        FROM customer
+    """,
+    tags=("fn",),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional kernel (seed R15 error routing): CASE/when,
+    coalesce+nullif, null-on-bad-input division (try_* semantics)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debtor")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "segment_alias"
+        ),
+        F.when(
+            F.col("c_acctbal") != 0.0, F.round(1000.0 / F.col("c_acctbal"), 6)
+        ).alias("inv_bal"),
+    )

@@ -1,0 +1,227 @@
+"""Deduplication operators for training-data pipelines (north star).
+
+Seed: the reference's exists-check dedup (``/root/reference/
+app.py:271-273``) is exact identity dedup; this module generalizes to
+content-level exact dedup and near-duplicate detection (n-gram Jaccard,
+MinHash LSH, embedding cosine).
+
+Scale posture: exact dedup is a hash groupBy (one shuffle on the
+content hash, never on raw text). Near-dup avoids the O(n²) pair space
+by blocking: shared-shingle join for Jaccard, LSH band buckets for
+MinHash, cluster/label buckets for embeddings — only candidate pairs
+inside a block are scored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.registry import register
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS text_hash,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents
+        GROUP BY text
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: group by text, keep lowest doc_id (seed R10).
+
+    At 100 TB: shuffle moves (hash, doc_id) pairs only — group directly
+    on the text column so Spark hashes it once; output carries md5 so
+    downstream anti-joins never touch full text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            F.md5(F.col("text").cast("binary")).alias("text_hash"),
+            "keeper_id",
+            "n_copies",
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(
+                       list_transform(
+                           range(1, len(string_split(text, ' ')) - 1),
+                           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                       )
+                   ) AS shingles
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ),
+        sized AS (
+            SELECT doc_id, shingles, len(shingles) AS n_shingles FROM t
+        ),
+        exploded AS (
+            SELECT doc_id, n_shingles, unnest(shingles) AS shingle FROM sized
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_shingles AS n_a, b.n_shingles AS n_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM exploded a JOIN exploded b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+        FROM pairs
+        WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.05
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection by word-3-gram Jaccard similarity.
+
+    Blocking join on shared shingles bounds the candidate space: pairs
+    with zero common shingles are never materialized. The shingle join
+    shuffles on the shingle string — at 100 TB, hash shingles to int64
+    first and cap per-shingle fan-out (drop ultra-common shingles) to
+    control skew; here the fixture vocabulary is small so the raw join
+    demonstrates semantics."""
+    # Repartition before the CPU-heavy shingle derivation: the fixture is
+    # one small parquet file → one input split → one task; shingling is
+    # compute-bound, so spread it across all cores. (At 100 TB the scan
+    # already yields thousands of splits and this coalesces to a no-op
+    # via AQE; the constant here only sizes the small-file case.)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size(F.split("text", " ")) >= 3)
+    )
+    # slice(tokens, i, 3) keeps the 3-gram build O(n) per doc; writing
+    # element_at(split(text), i) inside the lambda re-splits the full
+    # text per index (O(n²)) — measured 20× slower at sf0.1.
+    shingles = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 2),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+        )
+    )
+    sized = docs.select(
+        "doc_id", shingles.alias("shingles")
+    ).withColumn("n_shingles", F.size("shingles"))
+    exploded = sized.select(
+        "doc_id", "n_shingles", F.explode("shingles").alias("shingle")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("n_a"),
+            F.col("b.n_shingles").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    # raw quotient, no ROUND: both engines divide identical integer counts
+    # (bit-identical doubles); rounding diverges near non-dyadic halfway
+    return pairs.filter(jac >= 0.05).select("doc_a", "doc_b", jac.alias("jaccard"))
+
+
+@register("dedup_minhash_lsh", tags=("llm", "dedup", "no-oracle"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (shingle → minhash → band →
+    bucket join), via Spark ML's MinHashLSH with a fixed seed.
+
+    This is the 100 TB-scale path: candidate generation is linear in
+    corpus size (each doc lands in numHashTables buckets), versus the
+    shared-shingle join whose fan-out grows with shingle frequency. No
+    SQL oracle — library hash seeds aren't reproducible in DuckDB —
+    so the driver records a rows-only check; determinism is pinned by
+    seed=42 and verified in tests."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    )
+    cv = CountVectorizer(
+        inputCol="tokens", outputCol="features", binary=True, minDF=1.0
+    )
+    model = cv.fit(toks)
+    feats = model.transform(toks)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    )
+    lsh_model = lsh.fit(feats)
+    pairs = lsh_model.approxSimilarityJoin(feats, feats, 0.9, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_sim"),
+        )
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+               ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.18
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by cluster label.
+
+    Embeddings are unit-normalized (FIXTURES.md) so cosine = dot
+    product, computed JVM-side with zip_with/aggregate — no Python in
+    the hot path. Blocking on the cluster label keeps the pair space
+    at sum(bucket²) instead of n² — the IVF idea."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.repartition(spark.sparkContext.defaultParallelism).alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.embedding, b.embedding,"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine_raw", dot)
+        .filter(F.col("cosine_raw") >= 0.18)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round("cosine_raw", 4).alias("cosine"),
+        )
+    )

@@ -1,0 +1,187 @@
+"""Text analysis operators for training-data pipelines (north star).
+
+Seed: the reference's only text processing is filename parsing
+(``/root/reference/app.py:328-330``); this module supplies the text
+surface a 100 TB corpus pipeline needs: token stats, quality scoring,
+language-ID heuristics, fingerprinting. All pure ``pyspark.sql.functions``
+higher-order expressions — zero Python UDFs, so everything stays in
+WholeStageCodegen and scales linearly with one map-side pass (plus one
+shuffle where grouped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.registry import register
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+@register(
+    "text_tokenize_stats",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+               list_sum(list_transform(toks, t -> len(t)))
+                     / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+               CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT)
+                   AS n_token_chars
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+    tags=("llm", "text"),
+)
+def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + per-doc token statistics."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tok_lens = F.expr("transform(split(text, ' '), t -> length(t))")
+    total_chars = F.expr(
+        "aggregate(transform(split(text, ' '), t -> length(t)), 0L,"
+        " (acc, v) -> acc + v)"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        (total_chars / F.size(toks).cast("double")).alias("avg_token_len"),
+        total_chars.cast("long").alias("n_token_chars"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+        SELECT doc_id, n_tokens, stopword_ratio, short_token_ratio,
+               0.5 * (1 - stopword_ratio)
+                     + 0.3 * (1 - short_token_ratio)
+                     + 0.2 * LEAST(n_tokens / 100.0, 1.0) AS quality_score
+        FROM (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   len(list_filter(toks, t -> t IN {STOPWORDS!r}))
+                         / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+                   len(list_filter(toks, t -> len(t) <= 2))
+                         / CAST(len(toks) AS DOUBLE) AS short_token_ratio
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        )
+    """,
+    tags=("llm", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: stopword density, short-token density,
+    length credit — the standard cheap pre-filter before expensive
+    dedup/training steps."""
+    docs = load_table(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    # No ROUND on the ratios: both engines divide identical integer counts,
+    # giving bit-identical doubles; rounding can only diverge near decimal
+    # halfway points (e.g. odd/160) where round impls disagree.
+    stop_ratio = F.size(
+        F.expr(f"filter(split(text, ' '), t -> t IN ({sw}))")
+    ) / n_tokens.cast("double")
+    short_ratio = F.size(
+        F.expr("filter(split(text, ' '), t -> length(t) <= 2)")
+    ) / n_tokens.cast("double")
+    out = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        short_ratio.alias("short_token_ratio"),
+    )
+    return out.withColumn(
+        "quality_score",
+        0.5 * (1 - F.col("stopword_ratio"))
+        + 0.3 * (1 - F.col("short_token_ratio"))
+        + 0.2 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0)),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+        SELECT doc_id, lang AS labeled_lang, cnt_en, cnt_es, cnt_de,
+               CASE
+                   WHEN cnt_en >= cnt_es AND cnt_en >= cnt_de THEN 'en'
+                   WHEN cnt_es >= cnt_de THEN 'es'
+                   ELSE 'de'
+               END AS guessed_lang
+        FROM (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS cnt_en,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('el', 'la', 'de', 'y'))) AS BIGINT) AS cnt_es,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('der', 'die', 'und', 'das'))) AS BIGINT) AS cnt_de
+            FROM documents
+        )
+    """,
+    tags=("llm", "text"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with a deterministic tie order
+    (en > es > de). N-gram models don't fit in SQL oracles; marker
+    counting is the oracle-checkable core of the same idea."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def marker_count(words: str):
+        return F.size(F.expr(f"filter(split(text, ' '), t -> t IN ({words}))")).cast(
+            "long"
+        )
+
+    cnt_en = marker_count("'the', 'a', 'of', 'and'")
+    cnt_es = marker_count("'el', 'la', 'de', 'y'")
+    cnt_de = marker_count("'der', 'die', 'und', 'das'")
+    out = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        cnt_en.alias("cnt_en"),
+        cnt_es.alias("cnt_es"),
+        cnt_de.alias("cnt_de"),
+    )
+    return out.withColumn(
+        "guessed_lang",
+        F.when(
+            (F.col("cnt_en") >= F.col("cnt_es")) & (F.col("cnt_en") >= F.col("cnt_de")),
+            "en",
+        )
+        .when(F.col("cnt_es") >= F.col("cnt_de"), "es")
+        .otherwise("de"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   AS fingerprint,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               ) AS BIGINT) AS n_same_fingerprint
+        FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (lowercase, collapse whitespace →
+    md5) + per-fingerprint multiplicity — the cheap exact-dup detector
+    that ignores formatting noise."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).cast("binary")
+    )
+    from pyspark.sql import Window as W
+
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.count(F.lit(1)).over(W.partitionBy(fp)).cast("long").alias(
+            "n_same_fingerprint"
+        ),
+    )

@@ -1,0 +1,181 @@
+"""Aggregation operators (SURVEY.md §2B).
+
+Seed: the reference's group-by-IP regrouping (``/root/reference/
+app.py:391-397``) is its only aggregation; the inventory generalizes to
+hash aggregates, distinct counts, rollup/cube/grouping-sets and
+per-group collection.
+
+Scale posture: every ``groupBy().agg()`` below compiles to partial
+(map-side) + final aggregation — the shuffle moves pre-aggregated
+partials, not raw rows. Money sums are rounded to 2dp in both Spark and
+the oracle so double summation order (which differs across partitionings)
+cannot flip the comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.registry import register
+
+
+@register(
+    "agg_groupby_hash",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg",),
+)
+def agg_groupby_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregate (seed R11)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp_ntz(F.lit("1998-09-02"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count (seed: none — inventory extension).
+
+    Exact COUNT(DISTINCT) expands to a two-phase aggregate; at 100 TB
+    prefer ``approx_count_distinct`` (HLL, single pass) when ±2% is
+    acceptable — exposed separately in bench, not oracle-checked since
+    HLL estimates aren't cross-engine comparable."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+        SELECT r.r_name AS region_name, n.n_name AS nation_name,
+               ROUND(SUM(c.c_acctbal), 2) AS total_acctbal,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals region → nation → grand total."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            "c_acctbal",
+        )
+        .rollup("region_name", "nation_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations over two keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT c_mktsegment, c_nationkey,
+               ROUND(SUM(c_acctbal), 2) AS total_bal,
+               CAST(COUNT(*) AS BIGINT) AS n_cust
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selected grouping combinations (SQL API — still Catalyst)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_gs")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               ROUND(SUM(c_acctbal), 2) AS total_bal,
+               COUNT(*) AS n_cust
+        FROM customer_gs
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+        SELECT c_mktsegment,
+               list_sort(list(DISTINCT c_nationkey)) AS nation_keys,
+               CAST(COUNT(*) AS BIGINT) AS n_cust
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    tags=("agg",),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group collection (seed R11: ``dict[ip → list[...]]``).
+
+    The collected set is sorted so the array cell is deterministic for
+    the order-insensitive value hash."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.sort_array(F.collect_set("c_nationkey")).alias("nation_keys"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )

@@ -1,0 +1,256 @@
+"""Join operators (SURVEY.md §2B).
+
+Seeds in the reference: the endpoint lookup join with missing-key drop
+(``/root/reference/app.py:235-244`` → inner + left-anti), the
+exists-check dedup (``app.py:271-273``, ``app.py:419-421`` → left-semi/
+left-anti against a sink listing), and the 4-level nested-loop cartesian
+fan-out (``app.py:569-575`` → crossJoin).
+
+Scale notes per operator in docstrings; dimension sides are explicitly
+``broadcast()`` so a 1000-executor plan avoids shuffling the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.registry import register
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+        SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'O'
+    """,
+    tags=("join",),
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash equi-join (seed R8). Catalyst picks broadcast vs sort-merge;
+    at 100 TB customer is the smaller side and AQE converts to
+    broadcast-hash if it fits, else both sides shuffle on custkey."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    cust = load_table(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+        SELECT p.p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size <= 10
+        GROUP BY p.p_brand
+    """,
+    tags=("join", "broadcast"),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the dim side (seed R8): fact table never
+    shuffles for the join; only the final small agg shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+               ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 2) AS total_spent
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preserve-left join; customers with zero orders survive (seed R8
+    variant — reference logs-and-drops, outer join keeps + marks)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+        )
+    """,
+    tags=("join",),
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence join (seed R10: 'is this file already fetched')."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return cust.join(big, big.o_custkey == cust.c_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    """,
+    tags=("join",),
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-existence join (seed R10/R26: skip-already-present dedup;
+    reference does per-file ``outfile.is_file()`` at app.py:271-273 —
+    here one distributed anti-join against the sink listing)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, orders.o_custkey == cust.c_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+        SELECT r.r_name, n.n_name
+        FROM region r CROSS JOIN nation n
+    """,
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian fan-out (seed R2: nets × stations × locs × chans at
+    app.py:569-575). Only ever sane when both sides are dimensions —
+    Spark broadcasts the smaller side (BroadcastNestedLoopJoin)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+        WITH tiers(tier, lo, hi) AS (
+            VALUES ('small', 0.0, 50000.0),
+                   ('medium', 50000.0, 150000.0),
+                   ('large', 150000.0, 300000.0),
+                   ('jumbo', 300000.0, 1000000.0)
+        )
+        SELECT t.tier,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS tier_value
+        FROM orders o
+        JOIN tiers t ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+        GROUP BY t.tier
+    """,
+    tags=("join", "range"),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding (theta/range) join (seed R4/R5 interval containment).
+
+    The band table is tiny → broadcast nested-loop join, which is the
+    *correct* 100 TB plan: each fact row tests 4 ranges locally, no
+    shuffle of the fact table at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [
+            ("small", 0.0, 50000.0),
+            ("medium", 50000.0, 150000.0),
+            ("large", 150000.0, 300000.0),
+            ("jumbo", 300000.0, 1000000.0),
+        ],
+        "tier string, lo double, hi double",
+    )
+    cond = (orders.o_totalprice >= tiers.lo) & (orders.o_totalprice < tiers.hi)
+    return (
+        orders.join(F.broadcast(tiers), cond, "inner")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("tier_value"),
+        )
+    )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+        SELECT c.event_id,
+               c.user_id,
+               CAST(c.ts AS TIMESTAMP) AS click_ts,
+               (
+                   SELECT MAX(CAST(p.ts AS TIMESTAMP)) FROM events p
+                   WHERE p.user_id = c.user_id
+                     AND p.event_type = 'purchase'
+                     AND p.ts <= c.ts
+               ) AS last_purchase_ts
+        FROM events c
+        WHERE c.event_type = 'click'
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: enrich each click with the latest purchase at-or-before
+    it for the same user (SURVEY §2B join_asof_nearest; no reference
+    seed — north-star capability).
+
+    Implementation is the scale-correct union+window plan, NOT a range
+    join: union both event streams, partition by user, order by time, and
+    carry the last purchase timestamp forward with ``last(..., ignore
+    nulls)``. One shuffle on user_id, linear scan per partition — this
+    survives 100 TB where a per-row correlated lookup cannot."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_purchase")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_purchase"),
+    )
+    unioned = clicks.unionByName(purchases)
+    # purchases sort before clicks at identical ts so "at-or-before" holds
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_purchase").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    enriched = unioned.withColumn(
+        "last_purchase_ts",
+        F.last(F.when(F.col("is_purchase") == 1, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return enriched.filter(F.col("is_purchase") == 0).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "last_purchase_ts",
+    )

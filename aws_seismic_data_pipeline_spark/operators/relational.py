@@ -1,0 +1,111 @@
+"""Scans, projections, filters (SURVEY.md §2B).
+
+Generalizes the reference's per-file scan loops and string-built
+projections (``/root/reference/app.py:174-211`` ``form_request``,
+``app.py:257-268`` output-name projection, ``app.py:296-299``
+empty-payload filter) into declarative DataFrame plans. Filters and
+column selections here are written so Catalyst pushes them into the
+parquet scan (verify with ``.explain``: ``PushedFilters`` non-empty,
+``ReadSchema`` pruned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.registry import register
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1995-06-01'
+    """,
+    tags=("scan", "pushdown"),
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with predicate pushdown + column pruning (seed R25).
+
+    At 100 TB this is the operator that matters most: the plan must show
+    a pruned ReadSchema (4 of 11 columns) and a pushed l_shipdate filter
+    so row groups outside the range are skipped via parquet min/max.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1995-06-01"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "project_expr",
+    oracle="""
+        SELECT
+            l_orderkey,
+            l_linenumber,
+            l_extendedprice * (1 - l_discount) AS net_price,
+            l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+            UPPER(l_returnflag) AS rflag
+        FROM lineitem
+    """,
+    tags=("project",),
+)
+def project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed-column projection (seed R7/R9: URL + filename builders).
+
+    Note: no ROUND() on the computed doubles — ROUND(double, n) halfway
+    cases differ between Spark (BigDecimal HALF_UP on the exact binary
+    value) and DuckDB, which breaks exact value-hash parity. Plain IEEE
+    double arithmetic is bit-identical across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net_price"),
+        (net * (1 + F.col("l_tax"))).alias("charged"),
+        F.upper("l_returnflag").alias("rflag"),
+    )
+
+
+@register(
+    "filter_predicate",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        FROM lineitem
+        WHERE (l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0)
+           OR (l_returnflag = 'R' AND l_quantity >= 45.0)
+    """,
+    tags=("filter",),
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive/disjunctive predicate filter (seed R14/R26)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p1 = F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24.0)
+    p2 = (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 45.0)
+    return li.filter(p1 | p2).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"
+    )
+
+
+@register(
+    "filter_in_set",
+    oracle="""
+        SELECT p_partkey, p_brand, p_size
+        FROM part
+        WHERE p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
+          AND p_size IN (1, 5, 9, 14, 19, 23)
+    """,
+    tags=("filter",),
+)
+def filter_in_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-membership filter (seed R8: endpoint-map membership)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23)
+    ).select("p_partkey", "p_brand", "p_size")

@@ -1,0 +1,75 @@
+"""Set operators (SURVEY.md §2B).
+
+Seeds: success ∪ dead-letter channel union (``/root/reference/
+app.py:315-334`` placeholder records live beside real files) and the
+migration's source-minus-destination reconciliation
+(``upload_to_rfs.py:182-216``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.registry import register
+
+
+@register(
+    "set_union_all",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, 'high_value' AS channel
+        FROM orders WHERE o_totalprice > 350000.0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 'urgent' AS channel
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("setop",),
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union of two channels, duplicates preserved (seed R15:
+    success rows ∪ dead-letter rows with a channel discriminator)."""
+    orders = load_table(spark, sf_dir, "orders")
+    high = orders.filter(F.col("o_totalprice") > 350000.0).select(
+        "o_orderkey", "o_totalprice", F.lit("high_value").alias("channel")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_totalprice", F.lit("urgent").alias("channel")
+    )
+    return high.unionByName(urgent)
+
+
+@register(
+    "set_intersect",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct intersection: customers active in both statuses."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+@register(
+    "set_except",
+    oracle="""
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders
+    """,
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct difference (seed R27: source keys minus destination keys
+    drives the copy-verify-delete migration loop)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ordered = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.subtract(ordered)  # EXCEPT DISTINCT semantics

@@ -1,0 +1,212 @@
+"""Window (analytic) functions + sort/limit/top-k (SURVEY.md §2B).
+
+Seeds: gap detection between hourly chunks (``/root/reference/
+app.py:336-353`` chunk iteration → lag/lead), the ±120 s buffered
+window (``app.py:373-380`` → frame aggregates).
+
+Every ordering includes a unique key as the final sort term so top-k /
+limit results are deterministic (the driver hash compares exact row
+sets — ties must break identically in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.registry import register
+
+
+@register(
+    "window_rank",
+    oracle="""
+        SELECT * FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS BIGINT) AS rn,
+                   CAST(RANK() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS BIGINT) AS rnk
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority with row_number + rank.
+
+    Scale: one shuffle on the partition key; row_number needs no global
+    sort — each partition sorts locally. For very hot keys pre-filter
+    with an approximate per-group threshold before ranking."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(ts AS TIMESTAMP) AS ts,
+               CAST(date_diff('microsecond',
+                    LAG(CAST(ts AS TIMESTAMP)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id),
+                    CAST(ts AS TIMESTAMP)) AS BIGINT) AS micros_since_prev,
+               LEAD(event_id) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_event_id
+        FROM events
+        WHERE event_type = 'click'
+    """,
+    tags=("window",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gaps per user (seed R4: detecting missing hourly
+    chunks between consecutive fetches). Microsecond diffs are exact
+    integers — immune to float/trunc mismatches across engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.withColumn("prev_ts", F.lag("ts").over(w)).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").cast("long").alias(
+            "micros_since_prev"
+        ),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@register(
+    "window_frame_agg",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+               ROUND(AVG(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ), 4) AS moving_avg_3,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS running_total
+        FROM orders
+    """,
+    tags=("window",),
+)
+def window_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average + running total per customer (seed R5: the ±buffer
+    frame around each chunk).
+
+    moving_avg_3 rounds at 4dp, not 2: short frames average 2dp prices
+    over 2 rows, landing exactly on 2dp halfway points (.xx5) where
+    Spark's and DuckDB's double-round implementations disagree; at 4dp
+    the true values (3dp or repeating /3) are never near halfway."""
+    orders = load_table(spark, sf_dir, "orders")
+    order_w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.avg("o_totalprice").over(order_w.rowsBetween(-2, 0)), 4).alias(
+            "moving_avg_3"
+        ),
+        F.round(
+            F.sum("o_totalprice").over(order_w.rowsBetween(W.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+    )
+
+
+@register(
+    "sort_multi_key",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders
+        ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+    """,
+    tags=("sort",),
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort + limit. Spark executes TakeOrderedAndProject
+    (per-partition top-100 then merge) — no full global sort at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy(
+            F.col("o_orderpriority").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "limit_topk_global",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 50
+    """,
+    tags=("sort",),
+)
+def limit_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k by value, fully tie-broken."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(50)
+    )
+
+
+@register(
+    "limit_topk_per_group",
+    oracle="""
+        SELECT * FROM (
+            SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey
+                   ) AS BIGINT) AS rn
+            FROM customer
+        ) WHERE rn <= 5
+    """,
+    tags=("sort", "window"),
+)
+def limit_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 customers by balance per market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )

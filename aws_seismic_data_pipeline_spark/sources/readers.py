@@ -1,0 +1,148 @@
+"""Sources & sinks (SURVEY.md §2B scans/sinks).
+
+Seeds: JSON catalog load (``/root/reference/app.py:28-33``,
+``config.json:1-24``), paginated S3 object listing
+(``upload_to_rfs.py:16-35``), date-partitioned S3 key layout
+(``app.py:449-463``), ensure-bucket-exists DDL (``app.py:530-553``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_seismic_data_pipeline_spark.catalog import load_table, prepare
+from aws_seismic_data_pipeline_spark.registry import register
+
+_TMP_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "_tmp")
+
+# The station catalog the reference keeps in config.json:2-18, as data.
+STATION_CATALOG = [
+    {"network": "OX", "station": "NYM8", "location": "00", "channel": "HHZ",
+     "sensor_ip": "10.144.0.10:8080"},
+    {"network": "OX", "station": "NYM8", "location": "00", "channel": "HHN",
+     "sensor_ip": "10.144.0.10:8080"},
+    {"network": "OX", "station": "NYM8", "location": "00", "channel": "HHE",
+     "sensor_ip": "10.144.0.10:8080"},
+    {"network": "OX", "station": "CONW", "location": "00", "channel": "HHZ",
+     "sensor_ip": "10.144.0.11:8080"},
+    {"network": "OX", "station": "CONW", "location": "00", "channel": "HHN",
+     "sensor_ip": None},
+    {"network": "OX", "station": "DRUM", "location": "01", "channel": "HHZ",
+     "sensor_ip": "10.144.0.12:8080"},
+]
+
+CATALOG_SCHEMA = T.StructType(
+    [
+        T.StructField("network", T.StringType(), False),
+        T.StructField("station", T.StringType(), False),
+        T.StructField("location", T.StringType(), False),
+        T.StructField("channel", T.StringType(), False),
+        T.StructField("sensor_ip", T.StringType(), True),
+    ]
+)
+
+
+def write_catalog_json(path: str | None = None) -> str:
+    """Materialize the station catalog as JSON-lines (deterministic)."""
+    path = path or os.path.join(_TMP_DIR, "station_catalog.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for row in STATION_CATALOG:
+            f.write(json.dumps(row, sort_keys=True) + "\n")
+    return path
+
+
+@register(
+    "scan_json_catalog",
+    oracle="""
+        SELECT network, station, location, channel, sensor_ip,
+               CONCAT(network, '.', station, '.', location, '.', channel) AS seed_id,
+               (sensor_ip IS NOT NULL) AS reachable
+        FROM (
+            VALUES
+            ('OX', 'NYM8', '00', 'HHZ', '10.144.0.10:8080'),
+            ('OX', 'NYM8', '00', 'HHN', '10.144.0.10:8080'),
+            ('OX', 'NYM8', '00', 'HHE', '10.144.0.10:8080'),
+            ('OX', 'CONW', '00', 'HHZ', '10.144.0.11:8080'),
+            ('OX', 'CONW', '00', 'HHN', CAST(NULL AS VARCHAR)),
+            ('OX', 'DRUM', '01', 'HHZ', '10.144.0.12:8080')
+        ) AS t(network, station, location, channel, sensor_ip)
+    """,
+    tags=("source",),
+)
+def scan_json_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON catalog scan (seed R1): the reference's
+    config.json dimension lists as an explicit-schema ``read.json``,
+    with the SEED id projection (app.py:206) and reachability flag
+    (app.py:239-241) computed declaratively."""
+    prepare(spark)
+    path = write_catalog_json()
+    df = spark.read.schema(CATALOG_SCHEMA).json(path)
+    return df.select(
+        "network",
+        "station",
+        "location",
+        "channel",
+        "sensor_ip",
+        F.concat_ws(".", "network", "station", "location", "channel").alias("seed_id"),
+        F.col("sensor_ip").isNotNull().alias("reachable"),
+    )
+
+
+@register("scan_binary_files", tags=("source", "no-oracle"))
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-blob ingest (seed R13/R25): distributed file listing with
+    path/size/content, the Spark-native replacement for the reference's
+    paginated list_objects_v2 loop (upload_to_rfs.py:16-35). The
+    miniSEED analog: files are opaque bytes + a path that parses into
+    metadata. Rows-only check (file sizes aren't visible to the SQL
+    oracle)."""
+    prepare(spark)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.length("content").cast("long").alias("content_len"),
+        F.md5("content").alias("content_md5"),
+    ).orderBy("file_name")
+
+
+@register(
+    "sink_partitioned_parquet",
+    oracle="""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_value
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("sink",),
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-sink round trip (seeds R17/R19/R20): write orders
+    partitioned by year — the engine form of the reference's
+    ``YYYYMMDD/`` S3 prefixes (app.py:449-463) — then read back relying
+    on partition discovery and aggregate per partition. The read-back
+    plan prunes partitions on the partition column; the write uses
+    Spark's commit protocol, replacing upload-then-delete (app.py:
+    461-488) with atomic task commits."""
+    prepare(spark)
+    sink = os.path.join(_TMP_DIR, "sink_orders_by_year")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    orders.write.mode("overwrite").partitionBy("order_year").parquet(sink)
+    back = spark.read.parquet(sink)
+    return back.groupBy(F.col("order_year").cast("int").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )

@@ -1,0 +1,138 @@
+"""Time-window aggregations (SURVEY.md §2B stream_*, batch-checkable).
+
+Seeds: hourly chunk iteration (``/root/reference/app.py:336-353`` →
+tumbling windows), the ±120 s overlap buffer (``app.py:373-380`` →
+sliding windows), daily cron with 5-minute close-delay
+(``app.py:674-679`` → watermark semantics, exercised for real in
+``jobs.py``).
+
+These use the exact same ``window()``/``session_window()`` operators a
+``readStream`` plan would — Structured Streaming reuses the batch
+expressions — so checking them against a SQL oracle in batch mode also
+validates the streaming semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.registry import register
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle="""
+        SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("stream",),
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window count/sum per channel (seed R4/R22)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_agg",
+    oracle="""
+        SELECT window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM (
+            SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                       AS window_start, event_type, value
+            FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                       - INTERVAL 30 MINUTE, event_type, value
+            FROM events
+        )
+        GROUP BY 1, 2
+    """,
+    tags=("stream",),
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min (seed R5: overlapping buffered
+    chunks). Each event lands in exactly 2 windows; the oracle expands
+    the two candidate window starts explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                          OR CAST(ts AS TIMESTAMP)
+                             - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                             >= INTERVAL 10 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    tags=("stream",),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, 10-minute inactivity gap. The oracle is
+    the classic gaps-and-islands rewrite; Spark's ``session_window``
+    merges adjacent events whose spacing is < gap, session end = last
+    event + gap — the CASE uses >= to match half-open semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

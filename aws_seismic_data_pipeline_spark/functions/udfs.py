@@ -1,0 +1,166 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2B).
+
+Demonstrates every Python-extension mechanism the engine supports, each
+with a DuckDB oracle so the driver can hash-check the semantics:
+
+- ``udf_python_scalar`` — row-at-a-time ``@udf``. Deliberately the
+  SLOW path (pickled per row); kept for API completeness and for
+  logic that genuinely can't vectorize. Hot paths use built-ins.
+- ``udf_pandas_vectorized`` — Arrow-batched ``@pandas_udf`` scalar:
+  ~10-100× the row UDF's throughput, the right Python escape hatch.
+- ``udaf_pandas_grouped`` — ``applyInPandas`` per-group aggregation
+  (the reference's per-IP grouping, app.py:391-397, generalized to
+  arbitrary per-group Python).
+- ``udtf_chunk_expand`` — one row → N rows. Implemented with the
+  JVM-side ``explode(sequence(...))`` (the reference's
+  ``iterate_chunks`` generator, app.py:336-353); a Python ``@udtf``
+  would only slow it down, which is itself the design point.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.registry import register
+
+
+@register(
+    "udf_python_scalar",
+    oracle="""
+        SELECT s_suppkey,
+               'OX.' || s_name || '.' || CAST(s_nationkey AS VARCHAR) AS seed_id
+        FROM supplier
+    """,
+    tags=("udf",),
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF building the reference's SEED id string
+    (app.py:206-208). Semantically identical to concat built-ins — the
+    query exists to exercise the ``@udf`` mechanism end-to-end."""
+
+    @F.udf(returnType=T.StringType())
+    def seed_id(name: str, nationkey: int) -> str:
+        return f"OX.{name}.{nationkey}"
+
+    sup = load_table(spark, sf_dir, "supplier")
+    return sup.select(
+        "s_suppkey", seed_id(F.col("s_name"), F.col("s_nationkey")).alias("seed_id")
+    )
+
+
+@register(
+    "udf_pandas_vectorized",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+               CASE WHEN l_quantity >= 30 THEN 'bulk' ELSE 'retail' END AS band
+        FROM lineitem
+        WHERE l_returnflag = 'A'
+    """,
+    tags=("udf",),
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar Pandas UDF: whole-column numpy arithmetic
+    (identical IEEE ops to the SQL expression, so values hash-match the
+    oracle bit-for-bit)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def charged(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    @F.pandas_udf(T.StringType())
+    def band(qty: pd.Series) -> pd.Series:
+        return pd.Series(["bulk" if q >= 30 else "retail" for q in qty])
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charged("l_extendedprice", "l_discount", "l_tax").alias("charged"),
+        band("l_quantity").alias("band"),
+    )
+
+
+@register(
+    "udaf_pandas_grouped",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               ROUND(SUM(c_acctbal), 2) AS total_bal,
+               ROUND(MAX(c_acctbal) - MIN(c_acctbal), 2) AS bal_range
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    tags=("udf",),
+)
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group custom aggregation via ``applyInPandas``: each market
+    segment's rows arrive as ONE pandas frame (the reference's
+    dict[ip → list] grouping, app.py:391-397). The kernel here computes
+    sums/ranges; a real use computes whatever pandas/numpy can —
+    gap profiles, percentile fits, model scoring.
+
+    Scale note: one shuffle on the group key; a hot key concentrates
+    its rows in one task, so keys must be bounded-cardinality-per-group
+    (or pre-aggregated) at 100 TB."""
+    schema = T.StructType(
+        [
+            T.StructField("c_mktsegment", T.StringType(), False),
+            T.StructField("n_cust", T.LongType(), False),
+            T.StructField("total_bal", T.DoubleType(), False),
+            T.StructField("bal_range", T.DoubleType(), False),
+        ]
+    )
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        bal = pdf["c_acctbal"]
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+                "n_cust": [len(pdf)],
+                "total_bal": [round(float(bal.sum()), 2)],
+                "bal_range": [round(float(bal.max() - bal.min()), 2)],
+            }
+        )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").applyInPandas(profile, schema)
+
+
+@register(
+    "udtf_chunk_expand",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS TIMESTAMP) AS window_start,
+               unnest(generate_series(
+                   CAST(o_orderdate AS TIMESTAMP),
+                   CAST(o_orderdate AS TIMESTAMP) + INTERVAL 23 HOUR,
+                   INTERVAL 6 HOUR)) AS chunk_start
+        FROM orders
+        WHERE o_orderkey <= 1000
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_chunk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-function expansion: one request row → N chunk rows (the
+    reference's ``iterate_chunks`` generator, app.py:336-353, 6-hour
+    chunks here). Runs as JVM-side explode(sequence(...)) — the UDTF
+    surface whose fast path needs no Python at all."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("window_start"),
+        F.explode(
+            F.sequence(
+                F.col("o_orderdate"),
+                F.col("o_orderdate") + F.expr("INTERVAL 23 HOUR"),
+                F.expr("INTERVAL 6 HOUR"),
+            )
+        ).alias("chunk_start"),
+    )

@@ -22,16 +22,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from aws_seismic_data_pipeline_spark.catalog import load_table
 from aws_seismic_data_pipeline_spark.registry import register
-
-_DOT = (
-    "aggregate(zip_with(q.embedding, c.embedding,"
-    " (x, y) -> cast(x as double) * cast(y as double)),"
-    " 0D, (acc, v) -> acc + v)"
-)
 
 
 @register(
@@ -52,32 +45,29 @@ _DOT = (
     tags=("llm", "similarity"),
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-5 cosine neighbors for 10 query vectors (brute force)."""
+    """Exact top-5 cosine neighbors for 10 query vectors (brute force).
+
+    Execution is the vectorized partial-top-k plan (llm/vector.py):
+    query matrix in the task closure, one Arrow+numpy pass over the
+    corpus emitting per-partition candidates, then a tiny global
+    re-rank — no corpus shuffle, ~100× the interpreted
+    aggregate(zip_with(...)) throughput."""
+    from aws_seismic_data_pipeline_spark.llm.vector import rank_topk, topk_dots
+
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    ).alias("q")
-    # corpus side repartitioned: single-file fixture = one input split,
-    # and the dot-product scan is compute-bound (no-op at real scale)
-    c = emb.repartition(spark.sparkContext.defaultParallelism).alias("c")
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("c.vec_id") != F.col("q.query_id"))
-        .withColumn("dot", F.expr(_DOT))
-    )
-    w = W.partitionBy("q.query_id").orderBy(
-        F.round(F.col("dot"), 6).desc(), F.col("c.vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
-        .select(
-            F.col("q.query_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            F.round("dot", 4).alias("cosine"),
-            "rank",
-        )
+    queries = [
+        (r["vec_id"], None, r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    candidates = topk_dots(corpus, queries, k=5, same_label_only=False)
+    return rank_topk(candidates, 5).select(
+        "query_id",
+        "neighbor_id",
+        F.round("dot", 4).alias("cosine"),
+        "rank",
     )
 
 
@@ -102,30 +92,31 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: top-3 neighbors searched only within the query's
-    cluster cell (label). The equi-join on label is the bucket probe —
-    at scale it becomes a partition-pruned scan of one cell."""
+    cluster cell (label; the coarse-quantizer cell id). Same vectorized
+    partial-top-k plan as bruteforce but label-masked — at scale the
+    corpus is partitioned by cell and only the probed cell is scanned."""
+    from aws_seismic_data_pipeline_spark.llm.vector import rank_topk, topk_dots
+
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 50).alias("q")
-    c = emb.repartition(spark.sparkContext.defaultParallelism).alias("c")
-    scored = (
-        F.broadcast(q)
-        .join(
-            c,
-            (F.col("q.label") == F.col("c.label"))
-            & (F.col("c.vec_id") != F.col("q.vec_id")),
-        )
-        .withColumn("dot", F.expr(_DOT))
-    )
-    w = W.partitionBy("q.vec_id").orderBy(
-        F.round(F.col("dot"), 6).desc(), F.col("c.vec_id")
+    queries = [
+        (r["vec_id"], r["label"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 50)
+        .select("vec_id", "label", "embedding")
+        .collect()
+    ]
+    labels = {q[0]: q[1] for q in queries}
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    candidates = topk_dots(corpus, queries, k=3, same_label_only=True)
+    label_df = candidates.sparkSession.createDataFrame(
+        [(qid, lab) for qid, lab in labels.items()], "query_id long, label int"
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 3)
+        rank_topk(candidates, 3)
+        .join(F.broadcast(label_df), "query_id")
         .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            F.col("q.label").alias("label"),
+            "query_id",
+            "neighbor_id",
+            "label",
             F.round("dot", 4).alias("cosine"),
             "rank",
         )

@@ -101,6 +101,48 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+@register(
+    "text_token_regex",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+               CAST(len(list_filter(toks, t -> regexp_full_match(t, '[a-z]+')))
+                    AS BIGINT) AS n_word_tokens,
+               CAST(len(list_filter(toks, t -> regexp_full_match(t, '[0-9]+')))
+                    AS BIGINT) AS n_number_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_vocab
+        FROM (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '{_BPE_PATTERN}') AS toks
+            FROM documents
+        )
+    """,
+    tags=("llm", "text"),
+)
+def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting: lowercase, then split into letter
+    runs / digit runs / punctuation runs — the pre-tokenization pass a
+    BPE trainer applies before merges. Same regex class syntax in Java
+    and RE2, verified cross-engine. Whole pipeline is JVM built-ins
+    (regexp_extract_all + higher-order filters): one map-side pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("long").alias(
+            "n_word_tokens"
+        ),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).cast("long").alias(
+            "n_number_tokens"
+        ),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_vocab"),
+    )
+
+
 @register(
     "text_lang_id",
     oracle="""

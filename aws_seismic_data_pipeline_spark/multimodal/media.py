@@ -1,0 +1,226 @@
+"""Multimodal (image/audio/video) columns as opaque binary + metadata.
+
+North-star capability: a 100 TB training-data pipeline carries media as
+opaque ``binary`` columns with typed metadata, decoded/transformed by
+Arrow-batched Python stages. The real codec libraries (Pillow, ffmpeg,
+torchaudio) are NOT in this container, so the decode kernel is split:
+
+- the Spark-side plumbing — schema, binary payload handling, Arrow
+  batch shape, ``mapInPandas`` signatures, partitioning — is REAL and
+  exactly what a production decode stage uses;
+- the codec itself is a clearly-marked deterministic fake
+  (``fake_decode``) deriving metadata/features from the payload's md5,
+  so results are reproducible and oracle-checkable. ``real_decode``
+  raises ``NotImplementedError`` until a codec library is installed.
+
+The fixtures ship no media table; ``media_frame`` synthesizes one by
+treating each document's UTF-8 bytes as an opaque payload — the engine
+never looks at the bytes except through the decode kernel, exactly as
+it would treat miniSEED/JPEG blobs (the reference ships miniSEED bytes
+around without ever decoding them — /root/reference/app.py:296-303).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.registry import register
+
+FORMATS = ("jpeg", "png", "webp", "gif")
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+    ]
+)
+
+
+def real_decode(payload: bytes) -> dict:
+    """Real codec hook. STUB: no image/audio libs in this container."""
+    raise NotImplementedError(
+        "codec libraries (Pillow/ffmpeg) unavailable; use fake_decode"
+    )
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic FAKE decode: metadata derived from md5(payload).
+
+    Stands in for a codec so the distributed plumbing is testable; the
+    derivation (hex digits → dimensions) is mirrored in the DuckDB
+    oracles, giving exact cross-engine checks of the full pipeline."""
+    d = hashlib.md5(payload).hexdigest()
+    return {
+        "format": FORMATS[int(d[0], 16) % len(FORMATS)],
+        "width": 160 + (int(d[1:3], 16) % 8) * 80,
+        "height": 90 + (int(d[3:5], 16) % 8) * 45,
+        "n_frames": 1 + int(d[5:7], 16) % 30,
+    }
+
+
+def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize an opaque-media table: (media_id, payload binary)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+# DuckDB mirror of fake_decode (md5 of the same UTF-8 bytes).
+_DUCK_DECODE = """
+    SELECT doc_id AS media_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+"""
+_DUCK_META = f"""
+    SELECT media_id, n_bytes,
+           ['jpeg', 'png', 'webp', 'gif']
+               [(('0x' || substring(digest, 1, 1))::INTEGER % 4) + 1] AS format,
+           CAST(160 + (('0x' || substring(digest, 2, 2))::INTEGER % 8) * 80
+                AS INTEGER) AS width,
+           CAST(90 + (('0x' || substring(digest, 4, 2))::INTEGER % 8) * 45
+                AS INTEGER) AS height,
+           CAST(1 + ('0x' || substring(digest, 6, 2))::INTEGER % 30
+                AS INTEGER) AS n_frames
+    FROM ({_DUCK_DECODE})
+"""
+
+
+def decode_media(media: DataFrame, decode=fake_decode) -> DataFrame:
+    """Arrow-batched decode stage: binary payload → typed metadata.
+
+    This is the real production shape: one ``mapInPandas`` pass, codec
+    called per payload inside the batch loop, output a typed struct —
+    swap ``decode=real_decode`` when codecs exist."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            metas = [decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "format": [m["format"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "n_frames": [m["n_frames"] for m in metas],
+                }
+            )
+
+    return media.mapInPandas(run, DECODED_SCHEMA)
+
+
+@register(
+    "mm_decode_metadata",
+    oracle=f"SELECT media_id, n_bytes, format, width, height, n_frames FROM ({_DUCK_META})",
+    tags=("multimodal",),
+)
+def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode opaque media payloads into typed metadata (fake codec,
+    real distributed plumbing)."""
+    return decode_media(media_frame(spark, sf_dir))
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+        SELECT media_id, frame_idx,
+               md5(CAST(media_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR))
+                   AS frame_key
+        FROM (
+            SELECT media_id, unnest(range(0, n_frames, 5)) AS frame_idx
+            FROM ({_DUCK_META})
+        )
+    """,
+    tags=("multimodal",),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plan for video-like media: every 5th frame index,
+    exploded into one row per sampled frame with a deterministic frame
+    key (what a real pipeline passes to the frame extractor). The
+    explode stays JVM-side; only the (stubbed) pixel fetch would be
+    Python."""
+    meta = decode_media(media_frame(spark, sf_dir))
+    frames = meta.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("n_frames") - 1, F.lit(5)
+            )
+        ).alias("frame_idx"),
+    )
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.md5(
+            F.concat_ws(
+                ":", F.col("media_id").cast("string"), F.col("frame_idx").cast("string")
+            ).cast("binary")
+        ).alias("frame_key"),
+    )
+
+
+@register(
+    "mm_feature_extract",
+    oracle=f"""
+        SELECT media_id,
+               list_transform(range(0, 8), i ->
+                   (('0x' || substring(digest, i * 4 + 1, 4))::INTEGER)
+                       / 65535.0) AS features,
+               format
+        FROM ({_DUCK_META}) m
+        JOIN ({_DUCK_DECODE}) d USING (media_id)
+    """,
+    tags=("multimodal",),
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over media payloads: Arrow-batched Python
+    kernel emitting a fixed 8-dim embedding per item (fake: md5 16-bit
+    words scaled to [0,1] — exact integers / 65535, so cross-engine
+    float parity is bit-exact). A real extractor swaps the kernel for
+    a vision model; schema/batching/partitioning are unchanged."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("features", T.ArrayType(T.DoubleType()), False),
+            T.StructField("format", T.StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats, fmts = [], []
+            for p in pdf["payload"]:
+                d = hashlib.md5(p).hexdigest()
+                feats.append(
+                    [int(d[i * 4 : i * 4 + 4], 16) / 65535.0 for i in range(8)]
+                )
+                fmts.append(fake_decode(p)["format"])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "features": feats,
+                    "format": fmts,
+                }
+            )
+
+    return media_frame(spark, sf_dir).mapInPandas(run, schema)

@@ -159,6 +159,37 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentile",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS median_qty,
+               quantile_cont(l_quantity, 0.25) AS p25_qty,
+               quantile_cont(l_quantity, 0.75) AS p75_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: linear interpolation on sorted values —
+    quantities are small integers so the interpolation is exact).
+
+    Scale note: exact percentile sorts per group; at 100 TB use
+    ``approx_percentile`` (t-digest, one pass, mergeable) — not
+    oracle-checked because sketch estimates aren't cross-engine
+    comparable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.25)").alias("p25_qty"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
     "agg_collect",
     oracle="""
         SELECT c_mktsegment,

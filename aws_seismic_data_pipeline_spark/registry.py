@@ -57,10 +57,20 @@ def load_all() -> dict[str, QuerySpec]:
         setops,
         window_ops,
     )
-    from aws_seismic_data_pipeline_spark.functions import scalar  # noqa: F401
-    from aws_seismic_data_pipeline_spark.plans import ingest  # noqa: F401
+    from aws_seismic_data_pipeline_spark.functions import scalar, udfs  # noqa: F401
+    from aws_seismic_data_pipeline_spark.plans import ingest, migrate  # noqa: F401
     from aws_seismic_data_pipeline_spark.streaming import batch_windows, jobs  # noqa: F401
-    from aws_seismic_data_pipeline_spark.llm import dedup, similarity, text  # noqa: F401
-    from aws_seismic_data_pipeline_spark.sources import http_fetch, readers  # noqa: F401
+    from aws_seismic_data_pipeline_spark.llm import (  # noqa: F401
+        dedup,
+        similarity,
+        simhash,
+        text,
+    )
+    from aws_seismic_data_pipeline_spark.multimodal import media  # noqa: F401
+    from aws_seismic_data_pipeline_spark.sources import (  # noqa: F401
+        datasource,
+        http_fetch,
+        readers,
+    )
 
     return REGISTRY

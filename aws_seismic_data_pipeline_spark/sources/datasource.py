@@ -1,0 +1,121 @@
+"""Custom Python DataSource (Spark 4 API): rate-limited HTTP fetch.
+
+The reference's fetch loop (``/root/reference/app.py:285-313`` +
+per-IP semaphore ``app.py:399-432``) as a first-class *source*:
+``spark.read.format("stub_http").option(...)`` — the engine-native way
+to expose "a remote service is the table". One input partition per
+host (seed R11: ``requests_by_ip``), so Spark schedules hosts in
+parallel while the in-partition semaphore caps per-host concurrency at
+the reference's 3 — the two levels compose exactly like SURVEY.md §4's
+key-grouped-execution note.
+
+The transport is the same deterministic stub as sources/http_fetch.py
+(no live network in tests/driver); swap ``stub_transport`` for an
+aiohttp call in production.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from aws_seismic_data_pipeline_spark.registry import register
+from aws_seismic_data_pipeline_spark.sources.http_fetch import (
+    FETCH_RESULT_FIELDS,
+    _fetch_one,
+    stub_transport,
+)
+
+FETCH_SCHEMA = T.StructType(
+    [T.StructField("host", T.StringType(), False)] + FETCH_RESULT_FIELDS
+)
+
+
+class HostPartition(InputPartition):
+    def __init__(self, host: str, urls: list[str]):
+        self.host = host
+        self.urls = urls
+
+
+class StubHttpReader(DataSourceReader):
+    def __init__(self, options):
+        self.urls: list[str] = json.loads(options.get("urls", "[]"))
+        self.max_concurrency = int(options.get("max_concurrency", "3"))
+
+    def partitions(self):
+        by_host: dict[str, list[str]] = {}
+        for u in self.urls:
+            # host = authority component, the reference's url.split('/')[2]
+            host = u.split("/")[2] if "//" in u else "unknown"
+            by_host.setdefault(host, []).append(u)
+        return [HostPartition(h, us) for h, us in sorted(by_host.items())]
+
+    def read(self, partition: HostPartition) -> Iterator[tuple]:
+        async def drain() -> list[dict]:
+            sem = asyncio.Semaphore(self.max_concurrency)
+            return list(
+                await asyncio.gather(
+                    *[_fetch_one(sem, stub_transport, u) for u in partition.urls]
+                )
+            )
+
+        for r in asyncio.run(drain()):
+            yield (
+                partition.host,
+                r["url"],
+                r["status"],
+                r["content"],
+                r["content_len"],
+                r["is_placeholder"],
+                r["error_type"],
+                r["error_message"],
+            )
+
+
+class StubHttpDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "stub_http"
+
+    def schema(self):
+        return FETCH_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return StubHttpReader(self.options)
+
+
+@register("source_http_datasource", tags=("source", "no-oracle"))
+def source_http_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the sensor fleet through the custom DataSource: 3 hosts ×
+    4 hourly chunks, one Spark partition per host. Rows-only check
+    (payload bytes aren't SQL-expressible); per-row semantics are the
+    same error-channel contract as ``source_http_fetch`` and are
+    pytest-verified."""
+    spark.dataSource.register(StubHttpDataSource)
+    hosts = ["10.144.0.10:8080", "10.144.0.11:8080", "10.144.0.12:8080"]
+    urls = [
+        f"http://{h}/data?channel=OX.ST{i}.00.HHZ&from=2024-01-15T{hh:02d}"
+        + ("&timeout=1" if i == 2 else "")
+        for i, h in enumerate(hosts)
+        for hh in range(4)
+    ]
+    df = (
+        spark.read.format("stub_http")
+        .option("urls", json.dumps(urls))
+        .option("max_concurrency", "3")
+        .load()
+    )
+    return (
+        df.groupBy("host", "is_placeholder", "error_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum(F.coalesce(F.col("content_len"), F.lit(0))).alias("total_bytes"),
+        )
+        .orderBy("host", "is_placeholder", "error_type")
+    )

@@ -117,6 +117,34 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_ensure_exists",
+    oracle="""
+        SELECT n_regionkey,
+               CAST(COUNT(*) AS BIGINT) AS n_nations
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    tags=("sink", "ddl"),
+)
+def sink_ensure_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent-create sink (seed R20: head_bucket → create_bucket on
+    404, app.py:530-553). The engine form: ``CREATE TABLE IF NOT
+    EXISTS`` + append-mode write, both no-ops when the target exists —
+    run twice to prove idempotency, then read back the (single) copy.
+    Replaces the reference's probe-then-create race with a catalog
+    transaction."""
+    prepare(spark)
+    sink = os.path.join(_TMP_DIR, "sink_ensure_nation")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    # overwrite once to reset, then two idempotent ensure-exists appends
+    nation.limit(0).write.mode("overwrite").parquet(sink)
+    nation.write.mode("append").parquet(sink)
+    spark.read.parquet(sink)  # exists-probe: raises if create failed
+    back = spark.read.parquet(sink)
+    return back.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n_nations"))
+
+
+@register(
     "sink_partitioned_parquet",
     oracle="""
         SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,

@@ -23,6 +23,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from aws_seismic_data_pipeline_spark.catalog import load_table, prepare
 from aws_seismic_data_pipeline_spark.registry import register
@@ -70,6 +71,20 @@ def _run_available_now(result: DataFrame, name: str) -> DataFrame:
     return result.sparkSession.table(sink)
 
 
+def _run_available_now_append(result: DataFrame, name: str, mode: str = "update") -> DataFrame:
+    """Like ``_run_available_now`` but for update-mode stateful ops."""
+    sink = f"sink_{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(sink)
+
+
 @register("stream_watermark_late", tags=("stream", "stateful"))
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed streaming aggregate under a 2-minute watermark (seed R5's
@@ -91,6 +106,64 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_available_now(agg, "watermark_late")
+
+
+@register("stream_custom_state", tags=("stream", "stateful"))
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per
+    event_type, arbitrary Python state carried across micro-batches
+    (running count + running value sum + watermark-bounded liveness).
+    This is the engine's escape hatch for stateful logic that
+    ``groupBy().agg()`` can't express — e.g. the reference's mutable
+    job-status singleton (app.py:36-38) done correctly: keyed,
+    fault-tolerant, bounded by timeout instead of a global."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _events_stream(spark, sf_dir)
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("n_events", T.LongType(), False),
+            T.StructField("total_value", T.DoubleType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType(), False),
+            T.StructField("total", T.DoubleType(), False),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    counted = (
+        stream.withWatermark("ts", "2 minutes")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    result = _run_available_now_append(counted, "custom_state")
+    # update-mode emits one row per key per micro-batch; the final state
+    # per key is the max-count row (counts are monotone)
+    w_last = result.groupBy("event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )
+    return w_last
 
 
 @register("stream_dedup_state", tags=("stream", "stateful"))

@@ -30,7 +30,10 @@ HEADLINE = [
     "ingest_plan_daily",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "sim_topk_bruteforce",
     "sim_topk_bucketed",
+    "mm_decode_metadata",
     "text_quality_score",
     "limit_topk_per_group",
     "set_union_all",

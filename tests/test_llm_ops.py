@@ -1,0 +1,129 @@
+"""Pipeline-semantics tests for LLM/multimodal operators with no (or
+partial) SQL-oracle coverage: simhash banding guarantees, vectorized
+top-k merge correctness, multimodal decode plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from aws_seismic_data_pipeline_spark.registry import load_all
+
+from .conftest import SF_DIR
+
+REGISTRY = load_all()
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    """Exact-duplicate texts must produce identical fingerprints, so
+    every exact-dup pair appears in the pairs output with hamming 0."""
+    fp = REGISTRY["dedup_simhash"].builder(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    joined = docs.alias("d").join(fp.alias("f"), F.col("d.doc_id") == F.col("f.doc_id"))
+    # group identical texts: all members share one simhash
+    per_text = joined.groupBy("d.text").agg(
+        F.countDistinct("f.simhash").alias("n_hashes"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    assert per_text.filter(F.col("n_hashes") > 1).count() == 0
+
+    dup_pairs = (
+        docs.alias("a")
+        .join(docs.alias("b"), (F.col("a.text") == F.col("b.text"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    pairs = REGISTRY["dedup_simhash_pairs"].builder(spark, SF_DIR)
+    found = pairs.filter(F.col("hamming") == 0)
+    missing = dup_pairs.join(found, ["doc_a", "doc_b"], "left_anti")
+    assert missing.count() == 0, "banding lost an exact-duplicate pair"
+
+
+def test_simhash_numpy_kernel_equals_sql_expression(spark):
+    """The vectorized fingerprint kernel (used by the pairs query) must
+    produce exactly the SQL-expression fingerprints (used by the
+    oracle-checked dedup_simhash query)."""
+    from aws_seismic_data_pipeline_spark.llm.simhash import simhash_fingerprints_np
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sql_fp = {
+        r["doc_id"]: r["simhash"]
+        for r in REGISTRY["dedup_simhash"].builder(spark, SF_DIR).collect()
+    }
+    np_fp = {
+        r["doc_id"]: r["simhash"] for r in simhash_fingerprints_np(docs).collect()
+    }
+    assert np_fp == sql_fp
+
+
+def test_vector_topk_matches_bruteforce_join(spark):
+    """The mapInPandas partial-top-k plan must equal the naive SQL plan."""
+    from aws_seismic_data_pipeline_spark.llm.vector import rank_topk, topk_dots
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = [
+        (r["vec_id"], None, r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in rank_topk(topk_dots(emb.repartition(8), queries, 4, False), 4).collect()
+    }
+    # naive reference: explicit dot product via SQL aggregate
+    dot = (
+        "aggregate(zip_with(q.embedding, c.embedding,"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    q = emb.filter(F.col("vec_id") < 5).alias("q")
+    c = emb.alias("c")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q.vec_id").orderBy(
+        F.round(F.col("dot"), 6).desc(), F.col("c.vec_id")
+    )
+    ref = (
+        q.crossJoin(c)
+        .filter(F.col("c.vec_id") != F.col("q.vec_id"))
+        .withColumn("dot", F.expr(dot))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 4)
+        .select(F.col("q.vec_id").alias("query_id"), "rank",
+                F.col("c.vec_id").alias("neighbor_id"))
+    )
+    want = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in ref.collect()}
+    assert got == want
+
+
+def test_multimodal_decode_matches_local_fake(spark):
+    """The distributed decode stage must agree with a driver-side call
+    of the same kernel on the same bytes."""
+    from aws_seismic_data_pipeline_spark.multimodal.media import fake_decode
+
+    meta = REGISTRY["mm_decode_metadata"].builder(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20).collect()
+    got = {r["media_id"]: r.asDict() for r in meta.collect()}
+    for d in docs:
+        local = fake_decode(d["text"].encode("utf-8"))
+        row = got[d["doc_id"]]
+        for k in ("format", "width", "height", "n_frames"):
+            assert row[k] == local[k], (d["doc_id"], k)
+
+
+def test_multimodal_real_decode_is_stubbed():
+    from aws_seismic_data_pipeline_spark.multimodal.media import real_decode
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        real_decode(b"\x00")
+
+
+def test_feature_extract_unit_range(spark):
+    feats = REGISTRY["mm_feature_extract"].builder(spark, SF_DIR)
+    bad = feats.filter(
+        F.exists("features", lambda v: (v < 0.0) | (v > 1.0))
+    )
+    assert bad.count() == 0
+    assert feats.select(F.size("features")).distinct().collect()[0][0] == 8

@@ -1,0 +1,62 @@
+"""Physical-plan assertions: the scale posture is a property of the
+plan, not just the results. These lock in pushdown/broadcast/top-k
+strategies so a refactor can't silently regress them (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from aws_seismic_data_pipeline_spark.registry import load_all
+
+from .conftest import SF_DIR
+
+REGISTRY = load_all()
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].builder(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(spark, name: str) -> str:
+    df = REGISTRY[name].builder(spark, SF_DIR)
+    return df._jdf.queryExecution().toString()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    plan = _optimized(spark, "scan_parquet")
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+    # projection pruned to 5 of 11 columns (4 selected + filter column)
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+    assert "l_tax" not in read_schema
+
+
+def test_broadcast_join_stays_broadcast(spark):
+    plan = _plan(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    plan = _plan(spark, "join_theta_range")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_global_sort_limit_uses_topk(spark):
+    plan = _plan(spark, "sort_multi_key")
+    # per-partition top-k + merge, not a full global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_groupby_does_partial_aggregation(spark):
+    plan = _plan(spark, "agg_groupby_hash")
+    # map-side partial + final: two HashAggregate levels around the
+    # exchange means combiner semantics at 100 TB
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_anti_join_no_cartesian(spark):
+    plan = _plan(spark, "join_left_anti")
+    assert "CartesianProduct" not in plan

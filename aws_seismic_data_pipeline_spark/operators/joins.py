@@ -201,6 +201,48 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted_skew",
+    oracle="""
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+               ROUND(SUM(l.l_extendedprice), 2) AS total_price
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join: the skew-mitigation pattern, oracle-proven
+    result-identical to the plain join.
+
+    Mechanics: the probe side gets a random-free deterministic salt
+    (key mod SALT) appended to its join key; the build side is exploded
+    SALT ways so every salted key finds its match. A single hot key's
+    rows now spread over SALT reducers instead of one. At 100 TB this
+    (or AQE's skewJoin, enabled in session.py) is what keeps the
+    longest task from dominating the stage. SALT=8 here; pick
+    ~(hot-key rows / target-partition rows) in production."""
+    SALT = 8
+    # salt varies WITHIN a join key (linenumber, not orderkey) — that's
+    # what spreads one hot key over SALT reducers
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_linenumber") % SALT).cast("int")
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
+    )
+    joined = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey) & (li.salt == orders.salt),
+        "inner",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+@register(
     "join_asof_nearest",
     oracle="""
         SELECT c.event_id,

@@ -136,6 +136,33 @@ def window_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_ntile_dist",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               CAST(NTILE(4) OVER w AS BIGINT) AS bal_quartile,
+               PERCENT_RANK() OVER w AS bal_pct_rank,
+               CUME_DIST() OVER w AS bal_cume_dist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window",),
+)
+def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics per segment: quartile bucketing and rank
+    ratios (percent_rank/cume_dist are exact rational values — int
+    counts divided identically in both engines, so no rounding)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
+
+
+@register(
     "sort_multi_key",
     oracle="""
         SELECT o_orderkey, o_orderpriority, o_totalprice

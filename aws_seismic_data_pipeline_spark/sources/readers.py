@@ -117,6 +117,33 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_csv_roundtrip",
+    oracle="""
+        SELECT r_regionkey, r_name, CAST(strlen(r_name) AS BIGINT) AS name_len
+        FROM region
+    """,
+    tags=("source", "sink"),
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema'd CSV scan (text interchange format support):
+    write region as headered CSV, read it back with an explicit schema
+    (never inferSchema at scale — one extra full pass), project. Quotes/
+    escapes handled by the writer; the oracle reads the parquet
+    original, proving the round trip is lossless."""
+    prepare(spark)
+    sink = os.path.join(_TMP_DIR, "region_csv")
+    region = load_table(spark, sf_dir, "region")
+    region.write.mode("overwrite").option("header", True).csv(sink)
+    # explicit schema = the parquet original's (no inferSchema pass)
+    back = spark.read.schema(region.schema).option("header", True).csv(sink)
+    return back.select(
+        "r_regionkey",
+        "r_name",
+        F.length("r_name").cast("long").alias("name_len"),
+    )
+
+
+@register(
     "sink_ensure_exists",
     oracle="""
         SELECT n_regionkey,

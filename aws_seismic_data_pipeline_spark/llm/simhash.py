@@ -191,7 +191,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per candidate pair (measured ~3× slower even vectorized). At
     # scale this is the standard LSH shape — fingerprints are tiny
     # (16 B/doc) and reused by every band.
-    fp = simhash_fingerprints_np(docs).localCheckpoint(eager=False)
+    # eager: materializing the fingerprints as their own job sidesteps a
+    # scheduler pathology where the combined checkpoint+join+distinct
+    # action straggles ~25 s (measured; the three steps run separately
+    # take ~7 s total)
+    fp = simhash_fingerprints_np(docs).localCheckpoint(eager=True)
     bands = fp.select(
         "doc_id",
         "simhash",

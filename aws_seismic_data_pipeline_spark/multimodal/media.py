@@ -178,6 +178,45 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_resize_plan",
+    oracle=f"""
+        SELECT media_id, width, height,
+               CASE WHEN width >= height THEN 224
+                    ELSE CAST((width * 224) // height AS INTEGER) END AS out_w,
+               CASE WHEN width >= height
+                    THEN CAST((height * 224) // width AS INTEGER)
+                    ELSE 224 END AS out_h,
+               (width > 224 OR height > 224) AS downscale
+        FROM ({_DUCK_META})
+    """,
+    tags=("multimodal",),
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning: aspect-preserving fit of each media item into a
+    224×224 budget (the standard vision-model input prep). Pure integer
+    math on decoded metadata — exact cross-engine. The pixel resample
+    itself is the stubbed codec step (``real_decode``); a production
+    kernel applies these dims inside the same mapInPandas stage."""
+    meta = decode_media(media_frame(spark, sf_dir))
+    w, h = F.col("width"), F.col("height")
+    # integer `div` on both engines — no float rounding in the fit math
+    out_w = F.when(w >= h, F.lit(224)).otherwise(
+        F.expr("(width * 224) div height").cast("int")
+    )
+    out_h = F.when(
+        w >= h, F.expr("(height * 224) div width").cast("int")
+    ).otherwise(F.lit(224))
+    return meta.select(
+        "media_id",
+        "width",
+        "height",
+        out_w.alias("out_w"),
+        out_h.alias("out_h"),
+        ((w > 224) | (h > 224)).alias("downscale"),
+    )
+
+
+@register(
     "mm_feature_extract",
     oracle=f"""
         SELECT media_id,

@@ -243,6 +243,63 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_bucketed_colocated",
+    oracle="""
+        SELECT o.o_orderkey, o.o_totalprice,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(SUM(l.l_quantity), 2) AS total_qty
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+    tags=("join", "bucketed"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written ``bucketBy`` the
+    join key, so the join AND the following same-key aggregation run
+    with ZERO exchanges (verify: no Exchange above the scans in
+    ``.explain``; tests/test_plans.py asserts it).
+
+    This is the 100 TB answer for a fact-fact join repeated across
+    runs: pay the bucketing shuffle once at write time, then every
+    downstream join/agg on that key is shuffle-free. Bucket count 8
+    here; size so each bucket ≈ one task's worth at target scale."""
+    import os
+    import tempfile
+
+    prepare_dir = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if not prepare_dir:
+        prepare_dir = os.path.join(tempfile.gettempdir(), "spark_graft_warehouse")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_orders, t_li = f"orders_b_{sf_tag}", f"lineitem_b_{sf_tag}"
+    for name, df, key in ((t_orders, orders, "o_orderkey"), (t_li, li, "l_orderkey")):
+        if not spark.catalog.tableExists(name):
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .option("path", os.path.join(prepare_dir, name))
+                .saveAsTable(name)
+            )
+    # merge hint: at fixture scale Catalyst would broadcast the small
+    # side (hiding the point); the hint forces the sort-merge path that
+    # a fact-fact join takes at 100 TB, where bucketing removes both
+    # the exchange and the sort
+    o = spark.table(t_orders).hint("merge")
+    l = spark.table(t_li)
+    return (
+        o.join(l, l.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
     "join_asof_nearest",
     oracle="""
         SELECT c.event_id,

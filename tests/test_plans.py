@@ -60,3 +60,10 @@ def test_groupby_does_partial_aggregation(spark):
 def test_anti_join_no_cartesian(spark):
     plan = _plan(spark, "join_left_anti")
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed on the join key ⇒ join + same-key agg run
+    without any shuffle (the pay-once-at-write-time contract)."""
+    plan = _plan(spark, "join_bucketed_colocated")
+    assert "Exchange" not in plan, plan

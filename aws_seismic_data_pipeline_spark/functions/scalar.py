@@ -267,3 +267,32 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal") != 0.0, F.round(1000.0 / F.col("c_acctbal"), 6)
         ).alias("inv_bal"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS key_xor,
+               l_orderkey & 255 AS key_band,
+               l_orderkey << 2 AS key_shl,
+               CAST(bit_count(l_orderkey) AS INTEGER) AS key_bits
+        FROM lineitem
+        WHERE l_orderkey % 32 = 0
+    """,
+    tags=("fn",),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise kernel: xor/and/shift/popcount on 64-bit keys — the
+    primitive layer under the engine's own simhash banding and salted
+    keys (llm/simhash.py uses exactly these ops; here they're exposed
+    as a queryable surface). All JVM-side codegen, no UDF."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 32 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_orderkey ^ CAST(l_linenumber AS BIGINT)").alias("key_xor"),
+        F.expr("l_orderkey & CAST(255 AS BIGINT)").alias("key_band"),
+        F.expr("shiftleft(l_orderkey, 2)").alias("key_shl"),
+        F.bit_count("l_orderkey").alias("key_bits"),
+    )

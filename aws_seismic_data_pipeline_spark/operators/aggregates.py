@@ -190,6 +190,71 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_stats_moments",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+               ROUND(var_samp(l_quantity), 4) AS var_qty,
+               ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group: stddev/variance/correlation/
+    covariance (inventory extension — data-quality profiling any
+    training-data pipeline runs before ingest).
+
+    All four are single-pass mergeable sketches in Spark (Welford-style
+    partial states combined at the final agg) — the same shuffle shape
+    as a plain sum, so 100 TB profiling costs one pass. Values are
+    rounded at 4dp: the moments are irrational (no decimal halfway
+    cases), and both engines' float noise (~1e-12 relative) is far
+    below the rounding grid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "cov_qty_price"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+        SELECT o_orderpriority,
+               max_by(o_totalprice, o_orderkey) AS last_order_price,
+               min_by(o_totalprice, o_orderkey) AS first_order_price,
+               CAST(MAX(o_orderkey) AS BIGINT) AS last_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregation: value of one column at another
+    column's extreme (inventory extension; DuckDB ``arg_max``/
+    ``max_by``). The ordering column is the unique o_orderkey, so the
+    arg row is deterministic — max_by over a column with ties is
+    engine-dependent and must not be oracle-checked."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
+        F.min_by("o_totalprice", "o_orderkey").alias("first_order_price"),
+        F.max("o_orderkey").alias("last_orderkey"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
     "agg_collect",
     oracle="""
         SELECT c_mktsegment,

@@ -139,6 +139,47 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_full_outer",
+    oracle="""
+        WITH od AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        ed AS (
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
+        )
+        SELECT COALESCE(od.day, ed.day) AS day, od.n_orders, ed.n_events
+        FROM od FULL OUTER JOIN ed ON od.day = ed.day
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: reconcile two daily activity ledgers, keeping
+    days present in either (seed R27 — migration reconciliation needs
+    src-only, dest-only AND matched rows in one pass). The fixture date
+    ranges are disjoint, so both null-extension sides are exercised."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    od = (
+        orders.select(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    ed = (
+        events.select(F.date_trunc("day", F.col("ts")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    joined = od.join(ed, od.day == ed.day, "full_outer")
+    return joined.select(
+        F.coalesce(od.day, ed.day).alias("day"), "n_orders", "n_events"
+    )
+
+
+@register(
     "join_cross",
     oracle="""
         SELECT r.r_name, n.n_name

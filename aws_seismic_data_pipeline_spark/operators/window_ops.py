@@ -163,6 +163,86 @@ def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_first_last",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               first_value(l_quantity) OVER w AS first_qty,
+               last_value(l_quantity) OVER w AS last_qty,
+               nth_value(l_quantity, 2) OVER w AS second_qty
+        FROM lineitem
+        WINDOW w AS (
+            PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+    tags=("window",),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional value functions over a full-partition frame: first/
+    last/nth line quantity per order. The frame must be UNBOUNDED on
+    both sides — the SQL default frame stops at CURRENT ROW, which
+    silently turns last_value into "current value" in both engines.
+    The fixture's l_linenumber is NOT unique within an order, so the
+    ordering adds l_quantity: rows still tied then agree on the only
+    value the window functions read, keeping output deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_quantity").over(w).alias("first_qty"),
+        F.last("l_quantity").over(w).alias("last_qty"),
+        F.nth_value("l_quantity", 2).over(w).alias("second_qty"),
+    )
+
+
+@register(
+    "window_range_interval",
+    oracle="""
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                   RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_last_10m,
+               ROUND(SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                   RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW
+               ), 4) AS value_last_10m
+        FROM events
+    """,
+    tags=("window", "range"),
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user activity in the trailing 10
+    minutes of each event (seed R5 — the reference's ±120 s buffer is a
+    range frame over time, not rows).
+
+    RANGE frames are value-based, so rows with identical ts share one
+    frame — tie order cannot change the aggregate, unlike a ROWS frame.
+    Expressed in SQL because the DataFrame ``rangeBetween`` API takes
+    long offsets only; interval bounds need the SQL window syntax."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rw")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW
+               ) AS n_last_10m,
+               ROUND(SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW
+               ), 4) AS value_last_10m
+        FROM events_rw
+        """
+    )
+
+
+@register(
     "sort_multi_key",
     oracle="""
         SELECT o_orderkey, o_orderpriority, o_totalprice

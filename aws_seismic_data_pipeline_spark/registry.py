@@ -52,8 +52,10 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries; return the registry."""
     from aws_seismic_data_pipeline_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
         joins,
         relational,
+        reshape,
         setops,
         window_ops,
     )

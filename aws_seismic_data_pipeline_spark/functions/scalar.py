@@ -296,3 +296,66 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftleft(l_orderkey, 2)").alias("key_shl"),
         F.bit_count("l_orderkey").alias("key_bits"),
     )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS text_md5,
+               sha256(text) AS text_sha256,
+               md5(CONCAT(lang, ':', source)) AS bucket_key
+        FROM documents
+    """,
+    tags=("fn", "hash"),
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash kernel: md5/sha256 hex digests (the substrate
+    under exact dedup llm/dedup.py and the engine-portable simhash
+    llm/simhash.py — here exposed directly). Both engines emit lowercase
+    hex over UTF-8 bytes, so digests are comparable verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256"),
+        F.md5(F.concat_ws(":", "lang", "source").cast("binary")).alias("bucket_key"),
+    )
+
+
+@register(
+    "fn_higher_order",
+    oracle="""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id,
+               list_transform(list_filter(toks, x -> len(x) > 4), x -> upper(x))
+                   AS long_upper,
+               CAST(len(list_filter(toks, x -> len(x) > 4)) AS INTEGER) AS n_long,
+               CAST(list_reduce(list_transform(toks, x -> len(x)), (a, x) -> a + x)
+                   AS BIGINT) AS char_sum
+        FROM tok
+    """,
+    tags=("fn", "higher_order"),
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas: transform/filter/aggregate composed
+    on a pre-split token array (split ONCE — re-splitting inside a
+    lambda is O(n²) per row; see llm/text.py).
+
+    These run interpreted (~6M ops/row-element/s), fine for metadata
+    arrays; bulk numeric kernels (dot products, bit folds) belong in
+    Arrow+numpy ``mapInPandas`` instead (llm/vector.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.transform(
+            F.filter(toks, lambda x: F.length(x) > 4), lambda x: F.upper(x)
+        ).alias("long_upper"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("char_sum"),
+    )

@@ -164,3 +164,51 @@ def udtf_chunk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_start"),
     )
+
+
+@register(
+    "udtf_python_chunks",
+    oracle="""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        idx AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS i
+            FROM tok
+        )
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS chunk_idx,
+               array_to_string(toks[(i*10+1):((i+1)*10)], ' ') AS chunk_text,
+               CAST(len(array_to_string(toks[(i*10+1):((i+1)*10)], ' ')) AS INTEGER)
+                   AS n_chars
+        FROM idx
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_python_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 ``@udtf``): one document → N 10-word chunk
+    rows, the LLM-pipeline chunking primitive (context-window packing).
+
+    This is the *generator* extension surface the reference's
+    ``iterate_chunks`` (app.py:336-353) would map to when the per-row
+    logic is genuinely Python; the pure-arithmetic variant is JVM-side
+    ``explode(sequence(...))`` (``udtf_chunk_expand``). The UDTF runs
+    once per input row in a Python worker; keep the heavy path
+    JVM-side and reserve this for logic built-ins can't express."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: int, chunk_text: string, n_chars: int")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = (text or "").split(" ")
+            for i in range(0, (len(toks) + 9) // 10):
+                chunk = " ".join(toks[i * 10 : (i + 1) * 10])
+                yield i, chunk, len(chunk)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_chars
+        FROM documents_udtf d, LATERAL chunk_doc(d.text) c
+        """
+    )

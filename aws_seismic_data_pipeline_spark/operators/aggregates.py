@@ -275,3 +275,25 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("c_nationkey")).alias("nation_keys"),
         F.count(F.lit(1)).alias("n_cust"),
     )
+
+
+@register(
+    "agg_approx_sketches",
+    oracle=None,  # sketch estimates are engine-specific — rows-only check
+    tags=("agg", "approx"),
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates: HLL++ distinct count and t-digest
+    percentiles per priority — the single-pass mergeable sketches that
+    replace their exact counterparts (``agg_count_distinct``,
+    ``agg_percentile``) at 100 TB. Estimates are engine-specific by
+    design, so this is a rows-only query; the exact variants carry the
+    oracle parity burden for the same semantics."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias(
+            "approx_price_p50_p95"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

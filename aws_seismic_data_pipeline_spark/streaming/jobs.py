@@ -239,3 +239,46 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )
     return _run_available_now(deduped, "dedup_state")
+
+
+@register("stream_stream_interval_join", tags=("stream", "join"))
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: click events joined to purchase
+    events by the same user within the following 30 minutes — two
+    unbounded sources joined with bounded state.
+
+    Both sides carry watermarks and the join condition bounds the event
+    time range, so Spark can expire buffered rows: state for a click
+    older than (watermark - 30 min) can never match again and is
+    dropped. Without BOTH the watermarks and the time-range predicate,
+    a stream-stream join must buffer its entire history — the classic
+    unbounded-state bug at 100 TB. Rows-only check (two file-source
+    streams; semantics covered by the batch theta-join oracle family)."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
+    return _run_available_now_append(joined, "stream_stream_join", mode="append")

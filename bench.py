@@ -20,6 +20,9 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO_ROOT)
 
 HEADLINE = [
+    "analytics_shipping_priority",
+    "analytics_local_supplier_volume",
+    "analytics_forecast_revenue",
     "agg_groupby_hash",
     "join_inner_equi",
     "join_broadcast",

@@ -359,3 +359,49 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         ).alias("char_sum"),
     )
+
+
+@register(
+    "fn_url_extract",
+    oracle="""
+        WITH urls AS (
+            SELECT s_suppkey,
+                   'http://10.144.0.' || CAST(s_suppkey % 250 AS VARCHAR)
+                       || ':8080/data?channel=' || s_name
+                       || '&from=1704067200&to=1704070800' AS url
+            FROM supplier
+        )
+        SELECT s_suppkey, url,
+               regexp_extract(url, 'http://([^:/]+)', 1) AS host,
+               CAST(regexp_extract(url, ':(\\d+)/', 1) AS INTEGER) AS port,
+               regexp_extract(url, '[?&]channel=([^&]*)', 1) AS channel,
+               CAST(regexp_extract(url, '[?&]from=(\\d+)', 1) AS BIGINT) AS from_epoch
+        FROM urls
+    """,
+    tags=("fn", "string"),
+)
+def fn_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL build + parse round trip (seed R7: ``form_request``
+    app.py:174-211 builds exactly this shape; R16 recovers fields by
+    string surgery). Built with concat, recovered with
+    ``regexp_extract`` — identical function name and group semantics in
+    both engines, all JVM-side codegen."""
+    supp = load_table(spark, sf_dir, "supplier")
+    url = F.concat(
+        F.lit("http://10.144.0."),
+        (F.col("s_suppkey") % 250).cast("string"),
+        F.lit(":8080/data?channel="),
+        F.col("s_name"),
+        F.lit("&from=1704067200&to=1704070800"),
+    )
+    urls = supp.select("s_suppkey", url.alias("url"))
+    return urls.select(
+        "s_suppkey",
+        "url",
+        F.regexp_extract("url", r"http://([^:/]+)", 1).alias("host"),
+        F.regexp_extract("url", r":(\d+)/", 1).cast("int").alias("port"),
+        F.regexp_extract("url", r"[?&]channel=([^&]*)", 1).alias("channel"),
+        F.regexp_extract("url", r"[?&]from=(\d+)", 1).cast("bigint").alias(
+            "from_epoch"
+        ),
+    )

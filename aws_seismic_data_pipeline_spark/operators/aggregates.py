@@ -297,3 +297,36 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+        SELECT r.r_name,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
+               CAST(COUNT(*) AS BIGINT) AS n_nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    tags=("agg", "string"),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): nations per
+    region as a deterministic CSV. WITHIN GROUP (ORDER BY) is mandatory
+    for oracle parity — unordered listagg concatenates in partition
+    arrival order, which differs run to run, let alone engine to
+    engine."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).createOrReplaceTempView("nation_region_la")
+    return spark.sql(
+        """
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations_csv,
+               COUNT(*) AS n_nations
+        FROM nation_region_la
+        GROUP BY r_name
+        """
+    )

@@ -364,3 +364,33 @@ def subquery_scalar_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p_retailprice > 1.04 * (SELECT AVG(p2.p_retailprice) FROM part_sq p2)
         """
     )
+
+
+@register(
+    "subquery_min_per_group",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name, s.s_nationkey, s.s_acctbal
+        FROM supplier s
+        WHERE s.s_acctbal = (
+            SELECT MIN(s2.s_acctbal) FROM supplier s2
+            WHERE s2.s_nationkey = s.s_nationkey
+        )
+    """,
+    tags=("analytics", "subquery"),
+)
+def subquery_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: rows matching their group's aggregate minimum
+    (correlated aggregate subquery). Decorrelated by hand to a window
+    min over one nationkey shuffle — no self-join, no second scan.
+    Equality compares the stored 2dp double against itself (MIN returns
+    a member of the set), so the survivor set is exact; ties all
+    qualify in both engines."""
+    from pyspark.sql import Window as W
+
+    supp = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey")
+    return (
+        supp.withColumn("_min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_min_bal"))
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )

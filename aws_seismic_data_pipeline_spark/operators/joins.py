@@ -394,3 +394,27 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("click_ts"),
         "last_purchase_ts",
     )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name, l.l_orderkey, l.l_linenumber, l.l_quantity
+        FROM lineitem l
+        RIGHT JOIN supplier s ON l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49.0
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preserve-right join with a pre-join filter folded into the join
+    condition: suppliers keep a row even when no high-quantity lineitem
+    matches (null-extended left side). Catalyst normalizes right joins
+    to left joins with swapped sides, so this costs the same plan as
+    ``join_left_outer``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return li.join(
+        supp,
+        (li.l_suppkey == supp.s_suppkey) & (li.l_quantity >= 49.0),
+        "right",
+    ).select("s_suppkey", "s_name", "l_orderkey", "l_linenumber", "l_quantity")

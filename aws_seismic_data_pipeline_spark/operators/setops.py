@@ -73,3 +73,26 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey")
     )
     return cust.subtract(ordered)  # EXCEPT DISTINCT semantics
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with distinct semantics: nations having customers or
+    suppliers, each once. Spark expresses it as union + distinct —
+    Catalyst collapses the pair into one hash aggregate over the
+    unioned children (one shuffle, same plan SQL UNION gets)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.unionByName(supp).distinct()

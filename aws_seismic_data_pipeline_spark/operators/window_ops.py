@@ -317,3 +317,63 @@ def limit_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 5)
     )
+
+
+@register(
+    "window_sessionize",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN date_diff('microsecond',
+                            LAG(CAST(ts AS TIMESTAMP)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id),
+                            CAST(ts AS TIMESTAMP)) >= 1800000000
+                         OR LAG(CAST(ts AS TIMESTAMP)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, event_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM sessions
+        GROUP BY user_id, session_seq
+    """,
+    tags=("window", "session"),
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts
+    after a ≥30-minute silence; session id = running count of
+    session-start flags. The batch dual of ``stream_session_window``
+    (streaming/batch_windows.py) — same semantics, pure window
+    functions, one shuffle on user_id shared by both window steps and
+    the final group-by. The gap compares exact MICROSECOND differences
+    (1 800 000 000 µs = 30 min): coarser units are boundary-crossing
+    counts in DuckDB but elapsed-floor in Spark and silently diverge."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") >= 1800000000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

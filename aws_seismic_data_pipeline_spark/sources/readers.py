@@ -201,3 +201,49 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_value"),
     )
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events
+        WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+          AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-13 00:00:00'
+        GROUP BY event_type
+    """,
+    tags=("scan", "pruning"),
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan: events written Hive-partitioned by day
+    (the engine form of the reference's ``YYYYMMDD/`` key prefixes,
+    app.py:449-456), then read with a partition predicate.
+
+    The read plan lists only 3 of ~30 day directories — Catalyst's
+    PruneFileSourcePartitions turns the filter into directory-level
+    pruning (PartitionFilters in .explain, asserted in
+    tests/test_plans.py). At 100 TB this is THE difference between
+    scanning 100 TB and scanning 10 GB: date predicates never touch
+    non-matching files' footers, let alone their bytes."""
+    prepare(spark)
+    sink = os.path.join(_TMP_DIR, f"events_by_day_{os.path.basename(sf_dir.rstrip('/'))}")
+    marker = os.path.join(sink, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "event_day", F.to_date("ts")
+        )
+        ev.write.mode("overwrite").partitionBy("event_day").parquet(sink)
+    back = spark.read.parquet(sink)
+    return (
+        back.filter(
+            (F.col("event_day") >= F.lit("2024-01-10"))
+            & (F.col("event_day") < F.lit("2024-01-13"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

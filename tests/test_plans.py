@@ -67,3 +67,32 @@ def test_bucketed_join_has_no_exchange(spark):
     without any shuffle (the pay-once-at-write-time contract)."""
     plan = _plan(spark, "join_bucketed_colocated")
     assert "Exchange" not in plan, plan
+
+
+def test_partition_pruned_scan_prunes_directories(spark):
+    plan = _plan(spark, "scan_partition_pruned")
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "event_day" in pf
+
+
+def test_analytics_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "analytics_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_forecast_revenue_pushes_all_predicates(spark):
+    plan = _optimized(spark, "analytics_forecast_revenue")
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to scan"
+
+
+def test_correlated_scalar_subquery_single_shuffle(spark):
+    # the hand-decorrelated Q17: per-part avg via window over the SAME
+    # partitioning as the join output — exactly one Exchange after scans
+    df = REGISTRY["subquery_scalar_correlated"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"expected <=2 shuffles, plan has {n_exchanges}"

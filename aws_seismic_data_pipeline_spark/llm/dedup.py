@@ -225,3 +225,101 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine_raw", 4).alias("cosine"),
         )
     )
+
+
+@register(
+    "dedup_connected_components",
+    oracle="""
+        WITH RECURSIVE t AS (
+            SELECT doc_id,
+                   list_distinct(
+                       list_transform(
+                           range(1, len(string_split(text, ' ')) - 1),
+                           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                       )
+                   ) AS shingles
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ),
+        sized AS (SELECT doc_id, shingles, len(shingles) AS n_shingles FROM t),
+        exploded AS (
+            SELECT doc_id, n_shingles, unnest(shingles) AS shingle FROM sized
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_shingles AS n_a, b.n_shingles AS n_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM exploded a JOIN exploded b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.05
+        ),
+        und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+        reach(src, dst) AS (
+            SELECT a, a FROM und
+            UNION
+            SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+        )
+        SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS component_id
+        FROM reach GROUP BY src
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the n-gram
+    Jaccard pair graph (``dedup_ngram_jaccard`` edges), labeling each
+    involved doc with its component's minimum doc_id — the group-then-
+    keep-one step every production dedup pipeline runs after pairwise
+    scoring.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own and its neighbors' labels; converges in
+    graph-diameter rounds. Each round is ONE distributed join+agg on
+    the (tiny) label frame against the (checkpointed) edge list — the
+    alternating-join pattern GraphX/GraphFrames use, no driver-side
+    graph. Lineage is cut per round with an eager localCheckpoint:
+    without it round N re-executes all rounds < N (and the shingle
+    join) again. The DuckDB oracle computes the same fixpoint as a
+    recursive-CTE transitive closure — tractable because blocking
+    keeps the edge set tiny relative to the corpus."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.localCheckpoint(eager=True)
+    und = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # diameter bound; fixture graphs converge in <5
+        neigh = (
+            und.join(labels, und.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("nid"))
+            .agg(F.min("component_id").alias("neigh_min"))
+        )
+        updated = (
+            labels.join(neigh, labels.doc_id == neigh.nid, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("neigh_min"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.component_id") != F.col("l.component_id"))
+            .count()
+        )
+        labels = updated
+        if n_changed == 0:
+            break
+    return labels.select("doc_id", "component_id")

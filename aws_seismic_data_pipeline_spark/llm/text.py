@@ -227,3 +227,111 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_same_fingerprint"
         ),
     )
+
+
+@register(
+    "text_bigram_counts",
+    oracle="""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1]
+                   )) AS bigram
+            FROM tok
+            WHERE len(toks) >= 2
+        )
+        SELECT bigram,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM grams
+        GROUP BY bigram
+        HAVING COUNT(*) >= 50
+    """,
+    tags=("llm", "text"),
+)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics: bigram occurrence and document
+    frequency (the vocabulary/collocation profile a training-data
+    pipeline computes before filtering boilerplate).
+
+    Split once, slide with index arithmetic (O(n)/doc), explode, one
+    hash aggregate. HAVING >= 50 keeps the result the head of the
+    distribution — no LIMIT, so no tie-break nondeterminism. At 100 TB
+    the bigram space is the skew risk: the partial (map-side) agg
+    absorbs hot bigrams before the shuffle."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split(F.col("text"), " ")
+    grams = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(toks[i-1], ' ', toks[i]))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 50)
+    )
+
+
+@register(
+    "text_edit_distance",
+    oracle="""
+        WITH blocked AS (
+            SELECT doc_id, lang, source, n_chars,
+                   substring(text, 1, 40) AS head
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.head, b.head) AS INTEGER) AS head_edit_dist
+        FROM blocked a
+        JOIN blocked b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= 5
+    """,
+    tags=("llm", "text"),
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise edit distance: Levenshtein on 40-char prefixes
+    for same-(lang, source) document pairs of similar length — the
+    fuzzy-match verifier that runs AFTER cheap blocking, never before.
+
+    Levenshtein is O(m·n) per pair; the (lang, source, |Δchars|<=5)
+    block bounds the pair count so the quadratic kernel only sees
+    plausible matches — same shape as the shingle/LSH blocking in the
+    dedup family. Identical classic edit-distance semantics in both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars",
+        F.substring("text", 1, 40).alias("head"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 5),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.head"), F.col("b.head")).alias("head_edit_dist"),
+        )
+    )

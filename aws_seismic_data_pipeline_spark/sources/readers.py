@@ -247,3 +247,31 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey,
+               CAST(strlen(n_name) AS INTEGER) AS name_len
+        FROM nation
+    """,
+    tags=("source", "sink"),
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan (the second columnar interchange format after
+    parquet — same vectorized reader, predicate pushdown, and column
+    pruning in Spark). Write nation as ORC, read back, project; the
+    oracle reads the parquet original, proving the round trip is
+    lossless across formats."""
+    prepare(spark)
+    sink = os.path.join(_TMP_DIR, "nation_orc")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").orc(sink)
+    back = spark.read.orc(sink)
+    return back.select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.length("n_name").cast("int").alias("name_len"),
+    )

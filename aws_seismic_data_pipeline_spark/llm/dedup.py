@@ -302,10 +302,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_a").alias("nid"))
             .agg(F.min("component_id").alias("neigh_min"))
         )
+        # carry the previous label through the update so convergence is
+        # read off the SAME checkpointed frame — one action per round,
+        # not a second old-vs-new join
         updated = (
             labels.join(neigh, labels.doc_id == neigh.nid, "left")
             .select(
                 "doc_id",
+                F.col("component_id").alias("prev_id"),
                 F.least(
                     F.col("component_id"),
                     F.coalesce(F.col("neigh_min"), F.col("component_id")),
@@ -313,13 +317,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        n_changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.component_id") != F.col("l.component_id"))
-            .count()
-        )
-        labels = updated
+        n_changed = updated.filter(
+            F.col("component_id") != F.col("prev_id")
+        ).count()
+        labels = updated.select("doc_id", "component_id")
         if n_changed == 0:
             break
     return labels.select("doc_id", "component_id")

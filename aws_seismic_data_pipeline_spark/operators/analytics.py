@@ -394,3 +394,69 @@ def subquery_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") == F.col("_min_bal"))
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
     )
+
+
+@register(
+    "analytics_nation_trade_volume",
+    oracle="""
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS ship_year,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        WHERE ((sn.n_name = 'FRANCE' AND cn.n_name = 'GERMANY')
+            OR (sn.n_name = 'GERMANY' AND cn.n_name = 'FRANCE'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l.l_shipdate)
+    """,
+    tags=("analytics", "join"),
+)
+def analytics_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. The nation dimension joins twice under different roles
+    (supplier's vs customer's nation) — the classic alias-join case.
+    Both nation sides and supplier broadcast; the one real shuffle is
+    lineitem⋈orders on orderkey, and the disjunctive nation-pair
+    predicate prunes rows immediately after the cheap broadcast joins."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    # pre-filter both nation roles to the pair set (implied by the
+    # disjunction): lineitem drops to ~2/25 of rows right after the
+    # cheap broadcast joins, BEFORE the expensive orderkey shuffle
+    pair = nation.filter(F.col("n_name").isin("FRANCE", "GERMANY"))
+    sn = pair.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = pair.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
+            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "volume"
+        )
+    )

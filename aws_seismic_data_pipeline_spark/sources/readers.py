@@ -275,3 +275,29 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_regionkey",
         F.length("n_name").cast("int").alias("name_len"),
     )
+
+
+@register(
+    "scan_jsonl_roundtrip",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+        FROM orders
+        WHERE o_totalprice > 400000.0
+    """,
+    tags=("source", "sink"),
+)
+def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema'd scan (seed R1: the reference's config
+    catalog is schema-on-read JSON). Write a filtered orders slice as
+    JSONL, read it back with the writer's explicit schema — never
+    inferSchema at scale (a second full pass), and doubles round-trip
+    exactly via shortest-representation printing."""
+    prepare(spark)
+    sink = os.path.join(_TMP_DIR, "orders_jsonl")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000.0
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    orders.write.mode("overwrite").json(sink)
+    back = spark.read.schema(orders.schema).json(sink)
+    return back

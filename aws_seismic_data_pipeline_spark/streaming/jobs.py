@@ -282,3 +282,51 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
     return _run_available_now_append(joined, "stream_stream_join", mode="append")
+
+
+@register(
+    "stream_foreach_batch_sink",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("stream", "sink"),
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch lands through arbitrary batch
+    writer code (here: append parquet) — the escape hatch for sinks
+    with no native streaming writer (JDBC upserts, MERGE targets). The
+    batch id makes retries idempotent at-least-once → effectively-once
+    when the writer dedups on it. Oracle-checked: after availableNow
+    drains the source, the landed table aggregates exactly like the
+    batch table."""
+    import shutil
+
+    target = os.path.join(tempfile.gettempdir(), f"fb_sink_{uuid.uuid4().hex[:8]}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotency hook: a real MERGE sink would dedup on batch_id
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(target)
+
+    stream = _events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", target + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    landed = spark.read.parquet(target)
+    result = landed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    out = result.localCheckpoint(eager=True)  # materialize before cleanup
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(target + "_ckpt", ignore_errors=True)
+    return out

@@ -405,3 +405,53 @@ def fn_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "from_epoch"
         ),
     )
+
+
+@register(
+    "fn_try_cast",
+    oracle="""
+        WITH raw AS (
+            SELECT p_partkey,
+                   CASE WHEN p_partkey % 3 = 0 THEN CAST(p_size AS VARCHAR)
+                        ELSE p_brand END AS maybe_num,
+                   CASE WHEN p_partkey % 2 = 0
+                        THEN '2024-01-' || lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0')
+                        ELSE p_type END AS maybe_date
+            FROM part
+        )
+        SELECT p_partkey,
+               TRY_CAST(maybe_num AS INTEGER) AS parsed_num,
+               TRY_CAST(maybe_date AS DATE) AS parsed_date,
+               CAST(TRY_CAST(maybe_num AS INTEGER) IS NOT NULL AS BOOLEAN) AS num_ok
+        FROM raw
+    """,
+    tags=("fn", "cast"),
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe parsing (seed R15: the reference routes fetch errors
+    to a dead-letter channel instead of failing the run; ``try_cast``
+    is the same null-on-error contract for scalar coercion). Malformed
+    strings — brand names where numbers should be, type names where
+    dates should be — parse to NULL, never an exception, so one bad
+    row can't kill a 100 TB job. ANSI mode stays ON for real errors;
+    try_* marks the columns where tolerance is intended."""
+    part = load_table(spark, sf_dir, "part")
+    raw = part.select(
+        "p_partkey",
+        F.when(
+            F.col("p_partkey") % 3 == 0, F.col("p_size").cast("string")
+        ).otherwise(F.col("p_brand")).alias("maybe_num"),
+        F.when(
+            F.col("p_partkey") % 2 == 0,
+            F.concat(
+                F.lit("2024-01-"),
+                F.lpad(((F.col("p_partkey") % 28) + 1).cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.col("p_type")).alias("maybe_date"),
+    )
+    return raw.select(
+        "p_partkey",
+        F.col("maybe_num").try_cast("int").alias("parsed_num"),
+        F.col("maybe_date").try_cast("date").alias("parsed_date"),
+        F.col("maybe_num").try_cast("int").isNotNull().alias("num_ok"),
+    )

@@ -212,3 +212,39 @@ def udtf_python_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents_udtf d, LATERAL chunk_doc(d.text) c
         """
     )
+
+
+@register(
+    "udaf_pandas_agg_window",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey), 4)
+                   AS cust_avg_price
+        FROM orders
+    """,
+    tags=("udf", "window"),
+)
+def udaf_pandas_agg_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas GROUPED_AGG UDF applied over an unbounded window — the
+    third pandas-UDF mode (scalar and grouped-map are covered by
+    ``udf_pandas_vectorized`` / ``udaf_pandas_grouped``). The Arrow
+    batch carries each partition's column once; the aggregate broadcasts
+    back to every row without a self-join. Rounded at 4dp: the kernel
+    (numpy pairwise summation) and SQL AVG (streaming) sum in different
+    orders."""
+    from pyspark.sql import Window as W
+
+    @F.pandas_udf("double")
+    def mean_price(v: pd.Series) -> float:
+        return float(v.mean())
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(mean_price("o_totalprice").over(w), 4).alias("cust_avg_price"),
+    )

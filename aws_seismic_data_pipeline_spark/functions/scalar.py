@@ -455,3 +455,44 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("maybe_date").try_cast("date").alias("parsed_date"),
         F.col("maybe_num").try_cast("int").isNotNull().alias("num_ok"),
     )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+        WITH packed AS (
+            SELECT o_orderkey,
+                   {'status': o_orderstatus,
+                    'priority': o_orderpriority,
+                    'total': o_totalprice} AS order_info
+            FROM orders
+        )
+        SELECT o_orderkey,
+               order_info.status AS info_status,
+               order_info.total AS info_total,
+               CAST(order_info.priority LIKE '1%' AS BOOLEAN) AS is_urgent
+        FROM packed
+    """,
+    tags=("fn", "struct"),
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct kernel: pack columns into a named struct, access fields,
+    compute on them (the typed form of the reference's positional
+    request tuples, app.py:236/573-575 — fields by NAME, never by
+    split-index). Output is flattened back to scalars so the
+    cross-engine value hash compares primitive cells."""
+    orders = load_table(spark, sf_dir, "orders")
+    packed = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("total"),
+        ).alias("order_info"),
+    )
+    return packed.select(
+        "o_orderkey",
+        F.col("order_info.status").alias("info_status"),
+        F.col("order_info.total").alias("info_total"),
+        F.col("order_info.priority").startswith("1").alias("is_urgent"),
+    )

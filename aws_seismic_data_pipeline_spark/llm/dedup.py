@@ -324,3 +324,33 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_changed == 0:
             break
     return labels.select("doc_id", "component_id")
+
+
+@register(
+    "dedup_keep_first_row",
+    oracle="""
+        SELECT doc_id, text, lang, source, n_chars FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY text ORDER BY doc_id
+            ) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_keep_first_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection: keep the WHOLE first row per duplicate group
+    (row_number = 1 over the content key, ordered by the unique id).
+    ``dedup_exact`` reports the groups; this emits the deduplicated
+    corpus itself — the output a training pipeline actually feeds
+    downstream. One shuffle on the content key; at 100 TB group on
+    md5(text) instead so the shuffle key is 16 bytes, not documents."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("text").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )

@@ -335,3 +335,55 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("a.head"), F.col("b.head")).alias("head_edit_dist"),
         )
     )
+
+
+@register(
+    "text_pii_redact",
+    oracle="""
+        WITH synth AS (
+            SELECT doc_id,
+                   'user' || CAST(doc_id AS VARCHAR) || '@example.com wrote: '
+                       || substring(text, 1, 60)
+                       || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                  '<EMAIL>', 'g'),
+                   '\\d{3}-\\d{4}', '<PHONE>', 'g') AS redacted,
+               CAST(raw LIKE '%@%' AS BOOLEAN) AS had_email
+        FROM synth
+    """,
+    tags=("llm", "text", "pii"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: regexp-replace emails and phone-shaped tokens with
+    typed placeholders — the scrubbing pass every training-data
+    pipeline runs before publishing a corpus. Synthetic PII is stitched
+    onto the fixture text so the patterns have real matches; both
+    engines apply identical global regexes, JVM-side (Spark
+    ``regexp_replace`` replaces all matches; DuckDB needs the 'g'
+    flag)."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com wrote: "),
+        F.substring("text", 1, 60),
+        F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    synth = docs.select("doc_id", raw.alias("raw"))
+    return synth.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("raw"),
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                "<EMAIL>",
+            ),
+            r"\d{3}-\d{4}",
+            "<PHONE>",
+        ).alias("redacted"),
+        F.col("raw").contains("@").alias("had_email"),
+    )

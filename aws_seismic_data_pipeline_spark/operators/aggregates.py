@@ -330,3 +330,28 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r_name
         """
     )
+
+
+@register(
+    "agg_bool",
+    oracle="""
+        SELECT o_orderpriority,
+               bool_and(o_totalprice > 1000.0) AS all_over_1k,
+               bool_or(o_orderstatus = 'P') AS any_partial,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT)
+                   AS n_partial
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg", "bool"),
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates: universal/existential predicates per group
+    (every/any — the data-quality assertions a pipeline runs per
+    partition before publishing it), plus a FILTERed count."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_partial"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_partial"),
+    )

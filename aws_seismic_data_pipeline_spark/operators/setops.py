@@ -96,3 +96,44 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey")
     )
     return cust.unionByName(supp).distinct()
+
+
+@register(
+    "set_except_all",
+    oracle="""
+        SELECT o_custkey FROM orders
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setop",),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): per-key multiplicities
+    subtract instead of collapsing — a customer with 5 orders, 2 of
+    them finished, keeps 3 rows. The multiset semantics matter for
+    reconciliation counts (seed R27: how many copies remain unmoved),
+    where DISTINCT would hide duplicates."""
+    orders = load_table(spark, sf_dir, "orders")
+    all_keys = orders.select("o_custkey")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return all_keys.exceptAll(finished)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("setop",),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): keeps min(multiplicity)
+    occurrences per key across both sides."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_keys = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    urgent_keys = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return open_keys.intersectAll(urgent_keys)

@@ -355,3 +355,37 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "P").alias("any_partial"),
         F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_partial"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+        SELECT CAST(LEAST(FLOOR((o_totalprice - 0.0) / 30000.0), 19) AS INTEGER)
+                   AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(MIN(o_totalprice), 2) AS bucket_min,
+               ROUND(MAX(o_totalprice), 2) AS bucket_max
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: 20 buckets of 30k over order value, with
+    per-bucket extrema (the distribution profile behind every dashboard
+    and every skew diagnosis). Bucket arithmetic is FLOOR((x-lo)/w)
+    clamped to the last bucket — plain codegen'd math, one hash
+    aggregate; at 100 TB this beats exact percentiles by a full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - 0.0) / 30000.0), F.lit(19)
+    ).cast("int")
+    return (
+        orders.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )

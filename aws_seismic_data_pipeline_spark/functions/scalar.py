@@ -496,3 +496,32 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("order_info.total").alias("info_total"),
         F.col("order_info.priority").startswith("1").alias("is_urgent"),
     )
+
+
+@register(
+    "fn_math_advanced",
+    oracle="""
+        SELECT o_orderkey,
+               sqrt(o_totalprice) AS price_sqrt,
+               ROUND(ln(o_totalprice), 6) AS price_ln,
+               ROUND(log10(o_totalprice), 6) AS price_log10,
+               ROUND(power(o_totalprice, 0.25), 6) AS price_4th_root
+        FROM orders
+        WHERE o_totalprice > 0.0
+    """,
+    tags=("fn", "math"),
+)
+def fn_math_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcendental math kernel. sqrt is IEEE-754 correctly rounded —
+    bit-identical across engines, left raw. ln/log10/power are libm
+    functions whose last ULP may differ between the JVM and C
+    implementations, so they round at 6dp (results are irrational, so
+    no decimal-halfway hazard)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0.0)
+    return orders.select(
+        "o_orderkey",
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+        F.round(F.log10("o_totalprice"), 6).alias("price_log10"),
+        F.round(F.pow("o_totalprice", F.lit(0.25)), 6).alias("price_4th_root"),
+    )

@@ -271,3 +271,61 @@ def ingest_dead_letter_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("FETCH_ERROR").alias("error_type"),
     )
     return ok.unionByName(bad)
+
+
+@register(
+    "ingest_gap_backfill",
+    oracle="""
+        WITH expected AS (
+            SELECT t.event_type, h.hour_start
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (
+                SELECT unnest(generate_series(
+                    TIMESTAMP '2024-01-01 00:00:00',
+                    TIMESTAMP '2024-01-30 23:00:00',
+                    INTERVAL 1 HOUR)) AS hour_start
+            ) h
+        ),
+        actual AS (
+            SELECT DISTINCT event_type,
+                   CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                       AS hour_start
+            FROM events
+        )
+        SELECT e.event_type, e.hour_start
+        FROM expected e
+        LEFT JOIN actual a
+          ON e.event_type = a.event_type AND e.hour_start = a.hour_start
+        WHERE a.event_type IS NULL
+    """,
+    tags=("ingest", "backfill"),
+)
+def ingest_gap_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-backfill work list: expected (channel × hour) grid MINUS
+    hours that actually have data — the reference's reason to exist
+    (daily re-runs + exists-skip, app.py:271-273, guarantee no hour is
+    silently missing; this query finds the holes to refetch).
+
+    The expected grid is sequence+explode (no driver loop); the holes
+    are a left-anti join against the observed hours. At 100 TB the
+    observed side pre-aggregates to DISTINCT (channel, hour) — tiny —
+    so the anti-join broadcasts, and the fan-out grid never
+    materializes more than (channels × hours) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    channels = ev.select("event_type").distinct()
+    hours = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_timestamp_ntz(F.lit("2024-01-01 00:00:00")),
+                F.to_timestamp_ntz(F.lit("2024-01-30 23:00:00")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour_start")
+    )
+    expected = channels.crossJoin(hours)
+    actual = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).distinct()
+    return expected.join(
+        actual, ["event_type", "hour_start"], "left_anti"
+    ).select("event_type", "hour_start")

@@ -389,3 +389,30 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
         )
     )
+
+
+@register(
+    "agg_rollup_grouping_id",
+    oracle="""
+        SELECT c_mktsegment, c_nationkey,
+               CAST(GROUPING(c_mktsegment) AS INTEGER) AS is_seg_total,
+               CAST(GROUPING(c_nationkey) AS INTEGER) AS is_nation_total,
+               ROUND(SUM(c_acctbal), 2) AS total_bal,
+               CAST(COUNT(*) AS BIGINT) AS n_cust
+        FROM customer
+        GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with GROUPING() disambiguation: a NULL grouping column is
+    ambiguous between "subtotal row" and "NULL data value" — the
+    grouping flag says which. Required for correct downstream
+    consumption of any rollup/cube feed whose keys are nullable."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.rollup("c_mktsegment", "c_nationkey").agg(
+        F.grouping("c_mktsegment").cast("int").alias("is_seg_total"),
+        F.grouping("c_nationkey").cast("int").alias("is_nation_total"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )

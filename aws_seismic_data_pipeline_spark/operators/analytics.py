@@ -511,3 +511,349 @@ def analytics_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "analytics_market_share",
+    oracle="""
+        WITH vol AS (
+            SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   sn.n_name AS supp_nation
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = cn.n_regionkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            WHERE r.r_name = 'EUROPE'
+              AND p.p_type = 'ECONOMY'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        )
+        SELECT o_year,
+               ROUND(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END), 4) AS nation_volume,
+               ROUND(SUM(volume), 4) AS total_volume,
+               ROUND(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END), 4)
+                 / ROUND(SUM(volume), 4) AS mkt_share
+        FROM vol
+        GROUP BY o_year
+    """,
+    tags=("analytics", "join"),
+)
+def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for one
+    part type, by order year (conditional-numerator ratio aggregate).
+
+    Plan at 100 TB: region→nation collapses to a 5-row broadcast dim
+    restricting CUSTOMER nations; part is filtered to one type before
+    broadcasting; supplier's nation joins under a second role for the
+    CASE numerator. The only wide shuffles are lineitem⋈orders on
+    orderkey (both sides pre-filtered) and the final tiny group-by
+    year. Float discipline: numerator and denominator each rounded at
+    the 4dp product grid, the share computed FROM the rounded values —
+    division of identical doubles is bit-identical across engines.
+
+    Reference seed: R2/R8 composed (SURVEY.md §2B); the reference's
+    only "analytics" is its dashboard status matrix (app.py:625-639) —
+    this is the general form its data would need at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # dim collapse: customer nations restricted to the region
+    cust_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    nation_vol = F.round(
+        F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(0.0)),
+        4,
+    )
+    total_vol = F.round(F.sum("volume"), 4)
+    return vol.groupBy("o_year").agg(
+        nation_vol.alias("nation_volume"),
+        total_vol.alias("total_volume"),
+        (nation_vol / total_vol).alias("mkt_share"),
+    )
+
+
+@register(
+    "analytics_customer_distribution",
+    oracle="""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c.c_custkey,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        ) per_cust
+        GROUP BY c_count
+    """,
+    tags=("analytics", "join", "agg"),
+)
+def analytics_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution over ALL customers,
+    including zero-order ones — the outer-join-then-double-aggregate
+    pattern. The priority filter lives in the JOIN CONDITION (not a
+    WHERE), so customers whose only orders are urgent still appear
+    with c_count=0; COUNT(o_orderkey) counts non-null matches only.
+
+    Scale: one shuffle joins orders to customers on custkey, the first
+    aggregate rides the same partitioning (no extra shuffle), and the
+    second aggregate's domain is tiny (distinct counts), so its
+    shuffle is negligible. Skew note: a hot customer inflates one
+    group; the partial agg absorbs it map-side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(cust.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "analytics_promo_revenue",
+    oracle="""
+        SELECT ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END), 4) AS promo_revenue,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue,
+               100.0 * ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                                      THEN l.l_extendedprice * (1 - l.l_discount)
+                                      ELSE 0 END), 4)
+                     / ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    tags=("analytics", "join", "agg"),
+)
+def analytics_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotional-revenue percentage for one ship
+    month — conditional-sum ratio in a single pass over one broadcast
+    join. The month predicate is pushed to the lineitem scan (parquet
+    min/max row-group skipping at production file sizes); part
+    broadcasts whole since only p_partkey/p_type survive pruning.
+    Ratio computed from the two 4dp-rounded sums (cross-engine
+    bit-identical); 100.0* is an exact scale of a shared double."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-09-01"))
+        & (F.col("l_shipdate") < _ts("1997-10-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.round(
+        F.sum(
+            F.when(
+                F.col("p_type") == "PROMO",
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            ).otherwise(0.0)
+        ),
+        4,
+    )
+    total = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+    return joined.agg(
+        promo.alias("promo_revenue"),
+        total.alias("total_revenue"),
+        (F.lit(100.0) * promo / total).alias("promo_pct"),
+    )
+
+
+@register(
+    "analytics_top_supplier",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey AS supplier_no,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s
+        JOIN rev r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    tags=("analytics", "subquery", "agg"),
+)
+def analytics_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — a scalar subquery over an aggregate of an aggregate (the
+    view+MAX formulation). The revenue CTE is computed ONCE and reused
+    for both the max and the equality filter.
+
+    Spark plan: aggregate lineitem by suppkey (one shuffle, map-side
+    partials), derive the 1-row MAX with a global agg, broadcast it
+    back as a cross join, filter on equality of the 4dp-rounded
+    revenues (identical doubles ⇒ identical comparison both engines),
+    then broadcast-join supplier names. At 100 TB the rev aggregate is
+    |suppliers|-sized — small — so everything after the first shuffle
+    is broadcast-local."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    top = rev.join(F.broadcast(max_rev)).filter(
+        F.col("total_revenue") == F.col("max_revenue")
+    )
+    return top.join(F.broadcast(supp), top.supplier_no == supp.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@register(
+    "analytics_sole_returning_supplier",
+    oracle="""
+        WITH prof AS (
+            SELECT l_orderkey,
+                   COUNT(DISTINCT l_suppkey) AS n_supp,
+                   COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_r_supp
+            FROM lineitem
+            GROUP BY l_orderkey
+        )
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM lineitem l1
+        JOIN prof p ON l1.l_orderkey = p.l_orderkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND p.n_supp >= 2
+          AND p.n_r_supp = 1
+        GROUP BY s.s_name
+    """,
+    tags=("analytics", "subquery", "join"),
+)
+def analytics_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY supplier with
+    returned lines in a multi-supplier finished order — the classic
+    EXISTS(other supplier) + NOT EXISTS(other supplier also failed)
+    double-correlated pattern, hand-decorrelated the way Catalyst
+    cannot: ONE per-order profile aggregate (distinct suppliers,
+    distinct returning suppliers) replaces BOTH correlated scans of
+    lineitem. `n_supp >= 2` ⇔ EXISTS; `n_r_supp = 1` (with l1 itself
+    returning) ⇔ NOT EXISTS another returner.
+
+    Scale: lineitem is scanned twice but shuffled on l_orderkey both
+    times (profile agg + join), so AQE can reuse the exchange; orders
+    ('F' filter pushed) joins on the same key. Oracle mirrors the
+    decorrelated form — DuckDB runs the same profile CTE, keeping the
+    comparison plan-shape-honest rather than optimizer-dependent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    prof = li.groupBy(F.col("l_orderkey").alias("p_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    qualified = (
+        l1.join(prof, l1.l_orderkey == prof.p_orderkey)
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .join(orders, l1.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+    )
+    return qualified.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+@register(
+    "analytics_dormant_customer_balance",
+    oracle="""
+        WITH avg_bal AS (
+            SELECT AVG(c_acctbal) AS ab
+            FROM customer
+            WHERE c_acctbal > 0.0
+              AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        )
+        SELECT c.c_nationkey AS nationkey,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+        FROM customer c, avg_bal
+        WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          AND c.c_acctbal > avg_bal.ab
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c.c_nationkey
+    """,
+    tags=("analytics", "subquery", "join"),
+)
+def analytics_dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy-but-dormant customers — an
+    uncorrelated scalar AVG subquery feeding a filter, composed with a
+    NOT EXISTS anti-join against recent orders (no orders since 1999 —
+    every fixture customer has SOME order, so the original's
+    no-orders-ever predicate would select nothing), grouped by nation.
+    (The original's phone-prefix country codes map to the fixture's
+    nationkey set; customer has no phone column — FIXTURES.md §5.)
+
+    Spark plan: the scalar average is a 1-row global agg broadcast
+    into a cross join (no shuffle of the fact side); NOT EXISTS is a
+    left_anti join on custkey — at 100 TB the anti-join shuffles
+    orders' custkey projection only (one slim column), and the final
+    7-group aggregate is trivial. Float note: AVG's summation order
+    differs per engine by design; a 1-ulp difference on the threshold
+    cannot flip a 2dp-grid acctbal comparison, and the output SUM is
+    rounded at the data's own 2dp scale."""
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(nations)
+    )
+    recent_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ts("1999-01-01")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    dormant = rich.join(
+        recent_orders, rich.c_custkey == recent_orders.o_custkey, "left_anti"
+    )
+    return dormant.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )

@@ -11,7 +11,7 @@ shuffle where grouped).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_seismic_data_pipeline_spark.catalog import load_table
@@ -386,4 +386,149 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<PHONE>",
         ).alias("redacted"),
         F.col("raw").contains("@").alias("had_email"),
+    )
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, len(toks) - 1),
+                       i -> CAST(('0x' || substring(
+                                md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+                                1, 15)) AS BIGINT)
+                   ) AS h
+            FROM tok
+            WHERE len(toks) >= 3
+        )
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(h) - 2),
+                   j -> list_min(list_slice(h, j, j + 3))
+               ))) AS fingerprint
+        FROM grams
+        WHERE len(h) >= 4
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): hash every word 3-gram, slide a window of 4
+    consecutive gram hashes, keep each window's minimum — the selected
+    distinct hashes are the document's fingerprint set, guaranteeing
+    any shared run of ≥6 words between two documents shares a
+    fingerprint (the plagiarism/near-dup detection substrate).
+
+    All JVM-side: split once, gram-hash via one transform() over index
+    arithmetic (md5→60-bit int64, the engine-portable hash shared with
+    dedup_simhash), window minima via transform+slice+array_min (O(n·w)
+    per doc, no shuffle), one explode. At 100 TB this is embarrassingly
+    parallel scan work; only a downstream join on `fingerprint` (not
+    materialized here — dedup_* cover the join patterns) would shuffle,
+    and fingerprints are ~1/w of grams, so the winnow IS the shuffle
+    reduction. Seed: generalizes the reference's filename-identity
+    dedup (app.py:271-273) to content identity."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split(F.col("text"), " ")
+    grams = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> cast(conv(substring(md5("
+                "concat(toks[i-1], ' ', toks[i], ' ', toks[i+1])"
+                "), 1, 15), 16, 10) as bigint))"
+            ).alias("h"),
+        )
+    )
+    return (
+        grams.filter(F.size("h") >= 4)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(h) - 3),"
+                        " j -> array_min(slice(h, j, 4)))"
+                    )
+                )
+            ).alias("fingerprint"),
+        )
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   tf.tf * ROUND(ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS score
+            FROM tf JOIN df ON tf.term = df.term, n
+        )
+        SELECT doc_id, term, tf, df, score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, term) AS rn
+              FROM scored)
+        WHERE rn <= 3
+    """,
+    tags=("llm", "text", "agg"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the keyword/topic profile a
+    corpus pipeline computes for routing, clustering and boilerplate
+    detection. idf = ln((N+1)/(df+1)) (add-one smoothed).
+
+    Plan: one explode→(doc,term) hash agg for TF (map-side partials
+    absorb hot terms), a |vocab|-sized DF aggregate REUSING tf (not
+    re-tokenizing), N as a 1-row broadcast, df broadcast-joined back
+    onto tf, and the top-3 as row_number over (doc_id) — rank runs on
+    the same doc_id partitioning the TF shuffle produced. Float
+    discipline: ln is libm → rounded 6dp; tf·idf is then a product of
+    identical doubles (bit-identical); ties broken by term for a
+    deterministic top-3. At 100 TB the vocab-side DF agg is the skew
+    point — stopwords dominate — which the partial agg flattens."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.round(
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
     )

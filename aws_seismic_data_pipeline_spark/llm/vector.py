@@ -64,31 +64,29 @@ def topk_dots(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
             dots = q_mat @ c_mat.T  # (n_q, n_c) float64
-            out_q, out_n, out_d = [], [], []
-            for qi in range(len(q_ids)):
-                mask = c_ids != q_ids[qi]
-                if same_label_only:
-                    mask &= c_labels == q_labels[qi]
-                idx = np.nonzero(mask)[0]
-                if idx.size == 0:
-                    continue
-                row = dots[qi, idx]
-                # keep a margin past k: the global rank orders on
-                # round(dot, 6) with id tiebreak, so raw-dot boundary
-                # ties must not be cut exactly at k
-                kk = k + 16
-                if idx.size > kk:
-                    keep = np.argpartition(row, -kk)[-kk:]
-                    idx, row = idx[keep], row[keep]
-                out_q.append(np.full(idx.size, q_ids[qi], dtype=np.int64))
-                out_n.append(c_ids[idx])
-                out_d.append(row)
-            if out_q:
+            # mask excluded pairs to -inf, then ONE argpartition across
+            # all queries at once — no per-query Python loop
+            excluded = c_ids[None, :] == q_ids[:, None]
+            if same_label_only:
+                excluded |= c_labels[None, :] != q_labels[:, None]
+            dots[excluded] = -np.inf
+            n_q, n_c = dots.shape
+            # keep a margin past k: the global rank orders on
+            # round(dot, 6) with id tiebreak, so raw-dot boundary
+            # ties must not be cut exactly at k
+            kk = min(k + 16, n_c)
+            if n_c > kk:
+                part = np.argpartition(dots, -kk, axis=1)[:, -kk:]
+            else:
+                part = np.broadcast_to(np.arange(n_c), (n_q, n_c))
+            vals = np.take_along_axis(dots, part, axis=1).ravel()
+            keep = np.isfinite(vals)
+            if keep.any():
                 yield pd.DataFrame(
                     {
-                        "query_id": np.concatenate(out_q),
-                        "neighbor_id": np.concatenate(out_n),
-                        "dot": np.concatenate(out_d),
+                        "query_id": np.repeat(q_ids, part.shape[1])[keep],
+                        "neighbor_id": c_ids[part.ravel()][keep],
+                        "dot": vals[keep],
                     }
                 )
 

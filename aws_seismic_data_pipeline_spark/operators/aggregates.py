@@ -416,3 +416,97 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         F.count(F.lit(1)).alias("n_cust"),
     )
+
+
+@register(
+    "agg_partial_reaggregate",
+    oracle="""
+        WITH minute AS (
+            SELECT CAST(date_trunc('minute', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                       AS minute_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(value), 2) AS s,
+                   MIN(value) AS mn,
+                   MAX(value) AS mx
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT CAST(date_trunc('hour', minute_start) AS TIMESTAMP) AS hour_start,
+               event_type,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               ROUND(SUM(s), 2) AS total_value,
+               MIN(mn) AS min_value,
+               MAX(mx) AS max_value,
+               ROUND(SUM(s), 2) / SUM(n) AS avg_value
+        FROM minute
+        GROUP BY 1, 2
+    """,
+    tags=("agg", "stream"),
+)
+def agg_partial_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup from PARTIAL aggregates: minute-level
+    (count,sum,min,max) re-aggregated to hour-level by merging the
+    partials (sum-of-counts, sum-of-sums, min-of-mins, max-of-maxes,
+    avg from the merged pair) — the mergeable-aggregate pattern behind
+    every hypertable/materialized-rollup design: at 100 TB you never
+    recompute hours from raw events, you fold 60 minute-partials.
+
+    The oracle runs the SAME two-level shape so both engines round
+    minute sums on the data's 2dp grid before merging. avg is a
+    quotient of two already-identical values (bit-identical across
+    engines, left unrounded). Spark executes this as two hash
+    aggregates; the second one's input is |minutes·types| rows —
+    shuffle-trivial. Seed: R4 (chunk hierarchy), R11."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("minute_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    total = F.round(F.sum("s"), 2)
+    return minute.groupBy(
+        F.date_trunc("hour", F.col("minute_start")).alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n_events"),
+        total.alias("total_value"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+        (total / F.sum("n")).alias("avg_value"),
+    )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice * l_discount), 4) AS weighted_sum,
+               ROUND(SUM(l_extendedprice), 2) AS weight_total,
+               ROUND(SUM(l_extendedprice * l_discount), 4)
+                 / ROUND(SUM(l_extendedprice), 2) AS weighted_avg_discount
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average as ratio-of-sums (price-weighted mean discount
+    per return flag) — the aggregate that does NOT decompose as
+    avg-of-avgs and therefore must ship both partial sums through the
+    shuffle; the canonical example of a mergeable custom aggregate
+    state (sum_wx, sum_w). Numerator rounds on the 4dp product grid,
+    denominator on the 2dp data grid; the quotient of the two rounded
+    doubles is bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    num = F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+    den = F.round(F.sum("l_extendedprice"), 2)
+    return li.groupBy("l_returnflag").agg(
+        num.alias("weighted_sum"),
+        den.alias("weight_total"),
+        (num / den).alias("weighted_avg_discount"),
+    )

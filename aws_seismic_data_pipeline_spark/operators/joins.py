@@ -418,3 +418,54 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         (li.l_suppkey == supp.s_suppkey) & (li.l_quantity >= 49.0),
         "right",
     ).select("s_suppkey", "s_name", "l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+        WITH flagged AS (
+            SELECT NULLIF(l_returnflag, 'N') AS flag_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   ROUND(SUM(l_quantity), 2) AS total_qty
+            FROM lineitem
+            GROUP BY 1
+        ),
+        order_side AS (
+            SELECT NULLIF(l_returnflag, 'N') AS flag_key,
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM lineitem
+            GROUP BY 1
+        )
+        SELECT f.flag_key, f.n_lines, f.total_qty, o.n_orders
+        FROM flagged f
+        JOIN order_side o ON f.flag_key IS NOT DISTINCT FROM o.flag_key
+    """,
+    tags=("join",),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently dropping — the semantics
+    dimension a standard equi-join gets wrong when the join key is
+    derived and legitimately null (here NULLIF turns the 'N' flag into
+    NULL on both sides; a plain `=` join would lose that group).
+
+    Catalyst plans `<=>` as a hash join with null-aware key wrapping —
+    still an equi-join physically, NOT a nested-loop — so the 100 TB
+    posture is unchanged from join_inner_equi. The reference's analog
+    is its None-endpoint handling (app.py:239-244), which silently
+    drops unmapped stations; null-safe join is how the engine keeps
+    them addressable. Both sides here are tiny aggregates (≤3 rows) —
+    the point is semantics, not scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_key")
+    flagged = li.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+    order_side = li.groupBy(key).agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    return flagged.join(
+        order_side,
+        flagged.flag_key.eqNullSafe(order_side.flag_key),
+    ).select(flagged.flag_key, "n_lines", "total_qty", "n_orders")

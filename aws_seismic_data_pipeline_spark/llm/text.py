@@ -532,3 +532,62 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "score")
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents
+        ),
+        freq AS (
+            SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+            FROM chars GROUP BY doc_id, ch
+        ),
+        tot AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM freq GROUP BY doc_id
+        )
+        SELECT f.doc_id,
+               t.n AS n_chars,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+               ROUND(SUM(-(f.c * 1.0 / t.n) * ln(f.c * 1.0 / t.n)), 6)
+                   AS entropy_nats
+        FROM freq f
+        JOIN tot t USING (doc_id)
+        GROUP BY f.doc_id, t.n
+    """,
+    tags=("llm", "text"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (nats) — the
+    cheap gibberish/boilerplate detector: natural prose sits ~3-4 nats,
+    base64 blobs and repeated-padding junk sit far above/below. Also
+    reports size and alphabet width.
+
+    Plan: one explode to chars, one (doc,char) hash count, a windowed
+    total per doc (rides the same doc_id partitioning — no extra
+    shuffle), one final per-doc aggregate. Float discipline: ln is
+    libm (per-engine last-ulp), but each term's error is ~1e-16 and
+    the ~60-term sum rounds at 6dp on an irrational value — no decimal
+    halfway hazard. At 100 TB chars-per-doc explodes 300× the row
+    count: the (doc,char) partial agg collapses it right back before
+    any shuffle; nothing leaves the node at exploded granularity."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id")
+    p = F.col("c") * F.lit(1.0) / F.sum("c").over(w)
+    return (
+        freq.withColumn("term", -p * F.log(p))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.round(F.sum("term"), 6).alias("entropy_nats"),
+        )
+    )

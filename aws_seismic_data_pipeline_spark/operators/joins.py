@@ -469,3 +469,63 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_side,
         flagged.flag_key.eqNullSafe(order_side.flag_key),
     ).select(flagged.flag_key, "n_lines", "total_qty", "n_orders")
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+        SELECT e.event_id AS err_id,
+               CAST(COUNT(*) AS BIGINT) AS n_clicks
+        FROM events e
+        JOIN events c
+          ON c.event_type = 'click'
+         AND CAST(c.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP)
+         AND CAST(c.ts AS TIMESTAMP) < CAST(e.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+        WHERE e.event_type = 'error'
+        GROUP BY e.event_id
+    """,
+    tags=("join", "range"),
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big×big range join via time bucketing: clicks landing inside
+    each error's 5-minute window. A naive theta join is a cartesian
+    product Spark plans as BroadcastNestedLoopJoin — O(|errors|·|clicks|)
+    comparisons and a broadcast of a FACT side; at 100 TB that's the
+    canonical engine-killer. The scale plan: quantize both sides to
+    5-min buckets, explode each error window onto the (≤2) buckets it
+    overlaps, EQUI-join on bucket (hash shuffle, both sides pruned to
+    candidates that can possibly match), then re-check the exact
+    interval as a cheap residual filter. Cost drops to
+    O(n·avg_bucket_occupancy); bucket width tunes the trade
+    (SNIPPETS.md: the interval-join binning used by Flink and the
+    DuckDB IEJoin paper's motivation). Oracle states the same
+    semantics as the plain theta join — DuckDB's IEJoin handles it at
+    sf0.01. Seed: R4/R5 (chunk-overlap containment, done scalably)."""
+    ev = load_table(spark, sf_dir, "events")
+    width = 300  # seconds; window spans at most 2 buckets
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("click_ts")
+    )
+    err_b = errors.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("err_ts").cast("timestamp").cast("double") / width),
+                F.floor((F.col("err_ts").cast("timestamp").cast("double") + width) / width),
+            )
+        ),
+    )
+    click_b = clicks.withColumn(
+        "bucket", F.floor(F.col("click_ts").cast("timestamp").cast("double") / width)
+    )
+    joined = err_b.join(click_b, "bucket").filter(
+        (F.col("click_ts") >= F.col("err_ts"))
+        & (
+            F.col("click_ts")
+            < F.col("err_ts") + F.expr("INTERVAL 5 MINUTES")
+        )
+    )
+    return joined.groupBy("err_id").agg(F.count(F.lit(1)).alias("n_clicks"))

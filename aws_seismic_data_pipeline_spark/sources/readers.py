@@ -301,3 +301,47 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders.write.mode("overwrite").json(sink)
     back = spark.read.schema(orders.schema).json(sink)
     return back
+
+
+@register(
+    "scan_merge_schema",
+    oracle="""
+        SELECT n_nationkey,
+               n_name,
+               CASE WHEN n_nationkey < 13 THEN NULL
+                    ELSE CAST(n_regionkey AS BIGINT) END AS n_regionkey,
+               CASE WHEN n_nationkey < 13 THEN 'v1' ELSE 'v2' END AS schema_ver
+        FROM nation
+    """,
+    tags=("source", "sink"),
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet generations in one table
+    path — v1 wrote (n_nationkey, n_name, schema_ver), v2 added
+    n_regionkey — unified by ``mergeSchema``, with v1 rows NULL in the
+    added column. This is how a long-lived 100 TB table absorbs new
+    columns with ZERO rewrite: old files stay as-is, the reader merges
+    footers. (Spark reads each footer once at planning; production
+    keeps this cheap via a metastore schema instead of inference —
+    mergeSchema is the migration-window tool, not steady state.)
+
+    Cross-engine note: the added column lands as BIGINT (Spark writes
+    the long it inferred), so the oracle CASTs to match. Seed: R17/R20
+    (the reference's fixed filename schema can never evolve; a real
+    engine's must)."""
+    prepare(spark)
+    sink = os.path.join(_TMP_DIR, "nation_evolving")
+    nation = load_table(spark, sf_dir, "nation")
+    v1 = nation.filter(F.col("n_nationkey") < 13).select(
+        "n_nationkey", "n_name", F.lit("v1").alias("schema_ver")
+    )
+    v2 = nation.filter(F.col("n_nationkey") >= 13).select(
+        "n_nationkey",
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        F.lit("v2").alias("schema_ver"),
+    )
+    v1.write.mode("overwrite").parquet(sink)
+    v2.write.mode("append").parquet(sink)
+    back = spark.read.option("mergeSchema", "true").parquet(sink)
+    return back.select("n_nationkey", "n_name", "n_regionkey", "schema_ver")

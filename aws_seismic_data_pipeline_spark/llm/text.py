@@ -512,7 +512,15 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH branches (scores and df); without cutting lineage
+    # Spark would re-scan and re-tokenize the corpus for each branch —
+    # eager localCheckpoint materializes the (doc,term) aggregate once
+    # (see dedup_connected_components for the same pattern)
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

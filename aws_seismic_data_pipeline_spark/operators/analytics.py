@@ -7,7 +7,14 @@ query here is a classic TPC-H shape adapted to the fixture schema
 (TESTDATA.md) — the canonical proof that the relational operators
 compose, and the workload the judge can compare against any engine.
 
-Scale posture: every dim side is explicitly ``broadcast()``; fact-fact
+Scale posture — broadcast-hint discipline: only BOUNDED-cardinality
+sides carry an explicit ``broadcast()`` hint (nation/region, derived
+pair-sets, 1-row scalar aggregates, tiny top-k results). customer/
+part/supplier/orders scale WITH the fact table (TPC-H: supplier =
+SF×10k, customer = SF×150k — gigabytes at 100 TB), so their join
+strategy is left to AQE's size-based choice: at fixture scale AQE
+broadcasts them anyway (identical local plan), at 100 TB it picks a
+shuffle join instead of OOMing the driver. Fact-fact
 joins shuffle on their keys and rely on AQE (enabled in session.py) for
 runtime re-planning; top-k uses ``orderBy().limit(k)`` which Spark
 executes as per-partition partial top-k + single-reduce merge
@@ -54,8 +61,9 @@ def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join → grouped revenue → top-10.
 
     Plan we want at 100 TB: segment filter pushed into the customer
-    scan, customer broadcast into orders, the orders→lineitem join
-    shuffled on orderkey (both sides date-pruned at the scan), and the
+    scan, orders⋈customer on custkey and the orders→lineitem join on
+    orderkey (both fact sides date-pruned at the scan; AQE broadcasts
+    customer only while it fits), and the
     final top-10 as TakeOrderedAndProject (no global sort). Ordering
     carries (o_orderdate, l_orderkey) tiebreakers so LIMIT picks a
     deterministic set for the oracle hash."""
@@ -68,7 +76,7 @@ def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > _ts("1995-03-15")
     )
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).join(
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
         li, li.l_orderkey == orders.o_orderkey
     )
     return (
@@ -107,11 +115,11 @@ def analytics_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
     """TPC-H Q5 shape: 6-way join, local-supplier predicate, revenue per
     nation.
 
-    Join order is chosen for scale: region→nation→supplier collapse to
-    one small broadcast side; lineitem (the 100 TB table) joins it
-    broadcast-side first (kills ~80% of rows when one region survives),
-    then shuffles once on orderkey against date-pruned orders, and the
-    customer join is broadcast again. The c_nationkey = s_nationkey
+    Join order is chosen for scale: region→nation collapse broadcasts
+    into supplier; lineitem (the 100 TB table) joins the surviving
+    suppliers first (kills ~80% of rows when one region survives; AQE
+    broadcasts that side while it fits), then shuffles once on orderkey
+    against date-pruned orders, then custkey. The c_nationkey = s_nationkey
     local-supplier predicate is applied as a post-join filter."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -127,9 +135,9 @@ def analytics_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
         F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     enriched = (
-        li.join(F.broadcast(local_supp), li.l_suppkey == local_supp.s_suppkey)
+        li.join(local_supp, li.l_suppkey == local_supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
     )
     return enriched.groupBy("n_name").agg(
@@ -201,7 +209,7 @@ def analytics_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     return (
@@ -247,7 +255,7 @@ def analytics_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("_qty") > 210.0)
     )
     joined = orders.join(big, orders.o_orderkey == big.l_orderkey).join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     )
     return joined.select(
         "c_name",
@@ -328,7 +336,7 @@ def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
     )
     li = load_table(spark, sf_dir, "lineitem")
-    narrowed = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    narrowed = li.join(part, li.l_partkey == part.p_partkey).select(
         "p_brand", "l_partkey", "l_quantity", "l_extendedprice"
     )
     w = W.partitionBy("l_partkey")
@@ -443,10 +451,10 @@ def analytics_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(
             ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
@@ -487,7 +495,7 @@ def analytics_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicates don't block pushdown."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     bracket = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -549,9 +557,10 @@ def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan at 100 TB: region→nation collapses to a 5-row broadcast dim
     restricting CUSTOMER nations; part is filtered to one type before
-    broadcasting; supplier's nation joins under a second role for the
-    CASE numerator. The only wide shuffles are lineitem⋈orders on
-    orderkey (both sides pre-filtered) and the final tiny group-by
+    joining (AQE broadcasts it while it fits); supplier's nation joins
+    under a second role for the CASE numerator. The only wide shuffles
+    are lineitem⋈orders on orderkey (both sides pre-filtered), the
+    part/supplier/customer joins once they outgrow broadcast, and the final tiny group-by
     year. Float discipline: numerator and denominator each rounded at
     the 4dp product grid, the share computed FROM the rounded values —
     division of identical doubles is bit-identical across engines.
@@ -577,11 +586,11 @@ def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
     vol = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -664,8 +673,8 @@ def analytics_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promotional-revenue percentage for one ship
     month — conditional-sum ratio in a single pass over one broadcast
     join. The month predicate is pushed to the lineitem scan (parquet
-    min/max row-group skipping at production file sizes); part
-    broadcasts whole since only p_partkey/p_type survive pruning.
+    min/max row-group skipping at production file sizes); only
+    p_partkey/p_type survive part's column pruning.
     Ratio computed from the two 4dp-rounded sums (cross-engine
     bit-identical); 100.0* is an exact scale of a shared double."""
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -673,7 +682,7 @@ def analytics_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts("1997-10-01"))
     )
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     promo = F.round(
         F.sum(
             F.when(
@@ -719,7 +728,7 @@ def analytics_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials), derive the 1-row MAX with a global agg, broadcast it
     back as a cross join, filter on equality of the 4dp-rounded
     revenues (identical doubles ⇒ identical comparison both engines),
-    then broadcast-join supplier names. At 100 TB the rev aggregate is
+    then join supplier names by broadcasting the TINY top set into supplier (never the reverse). At 100 TB the rev aggregate is
     |suppliers|-sized — small — so everything after the first shuffle
     is broadcast-local."""
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -736,7 +745,7 @@ def analytics_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.join(F.broadcast(max_rev)).filter(
         F.col("total_revenue") == F.col("max_revenue")
     )
-    return top.join(F.broadcast(supp), top.supplier_no == supp.s_suppkey).select(
+    return supp.join(F.broadcast(top), top.supplier_no == supp.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
     )
 
@@ -795,7 +804,7 @@ def analytics_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataF
         l1.join(prof, l1.l_orderkey == prof.p_orderkey)
         .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
         .join(orders, l1.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .join(supp, l1.l_suppkey == supp.s_suppkey)
     )
     return qualified.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
 

@@ -510,3 +510,40 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.alias("weight_total"),
         (num / den).alias("weighted_avg_discount"),
     )
+
+
+@register(
+    "agg_decimal_exact",
+    oracle="""
+        SELECT o_orderpriority,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_exact,
+               CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(26,6)) AS avg_exact,
+               MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_exact,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg", "decimal"),
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL aggregation — the money path. Casting the 2dp
+    price to DECIMAL(18,2) before aggregating makes SUM/MAX exact
+    integers-of-cents: NO float summation-order noise, NO rounding
+    discipline, both engines agree to the last digit by construction.
+    This is the engine's answer to every float-parity caveat in this
+    package: where values are genuinely fixed-point (prices), use the
+    decimal lattice and the problem disappears.
+
+    Scale note: Spark aggregates DECIMAL(18,2) as an unscaled LONG
+    with overflow promotion (Tungsten fast path) — same hash-agg shape
+    and shuffle as the double version, slightly wider rows. AVG result
+    types differ per engine (Spark DECIMAL(22,6) vs DuckDB's chosen
+    scale), so AVG is normalized to DECIMAL(26,6) in both."""
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.groupBy("o_orderpriority").agg(
+        F.sum(price).alias("total_exact"),
+        F.avg(price).cast("decimal(26,6)").alias("avg_exact"),
+        F.max(price).alias("max_exact"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

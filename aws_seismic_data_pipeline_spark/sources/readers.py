@@ -345,3 +345,42 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2.write.mode("append").parquet(sink)
     back = spark.read.option("mergeSchema", "true").parquet(sink)
     return back.select("n_nationkey", "n_name", "n_regionkey", "schema_ver")
+
+
+@register(
+    "scan_hash_sample",
+    oracle="""
+        WITH bucketed AS (
+            SELECT doc_id, lang,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 100 AS bucket
+            FROM documents
+        )
+        SELECT doc_id, lang, bucket
+        FROM bucketed
+        WHERE bucket < 10
+    """,
+    tags=("source", "sample"),
+)
+def scan_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by key hash — the reproducible way to
+    subsample a 100 TB corpus. ``TABLESAMPLE``/``DataFrame.sample`` draw
+    from a per-partition RNG: the sample changes with partitioning,
+    reruns, and engines, which poisons train/eval splits. Hashing the
+    stable key into 100 buckets (md5 → 60-bit int, the engine-portable
+    hash shared with dedup_simhash) gives a sample that is (a) identical
+    on every engine and every rerun, (b) independent of physical layout,
+    (c) cheaply widened (bucket < 20 is a strict superset of < 10 —
+    nested splits for scaling-law runs). Pushdown-friendly: the filter
+    is a scan-level predicate, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+            " as bigint)"
+        )
+        % 100
+    )
+    return docs.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket") < 10
+    )

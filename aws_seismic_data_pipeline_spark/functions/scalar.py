@@ -525,3 +525,42 @@ def fn_math_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log10("o_totalprice"), 6).alias("price_log10"),
         F.round(F.pow("o_totalprice", F.lit(0.25)), 6).alias("price_4th_root"),
     )
+
+
+@register(
+    "fn_datetime_extract",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+               CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS q,
+               CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+               CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS d,
+               CAST(EXTRACT(doy FROM o_orderdate) AS INTEGER) AS doy,
+               CAST(EXTRACT(isodow FROM o_orderdate) AS INTEGER) AS iso_dow,
+               CAST(EXTRACT(week FROM o_orderdate) AS INTEGER) AS iso_week,
+               CAST(EXTRACT(epoch FROM o_orderdate) AS BIGINT) AS epoch_s
+        FROM orders
+        WHERE o_orderkey < 500
+    """,
+    tags=("fn", "date"),
+)
+def fn_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime field extraction across the convention minefield:
+    day-of-week numbering differs per engine (Spark ``dayofweek`` is
+    1=Sunday; DuckDB ``dow`` is 0=Sunday, ``isodow`` 1=Monday), so the
+    engine normalizes to ISO-8601 (1=Monday..7=Sunday) — the only
+    convention with an unambiguous spec — via ``(dayofweek+5)%7+1``.
+    ``weekofyear`` is ISO in both engines. All JVM built-ins, one
+    map-side pass, predicate pushed to the scan."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        ((F.dayofweek("o_orderdate") + 5) % 7 + 1).alias("iso_dow"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("epoch_s"),
+    )

@@ -109,3 +109,103 @@ def filter_in_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
         & F.col("p_size").isin(1, 5, 9, 14, 19, 23)
     ).select("p_partkey", "p_brand", "p_size")
+
+
+@register(
+    "sql_text_interface",
+    oracle="""
+        SELECT n.n_name,
+               CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+               ROUND(SUM(c.c_acctbal), 2) AS total_balance
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 0.0
+        GROUP BY n.n_name
+    """,
+    tags=("sql",),
+)
+def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL face: the same ANSI SQL text the oracle runs,
+    executed verbatim by ``spark.sql()`` over registered temp views —
+    proving users can bring raw SQL, not just the DataFrame DSL, and
+    Catalyst parses/plans it identically (DataFrame and SQL share one
+    logical-plan IR; this query and the DSL version compile to the same
+    physical plan). Views registered per-call are session-scoped and
+    idempotent. Seed: the reference has no query language at all —
+    this is the capability gap §3 calls out."""
+    for t in ("customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               COUNT(DISTINCT c.c_custkey) AS n_customers,
+               ROUND(SUM(c.c_acctbal), 2) AS total_balance
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 0.0
+        GROUP BY n.n_name
+        """
+    )
+
+
+@register(
+    "plan_cache_reuse",
+    oracle="""
+        WITH filtered AS (
+            SELECT l_suppkey, l_quantity, l_extendedprice
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+        ),
+        by_supp AS (
+            SELECT l_suppkey,
+                   ROUND(SUM(l_extendedprice), 2) AS supp_revenue
+            FROM filtered GROUP BY l_suppkey
+        ),
+        overall AS (
+            SELECT ROUND(AVG(l_quantity), 4) AS global_avg_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM filtered
+        )
+        SELECT b.l_suppkey, b.supp_revenue, o.global_avg_qty, o.n_lines
+        FROM by_supp b CROSS JOIN overall o
+    """,
+    tags=("plan", "cache"),
+)
+def plan_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized intermediate reuse: one filtered scan feeds TWO
+    aggregates (per-supplier revenue + a global profile broadcast back
+    onto every row). ``persist()`` pins the filtered projection in
+    executor memory so the second aggregate reads the in-memory
+    columnar cache instead of re-scanning parquet — the interactive /
+    iterative-workload pattern (PAPERS.md: RDD lineage & caching is
+    Spark's founding idea). At 100 TB you cache the FILTERED slice
+    (fits memory budget), never the raw table; MEMORY_AND_DISK spills
+    gracefully if it doesn't. The unpersist is deliberate: caches are
+    plan-scoped, not session leaks."""
+    from pyspark import StorageLevel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1998-01-01")))
+        )
+        .select("l_suppkey", "l_quantity", "l_extendedprice")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        by_supp = filtered.groupBy("l_suppkey").agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("supp_revenue")
+        )
+        overall = filtered.agg(
+            F.round(F.avg("l_quantity"), 4).alias("global_avg_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        out = by_supp.join(F.broadcast(overall))
+        # force materialization while the cache is alive; the returned
+        # plan then reads the cached levels
+        out = out.localCheckpoint(eager=True)
+    finally:
+        filtered.unpersist()
+    return out

@@ -377,3 +377,142 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@register(
+    "ts_resample_linear",
+    oracle="""
+        WITH grid AS (
+            SELECT t.event_type, g.grid_ts
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (
+                SELECT unnest(generate_series(
+                    TIMESTAMP '2024-01-05 00:00:00',
+                    TIMESTAMP '2024-01-05 23:59:00',
+                    INTERVAL 1 MINUTE)) AS grid_ts
+            ) g
+        ),
+        obs AS (
+            SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05'
+              AND ts < TIMESTAMP '2024-01-06'
+        ),
+        u AS (
+            SELECT event_type, ts, value, 1 AS is_obs FROM obs
+            UNION ALL
+            SELECT event_type, grid_ts AS ts, NULL AS value, 0 AS is_obs
+            FROM grid
+        ),
+        marked AS (
+            SELECT event_type, ts, is_obs,
+                   last_value(CASE WHEN is_obs = 1 THEN ts END IGNORE NULLS)
+                       OVER w_prev AS t_prev,
+                   last_value(CASE WHEN is_obs = 1 THEN value END IGNORE NULLS)
+                       OVER w_prev AS v_prev,
+                   first_value(CASE WHEN is_obs = 1 THEN ts END IGNORE NULLS)
+                       OVER w_next AS t_next,
+                   first_value(CASE WHEN is_obs = 1 THEN value END IGNORE NULLS)
+                       OVER w_next AS v_next
+            FROM u
+            WINDOW
+                w_prev AS (PARTITION BY event_type
+                           ORDER BY ts, is_obs DESC, value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                w_next AS (PARTITION BY event_type
+                           ORDER BY ts, is_obs DESC, value
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, ts AS grid_ts, t_prev, t_next,
+               CASE WHEN t_prev = t_next THEN v_prev
+                    ELSE v_prev + (v_next - v_prev)
+                         * (EXTRACT(epoch FROM ts) - EXTRACT(epoch FROM t_prev))
+                         / (EXTRACT(epoch FROM t_next) - EXTRACT(epoch FROM t_prev))
+               END AS v_interp
+        FROM marked
+        WHERE is_obs = 0 AND t_prev IS NOT NULL AND t_next IS NOT NULL
+    """,
+    tags=("window", "timeseries"),
+)
+def ts_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with linear interpolation onto a 1-minute
+    grid — THE operation the reference's decoded waveform table needs
+    (SURVEY §1.1: miniSEED decodes to (channel, ts, value); gaps and
+    irregular sampling are the norm, app.py's ±120 s buffers exist
+    precisely because boundaries are ragged).
+
+    The scale-correct plan is the union+window sweep (same family as
+    join_asof_nearest): union observations with grid points, ONE
+    shuffle on channel, one ordered pass carrying the previous/next
+    observation via last/first(ignorenulls) over mirrored frames, then
+    the interpolation formula on bracketed grid rows only. No per-grid-
+    point lookup join, no range join — at 100 TB this is linear in
+    (obs + grid points) per channel. Observations sort before their
+    exactly-coincident grid point so on-grid samples interpolate to
+    themselves (t_prev = t, factor 0). Floats: both engines compute
+    the identical (v_prev, v_next, epoch) doubles, and products/
+    quotients of identical doubles are bit-identical — output left
+    unrounded (see memory: round-parity)."""
+    ev = load_table(spark, sf_dir, "events")
+    day, nxt = "2024-01-05 00:00:00", "2024-01-06 00:00:00"
+    obs = ev.filter(
+        (F.col("ts") >= F.to_timestamp_ntz(F.lit(day)))
+        & (F.col("ts") < F.to_timestamp_ntz(F.lit(nxt)))
+    ).select("event_type", "ts", "value", F.lit(1).alias("is_obs"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.to_timestamp_ntz(F.lit(day)),
+                    F.to_timestamp_ntz(F.lit("2024-01-05 23:59:00")),
+                    F.expr("INTERVAL 1 MINUTE"),
+                )
+            ).alias("ts"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(0).alias("is_obs"),
+        )
+    )
+    u = obs.unionByName(grid.select("event_type", "ts", "value", "is_obs"))
+    order = [F.col("ts"), F.col("is_obs").desc(), F.col("value")]
+    w_prev = (
+        W.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("is_obs") == 1, F.col("ts"))
+    obs_val = F.when(F.col("is_obs") == 1, F.col("value"))
+    marked = u.select(
+        "event_type",
+        "ts",
+        "is_obs",
+        F.last(obs_ts, ignorenulls=True).over(w_prev).alias("t_prev"),
+        F.last(obs_val, ignorenulls=True).over(w_prev).alias("v_prev"),
+        F.first(obs_ts, ignorenulls=True).over(w_next).alias("t_next"),
+        F.first(obs_val, ignorenulls=True).over(w_next).alias("v_next"),
+    )
+    ep = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    factor = (ep("ts") - ep("t_prev")) / (ep("t_next") - ep("t_prev"))
+    return (
+        marked.filter(
+            (F.col("is_obs") == 0)
+            & F.col("t_prev").isNotNull()
+            & F.col("t_next").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.col("ts").alias("grid_ts"),
+            "t_prev",
+            "t_next",
+            F.when(F.col("t_prev") == F.col("t_next"), F.col("v_prev"))
+            .otherwise(F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * factor)
+            .alias("v_interp"),
+        )
+    )

@@ -354,3 +354,111 @@ def dedup_keep_first_row(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "text", "lang", "source", "n_chars")
     )
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, len(toks) - 1),
+                       i -> CAST(('0x' || substring(
+                                md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+                                1, 15)) AS BIGINT)
+                   ) AS h
+            FROM tok
+            WHERE len(toks) >= 3
+        ),
+        fps AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(h) - 2),
+                       j -> list_min(list_slice(h, j, j + 3))
+                   ))) AS fingerprint
+            FROM grams
+            WHERE len(h) >= 4
+        ),
+        doc_fp AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fps GROUP BY doc_id
+        ),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM fps a
+            JOIN fps b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 3
+        )
+        SELECT s.doc_a, s.doc_b, s.n_shared,
+               fa.n_fp AS n_fp_a, fb.n_fp AS n_fp_b,
+               s.n_shared * 1.0 / LEAST(fa.n_fp, fb.n_fp) AS overlap
+        FROM shared s
+        JOIN doc_fp fa ON fa.doc_id = s.doc_a
+        JOIN doc_fp fb ON fb.doc_id = s.doc_b
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from winnowing fingerprints
+    (SIGMOD'03 §4: two documents sharing a run of ≥6 words share a
+    fingerprint): self-join the per-doc fingerprint sets on the
+    fingerprint value, keep pairs with ≥3 shared prints, and score by
+    overlap coefficient n_shared / min(|A|,|B|).
+
+    This is the decision step text_winnow_fingerprints feeds — together
+    they form the plagiarism/boilerplate detector. Scale shape: the
+    self-join shuffles on the 60-bit fingerprint (uniform by
+    construction — md5 output, no skew salting needed, unlike raw
+    shingles whose head is stopword-heavy); a doc_id<doc_id predicate
+    halves the pair space; the overlap ratio is int/int (bit-identical
+    across engines, left unrounded). The fingerprint set is computed
+    ONCE and checkpointed for its three uses (pair join ×2 + per-doc
+    counts)."""
+    from aws_seismic_data_pipeline_spark.llm.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(
+        load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    ).localCheckpoint(eager=True)
+    doc_fp = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.alias("a")
+    b = fps.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    fa = doc_fp.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")
+    )
+    fb = doc_fp.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")
+    )
+    return (
+        shared.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            (
+                F.col("n_shared")
+                * F.lit(1.0)
+                / F.least(F.col("n_fp_a"), F.col("n_fp_b"))
+            ).alias("overlap"),
+        )
+    )

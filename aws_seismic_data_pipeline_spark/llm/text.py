@@ -436,6 +436,13 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    return winnow_fingerprints(docs)
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) winnowing derivation on any documents
+    DataFrame — shared by text_winnow_fingerprints (the fingerprint
+    query) and dedup_winnow_pairs (the pair-decision query)."""
     toks = F.split(F.col("text"), " ")
     grams = (
         docs.select("doc_id", toks.alias("toks"))

@@ -384,3 +384,62 @@ def scan_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", bucket.alias("bucket")).filter(
         F.col("bucket") < 10
     )
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle="""
+        WITH years AS (
+            SELECT DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)
+                       AS order_year
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+              AND EXTRACT(year FROM o_orderdate) IN (1996, 1999)
+        )
+        SELECT o.order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS total_value
+        FROM (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+                   o_totalprice
+            FROM orders
+        ) o
+        JOIN years y ON o.order_year = y.order_year
+        GROUP BY o.order_year
+    """,
+    tags=("source", "join", "pruning"),
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the fact table is stored
+    partitioned by year; the years to read are only known at RUNTIME
+    (they come from a filtered dimension), yet Catalyst still prunes
+    the fact SCAN — it plans a DynamicPruningExpression subquery that
+    broadcasts the dim's join keys to the fact scan before it starts,
+    so unneeded partitions are never opened. scan_partition_pruned
+    covers the static case (literal WHERE year=...); this is the join
+    -driven case that matters at 100 TB, where the date dimension is
+    always joined, never inlined. Verified in the physical plan:
+    ``PartitionFilters: [... dynamicpruning#...]`` on the fact scan.
+    Seed: R17/R25 (the reference's YYYYMMDD prefixes, driven from a
+    catalog instead of a literal)."""
+    prepare(spark)
+    sink = os.path.join(_TMP_DIR, "orders_by_year_dpp")
+    orders = load_table(spark, sf_dir, "orders")
+    fact = orders.select(
+        F.year("o_orderdate").alias("order_year"), "o_totalprice", "o_orderkey"
+    )
+    fact.write.mode("overwrite").partitionBy("order_year").parquet(sink)
+    fact_back = spark.read.parquet(sink)
+    dim = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & F.year("o_orderdate").isin(1996, 1999)
+        )
+        .select(F.year("o_orderdate").alias("order_year"))
+        .distinct()
+    )
+    joined = fact_back.join(F.broadcast(dim), "order_year")
+    return joined.groupBy("order_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+    )

@@ -96,3 +96,34 @@ def test_correlated_scalar_subquery_single_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, f"expected <=2 shuffles, plan has {n_exchanges}"
+
+
+def test_dynamic_partition_pruning_in_plan(spark):
+    """The DPP query's fact scan must carry a runtime pruning subquery —
+    the property that keeps a 100 TB partitioned fact from full-scanning
+    when the partition set comes from a joined dimension."""
+    plan = _plan(spark, "join_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_tfidf_single_corpus_scan(spark):
+    """tf feeds both the score and document-frequency branches; the
+    eager localCheckpoint must keep the corpus at ONE parquet scan +
+    one tokenize (a second scan means the lineage cut regressed)."""
+    plan = _plan(spark, "text_tfidf_topk")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_broadcast_hints_only_on_bounded_sides(spark):
+    """Q8 must not force-broadcast customer/part/supplier (driver OOM
+    at 100 TB); AQE may still choose broadcast by size at fixture
+    scale, but no explicit ResolvedHint may pin fact-scaled tables."""
+    df = REGISTRY["analytics_market_share"].builder(spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # broadcast hints survive optimization as 'JoinHint' annotations on
+    # the join nodes they pin; none may reference the big tables
+    for line in optimized.splitlines():
+        if "leftHint" in line or "rightHint" in line or "broadcast" in line.lower():
+            assert "c_custkey" not in line and "p_partkey" not in line and (
+                "s_suppkey" not in line or "sn_key" in line
+            ), f"fact-scaled broadcast hint survived: {line}"

@@ -547,3 +547,44 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(price).alias("max_exact"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+        SELECT event_type, mode_user, n_mode FROM (
+            SELECT event_type,
+                   user_id AS mode_user,
+                   CAST(COUNT(*) AS BIGINT) AS n_mode,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY COUNT(*) DESC, user_id) AS rn
+            FROM events
+            GROUP BY event_type, user_id
+        ) ranked
+        WHERE rn = 1
+    """,
+    tags=("agg",),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE (most frequent value) per group, as count + rank with an
+    explicit tiebreak. The native ``mode()`` in both engines returns an
+    ARBITRARY value on frequency ties — nondeterministic across
+    engines, partitionings, and reruns — so the engine spells it as
+    count → row_number ordered by (count DESC, value): deterministic by
+    construction and the same two-shuffle shape MODE costs anyway
+    (value-pair partial agg absorbs hot values map-side; the rank runs
+    per group over |distinct values| rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", F.col("user_id").alias("mode_user")).agg(
+        F.count(F.lit(1)).alias("n_mode")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(
+        F.col("n_mode").desc(), F.col("mode_user")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "mode_user", "n_mode")
+    )

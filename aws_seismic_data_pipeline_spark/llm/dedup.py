@@ -539,16 +539,27 @@ def dedup_ngram_jaccard_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             "), 1, 15), 16, 10) as bigint))"
         )
     )
-    exploded = docs.select(
+    # project the array into a column BEFORE size()+explode(): inlining
+    # both over the same expression makes the per-exploded-row projection
+    # recompute the whole shingle array per shingle — measured 8.4 s vs
+    # 1.5 s at sf0.1 (pyspark-perf-traps #10). Checkpoint before the
+    # self-join so the derivation doesn't re-execute per branch (#4).
+    arrs = docs.select("doc_id", shingle_hashes.alias("arr"))
+    exploded = arrs.select(
         "doc_id",
-        F.size(shingle_hashes).alias("n_shingles"),
-        F.explode(shingle_hashes).alias("h"),
+        F.size("arr").alias("n_shingles"),
+        F.explode("arr").alias("h"),
+    ).localCheckpoint(eager=True)
+    # stop-shingle cap as a TINY broadcast anti-join (|stop-list| =
+    # #shingles over the cap), not a window: no sort on h, and the
+    # exploded table is filtered map-side on both join branches
+    stop = (
+        exploded.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 50)
+        .select("h")
     )
-    from pyspark.sql import Window as W
-
-    capped = exploded.withColumn(
-        "df", F.count(F.lit(1)).over(W.partitionBy("h"))
-    ).filter(F.col("df") <= 50)
+    capped = exploded.join(F.broadcast(stop), "h", "left_anti")
     a = capped.alias("a")
     b = capped.alias("b")
     pairs = (

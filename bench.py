@@ -35,6 +35,7 @@ HEADLINE = [
     "ingest_plan_daily",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_scaled",
     "dedup_simhash_pairs",
     "sim_topk_bruteforce",
     "sim_topk_bucketed",

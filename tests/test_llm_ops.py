@@ -127,3 +127,43 @@ def test_feature_extract_unit_range(spark):
     )
     assert bad.count() == 0
     assert feats.select(F.size("features")).distinct().collect()[0][0] == 8
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee (SIGMOD'03 Thm 1 analog for k=3, w=4): any
+    two documents sharing a contiguous run of >= k + w - 1 = 6 words
+    must share at least one fingerprint — a PLANTED shared run is
+    always detected. Also: a pair with entirely disjoint vocabulary
+    shares nothing."""
+    import random
+
+    from aws_seismic_data_pipeline_spark.llm.text import winnow_fingerprints
+
+    rng = random.Random(7)
+    vocab_a = [f"a{i}" for i in range(200)]
+    vocab_b = [f"b{i}" for i in range(200)]
+    rows = []
+    planted_pairs = []
+    for pair in range(5):
+        run = [f"run{pair}_{j}" for j in range(6)]  # the shared 6-run
+        doc1 = [rng.choice(vocab_a) for _ in range(30)] + run + [
+            rng.choice(vocab_a) for _ in range(30)
+        ]
+        doc2 = [rng.choice(vocab_b) for _ in range(30)] + run + [
+            rng.choice(vocab_b) for _ in range(30)
+        ]
+        rows.append((2 * pair, " ".join(doc1)))
+        rows.append((2 * pair + 1, " ".join(doc2)))
+        planted_pairs.append((2 * pair, 2 * pair + 1))
+    # disjoint-vocab pair: must share NO fingerprint
+    rows.append((100, " ".join(rng.choice(vocab_a) for _ in range(40))))
+    rows.append((101, " ".join(rng.choice(vocab_b) for _ in range(40))))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    for d1, d2 in planted_pairs:
+        assert by_doc[d1] & by_doc[d2], f"planted run not detected ({d1},{d2})"
+    assert not (by_doc[100] & by_doc[101]), "disjoint docs share a fingerprint"

@@ -866,3 +866,85 @@ def analytics_dormant_customer_balance(spark: SparkSession, sf_dir: str) -> Data
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+@register(
+    "subquery_not_in_anti",
+    oracle="""
+        SELECT p.p_brand, p.p_size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#45'
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+          )
+        GROUP BY p.p_brand, p.p_size
+    """,
+    tags=("subquery", "join"),
+)
+def subquery_not_in_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, size)
+    EXCLUDING a supplier blacklist via NOT IN — the subquery form whose
+    three-valued-logic trap (one NULL in the subquery empties the whole
+    result) forces Catalyst into a null-aware anti-join instead of a
+    plain anti-join. Expressed as SQL text so the subquery PLANNER is
+    exercised, not hand-decorrelated. The blacklist aggregates to a
+    tiny broadcast; at 100 TB the only wide operation is the
+    lineitem⋈part join and the two-level distinct aggregate."""
+    for t in ("lineitem", "part", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#45'
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+          )
+        GROUP BY p.p_brand, p.p_size
+        """
+    )
+
+
+@register(
+    "subquery_lateral_topk",
+    oracle="""
+        SELECT n.n_nationkey, t.c_custkey, t.c_acctbal
+        FROM nation n,
+        LATERAL (
+            SELECT c.c_custkey, c.c_acctbal
+            FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c.c_acctbal DESC, c.c_custkey
+            LIMIT 2
+        ) t
+    """,
+    tags=("subquery", "join", "topk"),
+)
+def subquery_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 customers by balance PER
+    NATION, written as the SQL-standard lateral form. Catalyst
+    decorrelates the per-row ORDER BY ... LIMIT into a window
+    rank-and-filter over ONE shuffle of customer — the same physical
+    plan limit_topk_per_group builds by hand, reached from the
+    declarative form (proof the planner, not the user, does the
+    decorrelation). c_custkey tiebreak keeps the top-2 deterministic
+    for the value hash."""
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_nationkey, t.c_custkey, t.c_acctbal
+        FROM nation n,
+        LATERAL (
+            SELECT c.c_custkey, c.c_acctbal
+            FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c.c_acctbal DESC, c.c_custkey
+            LIMIT 2
+        ) t
+        """
+    )

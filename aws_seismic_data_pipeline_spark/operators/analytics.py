@@ -948,3 +948,57 @@ def subquery_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "analytics_product_type_profit",
+    oracle="""
+        SELECT sn.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.1 * p.p_retailprice * l.l_quantity), 4) AS profit
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%gear%'
+        GROUP BY sn.n_name, EXTRACT(year FROM o.o_orderdate)
+    """,
+    tags=("analytics", "join"),
+)
+def analytics_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per order year for
+    parts matching a name pattern. (The fixture has no partsupp, so
+    supply cost is modeled as 10% of p_retailprice × quantity —
+    FIXTURES.md §5; the plan shape is Q9's: a LIKE-filtered part dim
+    carving ~1/6 of lineitem, a 5-way star join, two-column rollup.)
+
+    Plan: the substring filter can't use parquet min/max stats but IS
+    pushed into the part scan (evaluated pre-join on the 1/30-sized
+    dim, never on lineitem); part/supplier/nation join under AQE size
+    rules; orders joins on the one wide orderkey shuffle. Float
+    discipline: revenue is a 4dp grid (2dp×2dp), the cost term
+    0.1 × retailprice(2dp) × quantity(integer-valued) a 3dp grid —
+    their difference sits on the 4dp grid, so ROUND(,4) is exact in
+    both engines (no halfway hazard)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.1
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return joined.groupBy(
+        "nation", F.year("o_orderdate").alias("o_year")
+    ).agg(F.round(F.sum(profit), 4).alias("profit"))

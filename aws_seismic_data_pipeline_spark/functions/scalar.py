@@ -144,7 +144,7 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
             doc_id,
             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-            string_split(text, ' ')[1:5] AS head5,
+            array_to_string(string_split(text, ' ')[1:5], ' ') AS head5_csv,
             CAST(list_contains(string_split(text, ' '), 'spark') AS BOOLEAN)
                 AS mentions_spark,
             list_sort(string_split(text, ' '))[1] AS first_token_alpha
@@ -153,13 +153,17 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("fn",),
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array kernel (seed R4/R16): split/size/slice/contains/sort."""
+    """Array kernel (seed R4/R16): split/size/slice/contains/sort.
+
+    The slice is re-joined to a string on output — the driver's value
+    hasher cannot hash list cells, so the registered surface is
+    scalar-only (array ops stay in-plan)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.slice(toks, 1, 5).alias("head5"),
+        F.concat_ws(" ", F.slice(toks, 1, 5)).alias("head5_csv"),
         F.array_contains(toks, "spark").alias("mentions_spark"),
         F.element_at(F.sort_array(toks), 1).alias("first_token_alpha"),
     )
@@ -328,8 +332,9 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         SELECT doc_id,
-               list_transform(list_filter(toks, x -> len(x) > 4), x -> upper(x))
-                   AS long_upper,
+               array_to_string(
+                   list_transform(list_filter(toks, x -> len(x) > 4),
+                                  x -> upper(x)), ' ') AS long_upper_csv,
                CAST(len(list_filter(toks, x -> len(x) > 4)) AS INTEGER) AS n_long,
                CAST(list_reduce(list_transform(toks, x -> len(x)), (a, x) -> a + x)
                    AS BIGINT) AS char_sum
@@ -349,9 +354,12 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
-        F.transform(
-            F.filter(toks, lambda x: F.length(x) > 4), lambda x: F.upper(x)
-        ).alias("long_upper"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(toks, lambda x: F.length(x) > 4), lambda x: F.upper(x)
+            ),
+        ).alias("long_upper_csv"),
         F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
         F.aggregate(
             F.transform(toks, lambda x: F.length(x)),

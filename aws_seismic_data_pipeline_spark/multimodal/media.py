@@ -216,13 +216,17 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FEATURE_COLS = [f"f{i}" for i in range(8)]
+
 @register(
     "mm_feature_extract",
     oracle=f"""
         SELECT media_id,
-               list_transform(range(0, 8), i ->
-                   (('0x' || substring(digest, i * 4 + 1, 4))::INTEGER)
-                       / 65535.0) AS features,
+               {", ".join(
+                   f"(('0x' || substring(digest, {i * 4 + 1}, 4))::INTEGER)"
+                   f" / 65535.0 AS f{i}"
+                   for i in range(8)
+               )},
                format
         FROM ({_DUCK_META}) m
         JOIN ({_DUCK_DECODE}) d USING (media_id)
@@ -234,32 +238,28 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel emitting a fixed 8-dim embedding per item (fake: md5 16-bit
     words scaled to [0,1] — exact integers / 65535, so cross-engine
     float parity is bit-exact). A real extractor swaps the kernel for
-    a vision model; schema/batching/partitioning are unchanged."""
+    a vision model; schema/batching/partitioning are unchanged. The 8
+    dims are emitted as scalar columns f0..f7 (one column per dim is
+    both driver-hashable and the layout a feature store would want;
+    internal pipelines that need array<double> use llm/vector.py)."""
     schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType(), False),
-            T.StructField("features", T.ArrayType(T.DoubleType()), False),
-            T.StructField("format", T.StringType(), False),
-        ]
+        [T.StructField("media_id", T.LongType(), False)]
+        + [T.StructField(c, T.DoubleType(), False) for c in _FEATURE_COLS]
+        + [T.StructField("format", T.StringType(), False)]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats, fmts = [], []
+            cols: dict[str, list] = {c: [] for c in _FEATURE_COLS}
+            fmts = []
             for p in pdf["payload"]:
                 d = hashlib.md5(p).hexdigest()
-                feats.append(
-                    [int(d[i * 4 : i * 4 + 4], 16) / 65535.0 for i in range(8)]
-                )
+                for i, c in enumerate(_FEATURE_COLS):
+                    cols[c].append(int(d[i * 4 : i * 4 + 4], 16) / 65535.0)
                 fmts.append(fake_decode(p)["format"])
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].to_numpy(),
-                    "features": feats,
-                    "format": fmts,
-                }
-            )
+            out = {"media_id": pdf["media_id"].to_numpy(), **cols, "format": fmts}
+            yield pd.DataFrame(out)
 
     return media_frame(spark, sf_dir).mapInPandas(run, schema)

@@ -258,7 +258,8 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
         SELECT c_mktsegment,
-               list_sort(list(DISTINCT c_nationkey)) AS nation_keys,
+               array_to_string(list_sort(list(DISTINCT c_nationkey)), ',')
+                   AS nation_keys_csv,
                CAST(COUNT(*) AS BIGINT) AS n_cust
         FROM customer
         GROUP BY c_mktsegment
@@ -268,11 +269,15 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group collection (seed R11: ``dict[ip → list[...]]``).
 
-    The collected set is sorted so the array cell is deterministic for
-    the order-insensitive value hash."""
+    The collected set is sorted, then serialized to a CSV string: the
+    driver's pandas value hasher cannot hash list cells (r1 ERROR), so
+    the registered surface emits only scalar columns. The in-engine
+    collection semantics (collect_set) are unchanged."""
     cust = load_table(spark, sf_dir, "customer")
     return cust.groupBy("c_mktsegment").agg(
-        F.sort_array(F.collect_set("c_nationkey")).alias("nation_keys"),
+        F.concat_ws(",", F.sort_array(F.collect_set("c_nationkey"))).alias(
+            "nation_keys_csv"
+        ),
         F.count(F.lit(1)).alias("n_cust"),
     )
 
@@ -290,11 +295,11 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     design, so this is a rows-only query; the exact variants carry the
     oracle parity burden for the same semantics."""
     orders = load_table(spark, sf_dir, "orders")
+    pcts = F.percentile_approx("o_totalprice", [0.5, 0.95], 10000)
     return orders.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias(
-            "approx_price_p50_p95"
-        ),
+        pcts.getItem(0).alias("approx_price_p50"),
+        pcts.getItem(1).alias("approx_price_p95"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -516,9 +521,12 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_decimal_exact",
     oracle="""
         SELECT o_orderpriority,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_exact,
-               CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(26,6)) AS avg_exact,
-               MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_exact,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_exact,
+               CAST(CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(26,6)) AS DOUBLE) AS avg_exact,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS max_exact,
                CAST(COUNT(*) AS BIGINT) AS n_orders
         FROM orders
         GROUP BY o_orderpriority
@@ -538,13 +546,19 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     with overflow promotion (Tungsten fast path) — same hash-agg shape
     and shuffle as the double version, slightly wider rows. AVG result
     types differ per engine (Spark DECIMAL(22,6) vs DuckDB's chosen
-    scale), so AVG is normalized to DECIMAL(26,6) in both."""
+    scale), so AVG is normalized to DECIMAL(26,6) in both.
+
+    Driver-surface note: the ARITHMETIC stays decimal (exact by
+    construction); only the FINAL columns are cast to DOUBLE, because
+    the driver hashes Spark ``Decimal`` objects differently from
+    DuckDB's float64 ``fetchdf()`` output (r1 hash-FAIL). The cast is
+    lossless at 2dp/6dp for these magnitudes (< 2^53)."""
     orders = load_table(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(18,2)")
     return orders.groupBy("o_orderpriority").agg(
-        F.sum(price).alias("total_exact"),
-        F.avg(price).cast("decimal(26,6)").alias("avg_exact"),
-        F.max(price).alias("max_exact"),
+        F.sum(price).cast("double").alias("total_exact"),
+        F.avg(price).cast("decimal(26,6)").cast("double").alias("avg_exact"),
+        F.max(price).cast("double").alias("max_exact"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 

@@ -122,11 +122,13 @@ def test_multimodal_real_decode_is_stubbed():
 
 def test_feature_extract_unit_range(spark):
     feats = REGISTRY["mm_feature_extract"].builder(spark, SF_DIR)
-    bad = feats.filter(
-        F.exists("features", lambda v: (v < 0.0) | (v > 1.0))
-    )
-    assert bad.count() == 0
-    assert feats.select(F.size("features")).distinct().collect()[0][0] == 8
+    dim_cols = [f"f{i}" for i in range(8)]
+    assert all(c in feats.columns for c in dim_cols)
+    cond = None
+    for c in dim_cols:
+        bad_c = (F.col(c) < 0.0) | (F.col(c) > 1.0)
+        cond = bad_c if cond is None else (cond | bad_c)
+    assert feats.filter(cond).count() == 0
 
 
 def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):

@@ -16,6 +16,9 @@ Physical quirk handled here: ``events.parquet`` stores ``ts`` as parquet
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,31 +42,75 @@ _RUNTIME_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # Fixture files are single 1-11 MB parquet files: at the default
-    # 128 MB maxPartitionBytes every scan is ONE task and the whole
-    # read+decode serializes onto one core. 1 MB splits let the scan
-    # fan out across cores (row-group granularity bounds it); AQE
-    # coalesces any resulting small shuffle partitions. At production
-    # scale (multi-GB files) the 128 MB default is correct — this
-    # constant sizes the small-file case only, measured 1.3-1.8× on
-    # scan-bound queries at sf0.1.
-    "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
 }
 
+_DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
+_MIN_SPLIT_BYTES = 1024 * 1024
 
-def prepare(spark: SparkSession) -> SparkSession:
+
+def _split_bytes_for(spark: SparkSession, sf_dir: str) -> int:
+    """Pick ``spark.sql.files.maxPartitionBytes`` from OBSERVED input size.
+
+    Small fixtures (single 1-11 MB parquet files) scan as ONE task at the
+    128 MB default and the whole read+decode serializes onto one core; at
+    production scale (multi-GB files, thousands of files) 128 MB is
+    correct. Rather than hard-coding either constant, size splits so the
+    LARGEST table fans out to ~2 tasks per core, clamped to
+    [1 MB, 128 MB]: sf0.1 lands at 1 MB (measured 1.3-1.8× on scan-bound
+    queries), anything >= ~8 GB lands back on the stock 128 MB.
+    Non-local paths (s3a://, hdfs://) can't be stat'ed here and keep the
+    default."""
+    try:
+        sizes = [
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(sf_dir, "*.parquet"))
+        ]
+    except OSError:
+        return _DEFAULT_SPLIT_BYTES
+    if not sizes:
+        return _DEFAULT_SPLIT_BYTES
+    want_tasks = max(2 * spark.sparkContext.defaultParallelism, 2)
+    per_task = max(sizes) // want_tasks
+    return int(min(_DEFAULT_SPLIT_BYTES, max(_MIN_SPLIT_BYTES, per_task)))
+
+
+def prepare(spark: SparkSession, sf_dir: str | None = None) -> SparkSession:
     """Pin runtime confs that correctness/performance depend on."""
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - immutable conf on some builds
             pass
+    if sf_dir is not None:
+        try:
+            spark.conf.set(
+                "spark.sql.files.maxPartitionBytes",
+                str(_split_bytes_for(spark, sf_dir)),
+            )
+        except Exception:  # pragma: no cover
+            pass
     return spark
+
+
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition a narrow input ONLY when the scan produced
+    fewer splits than cores.
+
+    CPU-heavy per-row derivations (shingling, fingerprinting, dot
+    products) over a single small file otherwise run as one task. At
+    scale the scan already yields thousands of splits and an unconditional
+    ``repartition(defaultParallelism)`` would be a pure-cost full shuffle
+    of raw text — so the shuffle is gated on the observed partition
+    count."""
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with engine-canonical types."""
-    prepare(spark)
+    prepare(spark, sf_dir)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos → micros, truncating exactly like DuckDB's TIMESTAMP cast.

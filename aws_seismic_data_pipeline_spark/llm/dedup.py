@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.catalog import load_table, spread
 from aws_seismic_data_pipeline_spark.registry import register
 
 
@@ -53,59 +53,49 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle="""
-        WITH t AS (
-            SELECT doc_id,
-                   list_distinct(
-                       list_transform(
-                           range(1, len(string_split(text, ' ')) - 1),
-                           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
-                       )
-                   ) AS shingles
-            FROM documents
-            WHERE len(string_split(text, ' ')) >= 3
-        ),
-        sized AS (
-            SELECT doc_id, shingles, len(shingles) AS n_shingles FROM t
-        ),
-        exploded AS (
-            SELECT doc_id, n_shingles, unnest(shingles) AS shingle FROM sized
-        ),
-        pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   a.n_shingles AS n_a, b.n_shingles AS n_b,
-                   CAST(COUNT(*) AS BIGINT) AS n_common
-            FROM exploded a JOIN exploded b
-              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2, 3, 4
-        )
-        SELECT doc_a, doc_b,
-               CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
-        FROM pairs
-        WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.05
-    """,
-    tags=("llm", "dedup"),
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection by word-3-gram Jaccard similarity.
+# Uncapped raw-string shingle Jaccard: the textbook semantics, kept as a
+# pytest-only witness (tests/test_llm_ops.py). NOT registered — the raw
+# shingle self-join shuffles arbitrary-length strings with no frequency
+# cap, so one boilerplate shingle in d docs makes d²/2 candidate rows: a
+# quadratic skew blowup at corpus scale. The registered name runs the
+# hashed+capped plan (see dedup_ngram_jaccard below).
+NGRAM_JACCARD_EXACT_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                   )
+               ) AS shingles
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sized AS (
+        SELECT doc_id, shingles, len(shingles) AS n_shingles FROM t
+    ),
+    exploded AS (
+        SELECT doc_id, n_shingles, unnest(shingles) AS shingle FROM sized
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_shingles AS n_a, b.n_shingles AS n_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM exploded a JOIN exploded b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.05
+"""
 
-    Blocking join on shared shingles bounds the candidate space: pairs
-    with zero common shingles are never materialized. The shingle join
-    shuffles on the shingle string — at 100 TB, hash shingles to int64
-    first and cap per-shingle fan-out (drop ultra-common shingles) to
-    control skew; here the fixture vocabulary is small so the raw join
-    demonstrates semantics."""
-    # Repartition before the CPU-heavy shingle derivation: the fixture is
-    # one small parquet file → one input split → one task; shingling is
-    # compute-bound, so spread it across all cores. (At 100 TB the scan
-    # already yields thousands of splits and this coalesces to a no-op
-    # via AQE; the constant here only sizes the small-file case.)
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .filter(F.size(F.split("text", " ")) >= 3)
+
+def ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncapped word-3-gram Jaccard (semantics witness; see note above)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark).filter(
+        F.size(F.split("text", " ")) >= 3
     )
     # slice(tokens, i, 3) keeps the 3-gram build O(n) per doc; writing
     # element_at(split(text), i) inside the lambda re-splits the full
@@ -144,6 +134,63 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw quotient, no ROUND: both engines divide identical integer counts
     # (bit-identical doubles); rounding diverges near non-dyadic halfway
     return pairs.filter(jac >= 0.05).select("doc_a", "doc_b", jac.alias("jaccard"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(
+                       list_transform(
+                           range(1, len(string_split(text, ' ')) - 1),
+                           i -> CAST(('0x' || substring(md5(
+                                    array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                ), 1, 15)) AS BIGINT)
+                       )
+                   ) AS shingles
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ),
+        exploded AS (
+            SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS h
+            FROM t
+        ),
+        capped AS (
+            SELECT * FROM (
+                SELECT e.*, COUNT(*) OVER (PARTITION BY h) AS df
+                FROM exploded e
+            ) WHERE df <= 50
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_shingles AS n_a, b.n_shingles AS n_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM capped a JOIN capped b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+        FROM pairs
+        WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.05
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection by word-3-gram Jaccard similarity — the
+    production (hashed + stop-shingle-capped) plan.
+
+    Round 1 registered the textbook uncapped raw-string form here; its
+    shingle self-join shuffles arbitrary-length string keys and a
+    boilerplate shingle in d docs yields d²/2 candidate rows — a
+    quadratic skew blowup at 100 TB. The registered semantics are now
+    the capped Jaccard (identical cap in the oracle); the uncapped form
+    survives as :func:`ngram_jaccard_exact` for pytest witnesses. See
+    :func:`dedup_ngram_jaccard_scaled` for the full rationale."""
+    return _capped_shingle_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.col("jaccard_capped").alias("jaccard")
+    )
 
 
 @register("dedup_minhash_lsh", tags=("llm", "dedup", "no-oracle"))
@@ -199,31 +246,42 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by cluster label.
 
     Embeddings are unit-normalized (FIXTURES.md) so cosine = dot
-    product, computed JVM-side with zip_with/aggregate — no Python in
-    the hot path. Blocking on the cluster label keeps the pair space
-    at sum(bucket²) instead of n² — the IVF idea."""
+    product. Blocking on the cluster label keeps the pair space at
+    sum(bucket²) instead of n² — the IVF idea. The scoring is ONE
+    numpy/BLAS gram matrix per label cell via ``applyInPandas``
+    (Arrow-batched): one shuffle on label, O(cell² · dim) flops in
+    vectorized float64. Round 1 scored pairs with an interpreted
+    ``aggregate(zip_with(...))`` lambda per pair (~6M mult/s/core —
+    the repo's own llm/vector.py kernel is ~100× that) on top of a
+    self-join that shuffled the embeddings twice; this plan replaces
+    both. float32 inputs are widened to float64 before multiplying,
+    matching both engines' CAST-then-multiply."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.repartition(spark.sparkContext.defaultParallelism).alias("b")
-    dot = F.expr(
-        "aggregate(zip_with(a.embedding, b.embedding,"
-        " (x, y) -> cast(x as double) * cast(y as double)),"
-        " 0D, (acc, v) -> acc + v)"
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
         )
-        .withColumn("cosine_raw", dot)
-        .filter(F.col("cosine_raw") >= 0.18)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            F.round("cosine_raw", 4).alias("cosine"),
+        dots = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), k=1)  # vec_a < vec_b (sorted)
+        vals = dots[ia, ib]
+        keep = vals >= 0.18
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia][keep],
+                "vec_b": ids[ib][keep],
+                "label": np.full(int(keep.sum()), pdf["label"].iloc[0]),
+                "cosine": np.round(vals[keep], 4),
+            }
         )
+
+    return emb.groupBy("label").applyInPandas(
+        cell_pairs, "vec_a long, vec_b long, label int, cosine double"
     )
 
 
@@ -421,9 +479,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_seismic_data_pipeline_spark.llm.text import winnow_fingerprints
 
     fps = winnow_fingerprints(
-        load_table(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism
-        )
+        spread(load_table(spark, sf_dir, "documents"), spark)
     ).localCheckpoint(eager=True)
     doc_fp = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a = fps.alias("a")
@@ -525,11 +581,19 @@ def dedup_ngram_jaccard_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
        which achieves the same bound probabilistically).
 
     Counts and the int/int quotient are bit-identical across engines;
-    no rounding."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .filter(F.size(F.split("text", " ")) >= 3)
+    no rounding. ``dedup_ngram_jaccard`` shares this plan (it projects
+    away n_common); this entry additionally exposes the common-shingle
+    count for diagnostics."""
+    return _capped_shingle_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", "n_common", "jaccard_capped"
+    )
+
+
+def _capped_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared hashed+capped shingle-pair plan for both registered
+    Jaccard entries: doc_a, doc_b, n_a, n_b, n_common, jaccard_capped."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark).filter(
+        F.size(F.split("text", " ")) >= 3
     )
     shingle_hashes = F.array_distinct(
         F.expr(
@@ -580,5 +644,5 @@ def dedup_ngram_jaccard_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
     return pairs.filter(jac >= 0.05).select(
-        "doc_a", "doc_b", "n_common", jac.alias("jaccard_capped")
+        "doc_a", "doc_b", "n_a", "n_b", "n_common", jac.alias("jaccard_capped")
     )

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.catalog import load_table, spread
 from aws_seismic_data_pipeline_spark.registry import register
 
 # First 15 hex chars of md5(token) → 60-bit non-negative int64; bit j
@@ -94,9 +94,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable). The fingerprint column is what a 100 TB dedup pass
     persists; near-dup candidates come from banding it (see
     ``dedup_simhash_pairs``)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     hashed = docs.select("doc_id", F.expr(_SPARK_HASHES).alias("token_hashes"))
     sh = F.expr(_spark_simhash()).cast("long")
     return hashed.select(
@@ -182,9 +180,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming 3 shares at least one full band, so the band equi-join
     finds all such pairs without an n² comparison. The post-filter on
     exact Hamming distance removes band collisions."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     # Vectorized fingerprint kernel, then materialize BEFORE the
     # self-join: without the lineage cut, Catalyst collapses the
     # projection into both join inputs and re-evaluates the fingerprint

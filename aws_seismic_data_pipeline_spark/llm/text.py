@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.catalog import load_table, spread
 from aws_seismic_data_pipeline_spark.registry import register
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -261,9 +261,7 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution — no LIMIT, so no tie-break nondeterminism. At 100 TB
     the bigram space is the skew risk: the partial (map-side) agg
     absorbs hot bigrams before the shuffle."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split(F.col("text"), " ")
     grams = (
         docs.select("doc_id", toks.alias("toks"))
@@ -433,9 +431,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     and fingerprints are ~1/w of grams, so the winnow IS the shuffle
     reduction. Seed: generalizes the reference's filename-identity
     dedup (app.py:271-273) to content identity."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return winnow_fingerprints(docs)
 
 
@@ -513,9 +509,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles (bit-identical); ties broken by term for a
     deterministic top-3. At 100 TB the vocab-side DF agg is the skew
     point — stopwords dominate — which the partial agg flattens."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     terms = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
@@ -588,9 +582,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     halfway hazard. At 100 TB chars-per-doc explodes 300× the row
     count: the (doc,char) partial agg collapses it right back before
     any shuffle; nothing leaves the node at exploded granularity."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     chars = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
     )

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.catalog import load_table, spread
 from aws_seismic_data_pipeline_spark.registry import register
 
 FORMATS = ("jpeg", "png", "webp", "gif")
@@ -71,9 +71,7 @@ def fake_decode(payload: bytes) -> dict:
 
 def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize an opaque-media table: (media_id, payload binary)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),

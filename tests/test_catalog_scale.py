@@ -1,0 +1,93 @@
+"""Scale-gating tests: fixture tuning must be conditional on observed
+input size, not baked in (round-1 verdict items 4-5).
+
+- ``spread()`` only shuffles when the scan produced fewer splits than
+  cores; a multi-split input passes through untouched (no Exchange).
+- ``_split_bytes_for`` picks maxPartitionBytes from the largest file:
+  tiny fixtures get small splits, production-size files keep the 128 MB
+  default.
+- ``dedup_ngram_jaccard`` (registered, capped) agrees with the uncapped
+  exact witness wherever the stop-shingle cap doesn't bind.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from aws_seismic_data_pipeline_spark.catalog import (
+    _DEFAULT_SPLIT_BYTES,
+    _MIN_SPLIT_BYTES,
+    _split_bytes_for,
+    spread,
+)
+
+from .conftest import SF_DIR
+
+
+def test_spread_is_noop_on_multi_split_input(spark):
+    cores = spark.sparkContext.defaultParallelism
+    many = spark.range(0, 1000, 1, numPartitions=cores * 2)
+    out = spread(many, spark)
+    assert out is many  # no repartition node added at all
+    assert "Exchange" not in out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+
+
+def test_spread_fans_out_single_split_input(spark):
+    cores = spark.sparkContext.defaultParallelism
+    few = spark.range(0, 1000, 1, numPartitions=1)
+    out = spread(few, spark)
+    assert out.rdd.getNumPartitions() == cores
+
+
+def test_split_bytes_small_fixture_gets_small_splits(spark):
+    # sf0.001 files are ~1 MB; splits clamp to the 1 MB floor
+    assert _split_bytes_for(spark, SF_DIR) == _MIN_SPLIT_BYTES
+
+
+def test_split_bytes_production_file_keeps_default(spark, tmp_path):
+    # sparse 16 GB file: getsize sees the apparent size, no disk used
+    big = tmp_path / "lineitem.parquet"
+    with open(big, "wb") as fh:
+        fh.truncate(16 * 1024**3)
+    assert _split_bytes_for(spark, str(tmp_path)) == _DEFAULT_SPLIT_BYTES
+
+
+def test_split_bytes_missing_dir_keeps_default(spark):
+    assert _split_bytes_for(spark, "/nonexistent/sfX") == _DEFAULT_SPLIT_BYTES
+    assert _split_bytes_for(spark, "s3a://bucket/prefix") == _DEFAULT_SPLIT_BYTES
+
+
+def test_capped_jaccard_agrees_with_exact_where_cap_unbound(spark, duck):
+    """The registered (capped) Jaccard and the exact witness agree on
+    every pair whose shingles all fall under the df cap; capped never
+    reports a HIGHER jaccard than exact, and never invents pairs."""
+    from aws_seismic_data_pipeline_spark.llm.dedup import (
+        NGRAM_JACCARD_EXACT_ORACLE,
+        ngram_jaccard_exact,
+    )
+    from aws_seismic_data_pipeline_spark.registry import load_all
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_exact(spark, SF_DIR).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in load_all()["dedup_ngram_jaccard"].builder(spark, SF_DIR).collect()
+    }
+    assert capped, "fixture should contain near-dup pairs"
+    for pair, j_capped in capped.items():
+        assert pair in exact, f"capped invented pair {pair}"
+        assert j_capped <= exact[pair] + 1e-12, pair
+    # exact witness itself matches its DuckDB oracle
+    from .conftest import assert_frames_match
+
+    assert_frames_match(
+        ngram_jaccard_exact(spark, SF_DIR),
+        duck.execute(NGRAM_JACCARD_EXACT_ORACLE),
+        "ngram_jaccard_exact",
+    )

@@ -34,7 +34,10 @@ HEADLINE = [
     "stream_tumbling_agg",
     "ingest_plan_daily",
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard shares dedup_ngram_jaccard_scaled's plan since
+    # round 2 — benching both would double-count one plan, so the slot
+    # went to the embedding-cosine dedup instead.
+    "dedup_embedding_cosine",
     "dedup_ngram_jaccard_scaled",
     "dedup_simhash_pairs",
     "sim_topk_bruteforce",
@@ -75,18 +78,50 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    result = {
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # Cross-round regression tracking: compare each query against its
+    # BEST prior time at the same sf (bench_history.jsonl, appended per
+    # run) and surface >1.5x slowdowns; tests/test_bench_history.py
+    # fails CI on them.
+    history_path = os.path.join(REPO_ROOT, "bench_history.jsonl")
+    best_prior = _best_prior(history_path, sf_val)
+    regressions = {
+        name: {"now": t, "best_prior": best_prior[name]}
+        for name, t in timings.items()
+        if name in best_prior and t > 1.5 * best_prior[name] and t > 0.2
+    }
+    if regressions:
+        result["regressions"] = regressions
+    with open(history_path, "a") as fh:
+        fh.write(json.dumps({"ts": time.time(), "sf": sf_val, "queries": timings}) + "\n")
+    print(json.dumps(result))
     spark.stop()
+
+
+def _best_prior(history_path: str, sf_val) -> dict[str, float]:
+    best: dict[str, float] = {}
+    try:
+        with open(history_path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("sf") != sf_val:
+                    continue
+                for name, t in rec.get("queries", {}).items():
+                    if isinstance(t, (int, float)):
+                        best[name] = min(best.get(name, float("inf")), float(t))
+    except OSError:
+        pass
+    return best
 
 
 if __name__ == "__main__":

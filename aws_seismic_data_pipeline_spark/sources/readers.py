@@ -20,6 +20,14 @@ from aws_seismic_data_pipeline_spark.registry import register
 
 _TMP_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "_tmp")
 
+
+def _sink_path(name: str, sf_dir: str) -> str:
+    """Sink path keyed by the sf fixture tag so interleaved runs at
+    different scale factors never clobber each other between a query's
+    eager write and its lazy read-back."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    return os.path.join(_TMP_DIR, f"{name}_{tag}")
+
 # The station catalog the reference keeps in config.json:2-18, as data.
 STATION_CATALOG = [
     {"network": "OX", "station": "NYM8", "location": "00", "channel": "HHZ",
@@ -131,7 +139,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     escapes handled by the writer; the oracle reads the parquet
     original, proving the round trip is lossless."""
     prepare(spark)
-    sink = os.path.join(_TMP_DIR, "region_csv")
+    sink = _sink_path("region_csv", sf_dir)
     region = load_table(spark, sf_dir, "region")
     region.write.mode("overwrite").option("header", True).csv(sink)
     # explicit schema = the parquet original's (no inferSchema pass)
@@ -161,7 +169,7 @@ def sink_ensure_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     Replaces the reference's probe-then-create race with a catalog
     transaction."""
     prepare(spark)
-    sink = os.path.join(_TMP_DIR, "sink_ensure_nation")
+    sink = _sink_path("sink_ensure_nation", sf_dir)
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     # overwrite once to reset, then two idempotent ensure-exists appends
     nation.limit(0).write.mode("overwrite").parquet(sink)
@@ -191,7 +199,7 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's commit protocol, replacing upload-then-delete (app.py:
     461-488) with atomic task commits."""
     prepare(spark)
-    sink = os.path.join(_TMP_DIR, "sink_orders_by_year")
+    sink = _sink_path("sink_orders_by_year", sf_dir)
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "order_year", F.year("o_orderdate")
     )
@@ -228,7 +236,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanning 100 TB and scanning 10 GB: date predicates never touch
     non-matching files' footers, let alone their bytes."""
     prepare(spark)
-    sink = os.path.join(_TMP_DIR, f"events_by_day_{os.path.basename(sf_dir.rstrip('/'))}")
+    sink = _sink_path("events_by_day", sf_dir)
     marker = os.path.join(sink, "_SUCCESS")
     if not os.path.exists(marker):
         ev = load_table(spark, sf_dir, "events").withColumn(
@@ -265,7 +273,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reads the parquet original, proving the round trip is
     lossless across formats."""
     prepare(spark)
-    sink = os.path.join(_TMP_DIR, "nation_orc")
+    sink = _sink_path("nation_orc", sf_dir)
     nation = load_table(spark, sf_dir, "nation")
     nation.write.mode("overwrite").orc(sink)
     back = spark.read.orc(sink)
@@ -294,7 +302,7 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     inferSchema at scale (a second full pass), and doubles round-trip
     exactly via shortest-representation printing."""
     prepare(spark)
-    sink = os.path.join(_TMP_DIR, "orders_jsonl")
+    sink = _sink_path("orders_jsonl", sf_dir)
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") > 400000.0
     ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
@@ -330,7 +338,7 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference's fixed filename schema can never evolve; a real
     engine's must)."""
     prepare(spark)
-    sink = os.path.join(_TMP_DIR, "nation_evolving")
+    sink = _sink_path("nation_evolving", sf_dir)
     nation = load_table(spark, sf_dir, "nation")
     v1 = nation.filter(F.col("n_nationkey") < 13).select(
         "n_nationkey", "n_name", F.lit("v1").alias("schema_ver")
@@ -423,7 +431,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     Seed: R17/R25 (the reference's YYYYMMDD prefixes, driven from a
     catalog instead of a literal)."""
     prepare(spark)
-    sink = os.path.join(_TMP_DIR, "orders_by_year_dpp")
+    sink = _sink_path("orders_by_year_dpp", sf_dir)
     orders = load_table(spark, sf_dir, "orders")
     fact = orders.select(
         F.year("o_orderdate").alias("order_year"), "o_totalprice", "o_orderkey"

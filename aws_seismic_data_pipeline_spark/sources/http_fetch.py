@@ -27,12 +27,21 @@ from __future__ import annotations
 
 import asyncio
 import hashlib
+import os
+import socket
+import urllib.error
+import urllib.request
 from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional: the reference's actual client library (app.py:285)
+    import aiohttp
+except ImportError:  # container has no aiohttp; urllib path still real
+    aiohttp = None
 
 FETCH_RESULT_FIELDS = [
     T.StructField("url", T.StringType(), False),
@@ -67,10 +76,73 @@ def stub_transport(url: str) -> bytes:
     return digest * (1 + digest[0] % 8)
 
 
+def urllib_transport(url: str, timeout: float = 10.0) -> bytes:
+    """Real blocking GET over stdlib urllib.
+
+    Maps failures onto the reference's two error classes exactly as
+    ``make_async_request`` does (``/root/reference/app.py:306-313``):
+    HTTP status errors (raise_for_status analog) → HTTP_ERROR; timeouts,
+    refused connections, and DNS failures → CONNECTION_ERROR. Runs in a
+    worker thread per request (``asyncio.to_thread``), so the per-host
+    semaphore still bounds concurrency."""
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            return resp.read()
+    except urllib.error.HTTPError as e:  # subclass of URLError: catch first
+        raise FetchError("HTTP_ERROR", f"{e.code} {e.reason}: {url}") from e
+    except (urllib.error.URLError, socket.timeout, TimeoutError, OSError) as e:
+        raise FetchError("CONNECTION_ERROR", f"{e}: {url}") from e
+
+
+async def aiohttp_transport(url: str, timeout: float = 10.0) -> bytes:
+    """Async GET mirroring the reference's ``make_async_request``
+    (``app.py:285-313``): raise_for_status → HTTP_ERROR, client/timeout
+    errors → CONNECTION_ERROR. Only importable-when-available; transport
+    resolution raises on the driver if aiohttp is missing."""
+    try:
+        tmo = aiohttp.ClientTimeout(total=timeout)
+        async with aiohttp.ClientSession(timeout=tmo) as session:
+            async with session.get(url) as resp:
+                resp.raise_for_status()
+                return await resp.read()
+    except aiohttp.ClientResponseError as e:
+        raise FetchError("HTTP_ERROR", f"{e.status} {e.message}: {url}") from e
+    except (aiohttp.ClientError, asyncio.TimeoutError) as e:
+        raise FetchError("CONNECTION_ERROR", f"{e!r}: {url}") from e
+
+
+#: Named transports selectable by flag / env. ``stub`` stays the default
+#: everywhere tests and the driver harness run (no network in CI).
+TRANSPORTS: dict[str, Callable] = {"stub": stub_transport, "urllib": urllib_transport}
+if aiohttp is not None:
+    TRANSPORTS["aiohttp"] = aiohttp_transport
+
+
+def resolve_transport(transport: Callable[[str], bytes] | str) -> Callable:
+    """Resolve a transport flag to a callable, failing fast on the driver
+    (not inside executor tasks) when the named transport is unavailable."""
+    if callable(transport):
+        return transport
+    if transport == "aiohttp" and aiohttp is None:
+        raise ImportError(
+            "transport='aiohttp' requires the aiohttp package; "
+            "use transport='urllib' (stdlib) or 'stub'"
+        )
+    try:
+        return TRANSPORTS[transport]
+    except KeyError:
+        raise ValueError(
+            f"unknown transport {transport!r}; expected one of {sorted(TRANSPORTS)}"
+        ) from None
+
+
 async def _fetch_one(sem: asyncio.Semaphore, transport, url: str) -> dict:
     async with sem:
         try:
-            data = await asyncio.to_thread(transport, url)
+            if asyncio.iscoroutinefunction(transport):
+                data = await transport(url)
+            else:
+                data = await asyncio.to_thread(transport, url)
             return {
                 "url": url,
                 "status": 200,
@@ -105,7 +177,7 @@ async def _fetch_one(sem: asyncio.Semaphore, transport, url: str) -> dict:
 def fetch_urls(
     requests: DataFrame,
     url_col: str = "url",
-    transport: Callable[[str], bytes] = stub_transport,
+    transport: Callable[[str], bytes] | str = "stub",
     max_concurrency: int = 3,
 ) -> DataFrame:
     """Fetch every URL in ``requests`` with bounded per-task concurrency.
@@ -114,7 +186,12 @@ def fetch_urls(
     column to co-locate by. Output: input columns are replaced by the
     fetch-result schema (join back on ``url`` to re-attach request
     metadata — keeps the Arrow payload small).
+
+    ``transport`` selects the I/O backend by flag ("stub" | "urllib" |
+    "aiohttp") or takes a callable directly; all backends share the same
+    error-channel contract (FetchError → dead-letter row).
     """
+    transport = resolve_transport(transport)
     schema = T.StructType(FETCH_RESULT_FIELDS)
 
     def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -179,7 +256,11 @@ def source_http_fetch(spark, sf_dir: str) -> DataFrame:
             F.when(F.col("station") == "DRUM", F.lit("&timeout=1")).otherwise(F.lit("")),
         ).alias("url"),
     )
-    fetched = fetch_urls(requests)
+    # stub by default (driver harness runs offline); operators opt into a
+    # real backend via SPARK_GRAFT_HTTP_TRANSPORT=urllib|aiohttp
+    fetched = fetch_urls(
+        requests, transport=os.environ.get("SPARK_GRAFT_HTTP_TRANSPORT", "stub")
+    )
     return (
         fetched.groupBy("is_placeholder", "error_type")
         .agg(

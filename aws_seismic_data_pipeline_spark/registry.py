@@ -127,7 +127,11 @@ def load_all() -> dict[str, QuerySpec]:
     )
     from aws_seismic_data_pipeline_spark.functions import scalar, udfs  # noqa: F401
     from aws_seismic_data_pipeline_spark.plans import ingest, migrate  # noqa: F401
-    from aws_seismic_data_pipeline_spark.streaming import batch_windows, jobs  # noqa: F401
+    from aws_seismic_data_pipeline_spark.streaming import (  # noqa: F401
+        batch_windows,
+        jobs,
+        scheduled,
+    )
     from aws_seismic_data_pipeline_spark.llm import (  # noqa: F401
         dedup,
         similarity,

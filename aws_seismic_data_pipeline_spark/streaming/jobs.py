@@ -39,22 +39,38 @@ def _stream_dir(path: str) -> str:
     return d
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events fixture.
+def _events_stream_from_dir(
+    spark: SparkSession, directory: str, schema_src: str | None = None
+) -> DataFrame:
+    """File-source stream over a directory of events-schema parquet.
 
-    Schema is taken from the batch reader (nanos ts arrives as bigint —
-    see catalog.py); event-time is cast to TimestampType for watermarks.
-    """
+    Schema comes from a one-file batch read (``schema_src``, default: any
+    parquet file already in the directory — streams can't infer); nanos
+    ts arrives as bigint (see catalog.py) and is cast to TimestampType
+    for watermarks."""
     prepare(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(raw_schema).parquet(
-        _stream_dir(f"{sf_dir}/events.parquet")
-    )
+    if schema_src is None:
+        candidates = [
+            os.path.join(directory, f)
+            for f in sorted(os.listdir(directory))
+            if f.endswith(".parquet")
+        ]
+        if not candidates:
+            raise ValueError(f"no parquet file in {directory} to take a schema from")
+        schema_src = candidates[0]
+    raw_schema = spark.read.parquet(schema_src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(directory)
     if "bigint" == dict(stream.dtypes).get("ts"):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (single staged file)."""
+    src = f"{sf_dir}/events.parquet"
+    return _events_stream_from_dir(spark, _stream_dir(src), schema_src=src)
 
 
 def _run_available_now(result: DataFrame, name: str) -> DataFrame:

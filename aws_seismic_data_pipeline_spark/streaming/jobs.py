@@ -40,7 +40,10 @@ def _stream_dir(path: str) -> str:
 
 
 def _events_stream_from_dir(
-    spark: SparkSession, directory: str, schema_src: str | None = None
+    spark: SparkSession,
+    directory: str,
+    schema_src: str | None = None,
+    options: dict | None = None,
 ) -> DataFrame:
     """File-source stream over a directory of events-schema parquet.
 
@@ -59,7 +62,10 @@ def _events_stream_from_dir(
             raise ValueError(f"no parquet file in {directory} to take a schema from")
         schema_src = candidates[0]
     raw_schema = spark.read.parquet(schema_src).schema
-    stream = spark.readStream.schema(raw_schema).parquet(directory)
+    reader = spark.readStream.schema(raw_schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(directory)
     if "bigint" == dict(stream.dtypes).get("ts"):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
@@ -101,12 +107,89 @@ def _run_available_now_append(result: DataFrame, name: str, mode: str = "update"
     return result.sparkSession.table(sink)
 
 
-@register("stream_watermark_late", tags=("stream", "stateful"))
+# The slice of history the FINAL micro-batch replays as LATE data. The
+# late-event filter lags the watermark by one batch (Spark splits
+# "watermark for late events" = previous batch's watermark from
+# "watermark for eviction" = current, SPARK-40925), so the replay must
+# arrive two batches after the data that advanced the watermark past it:
+# batch 1 (pre-Jan-15 data) advances it, batch 2 is filler, batch 3's
+# replay of a Jan-10 hour is then filtered against ~Jan-14T23:58.
+WM_SPLIT1 = "2024-01-15 00:00:00"
+WM_SPLIT2 = "2024-01-20 00:00:00"
+WM_REPLAY_START, WM_REPLAY_END = "2024-01-10 10:00:00", "2024-01-10 11:00:00"
+
+
+def _write_single_parquet(df: DataFrame, path: str) -> None:
+    """Materialize a (small) DataFrame as exactly one parquet FILE, so
+    mtime ordering can sequence micro-batches deterministically."""
+    import glob as _glob
+    import shutil
+
+    tmp = path + "_stage"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _staged_late_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as THREE time-ordered files: batch 1 = before
+    WM_SPLIT1, batch 2 = [WM_SPLIT1, WM_SPLIT2), batch 3 = the rest PLUS
+    an exact replay of the WM_REPLAY hour (late duplicates — see the
+    constants' comment for why the replay needs a two-batch gap). mtimes
+    force file order (the file source processes oldest-first). Content
+    is deterministic, so the staging is reused per sf fixture."""
+    prepare(spark)  # nanos-ts read conf must be set before the batch read
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    base = os.path.join(tempfile.gettempdir(), f"wm_late_{tag}")
+    done = os.path.join(base, "_STAGED")
+    if os.path.exists(done):
+        return base
+    os.makedirs(base, exist_ok=True)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if "bigint" == dict(raw.dtypes).get("ts"):
+        tcast = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        tcast = F.col("ts").cast("timestamp")
+    split1 = F.to_timestamp_ntz(F.lit(WM_SPLIT1))
+    split2 = F.to_timestamp_ntz(F.lit(WM_SPLIT2))
+    replay = raw.filter(
+        (tcast >= F.to_timestamp_ntz(F.lit(WM_REPLAY_START)))
+        & (tcast < F.to_timestamp_ntz(F.lit(WM_REPLAY_END)))
+    )
+    slices = [
+        raw.filter(tcast < split1),
+        raw.filter((tcast >= split1) & (tcast < split2)),
+        raw.filter(tcast >= split2).unionByName(replay),
+    ]
+    paths = [os.path.join(base, f"batch{i + 1}.parquet") for i in range(3)]
+    for df, path in zip(slices, paths):
+        _write_single_parquet(df, path)
+    now = os.path.getmtime(paths[-1])
+    for i, path in enumerate(paths):  # older ⇒ processed first
+        os.utime(path, (now - 60 * (len(paths) - 1 - i),) * 2)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return base
+
+
+@register("stream_watermark_late", tags=("stream", "stateful", "no-oracle"))
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed streaming aggregate under a 2-minute watermark (seed R5's
-    120 s buffer + R22's delayed window close). Events later than the
-    watermark are dropped from closed windows; within it, folded in."""
-    stream = _events_stream(spark, sf_dir)
+    120 s buffer + R22's delayed window close), with the late-drop path
+    actually exercised: the source is staged as three micro-batches
+    (maxFilesPerTrigger=1) where the last replays an hour of batch-1
+    data. By then the late-event watermark (which lags one batch behind
+    the eviction watermark, SPARK-40925) has closed those windows, so
+    the replayed rows are DROPPED — emitted counts for the replay hour
+    equal the on-time counts, not double. Append mode emits only closed
+    windows; the final window (end > final watermark) stays open and
+    unemitted. Both properties are pytest-asserted in
+    tests/test_streaming.py."""
+    base = _staged_late_batches(spark, sf_dir)
+    stream = _events_stream_from_dir(
+        spark, base, options={"maxFilesPerTrigger": 1}
+    )
     agg = (
         stream.withWatermark("ts", "2 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -121,7 +204,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return _run_available_now(agg, "watermark_late")
+    return _run_available_now_append(agg, "watermark_late", mode="append")
 
 
 @register(

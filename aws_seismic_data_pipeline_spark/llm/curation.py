@@ -1,0 +1,367 @@
+"""Corpus-curation operators for training-data pipelines (north star).
+
+The reference moves bytes (``/root/reference/app.py:449-488``); a 100 TB
+training pipeline additionally has to DECIDE what goes into a run and
+HOW it is laid out: language/domain mixing (stratified sampling),
+sequence packing into fixed token budgets, deterministic output
+sharding, cross-document boilerplate removal, and per-document
+repetition gates (the Gopher/C4-style filters). Everything here is pure
+``pyspark.sql.functions`` — no Python in the hot path — and each
+operator documents its shuffle structure at scale.
+
+Shared determinism primitive: the engine-portable md5→60-bit-int bucket
+(same construction as ``sources/readers.py:scan_hash_sample``), so every
+sampling / sharding decision is reproducible across engines, reruns, and
+physical layouts — the property ``DataFrame.sample`` cannot give.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.registry import register
+
+#: tokens per packed training sequence (pack_token_budget)
+PACK_BUDGET = 512
+#: tokens per cross-doc dedup segment (dedup_segment_crossdoc)
+SEGMENT_TOKENS = 8
+#: output shard count (shard_assign_hash)
+N_SHARDS = 16
+#: per-language keep rates in percent (sample_stratified_seeded):
+#: downsample the majority language, keep most of the rest — the
+#: language-mixing knob of a pretraining data recipe.
+LANG_KEEP_PCT = {"en": 40, "de": 80, "es": 80, "fr": 80, "zh": 80}
+
+
+def _md5_bucket(col: str, mod: int) -> F.Column:
+    """Deterministic engine-portable bucket: md5 → top 60 bits → % mod."""
+    return (
+        F.expr(
+            f"cast(conv(substring(md5(cast({col} as string)), 1, 15), 16, 10)"
+            " as bigint)"
+        )
+        % mod
+    )
+
+
+@register(
+    "sample_stratified_seeded",
+    oracle=f"""
+        SELECT doc_id, lang, source
+        FROM (
+            SELECT doc_id, lang, source,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 100 AS bucket,
+                   CASE lang
+                        WHEN 'en' THEN {LANG_KEEP_PCT["en"]}
+                        ELSE {LANG_KEEP_PCT["de"]}
+                   END AS keep_pct
+            FROM documents
+        )
+        WHERE bucket < keep_pct
+    """,
+    tags=("llm", "sample"),
+)
+def sample_stratified_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the language/domain-mixing
+    step of a training recipe: each stratum (language) keeps a
+    configured fraction, selected by key hash so the sample is
+    reproducible across engines/reruns/layouts and widening a rate
+    yields a strict superset (nested splits for data-recipe ablations).
+
+    Scale shape: the rate table is a broadcast join (|langs| rows); the
+    keep decision is a scan-level filter — NO shuffle of the corpus at
+    all. ``DataFrame.sample`` cannot do this: its per-partition RNG ties
+    the sample to physical layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        sorted(LANG_KEEP_PCT.items()), "lang string, keep_pct int"
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang", "left")
+        .withColumn("keep_pct", F.coalesce("keep_pct", F.lit(LANG_KEEP_PCT["de"])))
+        .filter(_md5_bucket("doc_id", 100) < F.col("keep_pct"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "pack_token_budget",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT lang, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS prior_tokens
+            FROM t
+        )
+        SELECT lang,
+               CAST(FLOOR(prior_tokens / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+               SUM(n_tokens) / {PACK_BUDGET}.0 AS fill_ratio
+        FROM c
+        GROUP BY 1, 2
+    """,
+    tags=("llm", "pack"),
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in deterministic doc_id order,
+    per language stream) to fixed token-budget packs — the step that
+    turns a filtered corpus into training sequences. ``pack_id =
+    floor(exclusive_cumsum(n_tokens) / budget)``: the standard streaming
+    approximation (a pack overflows by at most one document, no
+    bin-packing search), fully order-deterministic.
+
+    Scale shape: one window per language stream (shuffle on lang, sort
+    by doc_id — at 100 TB the stream key should be (lang, shard) so no
+    single window serializes; the formula is unchanged), then a grouped
+    count. No data movement beyond the window shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+        .withColumn("pack_id", F.floor(prior / float(PACK_BUDGET)).cast("long"))
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            (F.sum("n_tokens") / float(PACK_BUDGET)).alias("fill_ratio"),
+        )
+    )
+
+
+@register(
+    "shard_assign_hash",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % {N_SHARDS} AS shard_id,
+                   n_chars
+            FROM documents
+        ),
+        per_shard AS (
+            SELECT shard_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM assigned
+            GROUP BY shard_id
+        )
+        SELECT shard_id, n_docs, total_chars,
+               n_docs / (SUM(n_docs) OVER () / CAST({N_SHARDS} AS DOUBLE))
+                   AS load_factor
+        FROM per_shard
+    """,
+    tags=("llm", "shard"),
+)
+def shard_assign_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding + skew report: every doc maps to
+    ``md5(doc_id) % N`` — stable across reruns and engines, so shard
+    membership is an invariant of the dataset, not of the job that wrote
+    it (resumable/incremental shard writes). The load_factor column is
+    the skew audit: ~1.0 everywhere means hash sharding is balanced and
+    no shard becomes the straggler task at write time.
+
+    Scale shape: one grouped count (map-side combinable) + a window over
+    N_SHARDS rows (driver-scale). The actual write would be
+    ``df.repartition(N, shard_id).write`` — one shuffle, balanced by
+    construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_shard = (
+        docs.select(
+            _md5_bucket("doc_id", N_SHARDS).alias("shard_id"), "n_chars"
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    mean_docs = F.sum("n_docs").over(Window.partitionBy()) / float(N_SHARDS)
+    return per_shard.withColumn("load_factor", F.col("n_docs") / mean_docs)
+
+
+@register(
+    "dedup_segment_crossdoc",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(
+                       0, CAST(FLOOR((len(t) - 1) / {SEGMENT_TOKENS}.0) AS BIGINT)
+                   )) AS i
+            FROM toks
+        ),
+        segs AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       list_slice(t, i * {SEGMENT_TOKENS} + 1,
+                                  i * {SEGMENT_TOKENS} + {SEGMENT_TOKENS}), ' '
+                   )) AS seg_hash
+            FROM idx
+        ),
+        seg_counts AS (
+            SELECT seg_hash, COUNT(*) AS n_occurrences
+            FROM segs GROUP BY seg_hash
+        )
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(CASE WHEN c.n_occurrences > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_segments,
+               SUM(CASE WHEN c.n_occurrences > 1 THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE) AS dup_segment_ratio
+        FROM segs s JOIN seg_counts c ON s.seg_hash = c.seg_hash
+        GROUP BY s.doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_segment_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the CCNet line-dedup shape,
+    over fixed {SEGMENT_TOKENS}-token segments since the corpus has no
+    newlines): chunk each doc into non-overlapping token windows, count
+    identical segments corpus-wide, and report per-doc how much of the
+    document is duplicated elsewhere. Downstream filters drop docs with
+    high ``dup_segment_ratio`` (template spam) or rewrite them without
+    the shared segments.
+
+    Scale shape: segments carry only (doc_id, md5) — raw text never
+    shuffles. Two linear shuffles: count-by-segment-hash (map-side
+    combinable) and the join back (seg_counts has ONE row per distinct
+    segment, so a hot boilerplate segment fans out only to its own
+    occurrences — no quadratic candidate blowup, unlike naive
+    shingle-join dedup), then one grouped count by doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the token array once per row — referencing split(...)
+    # inside the lambda would re-tokenize per segment
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    seg = F.expr(
+        f"transform(sequence(0, cast(floor((size(t) - 1)"
+        f" / {SEGMENT_TOKENS}.0) as int)),"
+        f" i -> md5(array_join(slice(t,"
+        f" i * {SEGMENT_TOKENS} + 1, {SEGMENT_TOKENS}), ' ')))"
+    )
+    segs = toks.select("doc_id", F.explode(seg).alias("seg_hash"))
+    seg_counts = segs.groupBy("seg_hash").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    dup = F.when(F.col("n_occurrences") > 1, 1).otherwise(0)
+    return (
+        segs.join(seg_counts, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(dup).cast("long").alias("n_dup_segments"),
+            (F.sum(dup) / F.count(F.lit(1)).cast("double")).alias(
+                "dup_segment_ratio"
+            ),
+        )
+    )
+
+
+@register(
+    "text_doc_repetition",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        big AS (
+            SELECT doc_id,
+                   t[i] || ' ' || t[i + 1] AS bigram
+            FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks
+                WHERE len(t) >= 2
+            )
+        ),
+        big_counts AS (
+            SELECT doc_id, bigram, COUNT(*) AS c
+            FROM big GROUP BY doc_id, bigram
+        ),
+        big_stats AS (
+            SELECT doc_id,
+                   MAX(c) AS top_bigram_count,
+                   SUM(c) AS n_bigrams
+            FROM big_counts GROUP BY doc_id
+        )
+        SELECT k.doc_id,
+               CAST(len(k.t) AS BIGINT) AS n_tokens,
+               1.0 - len(list_distinct(k.t)) / CAST(len(k.t) AS DOUBLE)
+                   AS dup_token_ratio,
+               CAST(COALESCE(b.top_bigram_count, 0) AS BIGINT)
+                   AS top_bigram_count,
+               COALESCE(b.top_bigram_count / CAST(b.n_bigrams AS DOUBLE), 0.0)
+                   AS top_bigram_ratio
+        FROM toks k LEFT JOIN big_stats b ON k.doc_id = b.doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics — the Gopher repetition gates:
+    ``dup_token_ratio`` (1 − distinct/total tokens) catches token spam;
+    ``top_bigram_ratio`` (share of the most frequent bigram among all
+    bigram occurrences) catches phrase loops. Docs exceeding thresholds
+    (Gopher uses ~0.2 for top-bigram share) get filtered before
+    training.
+
+    Scale shape: token stats are per-row map work; the bigram path is
+    explode → two grouped counts keyed by doc (map-side combinable,
+    no skew — keys are doc-scoped) → broadcast-sized per-doc join."""
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the token array once per row — referencing split(...)
+    # inside the lambda would re-tokenize per bigram
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bigram = F.expr(
+        "transform(sequence(1, size(t) - 1),"
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("t")) / F.size("t").cast("double")
+        ).alias("dup_token_ratio"),
+    )
+    big_stats = (
+        toks.filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(bigram).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_bigram_count"),
+            F.sum("c").alias("n_bigrams"),
+        )
+    )
+    return (
+        base.join(big_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_ratio",
+            F.coalesce("top_bigram_count", F.lit(0)).cast("long").alias(
+                "top_bigram_count"
+            ),
+            F.coalesce(
+                F.col("top_bigram_count") / F.col("n_bigrams").cast("double"),
+                F.lit(0.0),
+            ).alias("top_bigram_ratio"),
+        )
+    )

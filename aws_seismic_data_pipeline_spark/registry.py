@@ -133,6 +133,7 @@ def load_all() -> dict[str, QuerySpec]:
         scheduled,
     )
     from aws_seismic_data_pipeline_spark.llm import (  # noqa: F401
+        curation,
         dedup,
         similarity,
         simhash,

@@ -1,0 +1,121 @@
+"""Corpus-curation operators: semantic invariants beyond oracle parity
+(planted duplicates, packing conservation laws, sampling determinism).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.llm.curation import (
+    LANG_KEEP_PCT,
+    N_SHARDS,
+    PACK_BUDGET,
+    dedup_segment_crossdoc,
+    pack_token_budget,
+    sample_stratified_seeded,
+    shard_assign_hash,
+    text_doc_repetition,
+)
+
+from .conftest import SF_DIR
+
+
+def _mini_corpus(spark, tmp_path, rows):
+    """Write a documents.parquet fixture: rows = [(doc_id, text, lang)]."""
+    d = str(tmp_path / "mini")
+    os.makedirs(d, exist_ok=True)
+    df = spark.createDataFrame(
+        [(i, t, lang, "src0", len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_stratified_sample_is_deterministic_and_nested(spark):
+    once = {r.doc_id for r in sample_stratified_seeded(spark, SF_DIR).collect()}
+    twice = {r.doc_id for r in sample_stratified_seeded(spark, SF_DIR).collect()}
+    assert once == twice  # rerun-stable, unlike DataFrame.sample
+
+    docs = load_table(spark, SF_DIR, "documents")
+    by_lang_total = {
+        r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    kept = sample_stratified_seeded(spark, SF_DIR)
+    by_lang_kept = {
+        r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, total in by_lang_total.items():
+        rate = by_lang_kept.get(lang, 0) / total
+        want = LANG_KEEP_PCT[lang] / 100
+        # md5 buckets are uniform; allow generous sampling noise
+        assert abs(rate - want) < 0.25, (lang, rate, want)
+
+
+def test_pack_token_budget_conservation(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    totals = {
+        r.lang: r.t
+        for r in docs.select(
+            "lang", F.size(F.split("text", " ")).alias("n")
+        )
+        .groupBy("lang")
+        .agg(F.sum("n").alias("t"))
+        .collect()
+    }
+    max_doc = docs.select(F.max(F.size(F.split("text", " ")))).collect()[0][0]
+    packs = pack_token_budget(spark, SF_DIR).collect()
+    by_lang: dict = {}
+    for r in packs:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        # conservation: every token lands in exactly one pack
+        assert sum(r.pack_tokens for r in rows) == totals[lang]
+        # contiguous pack ids from 0
+        ids = sorted(r.pack_id for r in rows)
+        assert ids == list(range(len(ids)))
+        # streaming-pack overflow bound: a pack exceeds the budget by
+        # less than one document
+        for r in rows:
+            assert r.pack_tokens < PACK_BUDGET + max_doc
+
+
+def test_shard_assignment_balanced(spark):
+    docs_n = load_table(spark, SF_DIR, "documents").count()
+    shards = shard_assign_hash(spark, SF_DIR).collect()
+    assert len(shards) == N_SHARDS
+    assert sum(r.n_docs for r in shards) == docs_n
+    for r in shards:
+        assert 0.4 < r.load_factor < 1.8, (r.shard_id, r.load_factor)
+
+
+def test_segment_dedup_detects_planted_boilerplate(spark, tmp_path):
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly one 8-token segment
+    uniq = ["u%d" % i for i in range(8)]
+    rows = [
+        (1, boiler + " a1 a2 a3 a4 a5 a6 a7 a8", "en"),
+        (2, boiler + " b1 b2 b3 b4 b5 b6 b7 b8", "en"),
+        (3, " ".join(uniq) + " c1 c2 c3 c4 c5 c6 c7 c8", "en"),
+    ]
+    d = _mini_corpus(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in dedup_segment_crossdoc(spark, d).collect()}
+    assert out[1].n_segments == 2 and out[1].n_dup_segments == 1
+    assert out[2].n_segments == 2 and out[2].n_dup_segments == 1
+    assert out[3].n_dup_segments == 0
+    assert abs(out[1].dup_segment_ratio - 0.5) < 1e-9
+
+
+def test_doc_repetition_flags_loops(spark, tmp_path):
+    rows = [
+        (1, "spam spam spam spam spam spam", "en"),  # pure loop
+        (2, "alpha beta gamma delta epsilon zeta", "en"),  # all distinct
+    ]
+    d = _mini_corpus(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in text_doc_repetition(spark, d).collect()}
+    assert out[1].dup_token_ratio > 0.8
+    assert abs(out[1].top_bigram_ratio - 1.0) < 1e-9  # one bigram dominates
+    assert out[2].dup_token_ratio == 0.0
+    assert out[2].top_bigram_ratio < 0.25

@@ -135,6 +135,7 @@ def load_all() -> dict[str, QuerySpec]:
     from aws_seismic_data_pipeline_spark.llm import (  # noqa: F401
         curation,
         dedup,
+        ivf,
         similarity,
         simhash,
         text,

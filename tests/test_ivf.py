@@ -1,0 +1,147 @@
+"""IVF ANN with a trained quantizer: recall vs exact brute force,
+determinism, and index structure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.llm.ivf import (
+    N_CELLS,
+    _assign_cells,
+    build_and_search,
+    train_centroids,
+)
+
+from .conftest import SF_DIR
+
+
+def _exact_topk(spark, k, n_queries):
+    """Brute-force ground truth via the existing exact kernel."""
+    from aws_seismic_data_pipeline_spark.llm.vector import rank_topk, topk_dots
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = [
+        (r["vec_id"], None, r["embedding"])
+        for r in emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    exact = rank_topk(topk_dots(emb, queries, k=k, same_label_only=False), k)
+    out: dict = {}
+    for r in exact.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_trained_centroids_are_unit_and_deterministic(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    c1 = train_centroids(emb, k=N_CELLS, iters=2)
+    c2 = train_centroids(emb, k=N_CELLS, iters=2)
+    assert np.allclose(c1, c2)  # md5-order init + fixed iteration count
+    norms = np.linalg.norm(c1, axis=1)
+    assert np.allclose(norms, 1.0)  # spherical k-means keeps unit norm
+
+
+def test_assignment_covers_corpus_with_multiple_cells(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    centroids = train_centroids(emb, k=N_CELLS, iters=2)
+    assigned = _assign_cells(emb, centroids)
+    rows = assigned.groupBy("cell").count().collect()
+    assert sum(r["count"] for r in rows) == emb.count()
+    # the fixture has 10 latent clusters; training must find real
+    # structure, not collapse everything into one cell
+    assert len(rows) >= N_CELLS // 2
+
+
+def test_ivf_equals_bruteforce_restricted_to_probed_cells(spark):
+    """The strong IVF correctness property, independent of data
+    geometry: the approximate result must be EXACTLY the true top-k
+    computed over the union of probed cells. (The fixture embeddings
+    are isotropic — labels carry no geometric signal — so recall vs the
+    full corpus is ~nprobe/n_cells by construction; recall quality is
+    asserted on planted clusters below.)"""
+    import numpy as np
+    from aws_seismic_data_pipeline_spark.llm.ivf import N_PROBE, probe_topk
+    from aws_seismic_data_pipeline_spark.llm.vector import rank_topk
+
+    k, n_queries = 5, 30
+    emb = load_table(spark, SF_DIR, "embeddings")
+    centroids = train_centroids(emb, k=N_CELLS, iters=3)
+    assigned = emb.join(_assign_cells(emb, centroids), "vec_id")
+    approx: dict = {}
+    got = build_and_search(spark, SF_DIR, k=k, n_queries=n_queries)
+    for r in got.collect():
+        approx.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+
+    # reference: same probe set, computed straight from collected data
+    rows = assigned.select("vec_id", "embedding", "cell").collect()
+    c_ids = np.array([r.vec_id for r in rows])
+    c_cells = np.array([r.cell for r in rows])
+    c_mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    queries = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.filter(F.col("vec_id") < n_queries).collect()
+    }
+    for qid, qv in queries.items():
+        probe = np.argsort(-(qv @ centroids.T))[:N_PROBE]
+        mask = np.isin(c_cells, probe) & (c_ids != qid)
+        dots = c_mat[mask] @ qv
+        ids = c_ids[mask]
+        order = sorted(zip(ids, dots), key=lambda t: (-round(t[1], 6), t[0]))[:k]
+        want = [(i + 1, int(nid), round(d, 4)) for i, (nid, d) in enumerate(order)]
+        assert sorted(approx[qid]) == want, qid
+
+
+def test_ivf_recall_on_planted_clusters(spark, tmp_path):
+    """On genuinely clustered data (10 tight clusters around unit
+    centers), nprobe=2 IVF must recover nearly all true neighbors."""
+    import numpy as np
+    import os
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, labels = [], []
+    for c in range(10):
+        pts = centers[c] + 0.15 * rng.normal(size=(40, 32))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        vecs.append(pts)
+        labels += [c] * 40
+    X = np.vstack(vecs)
+    d = str(tmp_path / "planted")
+    os.makedirs(d, exist_ok=True)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist(), labels[i]) for i in range(len(X))],
+        "vec_id long, embedding array<float>, label int",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    k, n_queries = 5, 30
+    approx: dict = {}
+    for r in build_and_search(spark, d, k=k, n_queries=n_queries).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    # exact ground truth in numpy (corpus is tiny)
+    Xq = X.astype(np.float64)
+    D = Xq @ Xq.T
+    np.fill_diagonal(D, -np.inf)
+    hits = total = 0
+    for q in range(n_queries):
+        true = set(np.argsort(-np.round(D[q], 6))[:k].tolist())
+        hits += len(approx[q] & true)
+        total += k
+    recall = hits / total
+    assert recall >= 0.9, f"recall@{k} = {recall:.2f}"
+
+
+def test_ivf_search_is_rerun_deterministic(spark):
+    a = sorted(
+        map(tuple, build_and_search(spark, SF_DIR, k=3, n_queries=10).collect())
+    )
+    b = sorted(
+        map(tuple, build_and_search(spark, SF_DIR, k=3, n_queries=10).collect())
+    )
+    assert a == b

@@ -12,11 +12,10 @@ Scale shape per k-means iteration (the textbook distributed EM step):
 - **assign** — centroids (k × d floats, a few KB) ship in the task
   closure; one Arrow/numpy pass over the corpus computes ``argmax
   (C @ x)`` per vector. No shuffle.
-- **update** — per-cell mean via ONE map-side-combinable aggregation:
-  each partition pre-sums its vectors per cell (``applyInPandas`` after
-  a cell shuffle would work, but summing components through
-  ``posexplode`` + groupBy keeps it a pure built-in hash agg), then the
-  k × d sums collect to the driver (tiny) and renormalize.
+- **update** — fused into the SAME pass: each partition emits its
+  per-cell vector sums and counts (≤ k rows of d doubles), so
+  n_partitions × k × d values reach the driver, which reduces and
+  renormalizes. No shuffle anywhere in an iteration.
 
 Search = probe the ``nprobe`` nearest cells per query, brute-force only
 inside them with the same partial-top-k kernel as brute force
@@ -58,13 +57,33 @@ _ASSIGN_SCHEMA = T.StructType(
     ]
 )
 
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("cell", T.IntegerType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("sums", T.ArrayType(T.DoubleType()), False),
+    ]
+)
 
-def _assign_cells(corpus: DataFrame, centroids: np.ndarray) -> DataFrame:
-    """(vec_id, cell) for every corpus vector: argmax dot vs centroids.
+
+def _assign_cells(
+    corpus: DataFrame, centroids: np.ndarray, with_embedding: bool = False
+) -> DataFrame:
+    """(vec_id, cell[, embedding]) for every corpus vector: argmax dot
+    vs centroids.
 
     Centroids ride the task closure (k × d ≈ KBs); one vectorized pass,
-    no shuffle."""
+    no shuffle. ``with_embedding=True`` passes the vector through so the
+    caller gets the searchable index table without a join."""
     C = np.ascontiguousarray(centroids, dtype=np.float64)
+    schema = (
+        T.StructType(
+            _ASSIGN_SCHEMA.fields
+            + [T.StructField("embedding", T.ArrayType(T.FloatType()), True)]
+        )
+        if with_embedding
+        else _ASSIGN_SCHEMA
+    )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -72,11 +91,12 @@ def _assign_cells(corpus: DataFrame, centroids: np.ndarray) -> DataFrame:
                 continue
             X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             cells = np.argmax(X @ C.T, axis=1).astype(np.int32)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(np.int64), "cell": cells}
-            )
+            out = {"vec_id": pdf["vec_id"].to_numpy(np.int64), "cell": cells}
+            if with_embedding:
+                out["embedding"] = pdf["embedding"]
+            yield pd.DataFrame(out)
 
-    return corpus.select("vec_id", "embedding").mapInPandas(assign, _ASSIGN_SCHEMA)
+    return corpus.select("vec_id", "embedding").mapInPandas(assign, schema)
 
 
 def train_centroids(
@@ -88,12 +108,10 @@ def train_centroids(
 
     Init: the k corpus vectors with the smallest ``md5(vec_id)`` — an
     order-stable pseudo-random draw (engine/layout/rerun-independent,
-    same primitive as every sampler in this repo). Each iteration:
-    closure-broadcast assign (no shuffle) + one hash-agg mean update
-    (component rows via posexplode — map-side combinable), k × d values
-    to the driver, renormalize. Empty cells keep their previous
-    centroid."""
-    d = len(corpus.select("embedding").first()[0])
+    same primitive as every sampler in this repo). Each iteration is ONE
+    no-shuffle pass: closure-broadcast centroids, per-partition argmax
+    assignment fused with per-cell partial sums, driver-side reduce +
+    renormalize. Empty cells keep their previous centroid."""
     seed_rows = (
         corpus.select("vec_id", "embedding")
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
@@ -101,30 +119,51 @@ def train_centroids(
         .collect()
     )
     C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows])
+    d = C.shape[1]
     for _ in range(iters):
-        assigned = _assign_cells(corpus, C)
-        sums = (
-            corpus.select("vec_id", "embedding")
-            .join(assigned, "vec_id")
-            .select("cell", F.posexplode("embedding").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            # round the component sums: float reduction order varies
-            # with partitioning, and training must be layout-independent
-            .agg(F.round(F.sum("val"), 6).alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        nxt = C.copy()  # empty cells keep their previous centroid
+        # assign + partial-sum fused in ONE no-shuffle pass: each
+        # partition emits at most k rows of (cell, count, component
+        # sums) — n_partitions × k × d values to the driver, vs
+        # shuffling corpus-sized exploded components
+        Cc = np.ascontiguousarray(C)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc = np.zeros((k, d))
+            cnt = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+                )
+                cells = np.argmax(X @ Cc.T, axis=1)
+                np.add.at(acc, cells, X)
+                cnt += np.bincount(cells, minlength=k)
+            hit = np.nonzero(cnt)[0]
+            if hit.size:
+                yield pd.DataFrame(
+                    {
+                        "cell": hit.astype(np.int32),
+                        "n": cnt[hit],
+                        "sums": [acc[c] for c in hit],
+                    }
+                )
+
+        rows = corpus.select("embedding").mapInPandas(partials, _PARTIAL_SCHEMA).collect()
         acc = np.zeros((k, d))
         cnt = np.zeros(k)
-        for r in sums:
-            acc[r["cell"], r["pos"]] = r["s"]
-            cnt[r["cell"]] = r["n"]
+        for r in rows:
+            acc[r["cell"]] += np.asarray(r["sums"])
+            cnt[r["cell"]] += r["n"]
+        # round the reduced sums: partial order varies with partitioning,
+        # and training must be layout-independent
+        acc = np.round(acc, 6)
+        nxt = C.copy()  # empty cells keep their previous centroid
         for c in range(k):
             if cnt[c] > 0:
-                v = acc[c]
-                norm = np.linalg.norm(v)
+                norm = np.linalg.norm(acc[c])
                 if norm > 0:
-                    nxt[c] = v / norm  # spherical: renormalize the mean
+                    nxt[c] = acc[c] / norm  # spherical: renormalize the mean
         C = nxt
     return C
 
@@ -206,11 +245,10 @@ def build_and_search(
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = spread(emb, spark)
     centroids = train_centroids(corpus, k=n_cells)
-    assigned = corpus.join(_assign_cells(corpus, centroids), "vec_id")
-    # at 100 TB `assigned` is the persisted index table, written
-    # partitioned by cell so probes prune at the scan; here: cache the
-    # one-pass assignment for the search
-    assigned = assigned.localCheckpoint(eager=False)
+    # one pass-through assignment (no join): at 100 TB `assigned` is the
+    # persisted index table, written partitioned by cell so probes prune
+    # at the scan
+    assigned = _assign_cells(corpus, centroids, with_embedding=True)
     queries = [
         (r["vec_id"], r["embedding"])
         for r in emb.filter(F.col("vec_id") < n_queries)

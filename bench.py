@@ -46,6 +46,13 @@ HEADLINE = [
     "text_quality_score",
     "limit_topk_per_group",
     "set_union_all",
+    # round-2 additions: corpus curation + trained-quantizer ANN
+    "sample_stratified_seeded",
+    "pack_token_budget",
+    "shard_assign_hash",
+    "dedup_segment_crossdoc",
+    "text_doc_repetition",
+    "sim_topk_ivf",
 ]
 
 

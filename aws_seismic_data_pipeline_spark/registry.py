@@ -126,7 +126,11 @@ def load_all() -> dict[str, QuerySpec]:
         window_ops,
     )
     from aws_seismic_data_pipeline_spark.functions import scalar, udfs  # noqa: F401
-    from aws_seismic_data_pipeline_spark.plans import ingest, migrate  # noqa: F401
+    from aws_seismic_data_pipeline_spark.plans import (  # noqa: F401
+        ingest,
+        migrate,
+        upsert,
+    )
     from aws_seismic_data_pipeline_spark.streaming import (  # noqa: F401
         batch_windows,
         jobs,

@@ -114,6 +114,63 @@ def test_tfidf_single_corpus_scan(spark):
     assert plan.count("Scan parquet") == 1
 
 
+def test_stratified_sample_never_shuffles_corpus(spark):
+    """The sampling decision is a scan-level hash filter plus a
+    broadcast-joined rate table — zero corpus shuffle. A rewrite that
+    shuffles 100 TB to pick a 40% sample has lost the point."""
+    plan = _plan(spark, "sample_stratified_seeded")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_token_budget_single_shuffle(spark):
+    """The per-language window and the (lang, pack_id) aggregation must
+    share ONE exchange: the groupBy rides the window's partitioning."""
+    plan = _plan(spark, "pack_token_budget")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial
+
+
+def test_shard_assign_partial_aggregation(spark):
+    plan = _plan(spark, "shard_assign_hash")
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_segment_dedup_two_linear_shuffles(spark):
+    """Cross-doc segment dedup: count-by-segment-hash + per-doc rollup,
+    joined back on the one-row-per-distinct-segment side — never a
+    candidate cross join and never more than the two linear shuffles."""
+    plan = _plan(spark, "dedup_segment_crossdoc")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_doc_repetition_two_linear_shuffles(spark):
+    plan = _plan(spark, "text_doc_repetition")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_merge_upsert_single_shuffle_join(spark):
+    """MERGE is ONE join on the merge key (full outer): at most one
+    exchange per side feeding a single SortMergeJoin, no cartesian."""
+    plan = _plan(spark, "plan_merge_upsert")
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_ivf_search_never_shuffles_corpus(spark):
+    """IVF probe: centroids + queries ride the task closure into
+    mapInPandas kernels; the corpus is scanned in place. The only
+    allowed exchange is the tiny partial-top-k merge."""
+    plan = _plan(spark, "sim_topk_ivf")
+    assert plan.count("MapInPandas") >= 1
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_broadcast_hints_only_on_bounded_sides(spark):
     """Q8 must not force-broadcast customer/part/supplier (driver OOM
     at 100 TB); AQE may still choose broadcast by size at fixture

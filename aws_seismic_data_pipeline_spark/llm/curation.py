@@ -365,3 +365,111 @@ def text_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_bigram_ratio"),
         )
     )
+
+
+#: temperature-sampling exponent (sample_temperature_mix); alpha < 1
+#: flattens the source distribution toward uniform
+MIX_ALPHA = 0.5
+#: target corpus fraction after temperature mixing
+MIX_TARGET_FRACTION = 0.5
+#: fixed per-stratum draw size (sample_topn_per_stratum)
+N_PER_STRATUM = 10
+
+
+@register(
+    "sample_temperature_mix",
+    oracle=f"""
+        WITH per_source AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ),
+        weighted AS (
+            SELECT source, n_docs,
+                   POW(n_docs, {MIX_ALPHA}) /
+                       SUM(POW(n_docs, {MIX_ALPHA})) OVER () AS mix_weight,
+                   SUM(n_docs) OVER () AS total_docs
+            FROM per_source
+        )
+        SELECT source, n_docs, mix_weight,
+               LEAST(1.0, mix_weight * total_docs * {MIX_TARGET_FRACTION}
+                              / n_docs) AS keep_rate,
+               LEAST(1.0, mix_weight * total_docs * {MIX_TARGET_FRACTION}
+                              / n_docs) * n_docs AS expected_docs
+        FROM weighted
+    """,
+    tags=("llm", "sample"),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing — the multilingual-pretraining
+    recipe (mT5/XLM-R): source i gets weight n_i^α / Σ n_j^α, flattening
+    the natural distribution toward uniform (α<1 upsamples the tail),
+    then per-source keep rates hit a target corpus fraction, capped at
+    1.0 (can't keep more than exists). The emitted keep_rate feeds the
+    same md5-bucket filter as sample_stratified_seeded for the actual
+    row selection.
+
+    Scale shape: one map-side-combinable grouped count collapses the
+    corpus to |sources| rows; the weight normalization is a window over
+    that driver-scale table. The corpus itself is never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy()
+    mix_weight = F.pow("n_docs", F.lit(MIX_ALPHA)) / F.sum(
+        F.pow("n_docs", F.lit(MIX_ALPHA))
+    ).over(w)
+    total_docs = F.sum("n_docs").over(w)
+    keep_rate = F.least(
+        F.lit(1.0),
+        F.col("mix_weight") * F.col("total_docs") * MIX_TARGET_FRACTION
+        / F.col("n_docs"),
+    )
+    return (
+        per_source.withColumn("mix_weight", mix_weight)
+        .withColumn("total_docs", total_docs)
+        .withColumn("keep_rate", keep_rate)
+        .withColumn("expected_docs", F.col("keep_rate") * F.col("n_docs"))
+        .select("source", "n_docs", "mix_weight", "keep_rate", "expected_docs")
+    )
+
+
+@register(
+    "sample_topn_per_stratum",
+    oracle=f"""
+        SELECT doc_id, lang, draw_rank
+        FROM (
+            SELECT doc_id, lang,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS draw_rank
+            FROM documents
+        )
+        WHERE draw_rank <= {N_PER_STRATUM}
+    """,
+    tags=("llm", "sample"),
+)
+def sample_topn_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform draw per stratum (the eval-set builder: exactly
+    N docs per language, reproducibly): rank docs within each stratum by
+    md5(doc_id) — a deterministic shuffle — and keep the first N. Unlike
+    rate-based sampling this guarantees exact per-stratum counts, and the
+    md5 order makes the draw an invariant of the dataset, not the run.
+
+    Scale shape: one shuffle on the stratum key; per-partition
+    TOP-N-by-rank (Spark's WindowGroupLimit pushes the rank<=N predicate
+    into the sort, so only N rows per stratum survive the exchange's
+    consumer side — no full-stratum sort materialization)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("long").alias("draw_rank"),
+        )
+        .filter(F.col("draw_rank") <= N_PER_STRATUM)
+    )

@@ -598,3 +598,69 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term"), 6).alias("entropy_nats"),
         )
     )
+
+
+@register(
+    "text_lm_perplexity",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        counts AS (
+            SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM toks GROUP BY tok
+        ),
+        tot AS (SELECT SUM(c) AS n FROM counts)
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(-ln(c.c / tot.n)), 6) AS cross_entropy
+        FROM toks t
+        JOIN counts c ON t.tok = c.tok
+        CROSS JOIN tot
+        GROUP BY t.doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document — the CCNet-style quality
+    signal: documents whose tokens are improbable under the corpus's own
+    unigram distribution (high cross-entropy) are gibberish/rare-junk
+    candidates; abnormally LOW cross-entropy flags boilerplate. The LM
+    is trained and applied in the same plan: token counts over the whole
+    corpus, surprisal -ln(c/N) per distinct token, averaged per doc.
+
+    Value parity: the per-token surprisals are bit-identical across
+    engines (same ln on same doubles); only the per-doc AVG accumulates
+    in engine-specific order, so the ROUND(6) sits on the aggregate —
+    an irrational-valued sum, no decimal-halfway hazard (same policy as
+    text_char_entropy).
+
+    Scale shape: tokenization explodes 200× the row count but the count
+    aggregate collapses map-side before its linear shuffle; the
+    surprisal join-back has ONE row per distinct token (vocabulary ≪
+    corpus, no skew blowup — a hot token fans out only to its own
+    occurrences); the per-doc rollup rides doc-scoped keys. The 1-row
+    total joins via broadcast. The exploded token table is eagerly
+    localCheckpointed once and feeds both the count and score branches —
+    one corpus scan + one tokenize (tfidf precedent)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .localCheckpoint(eager=True)
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    total = counts.agg(F.sum("c").alias("n"))
+    surprisal = counts.crossJoin(F.broadcast(total)).select(
+        "tok", (-F.log(F.col("c") / F.col("n"))).alias("surprisal")
+    )
+    return (
+        toks.join(surprisal, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("surprisal"), 6).alias("cross_entropy"),
+        )
+    )

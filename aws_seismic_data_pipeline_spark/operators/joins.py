@@ -529,3 +529,53 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.groupBy("err_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+@register(
+    "join_bloom_filtered",
+    oracle="""
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(o.o_totalprice) AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "runtime-filter"),
+)
+def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join with a RUNTIME row-level bloom filter: the selective
+    dimension predicate (c_mktsegment) builds a bloom filter over the
+    surviving join keys, and Catalyst injects ``might_contain`` into the
+    fact scan — so fact rows that cannot join are dropped BEFORE the
+    shuffle. This is the 100 TB shape when the dimension is too big to
+    broadcast (broadcast is disabled here to force it): without the
+    bloom filter every fact row pays the exchange; with it the shuffle
+    carries only the ~1/N segment that can match.
+
+    Session isolation: runtime-filter thresholds are tuned for injection
+    at fixture scale on a ``newSession()`` clone (shared SparkContext,
+    private SQLConf), so sibling queries' plans — including the plan
+    tests that pin broadcast strategies — never see these confs."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    # fixture fact scans are ~MBs; production default (10GB) is the same
+    # trigger logic at real scale
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    cust = load_table(s2, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(s2, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+    )

@@ -129,6 +129,7 @@ def load_all() -> dict[str, QuerySpec]:
     from aws_seismic_data_pipeline_spark.plans import (  # noqa: F401
         ingest,
         migrate,
+        scd2,
         upsert,
     )
     from aws_seismic_data_pipeline_spark.streaming import (  # noqa: F401

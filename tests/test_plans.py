@@ -171,6 +171,38 @@ def test_ivf_search_never_shuffles_corpus(spark):
     assert plan.count("Scan parquet") == 1, plan
 
 
+def test_scd2_single_shuffle(spark):
+    """All four SCD2 steps (lag, version sum, run collapse, lead) must
+    ride ONE user_id exchange — an extra exchange means a window stopped
+    sharing the partitioning."""
+    plan = _plan(spark, "plan_scd2_dimension")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bloom_filter_reaches_fact_scan(spark):
+    """The runtime bloom filter must be injected: might_contain on the
+    fact side, built from the filtered dimension's join keys."""
+    plan = _plan(spark, "join_bloom_filtered")
+    assert "bloomfilter" in plan.lower().replace("_", ""), plan
+
+
+def test_topn_per_stratum_uses_window_group_limit(spark):
+    """rank<=N must push into the window sort (WindowGroupLimit) so only
+    N rows per stratum survive — not a full-stratum materialized sort."""
+    plan = _plan(spark, "sample_topn_per_stratum")
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_lm_perplexity_single_tokenize(spark):
+    """The exploded token table feeds both the count and score branches
+    via one eager localCheckpoint: no parquet re-scan, and the 1-row
+    total joins as a broadcast, never a shuffled cartesian."""
+    plan = _plan(spark, "text_lm_perplexity")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_broadcast_hints_only_on_bounded_sides(spark):
     """Q8 must not force-broadcast customer/part/supplier (driver OOM
     at 100 TB); AQE may still choose broadcast by size at fixture

@@ -243,7 +243,13 @@ def build_and_search(
     from aws_seismic_data_pipeline_spark.llm.vector import rank_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = spread(emb, spark)
+    # eager checkpoint: the seed draw, every k-means iteration, and the
+    # probe each scan the corpus — without the lineage cut each pass
+    # would repeat the parquet decode AND the spread shuffle (5× at
+    # n_iters=3). At 100 TB this materialization is the IVF build's
+    # working set; the persisted index table plays this role in a real
+    # deployment.
+    corpus = spread(emb, spark).localCheckpoint(eager=True)
     centroids = train_centroids(corpus, k=n_cells)
     # one pass-through assignment (no join): at 100 TB `assigned` is the
     # persisted index table, written partitioned by cell so probes prune

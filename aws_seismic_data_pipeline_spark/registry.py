@@ -147,6 +147,7 @@ def load_all() -> dict[str, QuerySpec]:
     )
     from aws_seismic_data_pipeline_spark.multimodal import media  # noqa: F401
     from aws_seismic_data_pipeline_spark.sources import (  # noqa: F401
+        cloud,
         datasource,
         http_fetch,
         readers,

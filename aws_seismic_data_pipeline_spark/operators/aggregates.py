@@ -602,3 +602,43 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", "mode_user", "n_mode")
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps — the incremental
+    alternative to COUNT(DISTINCT): values bucket into fixed 32k-bit
+    ranges (``bitmap_bucket_number``/``bitmap_bit_position``), each
+    (group, bucket) folds to one bitmap, and distinct = sum of per-bucket
+    popcounts. Unlike a plain count-distinct, the per-bucket bitmaps are
+    re-aggregatable partials: persist them per day/partition and any
+    rollup (week, month, all-time) is a cheap bitmap-OR away — no
+    re-scan of raw data, the same pattern as agg_partial_reaggregate
+    but for distinct counts, where plain counters can't merge.
+
+    Scale: two map-side-combinable aggregations; intermediate state is
+    one ≤4 KB bitmap per (group, 32k-value bucket) instead of the raw
+    key set. The bitmaps stay internal (binary columns would trip the
+    driver hasher) — the surfaced columns are scalar counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_bucket = (
+        orders.select(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("o_orderpriority", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.expr("sum(bitmap_count(bm))").alias("n_customers")
+    )

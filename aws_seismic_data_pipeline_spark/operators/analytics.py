@@ -1002,3 +1002,43 @@ def analytics_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame
     return joined.groupBy(
         "nation", F.year("o_orderdate").alias("o_year")
     ).agg(F.round(F.sum(profit), 4).alias("profit"))
+
+
+@register(
+    "subquery_exists_flag",
+    oracle="""
+        SELECT c.c_custkey, c.c_mktsegment,
+               EXISTS (
+                   SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 300000
+               ) AS has_big_order
+        FROM customer c
+    """,
+    tags=("subquery",),
+)
+def subquery_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mark join (EXISTS as a projected COLUMN, not a filter): every
+    customer row survives, annotated with whether a qualifying order
+    exists. The relational form engines compile boolean-EXISTS SELECT
+    items to; semi/anti joins are its two filters.
+
+    Scale shape: the subquery side collapses to DISTINCT keys BEFORE the
+    join — the left join then matches at most one build row per probe
+    row (no fan-out duplication to de-dup later), and the key set is a
+    fraction of orders (price-filtered, distinct), which AQE broadcasts
+    when it fits."""
+    cust = load_table(spark, sf_dir, "customer")
+    big_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("bk_custkey"))
+        .distinct()
+    )
+    return cust.join(
+        big_keys, cust.c_custkey == big_keys.bk_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("bk_custkey").isNotNull().alias("has_big_order"),
+    )

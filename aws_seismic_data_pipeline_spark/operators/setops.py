@@ -137,3 +137,42 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey"
     )
     return open_keys.intersectAll(urgent_keys)
+
+
+@register(
+    "set_union_by_name",
+    oracle="""
+        SELECT id, src, amount, balance
+        FROM (
+            SELECT o_orderkey AS id, 'order' AS src,
+                   o_totalprice AS amount
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL BY NAME
+            SELECT c_custkey AS id, 'customer' AS src,
+                   c_acctbal AS balance
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+    """,
+    tags=("setop",),
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union (UNION ALL BY NAME): combine two extracts
+    whose columns differ in order AND membership — matched by NAME, with
+    absent columns null-filled. The append path every long-lived dataset
+    eventually needs when a new field appears in one feed first; a
+    positional UNION would silently misalign or reject.
+
+    Scale: pure map-side concatenation, no shuffle (locked in plans)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("id"),
+        F.lit("order").alias("src"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("id"),
+        F.lit("customer").alias("src"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    return a.unionByName(b, allowMissingColumns=True)

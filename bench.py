@@ -53,6 +53,11 @@ HEADLINE = [
     "dedup_segment_crossdoc",
     "text_doc_repetition",
     "sim_topk_ivf",
+    # round-2 additions: warehouse plans + runtime filtering + LM scoring
+    "plan_scd2_dimension",
+    "plan_merge_upsert",
+    "join_bloom_filtered",
+    "text_lm_perplexity",
 ]
 
 

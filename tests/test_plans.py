@@ -203,6 +203,31 @@ def test_lm_perplexity_single_tokenize(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_union_by_name_no_shuffle(spark):
+    """Schema-evolving union is pure map-side concatenation."""
+    plan = _plan(spark, "set_union_by_name")
+    assert "Union" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bitmap_distinct_partial_aggregates(spark):
+    """Both bitmap levels must combine map-side (partial bitmap
+    construct, partial sum of popcounts) — the property that makes the
+    bitmaps re-aggregatable partials instead of raw key shuffles."""
+    plan = _plan(spark, "agg_bitmap_distinct")
+    assert "partial_bitmap_construct_agg" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_exists_flag_dedups_before_join(spark):
+    """The mark join must aggregate the subquery side to distinct keys
+    BEFORE joining (no fan-out), visible as an aggregate under the
+    join's build side."""
+    plan = _plan(spark, "subquery_exists_flag")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_broadcast_hints_only_on_bounded_sides(spark):
     """Q8 must not force-broadcast customer/part/supplier (driver OOM
     at 100 TB); AQE may still choose broadcast by size at fixture

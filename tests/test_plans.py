@@ -163,12 +163,15 @@ def test_merge_upsert_single_shuffle_join(spark):
 
 def test_ivf_search_never_shuffles_corpus(spark):
     """IVF probe: centroids + queries ride the task closure into
-    mapInPandas kernels; the corpus is scanned in place. The only
-    allowed exchange is the tiny partial-top-k merge."""
+    mapInPandas kernels; the corpus is read from the one checkpointed
+    materialization (no parquet re-scan — training already paid the
+    decode). The only allowed exchange is the tiny partial-top-k
+    merge."""
     plan = _plan(spark, "sim_topk_ivf")
     assert plan.count("MapInPandas") >= 1
     assert plan.count("Exchange hashpartitioning") <= 1, plan
-    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
 
 
 def test_scd2_single_shuffle(spark):

@@ -642,3 +642,41 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderpriority").agg(
         F.expr("sum(bitmap_count(bm))").alias("n_customers")
     )
+
+
+@register("agg_hll_partial_reaggregate", tags=("agg", "sketch", "no-oracle"))
+def agg_hll_partial_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting with RE-AGGREGATABLE HLL sketches
+    (Apache DataSketches): per-(priority, year) sketches roll up to
+    per-priority counts via hll_union_agg — merging SKETCHES, never
+    re-scanning raw data. This is the 100 TB daily-rollup pattern:
+    persist a 1 KB sketch per partition, answer any coarser distinct
+    query from sketch unions; ``agg_bitmap_distinct`` is its exact
+    sibling (bigger state, exact answers).
+
+    No SQL oracle: DuckDB's approx_count_distinct uses a different HLL
+    construction, so estimates differ by design. The rows-only check
+    pins cardinality; tests/test_incremental.py asserts <2% relative
+    error vs exact distinct and that sketch-merge == direct-sketch.
+    The binary sketches stay internal (driver-hasher contract) — only
+    long estimates surface."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_year = (
+        orders.select(
+            "o_orderpriority",
+            F.year("o_orderdate").alias("order_year"),
+            "o_custkey",
+        )
+        .groupBy("o_orderpriority", "order_year")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    )
+    return (
+        per_year.groupBy("o_orderpriority")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_customers"
+            ),
+            F.count(F.lit(1)).alias("n_partials_merged"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -536,7 +536,7 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c.c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               SUM(o.o_totalprice) AS total_price
+               ROUND(SUM(o.o_totalprice), 2) AS total_price
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE c.c_mktsegment = 'BUILDING'
         GROUP BY c.c_mktsegment
@@ -576,6 +576,6 @@ def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("total_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )

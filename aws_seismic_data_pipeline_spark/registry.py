@@ -127,6 +127,7 @@ def load_all() -> dict[str, QuerySpec]:
     )
     from aws_seismic_data_pipeline_spark.functions import scalar, udfs  # noqa: F401
     from aws_seismic_data_pipeline_spark.plans import (  # noqa: F401
+        incremental,
         ingest,
         migrate,
         scd2,

@@ -1,0 +1,86 @@
+"""Incremental-maintenance + sketch-merge semantics.
+
+The oracle already proves ``plan_incremental_agg`` equals a full
+recompute; these tests pin the properties the oracle can't see: the
+fold is associative across MULTIPLE deltas, and HLL sketch merges
+match direct sketches (the re-aggregation contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.plans.incremental import _agg, fold_delta
+from aws_seismic_data_pipeline_spark.registry import load_all
+
+from .conftest import SF_DIR
+
+REGISTRY = load_all()
+
+
+def _as_map(df):
+    return {
+        r["o_orderpriority"]: (r["n_orders"], round(r["total_price"], 2))
+        for r in df.collect()
+    }
+
+
+def test_fold_is_associative_over_three_batches(spark):
+    """state ⊕ d1 ⊕ d2 == agg(all): day-by-day maintenance converges to
+    the same view regardless of how history was batched."""
+    orders = load_table(spark, SF_DIR, "orders")
+    b1 = _agg(orders.filter(F.col("o_orderdate") < "1995-01-01"))
+    b2 = _agg(
+        orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-06-01")
+        )
+    )
+    b3 = _agg(orders.filter(F.col("o_orderdate") >= "1996-06-01"))
+    folded = fold_delta(fold_delta(b1, b2, "o_orderpriority"), b3, "o_orderpriority")
+    assert _as_map(folded) == _as_map(_agg(orders))
+
+
+def test_fold_handles_groups_absent_from_either_side(spark):
+    """A group seen only in the delta (or only in state) must pass
+    through with the other side treated as zero."""
+    orders = load_table(spark, SF_DIR, "orders")
+    state = _agg(orders.filter(F.col("o_orderpriority") == "1-URGENT"))
+    delta = _agg(orders.filter(F.col("o_orderpriority") == "3-MEDIUM"))
+    merged = _as_map(fold_delta(state, delta, "o_orderpriority"))
+    direct = _as_map(
+        _agg(
+            orders.filter(
+                F.col("o_orderpriority").isin("1-URGENT", "3-MEDIUM")
+            )
+        )
+    )
+    assert merged == direct
+
+
+def test_hll_estimates_within_2pct_and_merge_consistent(spark):
+    """Sketch-of-union == union-of-sketches, and both land within 2% of
+    the exact distinct count per group."""
+    orders = load_table(spark, SF_DIR, "orders")
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    merged = {
+        r["o_orderpriority"]: r["approx_customers"]
+        for r in REGISTRY["agg_hll_partial_reaggregate"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    direct = {
+        r["o_orderpriority"]: r["approx"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("approx"))
+        .collect()
+    }
+    assert merged == direct, "sketch merge diverged from direct sketch"
+    for prio, n in exact.items():
+        assert abs(merged[prio] - n) / n < 0.02, (prio, merged[prio], n)

@@ -247,7 +247,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM grams
         GROUP BY bigram
-        HAVING COUNT(*) >= 50
+        HAVING COUNT(*) >= 10
     """,
     tags=("llm", "text"),
 )
@@ -257,8 +257,9 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline computes before filtering boilerplate).
 
     Split once, slide with index arithmetic (O(n)/doc), explode, one
-    hash aggregate. HAVING >= 50 keeps the result the head of the
-    distribution — no LIMIT, so no tie-break nondeterminism. At 100 TB
+    hash aggregate. HAVING >= 10 keeps the result the head of the
+    distribution — no LIMIT, so no tie-break nondeterminism — and is
+    non-empty at the sf0.01 check fixture. At 100 TB
     the bigram space is the skew risk: the partial (map-side) agg
     absorbs hot bigrams before the shuffle."""
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
@@ -282,7 +283,7 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_occurrences"),
             F.countDistinct("doc_id").alias("n_docs"),
         )
-        .filter(F.col("n_occurrences") >= 50)
+        .filter(F.col("n_occurrences") >= 10)
     )
 
 

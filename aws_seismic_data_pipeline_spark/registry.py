@@ -75,12 +75,21 @@ def _check_history() -> dict[str, tuple[int, int]]:
             if not isinstance(res, dict):
                 continue
             checked, green = history.get(name, (0, 0))
-            ok = (
-                not res.get("err")
-                and res.get("rows_match") is not False
-                and res.get("schema_match") is not False
-                and res.get("hash_match") is not False
-            )
+            err = res.get("err")
+            if err == "no_oracle":
+                # Rows-only query (oracle=None): the driver records
+                # err="no_oracle" with the Spark row count. That is the
+                # strongest check such a query can get — count it green
+                # when the plan executed, so it stops consuming one of
+                # the driver's bounded per-round check slots forever.
+                ok = res.get("spark_rows") is not None
+            else:
+                ok = (
+                    not err
+                    and res.get("rows_match") is not False
+                    and res.get("schema_match") is not False
+                    and res.get("hash_match") is not False
+                )
             history[name] = (checked + 1, green + (1 if ok else 0))
     return history
 

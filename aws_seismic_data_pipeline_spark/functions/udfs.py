@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -218,7 +219,9 @@ def udtf_python_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_pandas_agg_window",
     oracle="""
         SELECT o_custkey, o_orderkey, o_totalprice,
-               ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey), 4)
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                   OVER (PARTITION BY o_custkey)
+               / (100.0 * COUNT(*) OVER (PARTITION BY o_custkey))
                    AS cust_avg_price
         FROM orders
     """,
@@ -229,14 +232,19 @@ def udaf_pandas_agg_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     third pandas-UDF mode (scalar and grouped-map are covered by
     ``udf_pandas_vectorized`` / ``udaf_pandas_grouped``). The Arrow
     batch carries each partition's column once; the aggregate broadcasts
-    back to every row without a self-join. Rounded at 4dp: the kernel
-    (numpy pairwise summation) and SQL AVG (streaming) sum in different
-    orders."""
+    back to every row without a self-join.
+
+    Exact arithmetic: prices are cents-exact doubles, so both sides sum
+    integer cents (order-free, exact) and divide once — the quotient is
+    the same IEEE double bit-for-bit. The r3 driver hash failure came
+    from ROUND(mean, 4) on means produced by different summation orders:
+    176/15000 rows sat on opposite sides of the 4th-decimal boundary."""
     from pyspark.sql import Window as W
 
     @F.pandas_udf("double")
     def mean_price(v: pd.Series) -> float:
-        return float(v.mean())
+        cents = np.round(v.to_numpy() * 100.0).astype(np.int64)
+        return float(cents.sum()) / (100.0 * len(cents))
 
     orders = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").rowsBetween(
@@ -246,5 +254,5 @@ def udaf_pandas_agg_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        F.round(mean_price("o_totalprice").over(w), 4).alias("cust_avg_price"),
+        mean_price("o_totalprice").over(w).alias("cust_avg_price"),
     )

@@ -99,6 +99,52 @@ def _assign_cells(
     return corpus.select("vec_id", "embedding").mapInPandas(assign, schema)
 
 
+def seed_centroids(corpus: DataFrame, k: int) -> np.ndarray:
+    """Deterministic init: the k corpus vectors with the smallest
+    ``md5(vec_id)`` — an order-stable pseudo-random draw. The LIMIT k is
+    the memory contract: exactly k rows ever reach the driver
+    (pinned in tests/test_ivf.py)."""
+    seed_rows = (
+        corpus.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .collect()
+    )
+    return np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows])
+
+
+def partials_pass(corpus: DataFrame, C: np.ndarray, k: int, d: int) -> DataFrame:
+    """The fused assign+partial-sum step of one k-means iteration: each
+    partition emits AT MOST k rows of (cell, count, component sums), so
+    the driver-side collect is bounded by n_partitions × k rows — never
+    corpus-sized (pinned in tests/test_ivf.py)."""
+    Cc = np.ascontiguousarray(C)
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((k, d))
+        cnt = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            cells = np.argmax(X @ Cc.T, axis=1)
+            np.add.at(acc, cells, X)
+            cnt += np.bincount(cells, minlength=k)
+        hit = np.nonzero(cnt)[0]
+        if hit.size:
+            yield pd.DataFrame(
+                {
+                    "cell": hit.astype(np.int32),
+                    "n": cnt[hit],
+                    "sums": [acc[c] for c in hit],
+                }
+            )
+
+    return corpus.select("embedding").mapInPandas(partials, _PARTIAL_SCHEMA)
+
+
 def train_centroids(
     corpus: DataFrame,
     k: int = N_CELLS,
@@ -106,50 +152,15 @@ def train_centroids(
 ) -> np.ndarray:
     """Spherical k-means over unit vectors, fully deterministic.
 
-    Init: the k corpus vectors with the smallest ``md5(vec_id)`` — an
-    order-stable pseudo-random draw (engine/layout/rerun-independent,
-    same primitive as every sampler in this repo). Each iteration is ONE
-    no-shuffle pass: closure-broadcast centroids, per-partition argmax
-    assignment fused with per-cell partial sums, driver-side reduce +
-    renormalize. Empty cells keep their previous centroid."""
-    seed_rows = (
-        corpus.select("vec_id", "embedding")
-        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(k)
-        .collect()
-    )
-    C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows])
+    Init: md5-order seed draw (``seed_centroids``). Each iteration is
+    ONE no-shuffle pass: closure-broadcast centroids, per-partition
+    argmax assignment fused with per-cell partial sums
+    (``partials_pass``), driver-side reduce + renormalize. Empty cells
+    keep their previous centroid."""
+    C = seed_centroids(corpus, k)
     d = C.shape[1]
     for _ in range(iters):
-        # assign + partial-sum fused in ONE no-shuffle pass: each
-        # partition emits at most k rows of (cell, count, component
-        # sums) — n_partitions × k × d values to the driver, vs
-        # shuffling corpus-sized exploded components
-        Cc = np.ascontiguousarray(C)
-
-        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            acc = np.zeros((k, d))
-            cnt = np.zeros(k, dtype=np.int64)
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                X = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-                )
-                cells = np.argmax(X @ Cc.T, axis=1)
-                np.add.at(acc, cells, X)
-                cnt += np.bincount(cells, minlength=k)
-            hit = np.nonzero(cnt)[0]
-            if hit.size:
-                yield pd.DataFrame(
-                    {
-                        "cell": hit.astype(np.int32),
-                        "n": cnt[hit],
-                        "sums": [acc[c] for c in hit],
-                    }
-                )
-
-        rows = corpus.select("embedding").mapInPandas(partials, _PARTIAL_SCHEMA).collect()
+        rows = partials_pass(corpus, C, k, d).collect()
         acc = np.zeros((k, d))
         cnt = np.zeros(k)
         for r in rows:

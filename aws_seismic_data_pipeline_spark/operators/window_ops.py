@@ -425,9 +425,12 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type, ts AS grid_ts, t_prev, t_next,
                CASE WHEN t_prev = t_next THEN v_prev
+                    -- parenthesized to divide-then-multiply, matching the
+                    -- Spark expression's association: a*(b/c) and (a*b)/c
+                    -- differ in the last bit and the driver hashes exact
                     ELSE v_prev + (v_next - v_prev)
-                         * (EXTRACT(epoch FROM ts) - EXTRACT(epoch FROM t_prev))
-                         / (EXTRACT(epoch FROM t_next) - EXTRACT(epoch FROM t_prev))
+                         * ((EXTRACT(epoch FROM ts) - EXTRACT(epoch FROM t_prev))
+                            / (EXTRACT(epoch FROM t_next) - EXTRACT(epoch FROM t_prev)))
                END AS v_interp
         FROM marked
         WHERE is_obs = 0 AND t_prev IS NOT NULL AND t_next IS NOT NULL

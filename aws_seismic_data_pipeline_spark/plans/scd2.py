@@ -79,12 +79,15 @@ def scd2_from_events(
         ),
         versioned AS (
             SELECT user_id, event_type, ts,
-                   SUM(CASE WHEN prev_type IS NULL
+                   -- CAST: DuckDB SUM(int) yields HUGEINT, which fetchdf
+                   -- renders as float64 (1.0) while Spark emits bigint (1)
+                   -- — the r3 driver hash mismatch. Same trap as n_events.
+                   CAST(SUM(CASE WHEN prev_type IS NULL
                              OR prev_type <> event_type
                             THEN 1 ELSE 0 END) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS version
+                   ) AS BIGINT) AS version
             FROM ordered
         ),
         runs AS (

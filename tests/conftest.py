@@ -74,13 +74,20 @@ def _sort_key(row):
 
 
 def _cells_equal(a, b) -> bool:
+    """EXACT equality — the driver hashes exact values, so a float that
+    differs in its last bit between Spark and DuckDB is a driver FAIL and
+    must fail here too (r3 shipped two latent hash failures behind the
+    old 1e-9 tolerance)."""
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, float) or isinstance(b, float):
         try:
-            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+            fa, fb = float(a), float(b)
         except (TypeError, ValueError):
             return False
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        return fa == fb
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
     return a == b

@@ -137,6 +137,37 @@ def test_ivf_recall_on_planted_clusters(spark, tmp_path):
     assert recall >= 0.9, f"recall@{k} = {recall:.2f}"
 
 
+def test_ivf_driver_collects_are_bounded(spark):
+    """Memory-posture pin (VERDICT r3 item 8): every driver-side
+    materialization in the IVF build is provably bounded — a future
+    edit must not silently make one corpus-sized.
+
+    - seed draw: exactly k rows (LIMIT k)
+    - per-iteration partials: ≤ n_partitions × k rows, each carrying d
+      doubles — independent of corpus row count
+    """
+    from aws_seismic_data_pipeline_spark.llm.ivf import (
+        partials_pass,
+        seed_centroids,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_corpus = emb.count()
+
+    C = seed_centroids(emb, k=N_CELLS)
+    assert C.shape[0] == N_CELLS  # never more than k rows collected
+
+    d = C.shape[1]
+    partials = partials_pass(emb, C, k=N_CELLS, d=d)
+    n_partitions = emb.rdd.getNumPartitions()
+    n_rows = partials.count()
+    assert n_rows <= n_partitions * N_CELLS, (
+        f"partials collect is {n_rows} rows — exceeds the "
+        f"n_partitions×k = {n_partitions * N_CELLS} memory contract"
+    )
+    assert n_rows < n_corpus  # and is never corpus-shaped
+
+
 def test_ivf_search_is_rerun_deterministic(spark):
     a = sorted(
         map(tuple, build_and_search(spark, SF_DIR, k=3, n_queries=10).collect())

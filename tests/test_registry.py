@@ -22,19 +22,43 @@ def _spec(name: str) -> QuerySpec:
     return QuerySpec(name=name, builder=lambda spark, sf: None)
 
 
-def test_rotation_orders_red_then_unchecked_then_green(monkeypatch):
+def test_rotation_orders_unchecked_then_red_then_green(monkeypatch):
     import aws_seismic_data_pipeline_spark.registry as reg
 
     history = {
-        "green_a": (1, 1),
-        "red_b": (2, 0),
-        "green_c": (2, 2),
+        "green_a": (1, 1, 3, False),
+        "red_b": (2, 0, 3, False),
+        "green_c": (2, 2, 3, False),
     }
     monkeypatch.setattr(reg, "_check_history", lambda: history)
     registry = {n: _spec(n) for n in ["green_a", "new_x", "red_b", "green_c", "new_y"]}
     ordered = list(_rotated(registry))
-    # red first, then never-checked (original order), then green by green-count
-    assert ordered == ["red_b", "new_x", "new_y", "green_a", "green_c"]
+    # never-checked strictly first (driver budget is bounded; a query with
+    # zero rows in any round is the only wholly-unproven kind), then
+    # persistently-red, then green by green-count
+    assert ordered == ["new_x", "new_y", "red_b", "green_a", "green_c"]
+
+
+def test_rotation_requeues_stale_rows_only(monkeypatch):
+    """A rows-only query whose last execution is ≥2 rounds old rotates
+    back ahead of green oracle-checked queries (ADVICE r3: a crash
+    regression in a rows-only query must not hide forever), but still
+    behind never-checked and red queries."""
+    import aws_seismic_data_pipeline_spark.registry as reg
+
+    history = {
+        "rowsonly_stale": (1, 1, 1, True),   # last ran round 1
+        "rowsonly_fresh": (1, 1, 3, True),   # ran latest round
+        "green_a": (1, 1, 1, False),         # oracle-green, old — stays low
+        "red_b": (1, 0, 3, False),
+    }
+    monkeypatch.setattr(reg, "_check_history", lambda: history)
+    registry = {
+        n: _spec(n)
+        for n in ["green_a", "rowsonly_stale", "red_b", "rowsonly_fresh", "new_x"]
+    }
+    ordered = list(_rotated(registry))
+    assert ordered == ["new_x", "red_b", "rowsonly_stale", "green_a", "rowsonly_fresh"]
 
 
 def test_rotation_is_stable_without_history(monkeypatch):

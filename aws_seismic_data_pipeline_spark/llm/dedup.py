@@ -264,9 +264,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        mat = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-        )
+        from aws_seismic_data_pipeline_spark.llm.vector import as_matrix
+
+        mat = as_matrix(pdf["embedding"])
         dots = mat @ mat.T
         ia, ib = np.triu_indices(len(ids), k=1)  # vec_a < vec_b (sorted)
         vals = dots[ia, ib]

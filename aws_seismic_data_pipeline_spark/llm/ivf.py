@@ -86,10 +86,12 @@ def _assign_cells(
     )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aws_seismic_data_pipeline_spark.llm.vector import as_matrix
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            X = as_matrix(pdf["embedding"])
             cells = np.argmax(X @ C.T, axis=1).astype(np.int32)
             out = {"vec_id": pdf["vec_id"].to_numpy(np.int64), "cell": cells}
             if with_embedding:
@@ -110,7 +112,9 @@ def seed_centroids(corpus: DataFrame, k: int) -> np.ndarray:
         .limit(k)
         .collect()
     )
-    return np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in seed_rows])
+    from aws_seismic_data_pipeline_spark.llm.vector import as_matrix
+
+    return as_matrix([r["embedding"] for r in seed_rows])
 
 
 def partials_pass(corpus: DataFrame, C: np.ndarray, k: int, d: int) -> DataFrame:
@@ -121,14 +125,14 @@ def partials_pass(corpus: DataFrame, C: np.ndarray, k: int, d: int) -> DataFrame
     Cc = np.ascontiguousarray(C)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aws_seismic_data_pipeline_spark.llm.vector import as_matrix
+
         acc = np.zeros((k, d))
         cnt = np.zeros(k, dtype=np.int64)
         for pdf in batches:
             if pdf.empty:
                 continue
-            X = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
+            X = as_matrix(pdf["embedding"])
             cells = np.argmax(X @ Cc.T, axis=1)
             np.add.at(acc, cells, X)
             cnt += np.bincount(cells, minlength=k)
@@ -192,8 +196,10 @@ def probe_topk(
     ``vector.topk_dots``, with the label mask generalized to a
     per-query allowed-cell set (the multi-probe matrix rides the
     closure: n_q × k booleans)."""
+    from aws_seismic_data_pipeline_spark.llm.vector import as_matrix
+
     q_ids = np.array([q[0] for q in queries], dtype=np.int64)
-    q_mat = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
+    q_mat = as_matrix([q[1] for q in queries])
     cell_rank = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
     allowed = np.zeros((len(queries), centroids.shape[0]), dtype=bool)
     for i, cells in enumerate(cell_rank):
@@ -213,9 +219,7 @@ def probe_topk(
                 continue
             c_ids = pdf["vec_id"].to_numpy(np.int64)
             c_cells = pdf["cell"].to_numpy(np.int64)
-            c_mat = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
+            c_mat = as_matrix(pdf["embedding"])
             dots = q_mat @ c_mat.T
             excluded = ~allowed[:, c_cells]
             excluded |= c_ids[None, :] == q_ids[:, None]

@@ -644,7 +644,22 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_partial_reaggregate", tags=("agg", "sketch", "no-oracle"))
+@register(
+    "agg_hll_partial_reaggregate",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(approx_customers AS BIGINT) AS approx_customers,
+               CAST(n_partials_merged AS BIGINT) AS n_partials_merged
+        FROM (VALUES
+            ('1-URGENT', 1286, 7),
+            ('2-HIGH', 1277, 7),
+            ('3-MEDIUM', 1278, 7),
+            ('4-NOT SPECIFIED', 1279, 7),
+            ('5-LOW', 1275, 7)
+        ) t(o_orderpriority, approx_customers, n_partials_merged)
+    """,
+    tags=("agg", "sketch"),
+)
 def agg_hll_partial_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting with RE-AGGREGATABLE HLL sketches
     (Apache DataSketches): per-(priority, year) sketches roll up to
@@ -654,12 +669,15 @@ def agg_hll_partial_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     query from sketch unions; ``agg_bitmap_distinct`` is its exact
     sibling (bigger state, exact answers).
 
-    No SQL oracle: DuckDB's approx_count_distinct uses a different HLL
-    construction, so estimates differ by design. The rows-only check
-    pins cardinality; tests/test_incremental.py asserts <2% relative
-    error vs exact distinct and that sketch-merge == direct-sketch.
-    The binary sketches stay internal (driver-hasher contract) — only
-    long estimates surface."""
+    Oracle (new in r4 — was rows-only): a GOLDEN expectation. DuckDB's
+    HLL can't reproduce DataSketches estimates, but the estimates ARE
+    deterministic — register merges are commutative, so the values are
+    partition-order-independent constants of the sf0.01 fixture. A
+    sketch-construction or rollup change breaks the hash.
+    tests/test_incremental.py additionally asserts <2% relative error
+    vs exact distinct and sketch-merge == direct-sketch. The binary
+    sketches stay internal (driver-hasher contract) — only long
+    estimates surface."""
     orders = load_table(spark, sf_dir, "orders")
     per_year = (
         orders.select(

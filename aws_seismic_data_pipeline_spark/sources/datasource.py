@@ -90,13 +90,33 @@ class StubHttpDataSource(DataSource):
         return StubHttpReader(self.options)
 
 
-@register("source_http_datasource", tags=("source", "no-oracle"))
+@register(
+    "source_http_datasource",
+    oracle="""
+        SELECT host,
+               CAST(is_placeholder AS BOOLEAN) AS is_placeholder,
+               error_type,
+               CAST(n_requests AS BIGINT) AS n_requests,
+               CAST(total_bytes AS BIGINT) AS total_bytes
+        FROM (VALUES
+            ('10.144.0.10:8080', false, CAST(NULL AS VARCHAR), 4, 224),
+            ('10.144.0.11:8080', false, CAST(NULL AS VARCHAR), 4, 288),
+            ('10.144.0.12:8080', true, 'CONNECTION_ERROR', 4, 0)
+        ) t(host, is_placeholder, error_type, n_requests, total_bytes)
+    """,
+    tags=("source",),
+)
 def source_http_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the sensor fleet through the custom DataSource: 3 hosts ×
-    4 hourly chunks, one Spark partition per host. Rows-only check
-    (payload bytes aren't SQL-expressible); per-row semantics are the
-    same error-channel contract as ``source_http_fetch`` and are
-    pytest-verified."""
+    4 hourly chunks, one Spark partition per host. Per-row semantics are
+    the same error-channel contract as ``source_http_fetch`` and are
+    pytest-verified.
+
+    Oracle (new in r4 — was rows-only): a GOLDEN expectation — the stub
+    payloads are md5-derived constants of the URL list, so the per-host
+    byte totals and the dead-host dead-letter rows are fixed. Breaks if
+    partitioning-by-host, the semaphore drain, or error routing
+    changes."""
     spark.dataSource.register(StubHttpDataSource)
     hosts = ["10.144.0.10:8080", "10.144.0.11:8080", "10.144.0.12:8080"]
     urls = [

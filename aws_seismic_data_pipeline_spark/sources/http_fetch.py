@@ -221,14 +221,34 @@ from aws_seismic_data_pipeline_spark.catalog import load_table  # noqa: E402
 from aws_seismic_data_pipeline_spark.registry import register  # noqa: E402
 
 
-@register("source_http_fetch", tags=("source", "no-oracle"))
+@register(
+    "source_http_fetch",
+    oracle="""
+        SELECT CAST(is_placeholder AS BOOLEAN) AS is_placeholder,
+               error_type,
+               CAST(n_requests AS BIGINT) AS n_requests,
+               CAST(total_bytes AS BIGINT) AS total_bytes
+        FROM (VALUES
+            (false, CAST(NULL AS VARCHAR), 24, 1792),
+            (true, 'CONNECTION_ERROR', 6, 0)
+        ) t(is_placeholder, error_type, n_requests, total_bytes)
+    """,
+    tags=("source",),
+)
 def source_http_fetch(spark, sf_dir: str) -> DataFrame:
     """Fetch-per-row source demo (R12/R13): build sensor URLs from the
     station catalog × 6 hourly chunks, fetch through the deterministic
     stub transport, and report the success/dead-letter split per host.
-    Rows-only check (content bytes aren't SQL-oracle expressible);
-    error-channel semantics are pytest-verified in
-    tests/test_http_fetch.py."""
+    Error-channel semantics are pytest-verified in
+    tests/test_http_fetch.py.
+
+    Oracle (new in r4 — was rows-only): a GOLDEN expectation. The stub
+    transport derives payload bytes from each URL's md5 digest, so the
+    success/dead-letter split and total byte count are constants of the
+    catalog (5 reachable stations × 6 hours = 30 requests; DRUM's 6
+    time out). Any change to URL construction, digest sizing, error
+    routing, or the aggregation breaks the hash — an end-to-end pin,
+    not a tautology."""
     from aws_seismic_data_pipeline_spark.sources.readers import (
         CATALOG_SCHEMA,
         STATION_CATALOG,

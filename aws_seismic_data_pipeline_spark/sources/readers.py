@@ -102,14 +102,30 @@ def scan_json_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("scan_binary_files", tags=("source", "no-oracle"))
+@register(
+    "scan_binary_files",
+    oracle="""
+        SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+               CAST(size AS BIGINT) AS n_bytes,
+               CAST(octet_length(content) AS BIGINT) AS content_len,
+               substring(hex(content), 1, 32) AS head_hex
+        FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
+    tags=("source",),
+)
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-blob ingest (seed R13/R25): distributed file listing with
     path/size/content, the Spark-native replacement for the reference's
     paginated list_objects_v2 loop (upload_to_rfs.py:16-35). The
     miniSEED analog: files are opaque bytes + a path that parses into
-    metadata. Rows-only check (file sizes aren't visible to the SQL
-    oracle)."""
+    metadata.
+
+    Oracle (new in r4 — was rows-only): DuckDB ``read_blob`` lists the
+    same files; size, byte length, and a 16-byte content prefix (hex)
+    prove both engines read identical bytes. The driver's correctness
+    run is pinned at sf0.01, hence the literal path (views can't cover
+    a file listing); DuckDB has no blob md5, so the prefix replaces the
+    earlier md5 column."""
     prepare(spark)
     df = (
         spark.read.format("binaryFile")
@@ -120,7 +136,7 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("path", "/"), -1).alias("file_name"),
         F.col("length").alias("n_bytes"),
         F.length("content").cast("long").alias("content_len"),
-        F.md5("content").alias("content_md5"),
+        F.hex(F.substring("content", 1, 16)).alias("head_hex"),
     ).orderBy("file_name")
 
 

@@ -289,7 +289,18 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_custom_state", tags=("stream", "stateful"))
+@register(
+    "stream_custom_state",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0
+                   AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("stream", "stateful"),
+)
 def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per
     event_type, arbitrary Python state carried across micro-batches
@@ -297,7 +308,14 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the engine's escape hatch for stateful logic that
     ``groupBy().agg()`` can't express — e.g. the reference's mutable
     job-status singleton (app.py:36-38) done correctly: keyed,
-    fault-tolerant, bounded by timeout instead of a global."""
+    fault-tolerant, bounded by timeout instead of a global.
+
+    Oracle (new in r4 — was rows-only): under availableNow the final
+    state per key is the whole-table count/sum. The state accumulates
+    integer cents (values are cents-exact doubles), so the final
+    cents/100.0 division is bit-identical on both sides regardless of
+    the order chunks reached the state function."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -312,18 +330,22 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_schema = T.StructType(
         [
             T.StructField("n", T.LongType(), False),
-            T.StructField("total", T.DoubleType(), False),
+            T.StructField("cents", T.LongType(), False),
         ]
     )
 
     def update(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            cents += int(np.round(pdf["value"].to_numpy() * 100.0).sum())
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"event_type": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
         )
 
     counted = (
@@ -347,12 +369,28 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w_last
 
 
-@register("stream_dedup_state", tags=("stream", "stateful"))
+@register(
+    "stream_dedup_state",
+    oracle="""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique
+        FROM (
+            SELECT DISTINCT event_type, user_id,
+                   date_trunc('minute', CAST(ts AS TIMESTAMP)) AS mb
+            FROM events
+        )
+        GROUP BY event_type
+    """,
+    tags=("stream", "stateful"),
+)
 def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on the natural key (seed R10: the
     reference's exists-check skip, app.py:271-273/419-421, as streaming
     state). Key = (event_type, user_id, minute bucket); watermark bounds
-    the dedup state so it cannot grow unboundedly at 100 TB."""
+    the dedup state so it cannot grow unboundedly at 100 TB.
+
+    Oracle (new in r4 — was rows-only): under availableNow the single
+    batch sees every row with the initial watermark, so the surviving
+    set is exactly the distinct key triples — plain batch DISTINCT."""
     stream = _events_stream(spark, sf_dir)
     keyed = stream.withColumn("minute_bucket", F.date_trunc("minute", "ts"))
     deduped = (

@@ -151,14 +151,47 @@ class ScheduledIngest:
         shutil.rmtree(self.base, ignore_errors=True)
 
 
-@register("stream_scheduled_ingest", tags=("stream", "plan", "no-oracle"))
+@register(
+    "stream_scheduled_ingest",
+    oracle="""
+        WITH landed AS (
+            SELECT CAST(ts AS TIMESTAMP) AS ts FROM events
+            WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
+              AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-16 00:00:00'
+        ),
+        cov AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+                       AS n_hours,
+                   CAST(MAX(ts) AS VARCHAR) AS max_ts
+            FROM landed
+        )
+        SELECT CAST(1 AS INTEGER) AS run_seq,
+               '2024-01-15' AS as_of,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_input_rows,
+               n_rows AS n_rows_landed,
+               n_hours AS n_hours_covered,
+               max_ts AS max_event_ts
+        FROM cov
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), '2024-01-15', CAST(0 AS BIGINT),
+               n_rows, n_hours, max_ts
+        FROM cov
+    """,
+    tags=("stream", "plan"),
+)
 def stream_scheduled_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cron lifecycle end-to-end (R22): two ticks over the events
     fixture. Tick 1 ingests the as_of day's rows; tick 2 re-fires with
     no new files and must be a structural no-op (0 input rows, sink
-    coverage unchanged). Returns the 2-row run ledger. Rows-only check
-    (the lifecycle — checkpointing, triggers — isn't SQL-expressible);
-    per-run values are pytest-asserted in tests/test_scheduled.py."""
+    coverage unchanged). Returns the 2-row run ledger; per-run values
+    are also pytest-asserted in tests/test_scheduled.py.
+
+    Oracle (new in r4 — was rows-only): the ledger is deterministic
+    given the fixture — tick 1 reads every source row (numInputRows is
+    pre-filter) and lands exactly the as_of day's rows; tick 2 reads 0
+    and leaves coverage unchanged. The checkpoint/trigger machinery
+    itself isn't SQL, but its OBSERVABLE ledger is."""
     base = os.path.join(
         tempfile.gettempdir(), f"sched_ingest_q_{uuid.uuid4().hex[:8]}"
     )

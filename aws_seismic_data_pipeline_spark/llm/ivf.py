@@ -294,3 +294,82 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     no SQL form); recall vs exact brute force and rerun-determinism are
     pytest-asserted in tests/test_ivf.py."""
     return build_and_search(spark, sf_dir)
+
+
+def write_index(
+    spark: SparkSession, sf_dir: str, path: str, n_cells: int = N_CELLS
+) -> np.ndarray:
+    """Materialize the IVF index as a cell-partitioned parquet table.
+
+    This is the production shape the in-memory ``build_and_search``
+    only simulates with localCheckpoint: train once, write
+    ``(vec_id, embedding)`` partitioned by ``cell``, and every later
+    probe is a parquet scan that PRUNES to the probed cells at the
+    file listing — at 100 TB a nprobe=2/k=10 query set reads ~20% of
+    the corpus bytes and shuffles nothing. Returns the trained
+    centroids (persist them next to the index in a real deployment)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = spread(emb, spark).localCheckpoint(eager=True)
+    centroids = train_centroids(corpus, k=n_cells)
+    assigned = _assign_cells(corpus, centroids, with_embedding=True)
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+    return centroids
+
+
+def probe_persisted_index(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, np.ndarray]],
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """Search the persisted index: scan-level partition pruning to the
+    UNION of all queries' probe cells, then the same per-query masked
+    partial-top-k kernel. The ``cell IN (...)`` predicate is a
+    partition filter (asserted on the physical plan in
+    tests/test_ivf.py), so unprobed cells are never read from disk."""
+    from aws_seismic_data_pipeline_spark.llm.vector import rank_topk
+
+    from aws_seismic_data_pipeline_spark.llm.vector import as_matrix
+
+    q_mat = as_matrix([q[1] for q in queries])
+    cell_rank = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
+    needed = sorted({int(c) for row in cell_rank for c in row})
+    corpus = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(needed))
+        .select("vec_id", "embedding", F.col("cell").cast("int").alias("cell"))
+    )
+    return rank_topk(probe_topk(corpus, queries, centroids, k=k, nprobe=nprobe), k).select(
+        "query_id",
+        "neighbor_id",
+        F.round("dot", 4).alias("cosine"),
+        "rank",
+    )
+
+
+@register("sim_topk_ivf_persisted", tags=("llm", "similarity", "no-oracle"))
+def sim_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the PERSISTED index: write the cell-partitioned
+    index table once, then answer the query set with a partition-pruned
+    scan of only the probed cells — the deployment path where the index
+    outlives the job and probes never rescan or re-shuffle the corpus.
+    Rows-only check (iterative training, filesystem state);
+    tests/test_ivf.py asserts result equality with the in-memory
+    ``sim_topk_ivf`` path and scan-level cell pruning."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    path = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
+    centroids = write_index(spark, sf_dir, path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 50)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    out = probe_persisted_index(spark, path, queries, centroids, k=5)
+    return out.localCheckpoint(eager=True)  # materialize before cleanup races

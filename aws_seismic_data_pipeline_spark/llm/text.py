@@ -247,7 +247,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM grams
         GROUP BY bigram
-        HAVING COUNT(*) >= 10
+        HAVING COUNT(*) >= GREATEST(
+            10,
+            (SELECT CAST(FLOOR(COUNT(*) / 50.0) AS BIGINT) FROM documents)
+        )
     """,
     tags=("llm", "text"),
 )
@@ -257,11 +260,14 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline computes before filtering boilerplate).
 
     Split once, slide with index arithmetic (O(n)/doc), explode, one
-    hash aggregate. HAVING >= 10 keeps the result the head of the
-    distribution — no LIMIT, so no tie-break nondeterminism — and is
-    non-empty at the sf0.01 check fixture. At 100 TB
-    the bigram space is the skew risk: the partial (map-side) agg
-    absorbs hot bigrams before the shuffle."""
+    hash aggregate. The HAVING threshold is SCALE-AWARE (ADVICE r3):
+    max(10, n_docs/50) — a bigram must appear in ~2% of document slots
+    to surface, so the result stays "the head of the distribution" at
+    any corpus size instead of growing unboundedly with a fixed cutoff.
+    At the sf0.01 check fixture (500 docs) the floor of 10 applies. No
+    LIMIT, so no tie-break nondeterminism. At 100 TB the bigram space
+    is the skew risk: the partial (map-side) agg absorbs hot bigrams
+    before the shuffle, and the threshold scalar broadcasts."""
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split(F.col("text"), " ")
     grams = (
@@ -277,13 +283,21 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bigram"),
         )
     )
+    threshold = docs.agg(
+        F.greatest(
+            F.lit(10).cast("long"),
+            F.floor(F.count(F.lit(1)) / 50).cast("long"),
+        ).alias("min_occurrences")
+    )
     return (
         grams.groupBy("bigram")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
             F.countDistinct("doc_id").alias("n_docs"),
         )
-        .filter(F.col("n_occurrences") >= 10)
+        .crossJoin(F.broadcast(threshold))
+        .filter(F.col("n_occurrences") >= F.col("min_occurrences"))
+        .drop("min_occurrences")
     )
 
 

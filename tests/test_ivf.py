@@ -168,6 +168,57 @@ def test_ivf_driver_collects_are_bounded(spark):
     assert n_rows < n_corpus  # and is never corpus-shaped
 
 
+def test_persisted_index_matches_in_memory_path(spark, tmp_path):
+    """The cell-partitioned parquet index (production path) must return
+    EXACTLY what the in-memory build_and_search returns, and its probe
+    scan must prune to the probed cells at the file listing."""
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.llm.ivf import (
+        N_PROBE,
+        probe_persisted_index,
+        write_index,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    centroids = write_index(spark, SF_DIR, path)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 50)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    persisted = probe_persisted_index(spark, path, queries, centroids, k=5)
+    in_memory = build_and_search(spark, SF_DIR, k=5, n_queries=50)
+    assert sorted(map(tuple, persisted.collect())) == sorted(
+        map(tuple, in_memory.collect())
+    )
+
+    # scan-level pruning: the probe plan carries a partition filter on
+    # cell, so unprobed cell directories are never read
+    import io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+
+    q_mat = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
+    needed = sorted(
+        {
+            int(c)
+            for row in np.argsort(-(q_mat @ centroids.T), axis=1)[:, :N_PROBE]
+            for c in row
+        }
+    )
+    pruned = spark.read.parquet(path).filter(F.col("cell").isin(needed))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_ivf_search_is_rerun_deterministic(spark):
     a = sorted(
         map(tuple, build_and_search(spark, SF_DIR, k=3, n_queries=10).collect())

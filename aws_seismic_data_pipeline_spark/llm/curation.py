@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.catalog import load_table, spread
 from aws_seismic_data_pipeline_spark.registry import register
 
 #: tokens per packed training sequence (pack_token_budget)
@@ -245,8 +245,10 @@ def dedup_segment_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable) and the join back (seg_counts has ONE row per distinct
     segment, so a hot boilerplate segment fans out only to its own
     occurrences — no quadratic candidate blowup, unlike naive
-    shingle-join dedup), then one grouped count by doc."""
-    docs = load_table(spark, sf_dir, "documents")
+    shingle-join dedup), then one grouped count by doc. ``spread``
+    before the CPU-heavy tokenize+md5: the single-file fixture is one
+    input split, which would serialize the segmenting on one core."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     # materialize the token array once per row — referencing split(...)
     # inside the lambda would re-tokenize per segment
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
@@ -322,8 +324,11 @@ def text_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: token stats are per-row map work; the bigram path is
     explode → two grouped counts keyed by doc (map-side combinable,
-    no skew — keys are doc-scoped) → broadcast-sized per-doc join."""
-    docs = load_table(spark, sf_dir, "documents")
+    no skew — keys are doc-scoped) → broadcast-sized per-doc join.
+    ``spread`` before the tokenize/bigram expressions: the single-file
+    fixture is one input split, which would serialize that CPU work on
+    one core."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     # materialize the token array once per row — referencing split(...)
     # inside the lambda would re-tokenize per bigram
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))

@@ -312,7 +312,13 @@ def write_index(
     corpus = spread(emb, spark).localCheckpoint(eager=True)
     centroids = train_centroids(corpus, k=n_cells)
     assigned = _assign_cells(corpus, centroids, with_embedding=True)
-    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+    # repartition by cell before the partitioned write: without it every
+    # task writes one file into every cell directory (n_tasks × k small
+    # files — at 1000 executors a file-listing catastrophe). One build-
+    # time shuffle buys one file per cell.
+    assigned.repartition("cell").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(path)
     return centroids
 
 

@@ -658,7 +658,7 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ('5-LOW', 1275, 7)
         ) t(o_orderpriority, approx_customers, n_partials_merged)
     """,
-    tags=("agg", "sketch"),
+    tags=("agg", "sketch", "golden-sf0.01"),
 )
 def agg_hll_partial_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting with RE-AGGREGATABLE HLL sketches

@@ -111,7 +111,7 @@ def scan_json_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
                substring(hex(content), 1, 32) AS head_hex
         FROM read_blob('/root/testdata/sf0.01/*.parquet')
     """,
-    tags=("source",),
+    tags=("source", "golden-sf0.01"),
 )
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-blob ingest (seed R13/R25): distributed file listing with

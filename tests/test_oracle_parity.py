@@ -14,8 +14,16 @@ from aws_seismic_data_pipeline_spark.registry import load_all
 from .conftest import SF_DIR, assert_frames_match
 
 REGISTRY = load_all()
-ORACLE_CHECKED = sorted(n for n, s in REGISTRY.items() if s.oracle)
-ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if not s.oracle)
+# "golden-sf0.01" oracles pin values computed at the driver's sf0.01
+# (HLL estimates, a literal file path) — at any other test SF they can
+# only be smoke-run, not value-compared.
+_SF_IS_001 = SF_DIR.rstrip("/").endswith("sf0.01")
+ORACLE_CHECKED = sorted(
+    n
+    for n, s in REGISTRY.items()
+    if s.oracle and ("golden-sf0.01" not in s.tags or _SF_IS_001)
+)
+ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if n not in ORACLE_CHECKED)
 
 
 @pytest.mark.parametrize("name", ORACLE_CHECKED)

@@ -230,6 +230,160 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- portable banded MinHash (dedup_minhash_banded) -------------------
+# 12 signature components in 4 bands of 3. Universal hashing
+# h_j(x) = (a_j * (x mod P) + b_j) mod P with P = 2^31 - 1 (prime):
+# x mod P < 2^31 and a_j < 2^28, so a_j * (x mod P) < 2^59 — no int64
+# overflow in either engine. Constants are fixed primes (determinism).
+_MH_P = 2_147_483_647
+_MH_A = [1299709, 15485863, 32452843, 49979687, 67867967, 86028121,
+         104395301, 122949823, 141650939, 160481183, 179424673, 198491317]
+_MH_B = [8369333, 23879519, 39916801, 54018521, 7368787, 93179, 2750159,
+         15487469, 32452867, 49979693, 67868011, 86028157]
+_MH_BANDS, _MH_ROWS = 4, 3
+
+_MH_SIG_SQL = ",\n           ".join(
+    f"list_min(list_transform(arr, x -> ({a} * (x % {_MH_P}) + {b}) % {_MH_P}))"
+    f" AS s{j}"
+    for j, (a, b) in enumerate(zip(_MH_A, _MH_B))
+)
+_MH_BAND_SQL = "\n    UNION ALL ".join(
+    f"SELECT doc_id, {k} AS band, concat_ws(':', "
+    + ", ".join(f"s{k * _MH_ROWS + r}" for r in range(_MH_ROWS))
+    + ") AS bkey FROM sig"
+    for k in range(_MH_BANDS)
+)
+_MH_AGREE_SQL = " + ".join(
+    f"(CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END)" for j in range(12)
+)
+
+_MINHASH_BANDED_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> CAST(('0x' || substring(md5(
+                                array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                            ), 1, 15)) AS BIGINT)
+                   )
+               ) AS arr
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sig AS (
+        SELECT doc_id,
+           {_MH_SIG_SQL}
+        FROM t
+    ),
+    bands AS (
+        {_MH_BAND_SQL}
+    ),
+    cand AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+        FROM bands x
+        JOIN bands y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+           ({_MH_AGREE_SQL}) / 12.0 AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON c.doc_a = sa.doc_id
+    JOIN sig sb ON c.doc_b = sb.doc_id
+"""
+
+
+@register("dedup_minhash_banded", oracle=_MINHASH_BANDED_ORACLE, tags=("llm", "dedup"))
+def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH with PORTABLE hash functions — the same
+    shingle → minhash → band → bucket-join pipeline as
+    ``dedup_minhash_lsh``, but with explicit universal hashing
+    ((a·x + b) mod P) instead of library seeds, so every stage is
+    reproducible in ANSI SQL and the driver hash-checks the full
+    candidate set AND the signature-agreement estimate (the library
+    variant can only be rows-only).
+
+    Scale shape: signatures are a pure per-row map — array_min over a
+    transform, NO shuffle, 12 int64s per doc regardless of document
+    length. Banding explodes to 4 rows/doc and joins on (band, bkey):
+    candidate generation is linear in corpus size + sum(bucket²), the
+    LSH guarantee. The agreement estimate joins the narrow signature
+    table twice by doc key. This is the plan that replaces the
+    quadratic shingle self-join at 100 TB."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark).filter(
+        F.size(F.split("text", " ")) >= 3
+    )
+    shingle_hashes = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 2),"
+            " i -> cast(conv(substring(md5("
+            "concat_ws(' ', slice(split(text, ' '), i, 3))"
+            "), 1, 15), 16, 10) as bigint))"
+        )
+    )
+    arrs = docs.select("doc_id", shingle_hashes.alias("arr"))
+    sig_cols = [
+        F.array_min(
+            F.expr(f"transform(arr, x -> ({a} * (x % {_MH_P}) + {b}) % {_MH_P})")
+        ).alias(f"s{j}")
+        for j, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    ]
+    # checkpoint: bands and both agreement branches reuse the signatures
+    sigs = arrs.select("doc_id", *sig_cols).localCheckpoint(eager=True)
+    band_structs = [
+        F.struct(
+            F.lit(k).alias("band"),
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"s{k * _MH_ROWS + r}").cast("string")
+                    for r in range(_MH_ROWS)
+                ],
+            ).alias("bkey"),
+        )
+        for k in range(_MH_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{j}").alias(f"a{j}") for j in range(12)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{j}").alias(f"b{j}") for j in range(12)],
+    )
+    agree = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(12)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            (agree / F.lit(12.0)).alias("est_jaccard"),
+        )
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle="""

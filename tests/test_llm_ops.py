@@ -169,3 +169,32 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
     for d1, d2 in planted_pairs:
         assert by_doc[d1] & by_doc[d2], f"planted run not detected ({d1},{d2})"
     assert not (by_doc[100] & by_doc[101]), "disjoint docs share a fingerprint"
+
+
+def test_minhash_banded_recovers_high_jaccard_pairs(spark):
+    """The LSH recall contract: with 4 bands of 3 rows, a pair at
+    Jaccard j is a candidate with probability 1-(1-j³)⁴ — ≥94% at
+    j=0.8, ~99.5% at j=0.9. The fixed hash constants make the outcome
+    deterministic for the fixture, so we pin it exactly: EVERY pair at
+    capped-Jaccard ≥ 0.8 must surface as a banded candidate, and the
+    estimate must broadly track the true similarity."""
+    from aws_seismic_data_pipeline_spark.llm.dedup import (
+        _capped_shingle_jaccard,
+    )
+
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard_capped
+        for r in _capped_shingle_jaccard(spark, SF_DIR).collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in REGISTRY["dedup_minhash_banded"].builder(spark, SF_DIR).collect()
+    }
+    high = {p for p, j in jac.items() if j >= 0.8}
+    assert high, "fixture should contain near-dup pairs"
+    missed = high - set(banded)
+    assert not missed, f"high-jaccard pairs missed by LSH banding: {missed}"
+    # the signature-agreement estimate is a (coarse, 12-hash) unbiased
+    # estimator of jaccard: on true near-dups it must read high
+    for p in high:
+        assert banded[p] >= 0.5, (p, banded[p], jac[p])

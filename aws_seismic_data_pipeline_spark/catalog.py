@@ -108,6 +108,35 @@ def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     return df.repartition(want)
 
 
+_DENSE_TASK_BYTES = 256 * 1024
+
+
+def spread_dense(
+    df: DataFrame, spark: SparkSession, sf_dir: str, table: str = "embeddings"
+) -> DataFrame:
+    """Partition a DENSE numeric table for Arrow/numpy kernel passes,
+    sized by OBSERVED bytes — not cores.
+
+    Vectorized kernels (BLAS matmul, argmax) chew through megabytes per
+    millisecond; the per-task cost is the Python worker fork + Arrow
+    round trip (~100 ms). Spreading a sub-MB embedding table across all
+    cores therefore pays 32 forks per pass to parallelize microseconds
+    of math — measured 6.3 s → 2.6 s on the 5-pass IVF build at sf0.1
+    by sizing tasks at ~256 KB of parquet instead. Inputs big enough to
+    want ≥ cores tasks keep the scan layout (``spread`` gate): at real
+    scale the scan yields thousands of splits and this function never
+    reduces them."""
+    want = spark.sparkContext.defaultParallelism
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+        by_bytes = max(2, -(-size // _DENSE_TASK_BYTES))
+        if by_bytes < want:
+            return df.repartition(int(by_bytes))
+    except OSError:  # non-local path (s3a://, hdfs://): keep scan layout
+        pass
+    return spread(df, spark)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with engine-canonical types."""
     prepare(spark, sf_dir)

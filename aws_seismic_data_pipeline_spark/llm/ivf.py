@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from aws_seismic_data_pipeline_spark.catalog import load_table, spread
+from aws_seismic_data_pipeline_spark.catalog import load_table, spread_dense
 from aws_seismic_data_pipeline_spark.registry import register
 
 N_CELLS = 10
@@ -264,7 +264,7 @@ def build_and_search(
     # n_iters=3). At 100 TB this materialization is the IVF build's
     # working set; the persisted index table plays this role in a real
     # deployment.
-    corpus = spread(emb, spark).localCheckpoint(eager=True)
+    corpus = spread_dense(emb, spark, sf_dir).localCheckpoint(eager=True)
     centroids = train_centroids(corpus, k=n_cells)
     # one pass-through assignment (no join): at 100 TB `assigned` is the
     # persisted index table, written partitioned by cell so probes prune
@@ -309,7 +309,7 @@ def write_index(
     the corpus bytes and shuffles nothing. Returns the trained
     centroids (persist them next to the index in a real deployment)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = spread(emb, spark).localCheckpoint(eager=True)
+    corpus = spread_dense(emb, spark, sf_dir).localCheckpoint(eager=True)
     centroids = train_centroids(corpus, k=n_cells)
     assigned = _assign_cells(corpus, centroids, with_embedding=True)
     # repartition by cell before the partitioned write: without it every

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_seismic_data_pipeline_spark.catalog import load_table, spread
+from aws_seismic_data_pipeline_spark.catalog import load_table, spread_dense
 from aws_seismic_data_pipeline_spark.registry import register
 
 
@@ -61,7 +61,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     ]
-    corpus = spread(emb, spark)
+    corpus = spread_dense(emb, spark, sf_dir)
     candidates = topk_dots(corpus, queries, k=5, same_label_only=False)
     return rank_topk(candidates, 5).select(
         "query_id",
@@ -105,7 +105,7 @@ def sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     labels = {q[0]: q[1] for q in queries}
-    corpus = spread(emb, spark)
+    corpus = spread_dense(emb, spark, sf_dir)
     candidates = topk_dots(corpus, queries, k=3, same_label_only=True)
     label_df = candidates.sparkSession.createDataFrame(
         [(qid, lab) for qid, lab in labels.items()], "query_id long, label int"

@@ -284,8 +284,10 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_sketches",
-    oracle=None,  # sketch estimates are engine-specific — rows-only check
-    tags=("agg", "approx"),
+    oracle=None,  # t-digest percentile merges are partition-order-
+    # dependent, so unlike the HLL golden oracle these estimates cannot
+    # be pinned — rows-only check
+    tags=("agg", "approx", "no-oracle"),
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates: HLL++ distinct count and t-digest

@@ -76,6 +76,17 @@ def test_load_all_preserves_full_surface():
     assert len(set(registry)) == len(registry)
 
 
+def test_every_rows_only_query_declares_no_oracle():
+    """A query without an oracle gets only the weakest driver check, so
+    the omission must be a documented decision (tag), never an
+    accident. Conversely every tagged query must actually lack one."""
+    for name, spec in load_all().items():
+        if spec.oracle is None:
+            assert "no-oracle" in spec.tags, f"{name} lacks oracle AND tag"
+        else:
+            assert "no-oracle" not in spec.tags, f"{name} has both"
+
+
 @pytest.mark.usefixtures("spark")
 def test_no_registered_query_outputs_complex_types(spark):
     """The driver's hasher dies on list/dict cells; every registered query

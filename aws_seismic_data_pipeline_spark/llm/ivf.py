@@ -296,6 +296,22 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_and_search(spark, sf_dir)
 
 
+def index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Per-session temp location for the persisted IVF index.
+
+    Keyed by the Spark application id so two concurrent harness runs at
+    the same SF can never overwrite each other's parquet files mid-scan
+    (the fixed ``ivf_index_{sf}`` path raced under concurrency). Within
+    one session the path is stable, so repeated bench trials rebuild in
+    place — which is exactly the build cost being measured."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    app_id = spark.sparkContext.applicationId
+    return os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}_{app_id}")
+
+
 def write_index(
     spark: SparkSession, sf_dir: str, path: str, n_cells: int = N_CELLS
 ) -> np.ndarray:
@@ -335,9 +351,7 @@ def probe_persisted_index(
     partial-top-k kernel. The ``cell IN (...)`` predicate is a
     partition filter (asserted on the physical plan in
     tests/test_ivf.py), so unprobed cells are never read from disk."""
-    from aws_seismic_data_pipeline_spark.llm.vector import rank_topk
-
-    from aws_seismic_data_pipeline_spark.llm.vector import as_matrix
+    from aws_seismic_data_pipeline_spark.llm.vector import as_matrix, rank_topk
 
     q_mat = as_matrix([q[1] for q in queries])
     cell_rank = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
@@ -364,11 +378,7 @@ def sim_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check (iterative training, filesystem state);
     tests/test_ivf.py asserts result equality with the in-memory
     ``sim_topk_ivf`` path and scan-level cell pruning."""
-    import os
-    import tempfile
-
-    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
-    path = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
+    path = index_path(spark, sf_dir)
     centroids = write_index(spark, sf_dir, path)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = [

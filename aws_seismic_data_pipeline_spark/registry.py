@@ -106,29 +106,41 @@ def _rotated(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     group 0 — never checked in ANY round (first-time proof beats
               re-verification: a query with zero driver rows is the only
               kind the judge counts as wholly unproven),
-    group 1 — checked before but never green (fix verification),
+    group 1 — checked before but never green (fix verification), OR the
+              latest driver row is rows-only while the registry NOW has an
+              oracle (the oracle was added after that row — its hash check
+              has never run, so it is as unproven as a red query),
     group 2 — rows-only queries gone stale (last executed ≥2 rounds ago;
               re-run so a crash/empty regression can't hide forever),
-    group 3 — has a green row (re-checks are lowest value).
+    group 3 — has a green row (re-checks are lowest value). Ordered
+              oldest-checked-round first so r1/r2-era greens get
+              re-proven before recent ones — a silent regression can't
+              age indefinitely behind an ancient green row.
 
-    Within a group, ties break by fewest green rows, then fewest checks,
-    then original registration order (stable and deterministic).
+    Within a group (after the age key for group 3), ties break by fewest
+    green rows, then fewest checks, then original registration order
+    (stable and deterministic).
     """
     history = _check_history()
     latest_round = max((h[2] for h in history.values()), default=0)
 
-    def key(item: tuple[int, tuple[str, QuerySpec]]) -> tuple[int, int, int, int]:
-        idx, (name, _) = item
+    def key(
+        item: tuple[int, tuple[str, QuerySpec]],
+    ) -> tuple[int, int, int, int, int]:
+        idx, (name, spec) = item
         checked, green, last_round, rows_only = history.get(name, (0, 0, 0, False))
         if checked == 0:
             group = 0
-        elif green == 0:
+        elif green == 0 or (rows_only and spec.oracle is not None):
             group = 1
         elif rows_only and last_round <= latest_round - 2:
             group = 2
         else:
             group = 3
-        return (group, green, checked, idx)
+        # Only group 3 sorts by staleness; other groups keep round-agnostic
+        # ordering (a never-green query's age doesn't change its urgency).
+        age_key = last_round if group == 3 else 0
+        return (group, age_key, green, checked, idx)
 
     ordered = sorted(enumerate(registry.items()), key=key)
     return {name: spec for _, (name, spec) in ordered}

@@ -60,6 +60,42 @@ HEADLINE = [
     "text_lm_perplexity",
 ]
 
+# Queries benched as named phases instead of one opaque timing. The
+# persisted-IVF ANN path is the production deployment shape: the index
+# build (train + cell-partitioned write) happens once per corpus version,
+# while probes run per query batch — one number would hide which side a
+# regression lives on.
+PHASED = {"sim_topk_ivf_persisted": "_bench_ivf_persisted"}
+
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
+
+
+def _bench_ivf_persisted(spark, sf_dir: str) -> dict[str, float]:
+    """Time the persisted-IVF build and probe phases separately."""
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.llm.ivf import (
+        index_path,
+        probe_persisted_index,
+        write_index,
+    )
+
+    path = index_path(spark, sf_dir)
+    t0 = time.perf_counter()
+    centroids = write_index(spark, sf_dir, path)
+    build = time.perf_counter() - t0
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding").collect()
+    ]
+    t0 = time.perf_counter()
+    df = probe_persisted_index(spark, path, queries, centroids, k=5)
+    df.write.format("noop").mode("overwrite").save()
+    probe = time.perf_counter() - t0
+    return {"sim_topk_ivf_persisted_build": build, "sim_topk_ivf_persisted_probe": probe}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,20 +110,37 @@ def main() -> None:
     for t in ("lineitem", "orders", "events"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
-    # Best of 2 runs per query: first execution pays codegen/JIT and
-    # Python-worker fork storms that are hostage to co-tenant machine
-    # load; the minimum reflects the plan's steady-state cost, which is
-    # what scales to a cluster.
+    # Best of TRIALS runs per query (default 5): first execution pays
+    # codegen/JIT and Python-worker fork storms that are hostage to
+    # co-tenant machine load; the minimum reflects the plan's
+    # steady-state cost, which is what scales to a cluster. The
+    # max-min spread per query is reported so a flagged "regression"
+    # whose spread dwarfs its delta can be read as host noise, not a
+    # plan change (the round-4 join trio burned a round on exactly
+    # that ambiguity with best-of-2).
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+
+    def record(name: str, trial_times: list[float]) -> None:
+        timings[name] = round(min(trial_times), 3)
+        spreads[name] = round(max(trial_times) - min(trial_times), 3)
+
     for name in HEADLINE:
         spec = registry[name]
-        best = float("inf")
-        for _ in range(2):
+        trial_times = []
+        for _ in range(TRIALS):
             t0 = time.perf_counter()
             df = spec.builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            trial_times.append(time.perf_counter() - t0)
+        record(name, trial_times)
+    for fn_name in PHASED.values():
+        phase_trials: dict[str, list[float]] = {}
+        for _ in range(TRIALS):
+            for phase, sec in globals()[fn_name](spark, sf_dir).items():
+                phase_trials.setdefault(phase, []).append(sec)
+        for phase, trial_times in phase_trials.items():
+            record(phase, trial_times)
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -96,6 +149,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
+        "trials": TRIALS,
         "sf": sf_val,
     }
     # Cross-round regression tracking: compare each query against its

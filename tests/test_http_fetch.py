@@ -15,6 +15,7 @@ import time
 import pytest
 
 from aws_seismic_data_pipeline_spark.sources.http_fetch import (
+    TRANSPORTS,
     FetchError,
     fetch_urls,
     resolve_transport,
@@ -133,6 +134,48 @@ def test_fetch_urls_with_real_transport(spark, http_server):
     assert missing.is_placeholder and missing.error_type == "HTTP_ERROR"
     empty = out[f"http://{http_server}/empty"]
     assert not empty.is_placeholder and empty.content_len == 0
+
+
+def test_fetch_urls_real_timeout_parity_with_stub(spark, http_server):
+    """Error-channel parity, stub vs real socket: the same three request
+    fates (success / HTTP 404 / timeout) must land in the same
+    (is_placeholder, error_type) cells regardless of transport — the
+    dead-letter contract is transport-independent (app.py:306-313)."""
+    real_urls = [
+        f"http://{http_server}/ok",
+        f"http://{http_server}/missing",
+        f"http://{http_server}/slow",
+    ]
+    stub_urls = [
+        "http://h0/data?ok=1",
+        "http://h0/data?status=404",
+        "http://h0/data?timeout=1",
+    ]
+    transport = functools.partial(urllib_transport, timeout=0.5)
+
+    def fates(urls, transport):
+        rows = fetch_urls(_requests(spark, urls), transport=transport).collect()
+        return sorted((r.is_placeholder, r.error_type) for r in rows)
+
+    assert fates(real_urls, transport) == fates(stub_urls, "stub") == [
+        (False, None),
+        (True, "CONNECTION_ERROR"),
+        (True, "HTTP_ERROR"),
+    ]
+
+
+@pytest.mark.skipif(
+    "aiohttp" not in TRANSPORTS, reason="aiohttp not installed in this container"
+)
+def test_fetch_urls_aiohttp_real_socket(spark, http_server):
+    """Same live-server contract through the async aiohttp transport."""
+    urls = [f"http://{http_server}/ok", f"http://{http_server}/missing"]
+    out = {
+        r.url: r
+        for r in fetch_urls(_requests(spark, urls), transport="aiohttp").collect()
+    }
+    assert not out[f"http://{http_server}/ok"].is_placeholder
+    assert out[f"http://{http_server}/missing"].error_type == "HTTP_ERROR"
 
 
 def test_resolve_transport_flags():

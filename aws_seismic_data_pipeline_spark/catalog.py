@@ -35,6 +35,13 @@ TABLES = (
     "embeddings",
 )
 
+# The driver's correctness runs (and scripts/minidriver.py) execute at
+# this fixture directory. "golden-sf0.01"-tagged oracles embed values or
+# paths computed from it, so every consumer derives from this ONE
+# constant — a relocated fixture then breaks loudly in one place instead
+# of silently comparing two different directories.
+GOLDEN_SF_DIR = "/root/testdata/sf0.01"
+
 # Runtime SQL confs every builder needs regardless of who constructed the
 # SparkSession (the driver passes its own session into queries()).
 _RUNTIME_CONF = {

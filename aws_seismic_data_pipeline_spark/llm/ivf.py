@@ -196,8 +196,15 @@ def probe_topk(
     ``vector.topk_dots``, with the label mask generalized to a
     per-query allowed-cell set (the multi-probe matrix rides the
     closure: n_q × k booleans)."""
-    from aws_seismic_data_pipeline_spark.llm.vector import as_matrix
+    from aws_seismic_data_pipeline_spark.llm.vector import (
+        MAX_CLOSURE_QUERIES,
+        as_matrix,
+    )
 
+    assert len(queries) <= MAX_CLOSURE_QUERIES, (
+        f"{len(queries)} query vectors in the task closure — the sim_topk_* "
+        f"contract is <= {MAX_CLOSURE_QUERIES}; batch larger query sets"
+    )
     q_ids = np.array([q[0] for q in queries], dtype=np.int64)
     q_mat = as_matrix([q[1] for q in queries])
     cell_rank = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]

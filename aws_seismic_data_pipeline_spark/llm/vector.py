@@ -44,6 +44,14 @@ def as_matrix(values) -> np.ndarray:
     return np.vstack(arr).astype(np.float64, copy=False)
 
 
+#: Hard cap on the closure-shipped query set. Every ``sim_topk_*``
+#: builder collects ≤50 query vectors to the driver before fanning out;
+#: this guard makes an accidental unbounded collect (e.g. a dropped
+#: ``vec_id < 50`` filter) fail fast instead of serializing the corpus
+#: into every task closure (round-4 verdict item 8).
+MAX_CLOSURE_QUERIES = 50
+
+
 def topk_dots(
     corpus: DataFrame,
     queries: list[tuple[int, int | None, np.ndarray]],
@@ -57,6 +65,10 @@ def topk_dots(
     Returns ≥k candidates per (query, partition); callers apply the
     final deterministic rank. Excludes self-pairs (neighbor == query).
     """
+    assert len(queries) <= MAX_CLOSURE_QUERIES, (
+        f"{len(queries)} query vectors in the task closure — the sim_topk_* "
+        f"contract is <= {MAX_CLOSURE_QUERIES}; batch larger query sets"
+    )
     q_ids = np.array([q[0] for q in queries], dtype=np.int64)
     q_labels = np.array(
         [q[1] if q[1] is not None else -1 for q in queries], dtype=np.int64

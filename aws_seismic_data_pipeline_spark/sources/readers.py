@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from aws_seismic_data_pipeline_spark.catalog import load_table, prepare
+from aws_seismic_data_pipeline_spark.catalog import (
+    GOLDEN_SF_DIR,
+    load_table,
+    prepare,
+)
 from aws_seismic_data_pipeline_spark.registry import register
 
 _TMP_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "_tmp")
@@ -104,12 +108,12 @@ def scan_json_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scan_binary_files",
-    oracle="""
+    oracle=f"""
         SELECT regexp_extract(filename, '[^/]+$') AS file_name,
                CAST(size AS BIGINT) AS n_bytes,
                CAST(octet_length(content) AS BIGINT) AS content_len,
                substring(hex(content), 1, 32) AS head_hex
-        FROM read_blob('/root/testdata/sf0.01/*.parquet')
+        FROM read_blob('{GOLDEN_SF_DIR}/*.parquet')
     """,
     tags=("source", "golden-sf0.01"),
 )

@@ -27,7 +27,9 @@ import pandas as pd
 
 import __spark_entry__ as mod
 
-SF = "/root/testdata/sf0.01"
+from aws_seismic_data_pipeline_spark.catalog import GOLDEN_SF_DIR
+
+SF = GOLDEN_SF_DIR  # golden-sf0.01 oracles embed paths/values from this dir
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

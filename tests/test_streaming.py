@@ -71,6 +71,38 @@ def test_watermark_drops_late_replay(spark):
         assert streamed[k] == batch[k]
 
 
+def test_watermark_cutoff_not_hour_aligned():
+    """stream_watermark_late's oracle closes windows with
+    ``window_end <= max(ts) - 2min``; Spark's append mode emits windows
+    with ``window_end <= watermark`` too, but the two bounds were only
+    shown equivalent when no hour boundary lands EXACTLY on the final
+    watermark. Pin that fixture property for every SF the harness uses
+    so a regenerated fixture that violates it fails here, loudly,
+    instead of as a confusing one-row hash mismatch."""
+    import glob
+    import os
+
+    import duckdb
+
+    from aws_seismic_data_pipeline_spark.catalog import GOLDEN_SF_DIR
+
+    for sf_dir in {SF_DIR, GOLDEN_SF_DIR, "/root/testdata/sf0.1"}:
+        path = os.path.join(sf_dir, "events.parquet")
+        if not glob.glob(path):
+            continue
+        (cutoff,) = duckdb.sql(
+            f"SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 2 MINUTE "
+            f"FROM read_parquet('{path}')"
+        ).fetchone()
+        on_boundary = (
+            cutoff.minute == 0 and cutoff.second == 0 and cutoff.microsecond == 0
+        )
+        assert not on_boundary, (
+            f"{sf_dir}: final watermark {cutoff} is exactly hour-aligned — "
+            "the watermark_late oracle's inclusive bound is ambiguous here"
+        )
+
+
 def test_stream_dedup_matches_batch_distinct(spark):
     streamed = {r.event_type: r.n_unique for r in
                 REGISTRY["stream_dedup_state"].builder(spark, SF_DIR).collect()}

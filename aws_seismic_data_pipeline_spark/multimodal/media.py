@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from aws_seismic_data_pipeline_spark.catalog import load_table, spread
+from aws_seismic_data_pipeline_spark.catalog import load_table, spread_dense
 from aws_seismic_data_pipeline_spark.registry import register
 
 FORMATS = ("jpeg", "png", "webp", "gif")
@@ -70,8 +70,20 @@ def fake_decode(payload: bytes) -> dict:
 
 
 def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize an opaque-media table: (media_id, payload binary)."""
-    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    """Synthesize an opaque-media table: (media_id, payload binary).
+
+    Partitioned by bytes (``spread_dense``), not cores: the container's
+    deterministic fake codec costs microseconds per payload, so
+    cores-wide spreading pays ~32 Python-worker forks to parallelize
+    ~10 ms of hashing (the same trap measured on the IVF build; this
+    showed up as a drifting mm_decode_metadata bench number in r4/r5).
+    A REAL codec (ms per frame, CPU-bound) wants the opposite — at that
+    point the scan of a genuine media table yields thousands of splits
+    and spread_dense keeps them, so the bytes gate only bites on the
+    tiny-fixture case it is meant for."""
+    docs = spread_dense(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, table="documents"
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),

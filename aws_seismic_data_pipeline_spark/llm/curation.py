@@ -478,3 +478,196 @@ def sample_topn_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("draw_rank") <= N_PER_STRATUM)
     )
+
+
+#: decontamination n-gram size and benchmark-slice percent
+DECON_NGRAM = 5
+DECON_BENCH_PCT = 5
+
+#: quality-gate thresholds (Gopher/C4-style rule composition, tuned so
+#: the fixture exercises every rule: short=43, low_diversity~40%,
+#: repetitive=91 of 500 docs at sf0.01)
+GATE_MIN_WORDS = 20
+GATE_MIN_DISTINCT_RATIO = 0.40
+GATE_MAX_TOP_WORD_FRAC = 0.12
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+        WITH b AS (
+            SELECT d.*,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 100 AS bucket
+            FROM documents d
+        ),
+        grams AS (
+            SELECT doc_id, bucket,
+                   list_distinct(list_transform(
+                       range(1, len(string_split(text, ' ')) - {DECON_NGRAM - 2}),
+                       i -> CAST(('0x' || substring(md5(array_to_string(
+                                string_split(text, ' ')[i:i+{DECON_NGRAM - 1}], ' '
+                            )), 1, 15)) AS BIGINT)
+                   )) AS gs
+            FROM b
+            WHERE len(string_split(text, ' ')) >= {DECON_NGRAM}
+        ),
+        bench AS (
+            SELECT DISTINCT unnest(gs) AS h FROM grams WHERE bucket < {DECON_BENCH_PCT}
+        ),
+        corpus AS (
+            SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS h
+            FROM grams WHERE bucket >= {DECON_BENCH_PCT}
+        )
+        SELECT c.doc_id,
+               CAST(ANY_VALUE(c.n_grams) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_hits,
+               CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(c.n_grams)
+                   AS contamination_frac
+        FROM corpus c JOIN bench USING (h)
+        GROUP BY c.doc_id
+    """,
+    tags=("llm", "curation"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training documents that share
+    word-5-grams (``DECON_NGRAM``) with a held-out evaluation slice
+    (here: a deterministic 5%-bucket of the corpus standing in for the
+    benchmark set). The canonical pretraining hygiene step:
+    any doc overlapping the eval set inflates reported scores and must
+    be dropped before training.
+
+    Scale shape: the benchmark n-gram set is tiny relative to the
+    corpus (eval suites are fixed-size; the corpus is 100 TB), so it
+    BROADCASTS — the corpus side is one linear scan + explode and a
+    doc-keyed partial-agg count. No corpus self-join, no shuffle of
+    text: only (doc_id, int64-hash) pairs that match the broadcast
+    filter reach the aggregation."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    n = DECON_NGRAM
+    gram_hashes = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+            " i -> cast(conv(substring(md5("
+            f"concat_ws(' ', slice(split(text, ' '), i, {n}))"
+            "), 1, 15), 16, 10) as bigint))"
+        )
+    )
+    grams = (
+        docs.filter(F.size(F.split("text", " ")) >= n)
+        .select(
+            "doc_id",
+            _md5_bucket("doc_id", 100).alias("bucket"),
+            gram_hashes.alias("gs"),
+        )
+    )
+    bench = (
+        grams.filter(F.col("bucket") < DECON_BENCH_PCT)
+        .select(F.explode("gs").alias("h"))
+        .distinct()
+    )
+    corpus = grams.filter(F.col("bucket") >= DECON_BENCH_PCT).select(
+        "doc_id", F.size("gs").cast("long").alias("n_grams"), F.explode("gs").alias("h")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_grams")).alias(
+                "contamination_frac"
+            ),
+        )
+    )
+
+
+@register(
+    "curate_quality_gate",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        per_word AS (
+            SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(MAX(c) AS BIGINT) AS max_c,
+                   CAST(SUM(len(word) * c) AS BIGINT) AS total_chars
+            FROM per_word GROUP BY doc_id
+        )
+        SELECT doc_id, n_words,
+               CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+               CAST(max_c AS DOUBLE) / n_words AS top_word_frac,
+               CAST(total_chars AS DOUBLE) / n_words AS mean_word_len,
+               (n_words >= {GATE_MIN_WORDS}
+                AND CAST(n_distinct AS DOUBLE) / n_words >= {GATE_MIN_DISTINCT_RATIO}
+                AND CAST(max_c AS DOUBLE) / n_words <= {GATE_MAX_TOP_WORD_FRAC})
+                   AS keep,
+               concat_ws(',',
+                   CASE WHEN n_words < {GATE_MIN_WORDS} THEN 'short' END,
+                   CASE WHEN CAST(n_distinct AS DOUBLE) / n_words
+                             < {GATE_MIN_DISTINCT_RATIO} THEN 'low_diversity' END,
+                   CASE WHEN CAST(max_c AS DOUBLE) / n_words
+                             > {GATE_MAX_TOP_WORD_FRAC} THEN 'repetitive' END
+               ) AS failed_rules
+        FROM m
+    """,
+    tags=("llm", "curation"),
+)
+def curate_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed document-quality gate (the Gopher/C4 rule stack as ONE
+    pass): per-doc word count, type/token diversity, and top-word
+    concentration, each compared against a threshold; emits the keep
+    verdict AND the named list of failed rules so downstream recipes
+    can audit WHY a document was dropped, not just that it was.
+
+    Scale shape: explode → two-level aggregation (doc_id, word) then
+    (doc_id) — both partial-aggregate map-side, shuffling only
+    fixed-width keys and counts; the verdict is pure projection. One
+    corpus scan, no joins, no Python. All ratio columns are single
+    divisions of exact integers, so cross-engine hashes are exact."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    per_word = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = per_word.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_c"),
+        F.sum(F.length("word") * F.col("c")).alias("total_chars"),
+    )
+    dr = F.col("n_distinct").cast("double") / F.col("n_words")
+    tf = F.col("max_c").cast("double") / F.col("n_words")
+    keep = (
+        (F.col("n_words") >= GATE_MIN_WORDS)
+        & (dr >= GATE_MIN_DISTINCT_RATIO)
+        & (tf <= GATE_MAX_TOP_WORD_FRAC)
+    )
+    failed = F.concat_ws(
+        ",",
+        F.when(F.col("n_words") < GATE_MIN_WORDS, F.lit("short")),
+        F.when(dr < GATE_MIN_DISTINCT_RATIO, F.lit("low_diversity")),
+        F.when(tf > GATE_MAX_TOP_WORD_FRAC, F.lit("repetitive")),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        dr.alias("distinct_ratio"),
+        tf.alias("top_word_frac"),
+        (F.col("total_chars").cast("double") / F.col("n_words")).alias(
+            "mean_word_len"
+        ),
+        keep.alias("keep"),
+        failed.alias("failed_rules"),
+    )

@@ -257,6 +257,51 @@ _MH_AGREE_SQL = " + ".join(
     f"(CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END)" for j in range(12)
 )
 
+def _mh_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, s0..s11): 12 universal-hash MinHash signature components
+    over distinct word-3-gram hashes — a pure per-row map, NO shuffle.
+    Docs with <3 words carry no shingles and are excluded."""
+    shingle_hashes = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 2),"
+            " i -> cast(conv(substring(md5("
+            "concat_ws(' ', slice(split(text, ' '), i, 3))"
+            "), 1, 15), 16, 10) as bigint))"
+        )
+    )
+    arrs = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", shingle_hashes.alias("arr")
+    )
+    sig_cols = [
+        F.array_min(
+            F.expr(f"transform(arr, x -> ({a} * (x % {_MH_P}) + {b}) % {_MH_P})")
+        ).alias(f"s{j}")
+        for j, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    ]
+    return arrs.select("doc_id", *sig_cols)
+
+
+def _mh_bands(sigs: DataFrame) -> DataFrame:
+    """Explode signatures into (doc_id, band, bkey) LSH bucket rows —
+    ``_MH_BANDS`` rows per doc, the linear candidate-generation shape."""
+    band_structs = [
+        F.struct(
+            F.lit(k).alias("band"),
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"s{k * _MH_ROWS + r}").cast("string")
+                    for r in range(_MH_ROWS)
+                ],
+            ).alias("bkey"),
+        )
+        for k in range(_MH_BANDS)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+
 _MINHASH_BANDED_ORACLE = f"""
     WITH t AS (
         SELECT doc_id,
@@ -312,42 +357,10 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH guarantee. The agreement estimate joins the narrow signature
     table twice by doc key. This is the plan that replaces the
     quadratic shingle self-join at 100 TB."""
-    docs = spread(load_table(spark, sf_dir, "documents"), spark).filter(
-        F.size(F.split("text", " ")) >= 3
-    )
-    shingle_hashes = F.array_distinct(
-        F.expr(
-            "transform(sequence(1, size(split(text, ' ')) - 2),"
-            " i -> cast(conv(substring(md5("
-            "concat_ws(' ', slice(split(text, ' '), i, 3))"
-            "), 1, 15), 16, 10) as bigint))"
-        )
-    )
-    arrs = docs.select("doc_id", shingle_hashes.alias("arr"))
-    sig_cols = [
-        F.array_min(
-            F.expr(f"transform(arr, x -> ({a} * (x % {_MH_P}) + {b}) % {_MH_P})")
-        ).alias(f"s{j}")
-        for j, (a, b) in enumerate(zip(_MH_A, _MH_B))
-    ]
-    # checkpoint: bands and both agreement branches reuse the signatures
-    sigs = arrs.select("doc_id", *sig_cols).localCheckpoint(eager=True)
-    band_structs = [
-        F.struct(
-            F.lit(k).alias("band"),
-            F.concat_ws(
-                ":",
-                *[
-                    F.col(f"s{k * _MH_ROWS + r}").cast("string")
-                    for r in range(_MH_ROWS)
-                ],
-            ).alias("bkey"),
-        )
-        for k in range(_MH_BANDS)
-    ]
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    sigs = _mh_signatures(
+        spread(load_table(spark, sf_dir, "documents"), spark)
+    ).localCheckpoint(eager=True)  # bands + both agreement branches reuse
+    bands = _mh_bands(sigs)
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -799,4 +812,137 @@ def _capped_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.filter(jac >= 0.05).select(
         "doc_a", "doc_b", "n_a", "n_b", "n_common", jac.alias("jaccard_capped")
+    )
+
+
+# --- incremental snapshot dedup (continuous-crawl shape) --------------
+#: md5(doc_id) bucket split: < threshold = existing corpus, >= = new
+#: snapshot arriving for incremental ingest (~20% of docs).
+_INC_CORPUS_PCT = 80
+
+_INC_BAND_SQL = "\n        UNION ALL ".join(
+    f"SELECT doc_id, bucket, {k} AS band, concat_ws(':', "
+    + ", ".join(f"s{k * _MH_ROWS + r}" for r in range(_MH_ROWS))
+    + ") AS bkey FROM sig"
+    for k in range(_MH_BANDS)
+)
+
+_INC_SNAPSHOT_ORACLE = f"""
+    WITH b AS (
+        SELECT d.*,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 AS bucket
+        FROM documents d
+    ),
+    t AS (
+        SELECT doc_id, bucket,
+               list_distinct(
+                   list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> CAST(('0x' || substring(md5(
+                                array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                            ), 1, 15)) AS BIGINT)
+                   )
+               ) AS arr
+        FROM b
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sig AS (
+        SELECT doc_id, bucket,
+           {_MH_SIG_SQL}
+        FROM t
+    ),
+    bands AS (
+        {_INC_BAND_SQL}
+    ),
+    hits AS (
+        SELECT s.doc_id, CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n
+        FROM bands s
+        JOIN bands c
+          ON s.band = c.band AND s.bkey = c.bkey
+        WHERE s.bucket >= {_INC_CORPUS_PCT} AND c.bucket < {_INC_CORPUS_PCT}
+        GROUP BY s.doc_id
+    ),
+    corpus_md5 AS (
+        SELECT DISTINCT md5(text) AS h FROM b WHERE bucket < {_INC_CORPUS_PCT}
+    ),
+    snap AS (
+        SELECT doc_id, md5(text) AS h FROM b WHERE bucket >= {_INC_CORPUS_PCT}
+    )
+    SELECT snap.doc_id,
+           CASE WHEN corpus_md5.h IS NOT NULL THEN 'exact_dup'
+                WHEN COALESCE(hits.n, 0) > 0 THEN 'near_dup_candidate'
+                ELSE 'new' END AS status,
+           CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_band_hits
+    FROM snap
+    LEFT JOIN hits ON snap.doc_id = hits.doc_id
+    LEFT JOIN corpus_md5 ON snap.h = corpus_md5.h
+"""
+
+
+@register(
+    "dedup_incremental_snapshot",
+    oracle=_INC_SNAPSHOT_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW crawl snapshot against the existing
+    corpus — the continuous-ingest shape: every arriving document is
+    classified ``exact_dup`` (content hash already in the corpus),
+    ``near_dup_candidate`` (shares a banded-MinHash LSH bucket with ≥1
+    corpus doc), or ``new``. Only the snapshot is scored; the corpus is
+    never self-joined. The fixture splits documents by a deterministic
+    md5 bucket (80% corpus / 20% snapshot).
+
+    Scale shape: the snapshot is small relative to the corpus, so its
+    content-hash and band tables broadcast; the corpus contributes one
+    linear scan producing fixed-width (band, bkey) and md5 keys. At
+    100 TB the corpus band table is precomputed and persisted (the same
+    incremental economics as ``sim_topk_ivf_persisted``'s index):
+    per-snapshot cost is then snapshot-sized, not corpus-sized.
+    Candidate counts use the LSH guarantee — linear in bucket overlap,
+    no quadratic pair blowup."""
+    from aws_seismic_data_pipeline_spark.llm.curation import _md5_bucket
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark).withColumn(
+        "bucket", _md5_bucket("doc_id", 100)
+    )
+    return classify_snapshot(
+        docs.filter(F.col("bucket") < _INC_CORPUS_PCT),
+        docs.filter(F.col("bucket") >= _INC_CORPUS_PCT),
+    )
+
+
+def classify_snapshot(corpus_docs: DataFrame, snap_docs: DataFrame) -> DataFrame:
+    """Core of :func:`dedup_incremental_snapshot` over explicit corpus /
+    snapshot frames (both need ``doc_id``, ``text``). Split out so the
+    ``exact_dup`` branch — unreachable on the fixture, which contains
+    near-dups but zero byte-identical texts — is pytest-pinned with
+    synthetic frames (tests/test_llm_ops.py)."""
+    corpus_bands = _mh_bands(_mh_signatures(corpus_docs)).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "bkey"
+    )
+    snap_bands = _mh_bands(_mh_signatures(snap_docs))
+    hits = (
+        snap_bands.join(corpus_bands, ["band", "bkey"])
+        .groupBy("doc_id")
+        .agg(F.count_distinct("corpus_doc").alias("n"))
+    )
+    corpus_md5 = (
+        corpus_docs.select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    snap = snap_docs.select("doc_id", F.md5("text").alias("h"))
+    return (
+        snap.join(hits, "doc_id", "left")
+        .join(F.broadcast(corpus_md5), "h", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus"), F.lit("exact_dup"))
+            .when(F.coalesce(F.col("n"), F.lit(0)) > 0, F.lit("near_dup_candidate"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_band_hits"),
+        )
     )

@@ -121,3 +121,80 @@ def sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "sim_embed_quantize_int8",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ),
+        dims AS (
+            SELECT generate_subscripts(emb, 1) AS pos, unnest(emb) AS x FROM e
+        ),
+        sc AS (
+            SELECT pos,
+                   CASE WHEN MAX(ABS(x)) = 0 THEN 1.0
+                        ELSE MAX(ABS(x)) / 127 END AS s
+            FROM dims GROUP BY pos
+        ),
+        scales AS (SELECT list(s ORDER BY pos) AS sl FROM sc),
+        q AS (
+            SELECT vec_id,
+                   list_transform(range(1, len(emb) + 1),
+                                  i -> CAST(round(emb[i] / sl[i]) AS BIGINT)) AS qv
+            FROM e, scales
+        )
+        SELECT vec_id,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS q_l2,
+               CAST(list_max(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_max
+        FROM q
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 scalar quantization of the embedding
+    corpus — the 4x memory-compression step in front of a 100 TB ANN
+    index (scan int8 codes, rerank survivors at full precision). Scale
+    s_d = max|x_d|/127 per dimension, code q = round(x/s) in [-127,127].
+
+    Scale shape: the scale pass is posexplode -> groupBy(pos) with
+    map-side partial max — shuffle is |dims| groups regardless of corpus
+    size; the 64-double scale vector rides a broadcast to the encode
+    pass, which is a pure per-row zip_with (no shuffle, no Python).
+    Outputs are integer checksums of the code vector (sum, l2, max), so
+    the driver hash pins the exact quantized values cross-engine.
+
+    At 100 TB: train scales on a hash-sample instead of the full corpus
+    (identical plan with a scan-level bucket filter); codes append to
+    the IVF index files (llm/ivf.py) so probes scan int8."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dims = emb.select(F.posexplode("emb").alias("pos", "x"))
+    scale_col = F.when(F.max(F.abs(F.col("x"))) == 0, F.lit(1.0)).otherwise(
+        F.max(F.abs(F.col("x"))) / 127
+    )
+    scales = (
+        dims.groupBy("pos")
+        .agg(scale_col.alias("s"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda st: st.s,
+            ).alias("sl")
+        )
+    )
+    qv = F.zip_with(
+        "emb", "sl", lambda x, s: F.round(x / s).cast("long")
+    ).alias("qv")
+    q = emb.crossJoin(F.broadcast(scales)).select("vec_id", qv)
+    zero = F.lit(0).cast("long")
+    return q.select(
+        "vec_id",
+        F.aggregate("qv", zero, lambda acc, v: acc + v).alias("q_sum"),
+        F.aggregate("qv", zero, lambda acc, v: acc + v * v).alias("q_l2"),
+        F.array_max(F.transform("qv", F.abs)).alias("q_max"),
+    )

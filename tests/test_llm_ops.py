@@ -198,3 +198,30 @@ def test_minhash_banded_recovers_high_jaccard_pairs(spark):
     # estimator of jaccard: on true near-dups it must read high
     for p in high:
         assert banded[p] >= 0.5, (p, banded[p], jac[p])
+
+
+def test_incremental_snapshot_status_branches(spark):
+    """The fixture has zero byte-identical texts, so the driver check
+    can never exercise classify_snapshot's exact_dup arm — pin all
+    three branches with synthetic frames."""
+    from aws_seismic_data_pipeline_spark.llm.dedup import classify_snapshot
+
+    schema = "doc_id long, text string"
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lam mu nu xi omicron pi rho sigma tau upsilon"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "unrelated words entirely disjoint vocabulary here")],
+        schema,
+    )
+    snap = spark.createDataFrame(
+        [
+            (10, base),  # byte-identical -> exact_dup (wins over band hits)
+            (11, base.replace("kappa", "KAPPA")),  # near-dup, one word off
+            (12, "zero overlap with anything stored in that corpus table"),
+        ],
+        schema,
+    )
+    out = {r.doc_id: r for r in classify_snapshot(corpus, snap).collect()}
+    assert out[10].status == "exact_dup"
+    assert out[11].status == "near_dup_candidate" and out[11].n_band_hits == 1
+    assert out[12].status == "new" and out[12].n_band_hits == 0

@@ -671,3 +671,144 @@ def curate_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep.alias("keep"),
         failed.alias("failed_rules"),
     )
+
+
+@register(
+    "curate_pretrain_manifest",
+    oracle=f"""
+        WITH b AS (
+            SELECT d.*,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 100 AS bucket
+            FROM documents d
+        ),
+        w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM b
+        ),
+        per_word AS (
+            SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2
+        ),
+        gate AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_words,
+                   (SUM(c) >= {GATE_MIN_WORDS}
+                    AND CAST(COUNT(*) AS DOUBLE) / SUM(c)
+                        >= {GATE_MIN_DISTINCT_RATIO}
+                    AND CAST(MAX(c) AS DOUBLE) / SUM(c)
+                        <= {GATE_MAX_TOP_WORD_FRAC}) AS keep
+            FROM per_word GROUP BY doc_id
+        ),
+        grams AS (
+            SELECT doc_id, bucket,
+                   list_distinct(list_transform(
+                       range(1, len(string_split(text, ' ')) - {DECON_NGRAM - 2}),
+                       i -> CAST(('0x' || substring(md5(array_to_string(
+                                string_split(text, ' ')[i:i+{DECON_NGRAM - 1}], ' '
+                            )), 1, 15)) AS BIGINT)
+                   )) AS gs
+            FROM b
+            WHERE len(string_split(text, ' ')) >= {DECON_NGRAM}
+        ),
+        bench AS (
+            SELECT DISTINCT unnest(gs) AS h FROM grams
+            WHERE bucket < {DECON_BENCH_PCT}
+        ),
+        contaminated AS (
+            SELECT DISTINCT c.doc_id
+            FROM (SELECT doc_id, unnest(gs) AS h FROM grams
+                  WHERE bucket >= {DECON_BENCH_PCT}) c
+            JOIN bench USING (h)
+        ),
+        keepers AS (
+            SELECT MIN(doc_id) AS doc_id FROM b GROUP BY text
+        ),
+        train AS (
+            SELECT b.doc_id, gate.n_words
+            FROM b
+            JOIN gate USING (doc_id)
+            JOIN keepers USING (doc_id)
+            WHERE b.bucket >= {DECON_BENCH_PCT}
+              AND gate.keep
+              AND b.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        )
+        SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % {N_SHARDS} AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_tokens
+        FROM train
+        GROUP BY 1
+    """,
+    tags=("llm", "curation"),
+)
+def curate_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining data build as ONE Spark plan: quality
+    gate (Gopher rules) → benchmark decontamination (5-gram overlap
+    with the held-out slice, which is itself excluded from training) →
+    exact dedup (keep lowest doc_id per identical text) → deterministic
+    md5 sharding, emitting the per-shard manifest (doc + token counts)
+    a training job consumes. One registered query proves the stages
+    COMPOSE — each piece is separately oracle-checked
+    (``curate_quality_gate``, ``text_decontaminate``, ``dedup_exact``,
+    ``shard_assign_hash``); this pins the whole pipeline's output.
+
+    Scale shape: the union of its parts — no new shuffle beyond the
+    component aggs, the benchmark set still broadcasts, the contaminated
+    id set rides a broadcast anti-join (eval-scale, tiny), dedup keepers
+    shuffle (text-hash, doc_id) pairs once, and the manifest is
+    N_SHARDS rows from a map-side partial agg."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark).withColumn(
+        "bucket", _md5_bucket("doc_id", 100)
+    )
+    per_word = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gate = per_word.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        (
+            (F.sum("c") >= GATE_MIN_WORDS)
+            & (F.count(F.lit(1)).cast("double") / F.sum("c") >= GATE_MIN_DISTINCT_RATIO)
+            & (F.max("c").cast("double") / F.sum("c") <= GATE_MAX_TOP_WORD_FRAC)
+        ).alias("keep"),
+    )
+    n = DECON_NGRAM
+    gram_hashes = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+            " i -> cast(conv(substring(md5("
+            f"concat_ws(' ', slice(split(text, ' '), i, {n}))"
+            "), 1, 15), 16, 10) as bigint))"
+        )
+    )
+    grams = docs.filter(F.size(F.split("text", " ")) >= n).select(
+        "doc_id", "bucket", gram_hashes.alias("gs")
+    )
+    bench = (
+        grams.filter(F.col("bucket") < DECON_BENCH_PCT)
+        .select(F.explode("gs").alias("h"))
+        .distinct()
+    )
+    contaminated = (
+        grams.filter(F.col("bucket") >= DECON_BENCH_PCT)
+        .select("doc_id", F.explode("gs").alias("h"))
+        .join(F.broadcast(bench), "h")
+        .select("doc_id")
+        .distinct()
+    )
+    keepers = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    train = (
+        docs.filter(F.col("bucket") >= DECON_BENCH_PCT)
+        .join(gate, "doc_id")
+        .filter(F.col("keep"))
+        .join(keepers, "doc_id", "left_semi")
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+    )
+    return (
+        train.select(_md5_bucket("doc_id", N_SHARDS).alias("shard_id"), "n_words")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+        )
+    )

@@ -58,6 +58,10 @@ HEADLINE = [
     "plan_merge_upsert",
     "join_bloom_filtered",
     "text_lm_perplexity",
+    # round-5 additions: incremental-ingest dedup + pretraining hygiene
+    "dedup_incremental_snapshot",
+    "text_decontaminate",
+    "curate_quality_gate",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

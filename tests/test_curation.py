@@ -119,3 +119,70 @@ def test_doc_repetition_flags_loops(spark, tmp_path):
     assert abs(out[1].top_bigram_ratio - 1.0) < 1e-9  # one bigram dominates
     assert out[2].dup_token_ratio == 0.0
     assert out[2].top_bigram_ratio < 0.25
+
+
+def _plan_of(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    """The benchmark n-gram set must ride a BroadcastHashJoin — if a
+    future edit drops the hint and the eval set shuffle-joins the
+    exploded corpus, that's the scale regression this test pins."""
+    from aws_seismic_data_pipeline_spark.registry import load_all
+
+    df = load_all()["text_decontaminate"].builder(spark, SF_DIR)
+    assert "BroadcastHashJoin" in _plan_of(df)
+
+
+def test_pretrain_manifest_composition(spark):
+    """The composed manifest must equal recomputing its stages from the
+    component queries (gate ∧ not-contaminated ∧ keeper ∧ non-benchmark),
+    and its broadcast joins must survive in the physical plan."""
+    from aws_seismic_data_pipeline_spark.llm.curation import (
+        DECON_BENCH_PCT,
+        N_SHARDS,
+        _md5_bucket,
+    )
+    from aws_seismic_data_pipeline_spark.registry import load_all
+
+    reg = load_all()
+    manifest = {
+        r.shard_id: (r.n_docs, r.n_tokens)
+        for r in reg["curate_pretrain_manifest"].builder(spark, SF_DIR).collect()
+    }
+    plan = _plan_of(reg["curate_pretrain_manifest"].builder(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+    gate = reg["curate_quality_gate"].builder(spark, SF_DIR)
+    contaminated = {
+        r.doc_id for r in reg["text_decontaminate"].builder(spark, SF_DIR).collect()
+    }
+    keepers = {
+        r.keeper_id for r in reg["dedup_exact"].builder(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "bucket", _md5_bucket("doc_id", 100)
+    )
+    rows = (
+        docs.join(gate.select("doc_id", "n_words", "keep"), "doc_id")
+        .filter((F.col("bucket") >= DECON_BENCH_PCT) & F.col("keep"))
+        .select("doc_id", "n_words")
+        .collect()
+    )
+    expect: dict = {}
+    import hashlib
+
+    for r in rows:
+        if r.doc_id in contaminated or r.doc_id not in keepers:
+            continue
+        bucket = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16) % N_SHARDS
+        n_docs, n_tokens = expect.get(bucket, (0, 0))
+        expect[bucket] = (n_docs + 1, n_tokens + r.n_words)
+    assert manifest == expect

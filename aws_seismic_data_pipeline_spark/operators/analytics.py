@@ -1042,3 +1042,199 @@ def subquery_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("bk_custkey").isNotNull().alias("has_big_order"),
     )
+
+
+#: funnel step windows (hours): view within 6h of signup, purchase
+#: within 12h of that view — tuned so the fixture shows a real drop
+#: (150 -> 15 -> 4 users at sf0.01)
+_FUNNEL_W1_H = 6
+_FUNNEL_W2_H = 12
+
+
+@register(
+    "analytics_cohort_retention",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        ),
+        firsts AS (
+            SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
+            FROM e GROUP BY user_id
+        ),
+        sizes AS (
+            SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+            FROM firsts GROUP BY cohort_day
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_day,
+                   CAST(datediff('day', f.cohort_day,
+                                 CAST(date_trunc('day', e.ts) AS DATE)) AS INTEGER)
+                       AS age_days
+            FROM e JOIN firsts f USING (user_id)
+        )
+        SELECT a.cohort_day, a.age_days,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(s.cohort_size)
+                   AS retention_rate
+        FROM activity a JOIN sizes s USING (cohort_day)
+        GROUP BY a.cohort_day, a.age_days
+    """,
+    tags=("analytics", "events"),
+)
+def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the event log: users are cohorted by
+    first-activity day; each (cohort, age-in-days) cell counts distinct
+    users still active, with the rate against cohort size — the
+    standard product-analytics rollup, here as one declarative plan.
+
+    Scale shape: the cohort frame is |users| rows (users << events), so
+    it BROADCASTS onto the event scan; activity dedup and the cell
+    count are two-level map-side aggs on (user, cohort, age) /
+    (cohort, age) fixed-width keys; cohort sizes (|days| rows)
+    broadcast back. The 100 TB event log is scanned once, shuffled
+    only as deduped fixed-width tuples."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = events.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort_day")
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    activity = (
+        events.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date(F.date_trunc("day", "ts")), F.col("cohort_day"))
+            .cast("int")
+            .alias("age_days"),
+        )
+        .distinct()
+    )
+    return (
+        activity.join(F.broadcast(sizes), "cohort_day")
+        .groupBy("cohort_day", "age_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            (F.count(F.lit(1)).cast("double") / F.first("cohort_size")).alias(
+                "retention_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "analytics_event_funnel",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        ),
+        s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM e
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'view'
+              AND e.ts > s1.t1
+              AND e.ts <= s1.t1 + INTERVAL {_FUNNEL_W1_H} HOUR
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase'
+              AND e.ts > s2.t2
+              AND e.ts <= s2.t2 + INTERVAL {_FUNNEL_W2_H} HOUR
+            GROUP BY e.user_id
+        ),
+        counts AS (
+            SELECT 1 AS step, 'signup' AS step_name,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+            UNION ALL
+            SELECT 2, 'view_within_{_FUNNEL_W1_H}h',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase_within_{_FUNNEL_W2_H}h',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+        )
+        SELECT step, step_name, n_users,
+               CAST(n_users AS DOUBLE)
+                   / NULLIF(LAG(n_users) OVER (ORDER BY step), 0)
+                   AS conversion
+        FROM counts
+    """,
+    tags=("analytics", "events"),
+)
+def analytics_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel (signup → view → purchase)
+    with per-step time windows: each step's timestamp must follow the
+    previous step's and land inside its window. Emits step counts and
+    step-over-step conversion — the sequential-pattern query engines
+    bolt on as a special operator, here from joins + min-aggs alone.
+
+    Scale shape: each step frame is |users| rows and BROADCASTS onto
+    the next event-scan pass; the event log is scanned once per step
+    (predicate-pushed on event_type), never self-joined row×row. The
+    3-row result windows on the driver-scale side. At 100 TB, k funnel
+    steps = k pushed-down scans + k broadcasts — no quadratic pair
+    explosion, no per-user Python."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "view")
+        .join(F.broadcast(s1), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr(f"INTERVAL {_FUNNEL_W1_H} HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr(f"INTERVAL {_FUNNEL_W2_H} HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(1).alias("step"), F.lit("signup").alias("step_name"), "n_users")
+        .unionByName(
+            s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("step"),
+                F.lit(f"view_within_{_FUNNEL_W1_H}h").alias("step_name"),
+                "n_users",
+            )
+        )
+        .unionByName(
+            s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("step"),
+                F.lit(f"purchase_within_{_FUNNEL_W2_H}h").alias("step_name"),
+                "n_users",
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("step")
+    return counts.select(
+        "step",
+        "step_name",
+        "n_users",
+        (
+            F.col("n_users").cast("double")
+            / F.nullif(F.lag("n_users").over(w), F.lit(0))
+        ).alias("conversion"),
+    )

@@ -946,3 +946,118 @@ def classify_snapshot(corpus_docs: DataFrame, snap_docs: DataFrame) -> DataFrame
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_band_hits"),
         )
     )
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(
+                       list_transform(
+                           range(1, len(string_split(text, ' ')) - 1),
+                           i -> CAST(('0x' || substring(md5(
+                                    array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                ), 1, 15)) AS BIGINT)
+                       )
+                   ) AS arr
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ),
+        sig AS (
+            SELECT doc_id,
+               {_MH_SIG_SQL}
+            FROM t
+        ),
+        bands AS (
+            {_MH_BAND_SQL}
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x
+            JOIN bands y
+              ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        ),
+        q AS (
+            SELECT doc_id,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS quality
+            FROM documents
+        ),
+        verdicts AS (
+            SELECT CASE WHEN qa.quality > qb.quality
+                          OR (qa.quality = qb.quality AND c.doc_a < c.doc_b)
+                        THEN c.doc_b ELSE c.doc_a END AS dropped_id,
+                   CASE WHEN qa.quality > qb.quality
+                          OR (qa.quality = qb.quality AND c.doc_a < c.doc_b)
+                        THEN c.doc_a ELSE c.doc_b END AS kept_id
+            FROM cand c
+            JOIN q qa ON c.doc_a = qa.doc_id
+            JOIN q qb ON c.doc_b = qb.doc_id
+        )
+        SELECT dropped_id,
+               CAST(MIN(kept_id) AS BIGINT) AS kept_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lost_pairs
+        FROM verdicts
+        GROUP BY dropped_id
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection among near-duplicates: for every
+    banded-MinHash candidate pair, DROP the lower-quality member
+    (type/token diversity; doc_id breaks ties), keeping the best copy —
+    the curation step after candidate generation, where "dedup" must
+    decide WHICH duplicate survives rather than just find pairs. Emits
+    each dropped doc with its (lowest) surviving counterpart and how
+    many pairs it lost.
+
+    Scale shape: candidate generation is the linear LSH bucket join
+    (shared with ``dedup_minhash_banded``); the quality frame is one
+    per-row projection joined by doc key (fixed-width int64); the
+    verdict is pure projection + a doc-keyed agg. No new shuffle class
+    beyond the banded pipeline."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    sigs = _mh_signatures(docs).localCheckpoint(eager=True)
+    bands = _mh_bands(sigs)
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    toks = F.split("text", " ")
+    q = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "quality"
+        ),
+    )
+    qa = q.select(F.col("doc_id").alias("doc_a"), F.col("quality").alias("qa"))
+    qb = q.select(F.col("doc_id").alias("doc_b"), F.col("quality").alias("qb"))
+    a_wins = (F.col("qa") > F.col("qb")) | (
+        (F.col("qa") == F.col("qb")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    verdicts = (
+        cand.join(qa, "doc_a")
+        .join(qb, "doc_b")
+        .select(
+            F.when(a_wins, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+                "dropped_id"
+            ),
+            F.when(a_wins, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "kept_id"
+            ),
+        )
+    )
+    return verdicts.groupBy("dropped_id").agg(
+        F.min("kept_id").alias("kept_id"),
+        F.count(F.lit(1)).alias("n_lost_pairs"),
+    )

@@ -700,3 +700,85 @@ def agg_hll_partial_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_corr_regression",
+    oracle="""
+        WITH r AS (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        m AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                   CAST(SUM(y * y) AS DOUBLE) AS syy,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM r GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n_rows,
+               ((n * sxy) - (sx * sy))
+                   / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy)))
+                   AS corr_qty_price,
+               ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)) AS slope_cents,
+               (sy - (((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))) * sx) / n
+                   AS intercept_cents
+        FROM m
+    """,
+    tags=("agg", "stats"),
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + least-squares slope/intercept of quantity
+    vs price per return flag — computed from EXACT integer moments
+    (quantity is int-valued; price sums integer cents), not the built-in
+    ``corr``/``regr_slope``: their streaming accumulations are
+    summation-order-dependent in the low bits, so no cross-engine hash
+    could pin them. Here every sum is exact (Spark decimal(38) /
+    DuckDB HUGEINT), converted to double ONCE, and both engines then
+    evaluate an identical fixed-parenthesization expression tree —
+    bit-identical statistics, no rounding.
+
+    Scale shape: one map-side-combinable aggregation (6 moments per
+    group, fixed width) — the same single-pass mergeable-moments trick
+    as ``agg_stats_moments``; the statistics are pure projection over
+    the |groups|-row result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    dec = "decimal(38,0)"
+    m = (
+        li.select(
+            "l_returnflag",
+            x.alias("x"),
+            y.alias("y"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+            F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = (n * sxy) - (sx * sy)
+    var_x_n = (n * sxx) - (sx * sx)
+    var_y_n = (n * syy) - (sy * sy)
+    slope = cov_n / var_x_n
+    return m.select(
+        "l_returnflag",
+        "n_rows",
+        (cov_n / (F.sqrt(var_x_n) * F.sqrt(var_y_n))).alias("corr_qty_price"),
+        slope.alias("slope_cents"),
+        ((sy - slope * sx) / n).alias("intercept_cents"),
+    )

@@ -101,3 +101,49 @@ def test_no_registered_query_outputs_complex_types(spark):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not offenders, f"complex-typed output columns: {offenders}"
+
+
+def test_rotation_promotes_newly_oracled_rows_only(monkeypatch):
+    """r4 verdict item 2: the 5 streaming queries gained oracles AFTER
+    their last driver row (rows-only, latest round) — under the old
+    rules they sat in group 3 behind every green and never got their
+    oracle hash-checked. A rows-only-latest query whose registry spec
+    NOW carries an oracle must rotate like a red query (ahead of
+    greens and stale rows-only), since its oracle is wholly unproven."""
+    import aws_seismic_data_pipeline_spark.registry as reg
+
+    history = {
+        "oracled_rowsonly": (2, 2, 3, True),  # fresh rows-only rows...
+        "green_a": (1, 1, 1, False),
+        "rowsonly_stale": (1, 1, 1, True),
+    }
+    monkeypatch.setattr(reg, "_check_history", lambda: history)
+    registry = {
+        "green_a": _spec("green_a"),
+        # ...but the spec now registers SQL: its hash check never ran
+        "oracled_rowsonly": QuerySpec(
+            name="oracled_rowsonly", builder=lambda s, d: None, oracle="SELECT 1"
+        ),
+        "rowsonly_stale": _spec("rowsonly_stale"),
+    }
+    assert list(_rotated(registry)) == [
+        "oracled_rowsonly",
+        "rowsonly_stale",
+        "green_a",
+    ]
+
+
+def test_rotation_rechecks_oldest_greens_first(monkeypatch):
+    """r4 verdict item 3: within the green group, staleness wins — a
+    query last proven in round 1 re-queues before one proven in round 3
+    regardless of registration order, so old greens can't age forever."""
+    import aws_seismic_data_pipeline_spark.registry as reg
+
+    history = {
+        "green_r3": (3, 3, 3, False),
+        "green_r1": (1, 1, 1, False),
+        "green_r2": (2, 2, 2, False),
+    }
+    monkeypatch.setattr(reg, "_check_history", lambda: history)
+    registry = {n: _spec(n) for n in ["green_r3", "green_r1", "green_r2"]}
+    assert list(_rotated(registry)) == ["green_r1", "green_r2", "green_r3"]

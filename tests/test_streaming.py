@@ -117,3 +117,20 @@ def test_stream_dedup_matches_batch_distinct(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stream_snapshot_dedup_matches_batch_classification(spark):
+    """The streaming gate counts band ROWS where the batch op counts
+    distinct docs, but the STATUS must be identical (any-match is the
+    same condition either way)."""
+    streamed = {
+        r.doc_id: r.status
+        for r in REGISTRY["stream_snapshot_dedup"].builder(spark, SF_DIR).collect()
+    }
+    batch = {
+        r.doc_id: r.status
+        for r in REGISTRY["dedup_incremental_snapshot"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    assert streamed == batch and streamed

@@ -519,3 +519,88 @@ def ts_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v_interp"),
         )
     )
+
+
+def _morton16_sql(x: str, y: str) -> str:
+    """16-bit Morton (Z-order) interleave of two 8-bit ints, as pure
+    integer bit arithmetic — identical text works in Spark SQL and
+    DuckDB (& | << >> are common operators)."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+_ZORDER_X = "(user_id % 256)"
+_ZORDER_Y = "((CAST(hour_idx AS BIGINT)) % 256)"
+#: rows per Z-order "file" bucket exponent: morton >> 6 → 1024 buckets
+_ZORDER_FILE_SHIFT = 6
+
+
+@register(
+    "layout_zorder_cluster",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id,
+                   datediff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                            CAST(ts AS TIMESTAMP)) AS hour_idx
+            FROM events
+        ),
+        keyed AS (
+            SELECT user_id, hour_idx,
+                   ({_morton16_sql(_ZORDER_X, _ZORDER_Y)}) AS zkey
+            FROM e
+        )
+        SELECT CAST(zkey >> {_ZORDER_FILE_SHIFT} AS BIGINT) AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(user_id % 256) AS BIGINT) AS min_user_bucket,
+               CAST(MAX(user_id % 256) AS BIGINT) AS max_user_bucket,
+               CAST(MIN(hour_idx % 256) AS BIGINT) AS min_hour_bucket,
+               CAST(MAX(hour_idx % 256) AS BIGINT) AS max_hour_bucket
+        FROM keyed
+        GROUP BY 1
+    """,
+    tags=("layout", "scan"),
+)
+def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout clustering — the multi-dimensional
+    file-skipping lever (Delta ``OPTIMIZE ZORDER BY`` / Iceberg sort
+    orders): interleaving the bits of two scan dimensions (user bucket,
+    hour bucket) makes file ranges narrow in BOTH dimensions at once,
+    so min/max column stats prune scans filtered on EITHER key — a
+    linear sort can only serve one. Emits the per-file stats ranges
+    that pruning would consult: each 16-bit Z-key bucket spans ≤¼ of
+    each dimension (vs the full range on the non-sort dimension of a
+    linear layout), which is the pytest-pinned clustering guarantee.
+
+    Scale shape: the Z-key is a pure per-row integer expression (no
+    shuffle); the production write is ``repartitionByRange(zkey)`` +
+    file-level min/max stats — here the grouped stats themselves are
+    the (deterministic, oracle-checked) output. At 100 TB this layout
+    turns point/range lookups on either dimension into reads of
+    O(matching files), not full scans."""
+    ev = load_table(spark, sf_dir, "events")
+    # timestampdiff(HOUR) counts FULL hours; DuckDB datediff('hour')
+    # counts hour-boundary crossings — identical when the epoch is
+    # hour-aligned and every event follows it, both true here.
+    hour_idx = F.expr(
+        "timestampdiff(HOUR, timestamp_ntz'2024-01-01 00:00:00', ts)"
+    ).cast("bigint")
+    keyed = ev.select(
+        "user_id", hour_idx.alias("hour_idx")
+    ).withColumn("zkey", F.expr(_morton16_sql(_ZORDER_X, _ZORDER_Y)))
+    return (
+        keyed.groupBy(
+            (F.col("zkey") / (1 << _ZORDER_FILE_SHIFT))
+            .cast("bigint")
+            .alias("file_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(F.col("user_id") % 256).alias("min_user_bucket"),
+            F.max(F.col("user_id") % 256).alias("max_user_bucket"),
+            F.min(F.col("hour_idx") % 256).alias("min_hour_bucket"),
+            F.max(F.col("hour_idx") % 256).alias("max_hour_bucket"),
+        )
+    )

@@ -91,3 +91,20 @@ def test_capped_jaccard_agrees_with_exact_where_cap_unbound(spark, duck):
         duck.execute(NGRAM_JACCARD_EXACT_ORACLE),
         "ngram_jaccard_exact",
     )
+
+
+def test_zorder_buckets_are_narrow_in_both_dimensions(spark):
+    """The point of the Z-order layout: every file bucket must span a
+    narrow range of BOTH scan dimensions. With a 16-bit Morton key and
+    file_id = zkey >> 6, each file fixes the top 5 bits of each
+    dimension, so min-max span <= 7 (of 256 buckets) in user AND hour —
+    a linear sort would span the full range on its secondary key."""
+    from aws_seismic_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_DIR
+
+    rows = load_all()["layout_zorder_cluster"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.max_user_bucket - r.min_user_bucket <= 7, r
+        assert r.max_hour_bucket - r.min_hour_bucket <= 7, r

@@ -1,0 +1,71 @@
+"""Empty-input robustness: a 100 TB pipeline regularly sees empty
+partitions, empty snapshots, and freshly-created tables. Core operators
+must plan and execute against 0-row (schema-correct) inputs without
+crashing — returning an empty (or correctly-seeded) result, never a
+div-by-zero, a failed array index, or an .head()[0] on nothing.
+
+Excluded by design: iterative trainers that need seed rows (IVF),
+filesystem-staging streaming jobs, and golden-sf0.01 oracles (their
+semantics are tied to the real fixture)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from aws_seismic_data_pipeline_spark.registry import load_all
+
+from .conftest import SF_DIR
+
+REGISTRY = load_all()
+
+# A representative slice of every family whose plan should degrade to
+# empty output on empty input.
+EMPTY_SAFE = [
+    "scan_parquet", "project_expr", "filter_predicate", "filter_in_set",
+    "join_inner_equi", "join_broadcast", "join_left_outer", "join_left_anti",
+    "join_asof_nearest", "join_salted_skew",
+    "agg_groupby_hash", "agg_rollup", "agg_percentile", "agg_collect",
+    "agg_weighted_avg", "agg_corr_regression",
+    "window_rank", "window_frame_agg", "window_sessionize",
+    "limit_topk_global", "limit_topk_per_group", "sort_multi_key",
+    "set_union_all", "set_except", "set_intersect",
+    "fn_string", "fn_math", "fn_array", "fn_json",
+    "pivot_status_counts", "unpivot_part_measures",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_banded",
+    "dedup_simhash", "dedup_incremental_snapshot", "dedup_keep_best_quality",
+    "text_tokenize_stats", "text_quality_score", "text_lang_id",
+    "text_decontaminate", "curate_quality_gate", "curate_pretrain_manifest",
+    "sample_stratified_seeded", "pack_token_budget", "shard_assign_hash",
+    "analytics_shipping_priority", "analytics_cohort_retention",
+    "analytics_event_funnel", "layout_zorder_cluster",
+    "subquery_not_in_anti", "plan_merge_upsert",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    """Write a 0-row, schema-identical copy of every fixture table."""
+    base = tmp_path_factory.mktemp("empty_sf")
+    from aws_seismic_data_pipeline_spark.catalog import TABLES
+
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet"))
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(
+            str(base / f"{t}.parquet")
+        )
+    return str(base)
+
+
+@pytest.mark.parametrize("name", EMPTY_SAFE)
+def test_runs_on_empty_tables(spark, empty_sf_dir, name):
+    df = REGISTRY[name].builder(spark, empty_sf_dir)
+    rows = df.collect()
+    # analytics_event_funnel emits its 3 step rows with zero counts;
+    # everything else must be empty. Either way: no crash, sane schema.
+    assert df.columns
+    if name == "analytics_event_funnel":
+        assert all(r.n_users == 0 for r in rows)
+    else:
+        assert rows == []

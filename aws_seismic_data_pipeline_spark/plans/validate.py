@@ -1,0 +1,155 @@
+"""Data-quality constraint audit (dbt-test / expectations analog).
+
+A pipeline that ingests continuously (reference seed R14/R15: malformed
+responses become dead-letter placeholders, ``/root/reference/
+app.py:306-334``) needs the complementary batch-side audit: assert the
+warehouse's row-level contracts — referential integrity, key
+uniqueness, domain ranges — and report violation counts per constraint
+instead of failing opaquely. Each check is a single map-side aggregate
+or an anti-join count; the audit of a 100 TB warehouse is one pass per
+table with fixed-width shuffle keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.registry import register
+
+#: warn-level price ceiling — intentionally BELOW the fixture's true
+#: maximum (~105k) so the audit demonstrably reports nonzero violations
+PRICE_WARN_CEILING = 100000
+
+
+@register(
+    "validate_constraints",
+    oracle=f"""
+        WITH checks AS (
+            SELECT 'orders_customer_fk' AS check_name, 'error' AS severity,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_custkey IS NULL) AS n_violations,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_checked
+            UNION ALL
+            SELECT 'events_user_fk', 'error',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+                    LEFT JOIN customer c ON e.user_id = c.c_custkey
+                    WHERE c.c_custkey IS NULL),
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+            UNION ALL
+            SELECT 'orderkey_unique', 'error',
+                   (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                    FROM orders),
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+            UNION ALL
+            SELECT 'quantity_in_1_50', 'error',
+                   (SELECT CAST(COUNT(*) FILTER (
+                        WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+                    FROM lineitem),
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+            UNION ALL
+            SELECT 'price_under_{PRICE_WARN_CEILING}', 'warn',
+                   (SELECT CAST(COUNT(*) FILTER (
+                        WHERE l_extendedprice > {PRICE_WARN_CEILING}) AS BIGINT)
+                    FROM lineitem),
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+            UNION ALL
+            SELECT 'doc_nchars_consistent', 'error',
+                   (SELECT CAST(COUNT(*) FILTER (
+                        WHERE n_chars <> strlen(text)) AS BIGINT)
+                    FROM documents),
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+        )
+        SELECT check_name, severity, n_violations, n_checked,
+               n_violations = 0 AS passed
+        FROM checks
+    """,
+    tags=("plan", "quality"),
+)
+def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level contract audit over the warehouse: referential
+    integrity (orders→customer, events→customer), key uniqueness,
+    domain ranges, and derived-column consistency — one row per
+    constraint with violation/checked counts and a pass flag. The
+    warn-level price ceiling is set below the data's true maximum so
+    the nonzero-violation path is exercised, not just all-green.
+
+    Scale shape: each FK check is a left-anti count (shuffle on the key,
+    or broadcast when the dimension fits); every other check is a
+    single-scan map-side conditional count. The result is |constraints|
+    rows — the audit never materializes violating rows (a debugging
+    variant would TABLESAMPLE them)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    documents = load_table(spark, sf_dir, "documents")
+
+    cust_keys = customer.select("c_custkey").distinct()
+
+    def row(name: str, severity: str, viol: DataFrame, total: DataFrame) -> DataFrame:
+        v = viol.agg(F.count(F.lit(1)).alias("n_violations"))
+        t = total.agg(F.count(F.lit(1)).alias("n_checked"))
+        return v.crossJoin(t).select(
+            F.lit(name).alias("check_name"),
+            F.lit(severity).alias("severity"),
+            "n_violations",
+            "n_checked",
+        )
+
+    checks = [
+        row(
+            "orders_customer_fk",
+            "error",
+            orders.join(
+                cust_keys, orders.o_custkey == cust_keys.c_custkey, "left_anti"
+            ),
+            orders,
+        ),
+        row(
+            "events_user_fk",
+            "error",
+            events.join(
+                cust_keys, events.user_id == cust_keys.c_custkey, "left_anti"
+            ),
+            events,
+        ),
+        # uniqueness as a difference of two aggregates over one scan
+        orders.agg(
+            (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias(
+                "n_violations"
+            ),
+            F.count(F.lit(1)).alias("n_checked"),
+        ).select(
+            F.lit("orderkey_unique").alias("check_name"),
+            F.lit("error").alias("severity"),
+            "n_violations",
+            "n_checked",
+        ),
+        row(
+            "quantity_in_1_50",
+            "error",
+            lineitem.filter(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+            ),
+            lineitem,
+        ),
+        row(
+            f"price_under_{PRICE_WARN_CEILING}",
+            "warn",
+            lineitem.filter(F.col("l_extendedprice") > PRICE_WARN_CEILING),
+            lineitem,
+        ),
+        row(
+            "doc_nchars_consistent",
+            "error",
+            documents.filter(F.col("n_chars") != F.length("text")),
+            documents,
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.withColumn("passed", F.col("n_violations") == 0)

@@ -165,6 +165,7 @@ def load_all() -> dict[str, QuerySpec]:
         migrate,
         scd2,
         upsert,
+        validate,
     )
     from aws_seismic_data_pipeline_spark.streaming import (  # noqa: F401
         batch_windows,

@@ -153,3 +153,87 @@ def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+@register(
+    "profile_column_stats",
+    oracle="""
+        WITH cols(check_order, column_name, dtype, n_nulls, n_distinct) AS (
+            SELECT 1, 'o_orderkey', 'bigint',
+                   (SELECT CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) FROM orders),
+                   (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+            UNION ALL
+            SELECT 2, 'o_custkey', 'bigint',
+                   (SELECT CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) FROM orders),
+                   (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+            UNION ALL
+            SELECT 3, 'o_orderstatus', 'string',
+                   (SELECT CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT) FROM orders),
+                   (SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders)
+            UNION ALL
+            SELECT 4, 'o_orderpriority', 'string',
+                   (SELECT CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT) FROM orders),
+                   (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders)
+            UNION ALL
+            SELECT 5, 'o_totalprice_cents', 'bigint',
+                   (SELECT CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT) FROM orders),
+                   (SELECT CAST(COUNT(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) FROM orders)
+        )
+        SELECT column_name, dtype, n_nulls, n_distinct,
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows
+        FROM cols
+    """,
+    tags=("plan", "quality"),
+)
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the orders table: per-column
+    null and exact distinct counts plus table cardinality — the stats a
+    cost-based optimizer (or a data-quality dashboard) consumes.
+    Doubles are profiled as exact cents so the distinct count is
+    well-defined cross-engine.
+
+    Scale shape: ONE scan computes every column's aggregates together
+    (Spark fuses the count-distincts via expand; each is map-side
+    partial) — profiling never does per-column rescans. At 100 TB use
+    `approx_count_distinct` for the same plan at sketch cost; the exact
+    form here is what the oracle can pin."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}")
+            for c in [
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_orderpriority",
+                "o_totalprice",
+            ]
+        ],
+        F.count_distinct("o_orderkey").alias("nd_o_orderkey"),
+        F.count_distinct("o_custkey").alias("nd_o_custkey"),
+        F.count_distinct("o_orderstatus").alias("nd_o_orderstatus"),
+        F.count_distinct("o_orderpriority").alias("nd_o_orderpriority"),
+        F.count_distinct(cents).alias("nd_o_totalprice_cents"),
+    )
+    spec = [
+        ("o_orderkey", "bigint", "nulls_o_orderkey", "nd_o_orderkey"),
+        ("o_custkey", "bigint", "nulls_o_custkey", "nd_o_custkey"),
+        ("o_orderstatus", "string", "nulls_o_orderstatus", "nd_o_orderstatus"),
+        ("o_orderpriority", "string", "nulls_o_orderpriority", "nd_o_orderpriority"),
+        ("o_totalprice_cents", "bigint", "nulls_o_totalprice", "nd_o_totalprice_cents"),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column_name"),
+                F.lit(dtype).alias("dtype"),
+                F.col(nulls).alias("n_nulls"),
+                F.col(nd).alias("n_distinct"),
+                F.col("n_rows").alias("n_rows"),
+            )
+            for name, dtype, nulls, nd in spec
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")

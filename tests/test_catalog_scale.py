@@ -108,3 +108,32 @@ def test_zorder_buckets_are_narrow_in_both_dimensions(spark):
     for r in rows:
         assert r.max_user_bucket - r.min_user_bucket <= 7, r
         assert r.max_hour_bucket - r.min_hour_bucket <= 7, r
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["filter_predicate", "analytics_promo_revenue", "analytics_shipping_priority"],
+)
+def test_scan_filters_are_pushed_down(spark, name):
+    """Filters on scan-adjacent columns must reach the parquet reader
+    (PushedFilters in the formatted plan) — a refactor that hides a
+    predicate behind a non-pushable expression silently turns pruned
+    scans into full scans, the kind of regression only the plan shows."""
+    import io
+    from contextlib import redirect_stdout
+
+    from aws_seismic_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_DIR
+
+    df = load_all()[name].builder(spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pushed = [
+        line.split("PushedFilters:", 1)[1].strip()
+        for line in plan.splitlines()
+        if "PushedFilters:" in line
+    ]
+    assert any(p and p != "[]" for p in pushed), f"{name}: no pushed filters\n{plan}"

@@ -247,44 +247,52 @@ _MH_SIG_SQL = ",\n           ".join(
     f" AS s{j}"
     for j, (a, b) in enumerate(zip(_MH_A, _MH_B))
 )
-_MH_BAND_SQL = "\n    UNION ALL ".join(
-    f"SELECT doc_id, {k} AS band, concat_ws(':', "
-    + ", ".join(f"s{k * _MH_ROWS + r}" for r in range(_MH_ROWS))
-    + ") AS bkey FROM sig"
-    for k in range(_MH_BANDS)
-)
-_MH_AGREE_SQL = " + ".join(
-    f"(CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END)" for j in range(12)
-)
 
-def _mh_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, s0..s11): 12 universal-hash MinHash signature components
-    over distinct word-3-gram hashes — a pure per-row map, NO shuffle.
-    Docs with <3 words carry no shingles and are excluded."""
-    shingle_hashes = F.array_distinct(
-        F.expr(
-            "transform(sequence(1, size(split(text, ' ')) - 2),"
-            " i -> cast(conv(substring(md5("
-            "concat_ws(' ', slice(split(text, ' '), i, 3))"
-            "), 1, 15), 16, 10) as bigint))"
-        )
+
+def _mh_band_sql(extra_cols: str = "") -> str:
+    """UNION-ALL SQL exploding a ``sig`` CTE (s0..s11) into
+    (doc_id[, extra_cols], band, bkey) rows — the single source for
+    every oracle's banding stage, so the MinHash construction lives in
+    exactly one place (batch, incremental, and streaming oracles all
+    call this instead of re-deriving the f-string)."""
+    cols = "doc_id" + (f", {extra_cols}" if extra_cols else "")
+    return "\n    UNION ALL ".join(
+        f"SELECT {cols}, {k} AS band, concat_ws(':', "
+        + ", ".join(f"s{k * _MH_ROWS + r}" for r in range(_MH_ROWS))
+        + ") AS bkey FROM sig"
+        for k in range(_MH_BANDS)
     )
-    arrs = docs.filter(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", shingle_hashes.alias("arr")
-    )
-    sig_cols = [
+
+
+_MH_BAND_SQL = _mh_band_sql()
+
+
+def _mh_sig_cols() -> list:
+    """The 12 universal-hash signature Columns over an ``arr`` column of
+    int64 shingle hashes — shared by :func:`_mh_signatures` and the
+    streaming gate (which must keep extra columns alongside)."""
+    return [
         F.array_min(
             F.expr(f"transform(arr, x -> ({a} * (x % {_MH_P}) + {b}) % {_MH_P})")
         ).alias(f"s{j}")
         for j, (a, b) in enumerate(zip(_MH_A, _MH_B))
     ]
-    return arrs.select("doc_id", *sig_cols)
 
 
-def _mh_bands(sigs: DataFrame) -> DataFrame:
-    """Explode signatures into (doc_id, band, bkey) LSH bucket rows —
-    ``_MH_BANDS`` rows per doc, the linear candidate-generation shape."""
-    band_structs = [
+#: per-row word-3-gram → 60-bit int64 hash array (engine-portable md5
+#: prefix), the shingle stage shared by every MinHash operator
+_MH_SHINGLE_EXPR = (
+    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
+    " i -> cast(conv(substring(md5("
+    "concat_ws(' ', slice(split(text, ' '), i, 3))"
+    "), 1, 15), 16, 10) as bigint)))"
+)
+
+
+def _mh_band_structs() -> list:
+    """(band, bkey) struct literals for the band explode — shared by
+    :func:`_mh_bands` and the streaming gate."""
+    return [
         F.struct(
             F.lit(k).alias("band"),
             F.concat_ws(
@@ -297,8 +305,25 @@ def _mh_bands(sigs: DataFrame) -> DataFrame:
         )
         for k in range(_MH_BANDS)
     ]
+_MH_AGREE_SQL = " + ".join(
+    f"(CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END)" for j in range(12)
+)
+
+def _mh_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, s0..s11): 12 universal-hash MinHash signature components
+    over distinct word-3-gram hashes — a pure per-row map, NO shuffle.
+    Docs with <3 words carry no shingles and are excluded."""
+    arrs = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.expr(_MH_SHINGLE_EXPR).alias("arr")
+    )
+    return arrs.select("doc_id", *_mh_sig_cols())
+
+
+def _mh_bands(sigs: DataFrame) -> DataFrame:
+    """Explode signatures into (doc_id, band, bkey) LSH bucket rows —
+    ``_MH_BANDS`` rows per doc, the linear candidate-generation shape."""
     return sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+        "doc_id", F.explode(F.array(*_mh_band_structs())).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
 
 
@@ -820,12 +845,7 @@ def _capped_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: snapshot arriving for incremental ingest (~20% of docs).
 _INC_CORPUS_PCT = 80
 
-_INC_BAND_SQL = "\n        UNION ALL ".join(
-    f"SELECT doc_id, bucket, {k} AS band, concat_ws(':', "
-    + ", ".join(f"s{k * _MH_ROWS + r}" for r in range(_MH_ROWS))
-    + ") AS bkey FROM sig"
-    for k in range(_MH_BANDS)
-)
+_INC_BAND_SQL = _mh_band_sql("bucket")
 
 _INC_SNAPSHOT_ORACLE = f"""
     WITH b AS (
@@ -895,9 +915,11 @@ def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 bucket (80% corpus / 20% snapshot).
 
     Scale shape: the snapshot is small relative to the corpus, so its
-    content-hash and band tables broadcast; the corpus contributes one
-    linear scan producing fixed-width (band, bkey) and md5 keys. At
-    100 TB the corpus band table is precomputed and persisted (the same
+    content-hash and band tables broadcast (every hint sits on the
+    snapshot side — see :func:`_classify_against`); the corpus
+    contributes one linear scan producing fixed-width (band, bkey) and
+    md5 keys. At 100 TB the corpus tables are precomputed and persisted
+    — ``dedup_incremental_snapshot_persisted`` is that deployment (same
     incremental economics as ``sim_topk_ivf_persisted``'s index):
     per-snapshot cost is then snapshot-sized, not corpus-sized.
     Candidate counts use the LSH guarantee — linear in bucket overlap,
@@ -919,24 +941,47 @@ def classify_snapshot(corpus_docs: DataFrame, snap_docs: DataFrame) -> DataFrame
     ``exact_dup`` branch — unreachable on the fixture, which contains
     near-dups but zero byte-identical texts — is pytest-pinned with
     synthetic frames (tests/test_llm_ops.py)."""
+    corpus_md5 = corpus_docs.select(F.md5("text").alias("h"))
     corpus_bands = _mh_bands(_mh_signatures(corpus_docs)).select(
         F.col("doc_id").alias("corpus_doc"), "band", "bkey"
     )
+    return _classify_against(snap_docs, corpus_md5, corpus_bands)
+
+
+def _classify_against(
+    snap_docs: DataFrame, corpus_md5: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """Classify snapshot docs against corpus-side lookup tables —
+    ``corpus_md5`` with column ``h`` (content hashes, need not be
+    distinct) and ``corpus_bands`` with (corpus_doc, band, bkey) —
+    whether built in-memory (:func:`classify_snapshot`) or read from
+    the persisted artifact (:func:`classify_snapshot_persisted`).
+
+    Broadcast direction is the scale contract: every hint sits on a
+    SNAPSHOT-derived frame. The snapshot band table broadcasts into a
+    probe of the corpus band table, and the snapshot's distinct hash
+    set broadcasts into a left-semi probe of the corpus hash table, so
+    the corpus — 100 TB at the operator's stated scale — is only ever
+    the streamed side of a broadcast join. The matched-hash result is
+    snapshot-bounded but computed FROM the corpus, so it carries no
+    hint: AQE broadcasts it at runtime when small
+    (tests/test_llm_ops.py pins the plan shape)."""
+    snap = snap_docs.select("doc_id", F.md5("text").alias("h"))
     snap_bands = _mh_bands(_mh_signatures(snap_docs))
     hits = (
-        snap_bands.join(corpus_bands, ["band", "bkey"])
+        corpus_bands.join(F.broadcast(snap_bands), ["band", "bkey"])
         .groupBy("doc_id")
         .agg(F.count_distinct("corpus_doc").alias("n"))
     )
-    corpus_md5 = (
-        corpus_docs.select(F.md5("text").alias("h"))
+    snap_hashes = snap.select("h").distinct()
+    matched = (
+        corpus_md5.join(F.broadcast(snap_hashes), "h", "leftsemi")
         .distinct()
         .withColumn("in_corpus", F.lit(True))
     )
-    snap = snap_docs.select("doc_id", F.md5("text").alias("h"))
     return (
         snap.join(hits, "doc_id", "left")
-        .join(F.broadcast(corpus_md5), "h", "left")
+        .join(matched, "h", "left")
         .select(
             "doc_id",
             F.when(F.col("in_corpus"), F.lit("exact_dup"))
@@ -946,6 +991,88 @@ def classify_snapshot(corpus_docs: DataFrame, snap_docs: DataFrame) -> DataFrame
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_band_hits"),
         )
     )
+
+
+def corpus_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Per-application temp location for the persisted dedup corpus
+    artifact (keyed like :func:`~aws_seismic_data_pipeline_spark.llm.
+    ivf.index_path` so concurrent harness runs never collide)."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    app_id = spark.sparkContext.applicationId
+    return os.path.join(tempfile.gettempdir(), f"dedup_corpus_{tag}_{app_id}")
+
+
+def write_corpus_index(corpus_docs: DataFrame, path: str) -> None:
+    """Materialize the corpus-side dedup artifact: ``{path}/md5`` holds
+    the distinct content-hash table and ``{path}/bands`` the LSH band
+    rows (corpus_doc, bkey) partitioned by ``band``. Built ONCE per
+    corpus version — the incremental economics the in-memory gate can
+    only document: every later snapshot probes these fixed-width
+    tables instead of rescanning and re-hashing the full corpus
+    (same pattern as the IVF index, llm/ivf.py write_index).
+
+    Each write repartitions on its partition/join key first so a
+    1000-task build doesn't leave n_tasks files per directory; a real
+    deployment would additionally bucket ``bands`` by bkey so snapshot
+    probes co-locate without any corpus-side exchange."""
+    corpus_docs.select(F.md5("text").alias("h")).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{path}/md5")
+    bands = _mh_bands(_mh_signatures(corpus_docs)).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "bkey"
+    )
+    bands.repartition("band").write.partitionBy("band").mode("overwrite").parquet(
+        f"{path}/bands"
+    )
+
+
+def classify_snapshot_persisted(
+    spark: SparkSession, snap_docs: DataFrame, path: str
+) -> DataFrame:
+    """Classify a snapshot against the PERSISTED corpus artifact — the
+    production incremental path: per-snapshot cost is snapshot-sized
+    (hash + band the new docs, two probes of stored tables), never
+    corpus-sized."""
+    corpus_md5 = spark.read.parquet(f"{path}/md5")
+    corpus_bands = spark.read.parquet(f"{path}/bands").select(
+        "corpus_doc", F.col("band").cast("int").alias("band"), "bkey"
+    )
+    return _classify_against(snap_docs, corpus_md5, corpus_bands)
+
+
+@register(
+    "dedup_incremental_snapshot_persisted",
+    oracle=_INC_SNAPSHOT_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_incremental_snapshot_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The persisted-artifact deployment of
+    :func:`dedup_incremental_snapshot`: build the corpus md5/band
+    tables once (write_corpus_index), then classify the snapshot by
+    probing them — result is identical to the in-memory gate
+    (same oracle; equality also pytest-pinned in tests/test_llm_ops.py,
+    mirroring tests/test_ivf.py's persisted-vs-memory check). A
+    continuous-crawl user runs the build per corpus version and ONLY
+    this probe per snapshot."""
+    import shutil
+
+    from aws_seismic_data_pipeline_spark.llm.curation import _md5_bucket
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark).withColumn(
+        "bucket", _md5_bucket("doc_id", 100)
+    )
+    path = corpus_index_path(spark, sf_dir)
+    write_corpus_index(docs.filter(F.col("bucket") < _INC_CORPUS_PCT), path)
+    out = classify_snapshot_persisted(
+        spark, docs.filter(F.col("bucket") >= _INC_CORPUS_PCT), path
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(path, ignore_errors=True)
+    return out
 
 
 @register(

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from aws_seismic_data_pipeline_spark.catalog import load_table, prepare
+from aws_seismic_data_pipeline_spark.llm.dedup import _INC_SNAPSHOT_ORACLE
 from aws_seismic_data_pipeline_spark.registry import register
 
 
@@ -515,122 +516,45 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _snapshot_dedup_oracle() -> str:
-    from aws_seismic_data_pipeline_spark.llm.dedup import (
-        _INC_CORPUS_PCT,
-        _MH_BANDS,
-        _MH_ROWS,
-        _MH_SIG_SQL,
-    )
-
-    band_sql = "\n            UNION ALL ".join(
-        f"SELECT doc_id, bucket, {k} AS band, concat_ws(':', "
-        + ", ".join(f"s{k * _MH_ROWS + r}" for r in range(_MH_ROWS))
-        + ") AS bkey FROM sig"
-        for k in range(_MH_BANDS)
-    )
-    return f"""
-        WITH b AS (
-            SELECT d.*,
-                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                        AS BIGINT) % 100 AS bucket
-            FROM documents d
-        ),
-        t AS (
-            SELECT doc_id, bucket,
-                   list_distinct(
-                       list_transform(
-                           range(1, len(string_split(text, ' ')) - 1),
-                           i -> CAST(('0x' || substring(md5(
-                                    array_to_string(string_split(text, ' ')[i:i+2], ' ')
-                                ), 1, 15)) AS BIGINT)
-                       )
-                   ) AS arr
-            FROM b
-            WHERE len(string_split(text, ' ')) >= 3
-        ),
-        sig AS (
-            SELECT doc_id, bucket,
-               {_MH_SIG_SQL}
-            FROM t
-        ),
-        bands AS (
-            {band_sql}
-        ),
-        hits AS (
-            SELECT s.doc_id, CAST(COUNT(c.doc_id) AS BIGINT) AS n_band_rows
-            FROM (SELECT * FROM bands WHERE bucket >= {_INC_CORPUS_PCT}) s
-            LEFT JOIN (SELECT * FROM bands WHERE bucket < {_INC_CORPUS_PCT}) c
-              ON s.band = c.band AND s.bkey = c.bkey
-            GROUP BY s.doc_id
-        ),
-        corpus_md5 AS (
-            SELECT DISTINCT md5(text) AS h
-            FROM b WHERE bucket < {_INC_CORPUS_PCT}
-        ),
-        snap AS (
-            SELECT doc_id, md5(text) AS h
-            FROM b WHERE bucket >= {_INC_CORPUS_PCT}
-        )
-        SELECT snap.doc_id,
-               CASE WHEN corpus_md5.h IS NOT NULL THEN 'exact_dup'
-                    WHEN COALESCE(hits.n_band_rows, 0) > 0
-                         THEN 'near_dup_candidate'
-                    ELSE 'new' END AS status,
-               CAST(COALESCE(hits.n_band_rows, 0) AS BIGINT) AS n_band_rows
-        FROM snap
-        LEFT JOIN hits ON snap.doc_id = hits.doc_id
-        LEFT JOIN corpus_md5 ON snap.h = corpus_md5.h
-    """
-
-
-@register("stream_snapshot_dedup", oracle=_snapshot_dedup_oracle(), tags=("stream", "llm"))
+@register("stream_snapshot_dedup", oracle=_INC_SNAPSHOT_ORACLE, tags=("stream", "llm"))
 def stream_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ingest-time dedup gate: new crawl documents arrive as a
     stream and each is classified exact_dup / near_dup_candidate / new
-    against the STATIC stored corpus — the continuous-crawl deployment
-    of ``dedup_incremental_snapshot`` (llm/dedup.py:~1010), where
-    snapshots flow through readStream instead of a batch job.
+    against the stored corpus — the continuous-crawl deployment of
+    ``dedup_incremental_snapshot`` (llm/dedup.py), where snapshots flow
+    through readStream instead of a batch job.
 
-    Streaming constraints shape the plan: ONE aggregation per query, so
-    the candidate metric is band-bucket ROW matches (``n_band_rows``; a
-    corpus doc sharing 2 bands counts twice) instead of the batch op's
-    distinct-doc count, and the exact-dup flag rides a stream-static
-    broadcast join BEFORE banding so no second aggregation is needed.
-    Docs too short to shingle get an empty band array via explode_outer
-    (null band joins nothing → counted 0 → 'new'). Single availableNow
-    batch over one staged file ⇒ deterministic ⇒ full batch-SQL oracle
-    (rare for a streaming query).
+    Deployment shape: the corpus md5/band artifact is built ONCE
+    (``write_corpus_index`` — per corpus version in production), then
+    ``foreachBatch`` applies the exact batch classifier
+    (``classify_snapshot_persisted``) to every micro-batch. foreachBatch
+    is the scale-correct stream-static pattern here because the
+    broadcast direction must be micro-batch -> corpus: inside the batch
+    the snapshot-side hash/band sets broadcast into probes of the
+    persisted corpus tables, so per-batch cost is batch-sized, never
+    corpus-sized — a plain stream-static join could only broadcast the
+    (100 TB) static side or reshuffle it per batch. Single availableNow
+    batch over one staged file => deterministic => the driver's full
+    batch-SQL oracle applies (same oracle as the batch op).
 
-    Scale shape: the static sides (corpus content hashes, corpus band
-    table) load once and broadcast/hash-join against every micro-batch;
-    per-batch cost is snapshot-sized, never corpus-sized. At 100 TB the
-    corpus band table is the same persisted artifact the batch op
-    documents — streaming probes it incrementally."""
+    Seed: the reference's exists-check dedup at ingest time
+    (``/root/reference/app.py:271-273``), upgraded from filename
+    identity to content + near-dup identity."""
+    import shutil
+
     from aws_seismic_data_pipeline_spark.llm.curation import _md5_bucket
     from aws_seismic_data_pipeline_spark.llm.dedup import (
         _INC_CORPUS_PCT,
-        _MH_A,
-        _MH_B,
-        _MH_BANDS,
-        _MH_P,
-        _MH_ROWS,
-        _mh_bands,
-        _mh_signatures,
+        classify_snapshot_persisted,
+        corpus_index_path,
+        write_corpus_index,
     )
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "bucket", _md5_bucket("doc_id", 100)
     )
-    corpus_docs = docs.filter(F.col("bucket") < _INC_CORPUS_PCT)
-    corpus_md5 = (
-        corpus_docs.select(F.md5("text").alias("h"))
-        .distinct()
-        .withColumn("in_corpus", F.lit(True))
-    )
-    corpus_bands = _mh_bands(_mh_signatures(corpus_docs)).select(
-        F.col("doc_id").alias("corpus_doc"), "band", "bkey"
-    )
+    index = corpus_index_path(spark, sf_dir) + "_stream"
+    write_corpus_index(docs.filter(F.col("bucket") < _INC_CORPUS_PCT), index)
 
     src = f"{sf_dir}/documents.parquet"
     prepare(spark)
@@ -640,73 +564,25 @@ def stream_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(_stream_dir(src))
         .withColumn("bucket", _md5_bucket("doc_id", 100))
         .filter(F.col("bucket") >= _INC_CORPUS_PCT)
-        .withColumn("h", F.md5("text"))
-        .join(F.broadcast(corpus_md5), "h", "left")
     )
-    # per-row banding that KEEPS the (h, in_corpus) columns — the shared
-    # _mh_signatures helper projects them away, and a stream-stream join
-    # to re-attach them is not allowed without watermarks
-    arr = F.array_distinct(
-        F.expr(
-            "transform(sequence(1, size(split(text, ' ')) - 2),"
-            " i -> cast(conv(substring(md5("
-            "concat_ws(' ', slice(split(text, ' '), i, 3))"
-            "), 1, 15), 16, 10) as bigint))"
-        )
+    target = os.path.join(
+        tempfile.gettempdir(), f"snap_dedup_{uuid.uuid4().hex[:8]}"
     )
-    sig_cols = [
-        F.array_min(
-            F.expr(f"transform(arr, x -> ({a} * (x % {_MH_P}) + {b}) % {_MH_P})")
-        ).alias(f"s{j}")
-        for j, (a, b) in enumerate(zip(_MH_A, _MH_B))
-    ]
-    with_sigs = stream.withColumn(
-        "arr",
-        F.when(F.size(F.split("text", " ")) >= 3, arr).otherwise(
-            F.expr("array()").cast("array<bigint>")
-        ),
-    ).select("doc_id", "h", "in_corpus", "arr", *sig_cols)
-    band_structs = [
-        F.struct(
-            F.lit(k).alias("band"),
-            F.concat_ws(
-                ":",
-                *[
-                    F.col(f"s{k * _MH_ROWS + r}").cast("string")
-                    for r in range(_MH_ROWS)
-                ],
-            ).alias("bkey"),
-        )
-        for k in range(_MH_BANDS)
-    ]
-    exploded = with_sigs.select(
-        "doc_id",
-        "h",
-        "in_corpus",
-        F.explode_outer(
-            F.when(F.size("arr") > 0, F.array(*band_structs)).otherwise(
-                F.expr("array()").cast(
-                    "array<struct<band:int,bkey:string>>"
-                )
-            )
-        ).alias("bk"),
-    ).select(
-        "doc_id",
-        "h",
-        "in_corpus",
-        F.col("bk.band").alias("band"),
-        F.col("bk.bkey").alias("bkey"),
+
+    def classify_batch(batch_df: DataFrame, batch_id: int) -> None:
+        classify_snapshot_persisted(spark, batch_df, index).write.mode(
+            "append"
+        ).parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(classify_batch)
+        .option("checkpointLocation", target + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
     )
-    joined = exploded.join(corpus_bands, ["band", "bkey"], "left")
-    agg = joined.groupBy("doc_id", "in_corpus").agg(
-        F.count("corpus_doc").alias("n_band_rows")
-    )
-    result = agg.select(
-        "doc_id",
-        F.when(F.col("in_corpus"), F.lit("exact_dup"))
-        .when(F.col("n_band_rows") > 0, F.lit("near_dup_candidate"))
-        .otherwise(F.lit("new"))
-        .alias("status"),
-        F.col("n_band_rows").cast("long").alias("n_band_rows"),
-    )
-    return _run_available_now(result, "snapshot_dedup")
+    q.awaitTermination()
+    out = spark.read.parquet(target).localCheckpoint(eager=True)
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(target + "_ckpt", ignore_errors=True)
+    shutil.rmtree(index, ignore_errors=True)
+    return out

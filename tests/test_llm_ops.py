@@ -225,3 +225,88 @@ def test_incremental_snapshot_status_branches(spark):
     assert out[10].status == "exact_dup"
     assert out[11].status == "near_dup_candidate" and out[11].n_band_hits == 1
     assert out[12].status == "new" and out[12].n_band_hits == 0
+
+
+def _tree_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Subtree text under each BroadcastExchange node of a Spark plan
+    tree string (children are the following lines with deeper
+    tree-marker indentation)."""
+    import re
+
+    lines = plan.splitlines()
+    depths = [len(re.match(r"^([\s:+|-]*)", ln).group(1)) for ln in lines]
+    subs = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" in ln:
+            j = i + 1
+            sub = []
+            while j < len(lines) and depths[j] > depths[i]:
+                sub.append(lines[j])
+                j += 1
+            subs.append("\n".join(sub))
+    return subs
+
+
+def test_snapshot_dedup_never_broadcasts_corpus(spark):
+    """r5-verdict scale-killer pin: the incremental gate must only ever
+    broadcast SNAPSHOT-bounded frames. The corpus branch (fixture
+    marker: bucket < 80) may appear under a BroadcastExchange only
+    downstream of a LeftSemi probe by the snapshot hash set (whose
+    output is snapshot-sized); the snapshot branch (bucket >= 80) must
+    be a broadcast build side somewhere (the band/hash probes)."""
+    import shutil
+
+    from aws_seismic_data_pipeline_spark.llm.curation import _md5_bucket
+    from aws_seismic_data_pipeline_spark.llm.dedup import (
+        _INC_CORPUS_PCT,
+        classify_snapshot_persisted,
+        corpus_index_path,
+        write_corpus_index,
+    )
+
+    df = REGISTRY["dedup_incremental_snapshot"].builder(spark, SF_DIR)
+    subs = _broadcast_subtrees(_tree_plan(df))
+    assert subs
+    assert any(">= 80" in s for s in subs)
+    for sub in subs:
+        if "< 80" in sub:
+            assert "LeftSemi" in sub, sub
+
+    # persisted path: the corpus is the stored artifact (path marker);
+    # its md5 table may feed a broadcast only through the semi probe
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "bucket", _md5_bucket("doc_id", 100)
+    )
+    path = corpus_index_path(spark, SF_DIR) + "_plantest"
+    try:
+        write_corpus_index(docs.filter(F.col("bucket") < _INC_CORPUS_PCT), path)
+        out = classify_snapshot_persisted(
+            spark, docs.filter(F.col("bucket") >= _INC_CORPUS_PCT), path
+        )
+        subs = _broadcast_subtrees(_tree_plan(out))
+        assert subs
+        for sub in subs:
+            if "dedup_corpus" in sub:
+                assert "LeftSemi" in sub, sub
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_incremental_snapshot_persisted_equals_in_memory(spark):
+    """The persisted-artifact path must classify identically to the
+    in-memory gate (mirror of tests/test_ivf.py's persisted check)."""
+    mem = {
+        (r.doc_id, r.status, r.n_band_hits)
+        for r in REGISTRY["dedup_incremental_snapshot"].builder(spark, SF_DIR).collect()
+    }
+    per = {
+        (r.doc_id, r.status, r.n_band_hits)
+        for r in REGISTRY["dedup_incremental_snapshot_persisted"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    assert mem == per and mem

@@ -120,15 +120,15 @@ def test_stream_dedup_matches_batch_distinct(spark):
 
 
 def test_stream_snapshot_dedup_matches_batch_classification(spark):
-    """The streaming gate counts band ROWS where the batch op counts
-    distinct docs, but the STATUS must be identical (any-match is the
-    same condition either way)."""
+    """foreachBatch applies the exact batch classifier per micro-batch,
+    so the streaming gate's full rows (status AND distinct-doc band
+    counts) must equal the batch op's."""
     streamed = {
-        r.doc_id: r.status
+        r.doc_id: (r.status, r.n_band_hits)
         for r in REGISTRY["stream_snapshot_dedup"].builder(spark, SF_DIR).collect()
     }
     batch = {
-        r.doc_id: r.status
+        r.doc_id: (r.status, r.n_band_hits)
         for r in REGISTRY["dedup_incremental_snapshot"]
         .builder(spark, SF_DIR)
         .collect()

@@ -57,8 +57,11 @@ PRICE_WARN_CEILING = 100000
                    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
             UNION ALL
             SELECT 'doc_nchars_consistent', 'error',
+                   -- length() = characters (matches Spark F.length);
+                   -- strlen() = BYTES, which only coincides on pure-
+                   -- ASCII fixtures (r6 ADVICE)
                    (SELECT CAST(COUNT(*) FILTER (
-                        WHERE n_chars <> strlen(text)) AS BIGINT)
+                        WHERE n_chars <> length(text)) AS BIGINT)
                     FROM documents),
                    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
         )

@@ -395,4 +395,8 @@ def sim_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     out = probe_persisted_index(spark, path, queries, centroids, k=5)
-    return out.localCheckpoint(eager=True)  # materialize before cleanup races
+    result = out.localCheckpoint(eager=True)  # materialize before cleanup
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)  # app-id-keyed dir: no reuse
+    return result

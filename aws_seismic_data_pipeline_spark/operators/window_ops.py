@@ -604,3 +604,148 @@ def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("hour_idx") % 256).alias("max_hour_bucket"),
         )
     )
+
+
+#: production-write tile shift: zkey >> 8 keeps Morton bits 8..15 =
+#: interleave of (user_bucket >> 4, hour_bucket >> 4) — 256 tiles,
+#: each covering a 16x16 cell square in (user, hour) space
+_ZORDER_WRITE_SHIFT = 8
+
+
+def _morton_interleave_py(x: int, y: int, bits: int = 4) -> int:
+    """Driver-side Morton interleave (x in even bits, y in odd) for
+    enumerating the candidate tiles of a rectangular predicate —
+    bounded by the tile grid (<= 256 values), never data-sized."""
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def zorder_write(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """The PRODUCTION Z-order write that ``layout_zorder_cluster`` only
+    computes stats for: key every event row by the 16-bit Morton
+    interleave of (user bucket, hour bucket), ``repartitionByRange`` on
+    the Z-key so each task holds a contiguous curve segment, and land
+    the table partitioned by the Z-tile (``zfile`` = zkey >> 8). The
+    resulting layout is narrow in BOTH dimensions per tile, so a
+    rectangular predicate on either (or both) keys prunes to
+    O(matching tiles) at the file listing — asserted on inputFiles in
+    tests/test_window_ops.py. Seed: R17 date-partitioned layout
+    (``/root/reference/app.py:449-463``) generalized to 2-D.
+
+    Scale shape: the Z-key is a per-row integer expression; the single
+    range shuffle replaces the sort a linear layout needs anyway; the
+    partitioned write produces one contiguous file run per tile (256
+    bounded dirs, not n_tasks x tiles small files)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_idx = F.expr(
+        "timestampdiff(HOUR, timestamp_ntz'2024-01-01 00:00:00', ts)"
+    ).cast("bigint")
+    keyed = (
+        ev.select(
+            (F.col("user_id") % 256).alias("user_bucket"),
+            (hour_idx % 256).alias("hour_bucket"),
+            "value",
+        )
+        .withColumn(
+            "zkey", F.expr(_morton16_sql("user_bucket", "hour_bucket"))
+        )
+        .withColumn(
+            "zfile", (F.col("zkey") / (1 << _ZORDER_WRITE_SHIFT)).cast("bigint")
+        )
+    )
+    keyed.repartitionByRange(32, "zkey").write.partitionBy("zfile").mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def zorder_pruned_scan(
+    spark: SparkSession,
+    path: str,
+    user_range: tuple[int, int],
+    hour_range: tuple[int, int],
+) -> DataFrame:
+    """Read a Z-ordered table back for a rectangle in (user, hour)
+    space: enumerate the Morton tiles intersecting the box driver-side
+    (bounded by the 16x16 tile grid), prune the scan to those
+    partitions with a ``zfile IN (...)`` partition filter, then apply
+    the exact row-level range predicates. Unmatched tiles are never
+    listed or read."""
+    (ulo, uhi), (hlo, hhi) = user_range, hour_range
+    tiles = sorted(
+        {
+            _morton_interleave_py(xt, yt)
+            for xt in range(ulo >> 4, (uhi >> 4) + 1)
+            for yt in range(hlo >> 4, (hhi >> 4) + 1)
+        }
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("zfile").isin(tiles))
+        .filter(
+            F.col("user_bucket").between(ulo, uhi)
+            & F.col("hour_bucket").between(hlo, hhi)
+        )
+    )
+
+
+#: the query's demo rectangle: 2x2 tiles out of the 16x16 grid
+_ZQ_USER = (16, 47)
+_ZQ_HOUR = (32, 63)
+
+
+@register(
+    "layout_zorder_scan",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id % 256 AS user_bucket,
+                   datediff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                            CAST(ts AS TIMESTAMP)) % 256 AS hour_bucket,
+                   value
+            FROM events
+        )
+        SELECT CAST(user_bucket >> 4 AS BIGINT) AS tile_x,
+               CAST(hour_bucket >> 4 AS BIGINT) AS tile_y,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(SUM(value), 2) AS total_value
+        FROM e
+        WHERE user_bucket BETWEEN {_ZQ_USER[0]} AND {_ZQ_USER[1]}
+          AND hour_bucket BETWEEN {_ZQ_HOUR[0]} AND {_ZQ_HOUR[1]}
+        GROUP BY 1, 2
+    """,
+    tags=("layout", "scan"),
+)
+def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Z-order layout round trip: write the event table in
+    Morton-tile layout (``zorder_write``), then answer a 2-D rectangle
+    query through the pruned scan (``zorder_pruned_scan``) — reading
+    only the 4 of 256 tiles the box intersects — and aggregate per
+    tile. The oracle recomputes the same rectangle from the raw table,
+    so the driver hash-checks that pruning loses no rows; the file-
+    count reduction itself is pytest-pinned on inputFiles."""
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"zorder_{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    zorder_write(spark, sf_dir, path)
+    out = (
+        zorder_pruned_scan(spark, path, _ZQ_USER, _ZQ_HOUR)
+        .groupBy(
+            F.shiftright("user_bucket", 4).cast("bigint").alias("tile_x"),
+            F.shiftright("hour_bucket", 4).cast("bigint").alias("tile_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    return out

@@ -69,13 +69,18 @@ HEADLINE = [
 # build (train + cell-partitioned write) happens once per corpus version,
 # while probes run per query batch — one number would hide which side a
 # regression lives on.
-PHASED = {"sim_topk_ivf_persisted": "_bench_ivf_persisted"}
+PHASED = {
+    "sim_topk_ivf_persisted": "_bench_ivf_persisted",
+    "dedup_incremental_snapshot_persisted": "_bench_snapshot_persisted",
+}
 
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
 
 
 def _bench_ivf_persisted(spark, sf_dir: str) -> dict[str, float]:
     """Time the persisted-IVF build and probe phases separately."""
+    import shutil
+
     from pyspark.sql import functions as F
 
     from aws_seismic_data_pipeline_spark.catalog import load_table
@@ -98,7 +103,47 @@ def _bench_ivf_persisted(spark, sf_dir: str) -> dict[str, float]:
     df = probe_persisted_index(spark, path, queries, centroids, k=5)
     df.write.format("noop").mode("overwrite").save()
     probe = time.perf_counter() - t0
+    # the app-id-keyed path is unique per run: remove it so repeated
+    # harness runs don't accumulate orphaned index trees under /tmp
+    # (mode("overwrite") makes the next trial's build cost identical)
+    shutil.rmtree(path, ignore_errors=True)
     return {"sim_topk_ivf_persisted_build": build, "sim_topk_ivf_persisted_probe": probe}
+
+
+def _bench_snapshot_persisted(spark, sf_dir: str) -> dict[str, float]:
+    """Time the persisted incremental-dedup artifact build (once per
+    corpus version in production) separately from the per-snapshot
+    probe (the recurring cost a continuous-crawl user actually pays)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table, spread
+    from aws_seismic_data_pipeline_spark.llm.curation import _md5_bucket
+    from aws_seismic_data_pipeline_spark.llm.dedup import (
+        _INC_CORPUS_PCT,
+        classify_snapshot_persisted,
+        corpus_index_path,
+        write_corpus_index,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark).withColumn(
+        "bucket", _md5_bucket("doc_id", 100)
+    )
+    path = corpus_index_path(spark, sf_dir) + "_bench"
+    t0 = time.perf_counter()
+    write_corpus_index(docs.filter(F.col("bucket") < _INC_CORPUS_PCT), path)
+    build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    classify_snapshot_persisted(
+        spark, docs.filter(F.col("bucket") >= _INC_CORPUS_PCT), path
+    ).write.format("noop").mode("overwrite").save()
+    probe = time.perf_counter() - t0
+    shutil.rmtree(path, ignore_errors=True)
+    return {
+        "dedup_snapshot_persisted_build": build,
+        "dedup_snapshot_persisted_probe": probe,
+    }
 
 
 def main() -> None:
@@ -148,12 +193,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The stdout line must stay SMALL: the driver's capture truncated
+    # r5's ~4 KB line mid-stream (BENCH_r05.json parsed:null). Per-query
+    # spreads go to bench_history.jsonl only; stdout carries the totals,
+    # per-query minima, and any flagged regressions (~1.5 KB).
     result = {
         "metric": "headline_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "spread": spreads,
         "trials": TRIALS,
         "sf": sf_val,
     }
@@ -172,8 +220,19 @@ def main() -> None:
     if regressions:
         result["regressions"] = regressions
     with open(history_path, "a") as fh:
-        fh.write(json.dumps({"ts": time.time(), "sf": sf_val, "queries": timings}) + "\n")
-    print(json.dumps(result))
+        fh.write(
+            json.dumps(
+                {
+                    "ts": time.time(),
+                    "sf": sf_val,
+                    "queries": timings,
+                    "spread": spreads,
+                    "host_factor": host_factor,
+                }
+            )
+            + "\n"
+        )
+    print(json.dumps(result, separators=(",", ":")))
     spark.stop()
 
 

@@ -1188,3 +1188,108 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("kept_id").alias("kept_id"),
         F.count(F.lit(1)).alias("n_lost_pairs"),
     )
+
+
+#: LSH-verified dedup decision threshold on EXACT Jaccard
+_LSH_VERIFY_TAU = 0.5
+
+_LSH_VERIFIED_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> CAST(('0x' || substring(md5(
+                                array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                            ), 1, 15)) AS BIGINT)
+                   )
+               ) AS arr
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sig AS (
+        SELECT doc_id,
+           {_MH_SIG_SQL}
+        FROM (SELECT doc_id, arr FROM t)
+    ),
+    bands AS (
+        {_MH_BAND_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x
+        JOIN bands y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(ta.arr, tb.arr)) AS BIGINT) AS n_common,
+           CAST(len(list_intersect(ta.arr, tb.arr)) AS DOUBLE)
+               / (len(ta.arr) + len(tb.arr) - len(list_intersect(ta.arr, tb.arr)))
+               AS jaccard,
+           (CAST(len(list_intersect(ta.arr, tb.arr)) AS DOUBLE)
+               / (len(ta.arr) + len(tb.arr) - len(list_intersect(ta.arr, tb.arr))))
+               >= {_LSH_VERIFY_TAU} AS is_dup
+    FROM cand c
+    JOIN t ta ON c.doc_a = ta.doc_id
+    JOIN t tb ON c.doc_b = tb.doc_id
+"""
+
+
+@register("dedup_lsh_verified", oracle=_LSH_VERIFIED_ORACLE, tags=("llm", "dedup"))
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION two-phase near-dup pipeline: banded-MinHash LSH
+    generates candidate pairs (linear, probabilistic), then each
+    candidate is VERIFIED with the exact shingle-set Jaccard —
+    false-positive candidates get their true (low) score and the
+    decision flag comes from exact similarity, not the estimate. This
+    is the missing step between ``dedup_minhash_banded`` (candidates +
+    12-hash estimate) and a defensible dedup verdict.
+
+    Scale shape: candidate generation is the shared LSH bucket join
+    (linear in corpus + bucket overlap); verification first SEMI-joins
+    the per-doc shingle-hash arrays down to candidate members only —
+    the array shuffle is bounded by |candidate docs|, never corpus-
+    sized — then joins the two (candidate-scale) sides by doc key.
+    Exact intersection runs as a per-row array_intersect on int64
+    hashes: no explode, no second shuffle class."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark).filter(
+        F.size(F.split("text", " ")) >= 3
+    )
+    arrs = docs.select(
+        "doc_id", F.expr(_MH_SHINGLE_EXPR).alias("arr")
+    ).localCheckpoint(eager=True)
+    bands = _mh_bands(arrs.select("doc_id", *_mh_sig_cols()))
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_arrs = arrs.join(ids, "doc_id", "leftsemi")
+    a = cand_arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    b = cand_arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    n_common = F.size(F.array_intersect("arr_a", "arr_b"))
+    jaccard = n_common.cast("double") / (
+        F.size("arr_a") + F.size("arr_b") - n_common
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.cast("long").alias("n_common"),
+            jaccard.alias("jaccard"),
+            (jaccard >= _LSH_VERIFY_TAU).alias("is_dup"),
+        )
+    )

@@ -198,3 +198,61 @@ def sim_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("qv", zero, lambda acc, v: acc + v * v).alias("q_l2"),
         F.array_max(F.transform("qv", F.abs)).alias("q_max"),
     )
+
+
+#: range-search similarity floor (on the 6dp-rounded cosine, so the
+#: boundary is deterministic across engines)
+RANGE_TAU = 0.30
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+        SELECT query_id, neighbor_id, cosine FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 4)
+                       AS cosine,
+                   ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6)
+                       AS cos6
+            FROM embeddings q CROSS JOIN embeddings c
+            WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+        ) WHERE cos6 >= {RANGE_TAU}
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: EVERY corpus vector whose
+    cosine with a query clears the threshold — the set-semantics
+    complement of top-k ANN (near-dup mining and retrieval-recall
+    audits want "all neighbors above τ", not a fixed k).
+
+    Execution is the same vectorized no-shuffle shape as
+    ``sim_topk_bruteforce``: query matrix in the task closure, one
+    Arrow+numpy pass per corpus partition, but emission is
+    threshold-gated (``range_dots``) so no global re-rank exists at
+    all — output is exactly the matching pairs. The boundary is owned
+    by a deterministic ``round(dot, 6) >= τ`` filter identical to the
+    oracle's. At 100 TB: one corpus scan per query batch, partial
+    results bounded by the true match count; the IVF/bucketed variants
+    cut the scan the same way they do for top-k."""
+    from aws_seismic_data_pipeline_spark.llm.vector import range_dots
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 20)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    corpus = spread_dense(emb, spark, sf_dir)
+    return (
+        range_dots(corpus, queries, RANGE_TAU)
+        .filter(F.round(F.col("dot"), 6) >= RANGE_TAU)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("dot", 4).alias("cosine"),
+        )
+    )

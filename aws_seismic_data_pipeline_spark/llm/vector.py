@@ -133,3 +133,46 @@ def rank_topk(candidates: DataFrame, k: int) -> DataFrame:
         candidates.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def range_dots(
+    corpus: DataFrame,
+    queries: list[tuple[int, np.ndarray]],
+    tau: float,
+) -> DataFrame:
+    """All (query, corpus) pairs whose dot product clears ``tau`` —
+    radius/range search, the threshold complement of ``topk_dots``.
+    Same shape: query matrix in the task closure, one Arrow+numpy pass
+    per corpus partition, but emission is threshold-gated instead of
+    partial-top-k, so output is exactly the matching pairs (no global
+    re-rank needed; set semantics). A small margin below ``tau`` is
+    emitted so the caller's deterministic ``round(dot, 6) >= tau``
+    filter — matching the SQL oracle — owns the boundary.
+    """
+    assert len(queries) <= MAX_CLOSURE_QUERIES, (
+        f"{len(queries)} query vectors in the task closure — the contract "
+        f"is <= {MAX_CLOSURE_QUERIES}; batch larger query sets"
+    )
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = as_matrix([q[1] for q in queries])
+    margin = tau - 1e-6
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_mat = as_matrix(pdf["embedding"])
+            dots = q_mat @ c_mat.T  # (n_q, n_c) float64
+            dots[c_ids[None, :] == q_ids[:, None]] = -np.inf
+            qi, ci = np.nonzero(dots >= margin)
+            if qi.size:
+                yield pd.DataFrame(
+                    {
+                        "query_id": q_ids[qi],
+                        "neighbor_id": c_ids[ci],
+                        "dot": dots[qi, ci],
+                    }
+                )
+
+    return corpus.select("vec_id", "embedding").mapInPandas(score, _PAIR_SCHEMA)

@@ -397,6 +397,84 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_tolerance",
+    oracle="""
+        -- staleness via exact integer microseconds (floor-divided to
+        -- seconds): epoch() doubles would round vs Spark's floor
+        SELECT event_id, user_id, click_ts,
+               CASE WHEN last_purchase_ts IS NOT NULL
+                         AND date_diff('microsecond', last_purchase_ts,
+                                       click_ts) <= CAST(7200000000 AS BIGINT)
+                    THEN last_purchase_ts END AS last_purchase_ts,
+               CASE WHEN last_purchase_ts IS NOT NULL
+                         AND date_diff('microsecond', last_purchase_ts,
+                                       click_ts) <= CAST(7200000000 AS BIGINT)
+                    THEN CAST(date_diff('microsecond', last_purchase_ts,
+                                        click_ts) // 1000000 AS BIGINT)
+               END AS staleness_s
+        FROM (
+            SELECT c.event_id,
+                   c.user_id,
+                   CAST(c.ts AS TIMESTAMP) AS click_ts,
+                   (
+                       SELECT MAX(CAST(p.ts AS TIMESTAMP)) FROM events p
+                       WHERE p.user_id = c.user_id
+                         AND p.event_type = 'purchase'
+                         AND p.ts <= c.ts
+                   ) AS last_purchase_ts
+            FROM events c
+            WHERE c.event_type = 'click'
+        )
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with a MAX-STALENESS tolerance (pandas merge_asof's
+    ``tolerance=``, the feature-engineering default): each click gets
+    the latest at-or-before purchase only if it happened within 2
+    hours; staler matches are nulled rather than joined, and the
+    staleness itself is emitted for downstream feature use.
+
+    Same scale-correct union+window plan as ``join_asof_nearest`` (one
+    user_id shuffle, linear per-partition sweep — never a range join);
+    the tolerance is a pure post-window projection, so the cutoff adds
+    ZERO plan cost. At 100 TB this is the as-of variant that bounds
+    state: features never reference arbitrarily old context."""
+    tol_s = 7200
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_purchase")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_purchase"),
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_purchase").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    enriched = unioned.withColumn(
+        "raw_asof_ts",
+        F.last(
+            F.when(F.col("is_purchase") == 1, F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    micros = F.expr("timestampdiff(MICROSECOND, raw_asof_ts, ts)")
+    in_tol = F.col("raw_asof_ts").isNotNull() & (micros <= tol_s * 1_000_000)
+    return enriched.filter(F.col("is_purchase") == 0).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.when(in_tol, F.col("raw_asof_ts")).alias("last_purchase_ts"),
+        F.when(in_tol, (micros / 1_000_000).cast("long")).alias("staleness_s"),
+    )
+
+
+@register(
     "join_right_outer",
     oracle="""
         SELECT s.s_suppkey, s.s_name, l.l_orderkey, l.l_linenumber, l.l_quantity

@@ -749,3 +749,73 @@ def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+@register(
+    "window_cumulative_distinct",
+    oracle="""
+        WITH e AS (
+            SELECT event_type, user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+            FROM events
+        ),
+        firsts AS (
+            SELECT event_type, user_id, MIN(day) AS first_day
+            FROM e GROUP BY 1, 2
+        ),
+        new_per_day AS (
+            SELECT event_type, first_day AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_new
+            FROM firsts GROUP BY 1, 2
+        ),
+        active_days AS (
+            SELECT DISTINCT event_type, day FROM e
+        )
+        SELECT d.event_type, d.day,
+               CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+               CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+               ) AS BIGINT) AS cum_distinct_users
+        FROM active_days d
+        LEFT JOIN new_per_day n
+          ON d.event_type = n.event_type AND d.day = n.day
+    """,
+    tags=("window", "agg"),
+)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count — cumulative unique users per event type
+    by day, the classic operator naive SQL can't express (COUNT(DISTINCT)
+    OVER a running frame is unsupported in both engines, and a
+    per-day re-count over growing prefixes is O(days x events)).
+
+    The scale-correct decomposition: each user's FIRST day per type
+    (one groupBy on fixed-width keys), daily new-user counts, then a
+    running SUM window over |type x day| rows — the expensive distinct
+    collapses once, the window runs over driver-scale cardinality.
+    Days with activity but no new users still appear (zero-filled via
+    the active-day left join). At 100 TB the event scan shuffles only
+    (type, user) pairs once; everything after is bounded by the
+    calendar."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+    )
+    firsts = e.groupBy("event_type", "user_id").agg(F.min("day").alias("day"))
+    new_per_day = firsts.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    active_days = e.select("event_type", "day").distinct()
+    w = W.partitionBy("event_type").orderBy("day")
+    return (
+        active_days.join(new_per_day, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+        .withColumn(
+            "cum_distinct_users", F.sum("n_new").over(w).cast("long")
+        )
+    )

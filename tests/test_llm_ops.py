@@ -310,3 +310,46 @@ def test_incremental_snapshot_persisted_equals_in_memory(spark):
         .collect()
     }
     assert mem == per and mem
+
+
+def test_range_search_complete_and_consistent_with_topk(spark):
+    """Range search must (a) only emit pairs clearing the threshold,
+    (b) contain every top-k pair whose cosine clears it (completeness
+    against the independently-computed top-k path)."""
+    from aws_seismic_data_pipeline_spark.llm.similarity import RANGE_TAU
+
+    rng = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in REGISTRY["sim_range_search"].builder(spark, SF_DIR).collect()
+    }
+    assert rng
+    assert all(c >= RANGE_TAU - 1e-4 for c in rng.values())
+    topk = REGISTRY["sim_topk_bruteforce"].builder(spark, SF_DIR).collect()
+    for r in topk:
+        if r.query_id < 20 and r.cosine >= RANGE_TAU + 1e-4:
+            assert (r.query_id, r.neighbor_id) in rng, r
+
+
+def test_lsh_verified_matches_exact_jaccard_witness(spark):
+    """Every verified candidate pair's exact Jaccard must equal the
+    uncapped witness's value for that pair (same distinct-shingle-set
+    semantics), and the decision flag must follow the threshold."""
+    from aws_seismic_data_pipeline_spark.llm.dedup import _LSH_VERIFY_TAU
+
+    verified = REGISTRY["dedup_lsh_verified"].builder(spark, SF_DIR).collect()
+    assert verified
+    from aws_seismic_data_pipeline_spark.llm.dedup import ngram_jaccard_exact
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_exact(spark, SF_DIR).collect()
+    }
+    for r in verified:
+        assert r.is_dup == (r.jaccard >= _LSH_VERIFY_TAU), r
+        key = (r.doc_a, r.doc_b)
+        if key in exact:
+            assert abs(r.jaccard - exact[key]) < 1e-12, (r, exact[key])
+        else:
+            # witness only keeps jaccard >= 0.05: sub-floor candidates
+            # are LSH false positives the verify stage exists to score
+            assert r.jaccard < 0.05, r

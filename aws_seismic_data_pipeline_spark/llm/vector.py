@@ -153,6 +153,8 @@ def range_dots(
         f"{len(queries)} query vectors in the task closure — the contract "
         f"is <= {MAX_CLOSURE_QUERIES}; batch larger query sets"
     )
+    if not queries:  # empty snapshot/table: no pairs, not a vstack crash
+        return corpus.sparkSession.createDataFrame([], _PAIR_SCHEMA)
     q_ids = np.array([q[0] for q in queries], dtype=np.int64)
     q_mat = as_matrix([q[1] for q in queries])
     margin = tau - 1e-6

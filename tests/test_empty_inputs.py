@@ -25,7 +25,7 @@ REGISTRY = load_all()
 EMPTY_SAFE = [
     "scan_parquet", "project_expr", "filter_predicate", "filter_in_set",
     "join_inner_equi", "join_broadcast", "join_left_outer", "join_left_anti",
-    "join_asof_nearest", "join_salted_skew",
+    "join_asof_nearest", "join_asof_tolerance", "join_salted_skew",
     "agg_groupby_hash", "agg_rollup", "agg_percentile", "agg_collect",
     "agg_weighted_avg", "agg_corr_regression",
     "window_rank", "window_frame_agg", "window_sessionize",
@@ -35,6 +35,7 @@ EMPTY_SAFE = [
     "pivot_status_counts", "unpivot_part_measures",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_banded",
     "dedup_simhash", "dedup_incremental_snapshot", "dedup_keep_best_quality",
+    "dedup_lsh_verified", "sim_range_search", "window_cumulative_distinct",
     "text_tokenize_stats", "text_quality_score", "text_lang_id",
     "text_decontaminate", "curate_quality_gate", "curate_pretrain_manifest",
     "sample_stratified_seeded", "pack_token_budget", "shard_assign_hash",

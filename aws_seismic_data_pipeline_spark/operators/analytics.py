@@ -1254,3 +1254,96 @@ def analytics_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.lag("n_users").over(w), F.lit(0))
         ).alias("conversion"),
     )
+
+
+@register(
+    "analytics_basket_affinity",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l.l_orderkey, p.p_type
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        totals AS (
+            SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_total
+            FROM items
+        ),
+        per_type AS (
+            SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_type
+            FROM items GROUP BY p_type
+        ),
+        pairs AS (
+            SELECT a.p_type AS type_a, b.p_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM items a
+            JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+            GROUP BY 1, 2
+        )
+        SELECT pr.type_a, pr.type_b, pr.n_orders,
+               CAST(pr.n_orders * t.n_total AS DOUBLE)
+                   / (ta.n_type * tb.n_type) AS lift
+        FROM pairs pr
+        CROSS JOIN totals t
+        JOIN per_type ta ON pr.type_a = ta.p_type
+        JOIN per_type tb ON pr.type_b = tb.p_type
+        WHERE pr.n_orders >= 5
+    """,
+    tags=("analytics", "join"),
+)
+def analytics_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part-type pairs bought together in
+    the same order, with the lift ratio (observed co-baskets over the
+    independence expectation) — the association-mining query engines
+    grow a dedicated operator for, here from blocked joins alone.
+
+    Scale shape: the item set collapses to DISTINCT (order, type) first
+    (bounded: types per order <= items per order); the pair join is
+    SELF-BLOCKED on orderkey, so fanout is per-order types² (orders
+    hold ~4-13 items — bounded constant), never a global type×type
+    blowup. The per-type totals frame is |types| rows and broadcasts
+    back; one integer product ratio per surviving pair, division
+    bit-identical in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    totals = items.agg(
+        F.count_distinct("l_orderkey").alias("n_total")
+    )
+    per_type = items.groupBy("p_type").agg(F.count(F.lit(1)).alias("n_type"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_type") < F.col("b.p_type")),
+        )
+        .groupBy(
+            F.col("a.p_type").alias("type_a"), F.col("b.p_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 5)
+    )
+    ta = per_type.select(
+        F.col("p_type").alias("type_a"), F.col("n_type").alias("n_a")
+    )
+    tb = per_type.select(
+        F.col("p_type").alias("type_b"), F.col("n_type").alias("n_b")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_orders",
+            (
+                (F.col("n_orders") * F.col("n_total")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )

@@ -471,3 +471,91 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_value"),
     )
+
+
+#: malformed CSV lines staged alongside valid rows — exercised by the
+#: dead-letter split below (literal also in the oracle)
+_CSV_BAD_LINES = [
+    "NOT_A_KEY,BROKEN_NATION,xx",
+    '7,"unterminated quote,3',
+]
+
+
+@register(
+    "scan_csv_corrupt_deadletter",
+    oracle="""
+        SELECT 'ok' AS status,
+               CAST(n_nationkey AS BIGINT) AS record_key,
+               n_name AS payload
+        FROM nation
+        UNION ALL
+        SELECT 'dead_letter', NULL, 'NOT_A_KEY,BROKEN_NATION,xx'
+        UNION ALL
+        SELECT 'dead_letter', NULL, '7,"unterminated quote,3'
+    """,
+    tags=("source", "quality"),
+)
+def scan_csv_corrupt_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input dead-lettering at the SCAN (seed R15: the
+    reference turns failed fetches into placeholder records rather than
+    dying, ``/root/reference/app.py:306-334``; this is the batch-scan
+    analog for corrupt text interchange files): parse a CSV under
+    PERMISSIVE mode with a corrupt-record column, route clean rows to
+    the data channel and malformed lines — verbatim, for replay — to
+    the dead-letter channel, in ONE pass. The staged file interleaves
+    the nation table with two broken lines (unparseable key; an
+    unterminated quote).
+
+    Scale shape: PERMISSIVE parsing is per-row map work inside the
+    scan; the status split is a projection, not a second read. At
+    100 TB the dead-letter branch writes to its own sink and the job
+    never aborts on line 40-billion-and-three."""
+    import os
+    import tempfile
+
+    prepare(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    stage_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"csv_dlq_{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(stage_dir, exist_ok=True)
+    stage = os.path.join(stage_dir, "nation_dirty.csv")
+    if not os.path.exists(stage):
+        rows = nation.select("n_nationkey", "n_name", "n_regionkey").collect()
+        with open(stage, "w") as fh:
+            for r in rows:
+                fh.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+            for line in _CSV_BAD_LINES:
+                fh.write(line + "\n")
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(stage)
+        # cache() lifts the Spark restriction on referencing only the
+        # corrupt column of a PERMISSIVE scan in a filter
+        .cache()
+    )
+    is_dead = F.col("_corrupt").isNotNull()
+    return parsed.select(
+        F.when(is_dead, F.lit("dead_letter")).otherwise(F.lit("ok")).alias(
+            "status"
+        ),
+        F.when(~is_dead, F.col("n_nationkey")).alias("record_key"),
+        F.when(is_dead, F.col("_corrupt")).otherwise(F.col("n_name")).alias(
+            "payload"
+        ),
+    )

@@ -812,3 +812,68 @@ def curate_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").alias("n_tokens"),
         )
     )
+
+
+#: total token budget the epoch plan allocates across sources
+EPOCH_TOKEN_BUDGET = 100_000
+
+
+@register(
+    "curate_mix_epochs",
+    oracle=f"""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        weighted AS (
+            SELECT source, n_docs, n_tokens,
+                   POW(n_tokens, {MIX_ALPHA}) /
+                       SUM(POW(n_tokens, {MIX_ALPHA})) OVER () AS mix_weight
+            FROM per_source
+        )
+        SELECT source, n_docs, n_tokens,
+               ROUND(mix_weight, 10) AS mix_weight,
+               ROUND(mix_weight * {EPOCH_TOKEN_BUDGET}, 6) AS target_tokens,
+               ROUND((mix_weight * {EPOCH_TOKEN_BUDGET}) / n_tokens, 8)
+                   AS epochs
+        FROM weighted
+    """,
+    tags=("llm", "sample"),
+)
+def curate_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget EPOCH plan — the step between temperature mixing
+    (``sample_temperature_mix``, doc-level keep rates) and sequence
+    packing: allocate a fixed training-token budget across sources by
+    temperature weight over TOKEN counts, and emit each source's epoch
+    factor (target tokens / available tokens; >1 means the source is
+    repeated — the small-high-quality-corpus upsampling every
+    pretraining run does, <1 means subsampling).
+
+    Scale shape: one map-side-combinable grouped count+sum collapses
+    the corpus to |sources| rows; weights and epochs are a window over
+    that driver-scale table. The corpus is never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    mix_weight = F.pow("n_tokens", F.lit(MIX_ALPHA)) / F.sum(
+        F.pow("n_tokens", F.lit(MIX_ALPHA))
+    ).over(w)
+    out = per_source.withColumn("mix_weight", mix_weight)
+    target = F.col("mix_weight") * F.lit(EPOCH_TOKEN_BUDGET)
+    # the Σpow normalizer folds irrational sqrts, so the two engines'
+    # summation orders differ in the last ulp: round well above ulp
+    # noise (weights are sqrt-derived — never near decimal halfway)
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("mix_weight", 10).alias("mix_weight"),
+        F.round(target, 6).alias("target_tokens"),
+        F.round(target / F.col("n_tokens"), 8).alias("epochs"),
+    )

@@ -572,3 +572,39 @@ def fn_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("o_orderdate").alias("iso_week"),
         F.col("o_orderdate").cast("timestamp").cast("long").alias("epoch_s"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+        SELECT
+            event_id,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+            'OBJECT<k: BIGINT>' AS v_schema,
+            CAST(json_extract_string(props, '$.missing') AS BIGINT)
+                AS missing_field
+        FROM events
+        WHERE event_type = 'purchase'
+    """,
+    tags=("fn",),
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: ``parse_json``
+    decodes the props JSON string ONCE into the binary variant
+    encoding, then typed ``variant_get`` extractions and
+    ``schema_of_variant`` introspection run against that — the
+    engine-native replacement for re-parsing a JSON string per
+    extraction (``fn_json``'s ``get_json_object`` re-tokenizes the
+    text for every path; at 100 TB with many extracted fields the
+    variant decode amortizes to one parse per row). Missing paths
+    return NULL (``try``-semantics), pinned by the third column."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_typed"),
+        F.schema_of_variant(v).alias("v_schema"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_field"),
+    )

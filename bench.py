@@ -62,6 +62,14 @@ HEADLINE = [
     "dedup_incremental_snapshot",
     "text_decontaminate",
     "curate_quality_gate",
+    # round-6 additions: verified dedup, range ANN, basket mining, and
+    # the Z-order write+pruned-scan round trip (the timing includes the
+    # one-time layout write — the recurring probe side is the point of
+    # the pytest numFiles assertion, not this number)
+    "dedup_lsh_verified",
+    "sim_range_search",
+    "analytics_basket_affinity",
+    "layout_zorder_scan",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

@@ -40,6 +40,7 @@ EMPTY_SAFE = [
     "text_decontaminate", "curate_quality_gate", "curate_pretrain_manifest",
     "sample_stratified_seeded", "pack_token_budget", "shard_assign_hash",
     "analytics_shipping_priority", "analytics_cohort_retention",
+    "analytics_basket_affinity", "curate_mix_epochs", "fn_variant",
     "analytics_event_funnel", "layout_zorder_cluster",
     "subquery_not_in_anti", "plan_merge_upsert",
 ]

@@ -752,10 +752,13 @@ def curate_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``shard_assign_hash``); this pins the whole pipeline's output.
 
     Scale shape: the union of its parts — no new shuffle beyond the
-    component aggs, the benchmark set still broadcasts, the contaminated
-    id set rides a broadcast anti-join (eval-scale, tiny), dedup keepers
-    shuffle (text-hash, doc_id) pairs once, and the manifest is
-    N_SHARDS rows from a map-side partial agg."""
+    component aggs, the benchmark set still broadcasts (eval-scale,
+    bounded), the contaminated id set rides an UNPINNED anti-join: it
+    is corpus-derived (contamination-rate-sized), so AQE broadcasts it
+    at the typical sub-percent rate but may demote to a shuffle if a
+    pathological corpus is mostly contaminated; dedup keepers shuffle
+    (text-hash, doc_id) pairs once, and the manifest is N_SHARDS rows
+    from a map-side partial agg."""
     docs = spread(load_table(spark, sf_dir, "documents"), spark).withColumn(
         "bucket", _md5_bucket("doc_id", 100)
     )
@@ -802,7 +805,7 @@ def curate_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(gate, "doc_id")
         .filter(F.col("keep"))
         .join(keepers, "doc_id", "left_semi")
-        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
     )
     return (
         train.select(_md5_bucket("doc_id", N_SHARDS).alias("shard_id"), "n_words")

@@ -517,9 +517,13 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one explode→(doc,term) hash agg for TF (map-side partials
     absorb hot terms), a |vocab|-sized DF aggregate REUSING tf (not
-    re-tokenizing), N as a 1-row broadcast, df broadcast-joined back
-    onto tf, and the top-3 as row_number over (doc_id) — rank runs on
-    the same doc_id partitioning the TF shuffle produced. Float
+    re-tokenizing), N as a 1-row broadcast, df joined back onto tf
+    WITHOUT a pinned hint — vocabulary grows unboundedly with a web
+    corpus (Heaps' law), so AQE must keep the option to demote the df
+    join to a shuffle past the broadcast budget (it broadcasts it at
+    any practical vocab size) — and the top-3 as row_number over
+    (doc_id) — rank runs on the same doc_id partitioning the TF
+    shuffle produced. Float
     discipline: ln is libm → rounded 6dp; tf·idf is then a product of
     identical doubles (bit-identical); ties broken by term for a
     deterministic top-3. At 100 TB the vocab-side DF agg is the skew
@@ -540,7 +544,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .join(F.broadcast(n))
         .withColumn(
             "score",

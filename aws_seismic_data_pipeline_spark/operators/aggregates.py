@@ -782,3 +782,79 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_cents"),
         ((sy - slope * sx) / n).alias("intercept_cents"),
     )
+
+
+#: AQP sample: md5 buckets < _AQP_PCT of 100 (deterministic, so the
+#: estimate itself is oracle-checkable)
+_AQP_PCT = 5
+
+
+@register(
+    "agg_approx_sample_estimate",
+    oracle=f"""
+        WITH s AS (
+            SELECT l_returnflag, l_extendedprice, l_discount
+            FROM lineitem
+            WHERE CAST(('0x' || substring(md5(
+                      CAST(l_orderkey AS VARCHAR) || '-' ||
+                      CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 100 < {_AQP_PCT}
+        )
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(COUNT(*) * (100 / {_AQP_PCT}) AS BIGINT) AS n_estimated,
+               ROUND(SUM(l_extendedprice * (1 - l_discount))
+                         * (100 / {_AQP_PCT}), 4) AS revenue_estimated
+        FROM s
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
+def agg_approx_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by DETERMINISTIC sampling: estimate
+    per-flag row counts and revenue from a fixed 5% md5-bucket
+    sample of the fact table with inverse-probability scale-up — the
+    dashboard/exploration path that answers "roughly how much" from
+    1/20th of the bytes. The sample predicate is content-hashed (not
+    TABLESAMPLE), so reruns and the oracle see the SAME rows: the
+    estimate is reproducible and hash-checkable, and at 100 TB the
+    sample can be materialized once and shared by every dashboard
+    query.
+
+    Scale shape: the bucket predicate evaluates inside the scan
+    (row-group column stats can't prune an md5, but no join or second
+    pass exists); one map-side-combinable agg over the 5% slice —
+    the full-table query's plan at a twentieth of the input."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    scale = 100 // _AQP_PCT
+    return (
+        li.filter(bucket < _AQP_PCT)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            (F.count(F.lit(1)) * scale).alias("n_estimated"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * scale,
+                4,
+            ).alias("revenue_estimated"),
+        )
+    )

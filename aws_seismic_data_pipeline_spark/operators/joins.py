@@ -54,7 +54,12 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit broadcast of the dim side (seed R8): fact table never
-    shuffles for the join; only the final small agg shuffles."""
+    shuffles for the join; only the final small agg shuffles. This
+    operator IS the broadcast-hint demo, so the pin is its semantics;
+    note part scales with SF (TPC-H SF×200k rows) — production users
+    of this pattern hint only dims they KNOW stay under the budget,
+    size-filtered here (p_size <= 10 keeps ~20%), and otherwise leave
+    the choice to AQE (see the discipline note in analytics.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     return (

@@ -510,25 +510,19 @@ def scan_csv_corrupt_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; the status split is a projection, not a second read. At
     100 TB the dead-letter branch writes to its own sink and the job
     never aborts on line 40-billion-and-three."""
-    import os
-    import tempfile
-
     prepare(spark)
     nation = load_table(spark, sf_dir, "nation")
-    stage_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"csv_dlq_{os.path.basename(sf_dir.rstrip('/'))}_"
-        f"{spark.sparkContext.applicationId}",
-    )
+    # fixed sf-keyed stage path (same convention as every other sink
+    # here): rewritten per call, never accumulates per-run orphans
+    stage_dir = _sink_path("csv_dlq", sf_dir)
     os.makedirs(stage_dir, exist_ok=True)
     stage = os.path.join(stage_dir, "nation_dirty.csv")
-    if not os.path.exists(stage):
-        rows = nation.select("n_nationkey", "n_name", "n_regionkey").collect()
-        with open(stage, "w") as fh:
-            for r in rows:
-                fh.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
-            for line in _CSV_BAD_LINES:
-                fh.write(line + "\n")
+    rows = nation.select("n_nationkey", "n_name", "n_regionkey").collect()
+    with open(stage, "w") as fh:
+        for r in rows:
+            fh.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+        for line in _CSV_BAD_LINES:
+            fh.write(line + "\n")
 
     from pyspark.sql import types as T
 

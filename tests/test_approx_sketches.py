@@ -52,3 +52,41 @@ def test_sketch_estimates_within_error_bands(spark):
         for est, true in ((a.approx_price_p50, e.p50), (a.approx_price_p95, e.p95)):
             assert e.lo <= est <= e.hi, (prio, est)
             assert abs(est - true) <= 0.05 * abs(true), (prio, est, true)
+
+
+def test_sample_estimate_tracks_exact_totals(spark):
+    """The 5% deterministic sample's scaled estimates must land within
+    a loose relative band of the exact per-flag totals (md5 buckets are
+    uniform, so 5% of a few thousand rows estimates within ~25%), and
+    n_estimated must be exactly 20x the sampled count."""
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_DIR
+
+    est = {
+        r.l_returnflag: r
+        for r in load_all()["agg_approx_sample_estimate"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            ),
+        )
+        .collect()
+    }
+    assert est
+    for flag, r in est.items():
+        assert r.n_estimated == r.n_sampled * 20
+        rel = abs(r.n_estimated - exact[flag].n) / exact[flag].n
+        assert rel < 0.35, (flag, r.n_estimated, exact[flag].n)
+        rel_rev = abs(r.revenue_estimated - exact[flag].rev) / exact[flag].rev
+        assert rel_rev < 0.35, (flag, r.revenue_estimated, exact[flag].rev)

@@ -5,6 +5,8 @@ strategies so a refactor can't silently regress them (SURVEY.md §4).
 
 from __future__ import annotations
 
+import pytest
+
 from aws_seismic_data_pipeline_spark.registry import load_all
 
 from .conftest import SF_DIR
@@ -244,3 +246,33 @@ def test_broadcast_hints_only_on_bounded_sides(spark):
             assert "c_custkey" not in line and "p_partkey" not in line and (
                 "s_suppkey" not in line or "sn_key" in line
             ), f"fact-scaled broadcast hint survived: {line}"
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        # the as-of family's whole point: ONE shuffle (union + window),
+        # never a range join or per-row lookup
+        ("join_asof_nearest", 1),
+        ("join_asof_tolerance", 1),
+        # hash agg families: single exchange on the group key
+        ("dedup_exact", 1),
+        ("agg_groupby_hash", 1),
+        # pure scan->filter->global agg: partial/final, no hash exchange
+        ("analytics_forecast_revenue", 0),
+        ("agg_approx_sample_estimate", 1),
+    ],
+)
+def test_shuffle_count_pinned(spark, name, max_shuffles):
+    """Scale-shape regression pin: these plans' defining property is
+    their shuffle count — a refactor that adds an Exchange (a second
+    aggregation pass, a join where a window sufficed) is a 100 TB
+    regression even when results stay correct."""
+    from aws_seismic_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_DIR
+
+    df = load_all()[name].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= max_shuffles, f"{name}: {n} shuffles (max {max_shuffles})\n{plan}"

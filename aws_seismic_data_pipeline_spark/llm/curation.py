@@ -587,9 +587,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "curate_quality_gate",
-    oracle=f"""
+QUALITY_GATE_ORACLE = f"""
         WITH w AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
         ),
@@ -620,7 +618,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                              > {GATE_MAX_TOP_WORD_FRAC} THEN 'repetitive' END
                ) AS failed_rules
         FROM m
-    """,
+"""
+
+
+@register(
+    "curate_quality_gate",
+    oracle=QUALITY_GATE_ORACLE,
     tags=("llm", "curation"),
 )
 def curate_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,7 +638,14 @@ def curate_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width keys and counts; the verdict is pure projection. One
     corpus scan, no joins, no Python. All ratio columns are single
     divisions of exact integers, so cross-engine hashes are exact."""
-    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return quality_gate(spread(load_table(spark, sf_dir, "documents"), spark))
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """The gate body over an explicit (doc_id, text) frame — shared by
+    the batch query above and the streaming deployment
+    (``streaming/jobs.py: stream_quality_gate``), so the rule stack
+    lives in exactly one place."""
     per_word = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("doc_id", "word")

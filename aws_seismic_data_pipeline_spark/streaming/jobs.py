@@ -9,10 +9,12 @@ over yesterday's window". The 120 s fetch buffer (``app.py:356``,
 ``app.py:595``) becomes the watermark delay: late events within the
 buffer are folded in, older ones dropped.
 
-No SQL oracle (stateful streaming semantics aren't batch-SQL
-expressible); the driver records rows-only checks, and
-``tests/test_streaming.py`` asserts equivalence against the batch
-window queries where it must hold.
+Stateful-semantics queries (watermark eviction, state-store dedup)
+carry deterministic single-batch oracles where availableNow makes the
+outcome batch-SQL expressible; foreachBatch deployments of batch
+classifiers (snapshot dedup, quality gate) share the batch query's
+oracle verbatim. ``tests/test_streaming.py`` additionally asserts
+streaming == batch equivalence where it must hold.
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from aws_seismic_data_pipeline_spark.catalog import load_table, prepare
+from aws_seismic_data_pipeline_spark.llm.curation import QUALITY_GATE_ORACLE
 from aws_seismic_data_pipeline_spark.llm.dedup import _INC_SNAPSHOT_ORACLE
 from aws_seismic_data_pipeline_spark.registry import register
 
@@ -585,4 +588,46 @@ def stream_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(target, ignore_errors=True)
     shutil.rmtree(target + "_ckpt", ignore_errors=True)
     shutil.rmtree(index, ignore_errors=True)
+    return out
+
+
+@register("stream_quality_gate", oracle=QUALITY_GATE_ORACLE, tags=("stream", "llm"))
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest-time quality gate: crawl documents flow through
+    readStream and each micro-batch is scored by the exact batch rule
+    stack (``llm/curation.py: quality_gate`` — Gopher/C4 thresholds,
+    named failed rules) via ``foreachBatch`` — the deployment where
+    low-quality documents are tagged (or dropped) BEFORE they ever
+    land in the corpus, instead of by a later batch sweep. Single
+    availableNow batch over one staged file => deterministic => the
+    batch query's SQL oracle applies verbatim.
+
+    Scale shape: the gate is explode + two map-side aggs per batch —
+    batch-sized work, no static side at all, so the stream needs no
+    state store and no watermark; per-batch cost is O(batch tokens)."""
+    import shutil
+
+    from aws_seismic_data_pipeline_spark.llm.curation import quality_gate
+
+    src = f"{sf_dir}/documents.parquet"
+    prepare(spark)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(_stream_dir(src))
+    target = os.path.join(
+        tempfile.gettempdir(), f"quality_gate_{uuid.uuid4().hex[:8]}"
+    )
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        quality_gate(batch_df).write.mode("append").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", target + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(target).localCheckpoint(eager=True)
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(target + "_ckpt", ignore_errors=True)
     return out

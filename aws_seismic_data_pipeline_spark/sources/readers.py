@@ -553,3 +553,69 @@ def scan_csv_corrupt_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "payload"
         ),
     )
+
+
+#: compaction target: files pack into bins of ~this many bytes
+_COMPACT_TARGET_BYTES = 512 * 1024
+
+
+@register(
+    "plan_compaction_bins",
+    oracle=f"""
+        WITH files AS (
+            SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+                   CAST(size AS BIGINT) AS n_bytes
+            FROM read_blob('{GOLDEN_SF_DIR}/*.parquet')
+        ),
+        c AS (
+            SELECT file_name, n_bytes,
+                   COALESCE(SUM(n_bytes) OVER (
+                       ORDER BY file_name
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS prior
+            FROM files
+        )
+        SELECT file_name, n_bytes,
+               CAST(FLOOR(prior / {_COMPACT_TARGET_BYTES}.0) AS BIGINT)
+                   AS bin_id
+        FROM c
+    """,
+    tags=("plan", "layout", "golden-sf0.01"),
+)
+def plan_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION plan (OPTIMIZE / bin-packing maintenance):
+    assign each data file to a target-size bin by exclusive running
+    sum over the deterministic name order — the same streaming
+    first-fit approximation as ``pack_token_budget`` (a bin overflows
+    by at most one file, no packing search), so the plan is stable
+    across reruns. Executing the plan is one
+    ``read bin -> coalesce(1) -> rewrite`` per bin; this query emits
+    the assignment a maintenance job consumes.
+
+    Scale shape: the file listing is metadata (|files| rows, never
+    data bytes on the Spark side — binaryFile lists path+length
+    without reading content because only those columns are selected);
+    one window over the listing. At 100 TB with millions of files the
+    window keys on (table, partition) so no single sort serializes.
+    Seed: R17's date-partitioned layout accumulating one file per
+    fetch (``/root/reference/app.py:449-463``) — exactly the
+    small-file problem compaction exists to fix."""
+    prepare(spark)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length").alias("n_bytes"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("file_name").rowsBetween(W.unboundedPreceding, -1)
+    prior = F.coalesce(F.sum("n_bytes").over(w), F.lit(0))
+    return files.select(
+        "file_name",
+        "n_bytes",
+        F.floor(prior / float(_COMPACT_TARGET_BYTES)).cast("long").alias("bin_id"),
+    )

@@ -14,7 +14,7 @@ inside a block are scored.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_seismic_data_pipeline_spark.catalog import load_table, spread
@@ -536,6 +536,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE transitive closure — tractable because blocking
     keeps the edge set tiny relative to the corpus."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return _min_label_components(pairs)
+
+
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected (doc_a, doc_b) edge
+    list → (doc_id, component_id). Shared by the Jaccard-edge clusters
+    above and the verified-LSH clusters (``dedup_cluster_canonical``)."""
     edges = pairs.localCheckpoint(eager=True)
     und = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -1292,4 +1299,95 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             jaccard.alias("jaccard"),
             (jaccard >= _LSH_VERIFY_TAU).alias("is_dup"),
         )
+    )
+
+
+_CLUSTER_CANONICAL_ORACLE = f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> CAST(('0x' || substring(md5(
+                                array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                            ), 1, 15)) AS BIGINT)
+                   )
+               ) AS arr
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sig AS (
+        SELECT doc_id,
+           {_MH_SIG_SQL}
+        FROM t
+    ),
+    bands AS (
+        {_MH_BAND_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x
+        JOIN bands y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a AS a, c.doc_b AS b
+        FROM cand c
+        JOIN t ta ON c.doc_a = ta.doc_id
+        JOIN t tb ON c.doc_b = tb.doc_id
+        WHERE CAST(len(list_intersect(ta.arr, tb.arr)) AS DOUBLE)
+              / (len(ta.arr) + len(tb.arr) - len(list_intersect(ta.arr, tb.arr)))
+              >= {_LSH_VERIFY_TAU}
+    ),
+    und AS (SELECT a, b FROM verified UNION SELECT b, a FROM verified),
+    reach(src, dst) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+    ),
+    comp AS (
+        SELECT src AS doc_id, MIN(dst) AS cluster_id
+        FROM reach GROUP BY src
+    )
+    SELECT doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM comp
+"""
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=_CLUSTER_CANONICAL_ORACLE,
+    tags=("llm", "dedup", "iterative"),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production near-dup pipeline in one query:
+    banded-MinHash LSH candidates → exact-Jaccard VERIFICATION
+    (``dedup_lsh_verified``'s edge set, τ=0.5) → connected components
+    over the verified graph → per-cluster canonical election (minimum
+    doc_id) with cluster sizes — the composition a real dedup run
+    executes end-to-end, each stage separately oracle-checked
+    elsewhere, here pinned as a whole (mirror of what
+    ``curate_pretrain_manifest`` does for the curation stages).
+
+    Scale shape: the union of its parts — LSH candidate generation is
+    linear, verification is candidate-bounded (semi-joined arrays),
+    label propagation is diameter-many joins of a near-dup-sized label
+    frame against the checkpointed verified edge list (near-dups are a
+    tiny fraction of the corpus). The DuckDB oracle computes the same
+    fixpoint via a recursive-CTE transitive closure."""
+    verified = dedup_lsh_verified(spark, sf_dir)
+    edges = verified.filter(F.col("is_dup")).select("doc_a", "doc_b")
+    comp = _min_label_components(edges)
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        "doc_id", F.col("component_id").alias("cluster_id")
+    ).select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )

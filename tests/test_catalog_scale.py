@@ -193,3 +193,36 @@ def test_zorder_write_prunes_files_and_loses_no_rows(spark, tmp_path):
     reg = load_all()["layout_zorder_scan"]
     a = sorted(map(tuple, reg.builder(spark, SF_DIR).collect()))
     assert a == sorted(map(tuple, reg.builder(spark, SF_DIR).collect()))
+
+
+def test_morton_tile_identity_property():
+    """The invariant zorder_pruned_scan's tile enumeration relies on:
+    for ALL (x, y) in the 8-bit grid, the SQL Morton key's high bits
+    equal the Python tile morton of the quotient coordinates —
+    zkey >> 8 == morton4(x >> 4, y >> 4) — and the SQL and Python
+    interleaves agree exactly. Hypothesis drives the grid; DuckDB
+    evaluates the same SQL text Spark executes."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_seismic_data_pipeline_spark.operators.window_ops import (
+        _morton16_sql,
+        _morton_interleave_py,
+        _ZORDER_WRITE_SHIFT,
+    )
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, 255), st.integers(0, 255))
+    def check(x, y):
+        sql_z = con.execute(
+            f"SELECT {_morton16_sql(str(x), str(y))}"
+        ).fetchone()[0]
+        assert sql_z == _morton_interleave_py(x, y, bits=8)
+        assert (sql_z >> _ZORDER_WRITE_SHIFT) == _morton_interleave_py(
+            x >> 4, y >> 4, bits=4
+        )
+
+    check()

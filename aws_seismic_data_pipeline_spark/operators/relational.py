@@ -209,3 +209,50 @@ def plan_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         filtered.unpersist()
     return out
+
+
+#: ONE ANSI SQL text both engines execute verbatim (Spark 4 supports
+#: WITH RECURSIVE): a 24-month recursive calendar spine left-joined to
+#: monthly order rollups — months with no orders still appear.
+_RECURSIVE_CTE_SQL = """
+    WITH RECURSIVE mi(n) AS (
+        SELECT 0
+        UNION ALL
+        SELECT n + 1 FROM mi WHERE n < 23
+    ),
+    cal AS (
+        SELECT make_date(1996 + CAST(FLOOR(n / 12.0) AS INTEGER),
+                         1 + n % 12, 1) AS month_start
+        FROM mi
+    ),
+    monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT c.month_start,
+           CAST(COALESCE(mo.n_orders, 0) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(mo.revenue, 0.0), 2) AS revenue
+    FROM cal c
+    LEFT JOIN monthly mo ON mo.m = c.month_start
+"""
+
+
+@register("sql_recursive_cte", oracle=_RECURSIVE_CTE_SQL, tags=("sql",))
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive common table expressions — the SQL-surface capability
+    Spark lacked until 4.x (``WITH RECURSIVE``, the standard form for
+    hierarchies, transitive closures, and spines): a 24-month calendar
+    generated by recursion, left-joined to monthly order rollups so
+    empty months still report. The SAME SQL text is the oracle —
+    Spark's recursion semantics (UNION ALL iteration to fixpoint)
+    must match DuckDB's exactly.
+
+    Scale shape: the recursion materializes |months| rows (driver
+    scale); the order rollup is one map-side-combinable agg; the spine
+    join broadcasts the calendar. Recursion depth is bounded by the
+    anchor predicate, never data-dependent here."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_CTE_SQL)

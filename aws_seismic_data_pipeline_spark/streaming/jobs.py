@@ -631,3 +631,87 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(target, ignore_errors=True)
     shutil.rmtree(target + "_ckpt", ignore_errors=True)
     return out
+
+
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's NEW arbitrary-state API (``transformWithStateInPandas``
+    / StatefulProcessor): per event_type, typed ValueState carrying
+    running count/min/max across micro-batches with an explicit
+    init/handle/close lifecycle — the successor to
+    ``applyInPandasWithState`` (``stream_custom_state``) with named
+    state variables, timers, and schema'd state the state store can
+    evolve.
+
+    NOT REGISTERED: the API's state-server protocol needs a working
+    ``google.protobuf`` (``StateMessage_pb2``), which this container
+    lacks (ImportError: cannot import 'descriptor'); the same
+    environment gate as the media codecs. The implementation is kept
+    as a witness and ``tests/test_streaming.py::
+    test_transform_with_state_or_env_gap`` runs it end-to-end wherever
+    protobuf works, skipping (with the reason pinned) here. Arbitrary
+    stateful processing remains covered by the registered
+    ``stream_custom_state``."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("n_events", T.LongType(), True),
+            T.StructField("min_value", T.DoubleType(), True),
+            T.StructField("max_value", T.DoubleType(), True),
+        ]
+    )
+
+    class MinMaxProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n BIGINT, mn DOUBLE, mx DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, mn, mx = self._agg.get()
+            else:
+                n, mn, mx = 0, None, None
+            for pdf in rows:
+                vals = pdf["value"]
+                n += len(pdf)
+                bmin, bmax = float(vals.min()), float(vals.max())
+                mn = bmin if mn is None else min(mn, bmin)
+                mx = bmax if mx is None else max(mx, bmax)
+            self._agg.update((n, mn, mx))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_events": [n],
+                    "min_value": [mn],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = _events_stream(spark, sf_dir)
+    counted = (
+        stream.select("event_type", "value")
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=MinMaxProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    result = _run_available_now_append(counted, "tws")
+    # update mode emits one row per key per batch; the final state is
+    # the max-count row (count is monotone; min/max monotone with it)
+    return result.groupBy("event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )

@@ -134,3 +134,36 @@ def test_stream_snapshot_dedup_matches_batch_classification(spark):
         .collect()
     }
     assert streamed == batch and streamed
+
+
+def test_transform_with_state_or_env_gap(spark):
+    """Run the Spark 4 transformWithStateInPandas witness end-to-end
+    where the environment supports it; this container's protobuf is
+    broken (StateMessage_pb2 needs google.protobuf.descriptor), so the
+    expected outcome HERE is a skip with that exact cause — if
+    protobuf ever starts working, the witness must actually pass."""
+    import pytest as _pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        _pytest.skip("container protobuf lacks descriptor (documented env gap)")
+
+    from aws_seismic_data_pipeline_spark.streaming.jobs import (
+        stream_transform_with_state,
+    )
+
+    got = {
+        r.event_type: (r.n_events, r.min_value, r.max_value)
+        for r in stream_transform_with_state(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from pyspark.sql import functions as F
+
+    want = {
+        r.event_type: (r.n, r.mn, r.mx)
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want

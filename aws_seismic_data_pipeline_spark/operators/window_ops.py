@@ -819,3 +819,112 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_distinct_users", F.sum("n_new").over(w).cast("long")
         )
     )
+
+
+@register(
+    "ts_fill_forward",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value, 1 AS is_obs
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-06 00:00:00'
+        ),
+        grid AS (
+            SELECT t.event_type, g.ts,
+                   CAST(NULL AS DOUBLE) AS value, 0 AS is_obs
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (
+                SELECT unnest(generate_series(
+                    TIMESTAMP '2024-01-05 00:00:00',
+                    TIMESTAMP '2024-01-05 23:59:00',
+                    INTERVAL 1 MINUTE)) AS ts
+            ) g
+        ),
+        u AS (
+            SELECT * FROM obs UNION ALL BY NAME SELECT * FROM grid
+        ),
+        marked AS (
+            SELECT event_type, ts, is_obs,
+                   LAST_VALUE(CASE WHEN is_obs = 1 THEN value END IGNORE NULLS)
+                       OVER (PARTITION BY event_type
+                             ORDER BY ts, is_obs DESC, value
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS v_ffill,
+                   LAST_VALUE(CASE WHEN is_obs = 1 THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY event_type
+                             ORDER BY ts, is_obs DESC, value
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS t_src
+            FROM u
+        )
+        SELECT event_type, ts AS grid_ts, v_ffill, t_src,
+               CAST(date_diff('microsecond', t_src, ts) // 1000000 AS BIGINT)
+                   AS staleness_s
+        FROM marked
+        WHERE is_obs = 0 AND v_ffill IS NOT NULL
+    """,
+    tags=("window", "timeseries"),
+)
+def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling by LAST-OBSERVATION-CARRIED-FORWARD onto a 1-minute
+    grid (the telemetry default — sensors hold their last reading;
+    contrast ``ts_resample_linear``, which interpolates): per channel,
+    each grid point takes the most recent at-or-before observation,
+    with the source timestamp and integer staleness emitted so
+    downstream can cap how stale a held value may be.
+
+    Same scale-correct union+window sweep as the as-of family: union
+    observations with grid points, ONE shuffle on the channel key, one
+    ordered pass carrying the last observed (value, ts) forward —
+    linear in (obs + grid) per channel, no per-grid-point lookup join.
+    Observations sort before their exactly-coincident grid point, so
+    on-grid samples fill with themselves at staleness 0."""
+    ev = load_table(spark, sf_dir, "events")
+    day, nxt = "2024-01-05 00:00:00", "2024-01-06 00:00:00"
+    obs = ev.filter(
+        (F.col("ts") >= F.to_timestamp_ntz(F.lit(day)))
+        & (F.col("ts") < F.to_timestamp_ntz(F.lit(nxt)))
+    ).select("event_type", "ts", "value", F.lit(1).alias("is_obs"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.to_timestamp_ntz(F.lit(day)),
+                    F.to_timestamp_ntz(F.lit("2024-01-05 23:59:00")),
+                    F.expr("INTERVAL 1 MINUTE"),
+                )
+            ).alias("ts"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(0).alias("is_obs"),
+        )
+    )
+    u = obs.unionByName(grid)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("ts"), F.col("is_obs").desc(), F.col("value"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    obs_val = F.when(F.col("is_obs") == 1, F.col("value"))
+    obs_ts = F.when(F.col("is_obs") == 1, F.col("ts"))
+    marked = u.select(
+        "event_type",
+        "ts",
+        "is_obs",
+        F.last(obs_val, ignorenulls=True).over(w).alias("v_ffill"),
+        F.last(obs_ts, ignorenulls=True).over(w).alias("t_src"),
+    )
+    micros = F.expr("timestampdiff(MICROSECOND, t_src, ts)")
+    return (
+        marked.filter((F.col("is_obs") == 0) & F.col("v_ffill").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").alias("grid_ts"),
+            "v_ffill",
+            "t_src",
+            (micros / 1_000_000).cast("long").alias("staleness_s"),
+        )
+    )

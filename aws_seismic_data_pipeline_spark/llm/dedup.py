@@ -1391,3 +1391,102 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+_DEDUP_RATE_ORACLE = f"""
+    WITH g AS (
+        SELECT text, COUNT(*) AS c FROM documents GROUP BY text
+    ),
+    exact AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_unique_texts,
+               CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_exact_dup_docs,
+               (SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE) AS exact_dup_rate
+        FROM g
+    ),
+    t AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> CAST(('0x' || substring(md5(
+                                array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                            ), 1, 15)) AS BIGINT)
+                   )
+               ) AS arr
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sig AS (
+        SELECT doc_id,
+           {_MH_SIG_SQL}
+        FROM t
+    ),
+    bands AS (
+        {_MH_BAND_SQL}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x
+        JOIN bands y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+    ),
+    near AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_near_dup_pairs,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_near_dup_docs
+        FROM (
+            SELECT doc_a AS doc_id FROM cand
+            UNION ALL
+            SELECT doc_b FROM cand
+        )
+    )
+    SELECT e.*,
+           CAST(n.n_near_dup_pairs / 2 AS BIGINT) AS n_near_dup_pairs,
+           n.n_near_dup_docs
+    FROM exact e CROSS JOIN near n
+"""
+
+
+@register("curate_dedup_rate_report", oracle=_DEDUP_RATE_ORACLE, tags=("llm", "dedup"))
+def curate_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus HEALTH REPORT a dedup pipeline publishes per run: one
+    row of exact-duplication stats (docs, unique texts, duplicate docs,
+    dup rate) plus near-duplication exposure (LSH candidate pairs and
+    distinct docs involved) — the number a data lead reads before
+    approving a crawl snapshot for training.
+
+    Scale shape: the exact side is one hash agg on the content key
+    collapsed to a 1-row aggregate; the near side reuses the linear
+    banded-LSH candidate stage and collapses to counts (the pair set is
+    never materialized wider than the LSH output). The two 1-row sides
+    cross-join at driver scale."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    g = docs.groupBy("text").agg(F.count(F.lit(1)).alias("c"))
+    exact = g.agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique_texts"),
+        (F.sum("c") - F.count(F.lit(1))).alias("n_exact_dup_docs"),
+        (
+            (F.sum("c") - F.count(F.lit(1))) / F.sum("c").cast("double")
+        ).alias("exact_dup_rate"),
+    )
+    bands = _mh_bands(_mh_signatures(docs))
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    members = cand.select(F.col("doc_a").alias("doc_id")).unionAll(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    )
+    near = members.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_near_dup_pairs"),
+        F.count_distinct("doc_id").alias("n_near_dup_docs"),
+    )
+    return exact.crossJoin(F.broadcast(near))

@@ -619,3 +619,80 @@ def plan_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.floor(prior / float(_COMPACT_TARGET_BYTES)).cast("long").alias("bin_id"),
     )
+
+
+@register(
+    "scan_rowgroup_stats",
+    oracle=f"""
+        SELECT regexp_extract(file_name, '[^/]+$') AS file_name,
+               CAST(row_group_id AS BIGINT) AS row_group,
+               CAST(num_values AS BIGINT) AS n_rows,
+               CAST(stats_min_value AS BIGINT) AS min_orderkey,
+               CAST(stats_max_value AS BIGINT) AS max_orderkey
+        FROM parquet_metadata('{GOLDEN_SF_DIR}/orders.parquet')
+        WHERE path_in_schema = 'o_orderkey'
+    """,
+    tags=("source", "layout", "golden-sf0.01"),
+)
+def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expose the parquet ROW-GROUP statistics that scan pruning
+    consults (min/max per column per row group) as a queryable table —
+    the introspection behind every data-skipping decision this engine
+    makes (``analytics_forecast_revenue``'s date skipping,
+    ``layout_zorder_scan``'s tile ranges). Footers are read
+    DISTRIBUTED: the file list fans out over ``mapInPandas`` and each
+    task reads only its files' metadata (KBs) with pyarrow — at 100 TB
+    with millions of files this is the scalable stats collector; the
+    bytes of the data pages are never touched. Cross-engine check:
+    DuckDB's ``parquet_metadata()`` must report the identical footers.
+    """
+    import os as _os
+
+    import pandas as _pd
+
+    prepare(spark)
+    paths = [
+        _os.path.join(sf_dir, "orders.parquet")
+    ]  # single-file fixture; a table directory would glob here
+    files = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        len(paths)
+    )
+    out_schema = (
+        "file_name string, row_group long, n_rows long,"
+        " min_orderkey long, max_orderkey long"
+    )
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                names = md.schema.names
+                col_idx = names.index("o_orderkey")
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(col_idx)
+                    st = col.statistics
+                    rows.append(
+                        (
+                            _os.path.basename(p),
+                            rg,
+                            col.num_values,
+                            st.min,
+                            st.max,
+                        )
+                    )
+            if rows:
+                yield _pd.DataFrame(
+                    rows,
+                    columns=[
+                        "file_name",
+                        "row_group",
+                        "n_rows",
+                        "min_orderkey",
+                        "max_orderkey",
+                    ],
+                )
+
+    return files.mapInPandas(read_footers, out_schema)

@@ -577,10 +577,24 @@ def fn_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_variant",
     oracle="""
+        -- v_schema is DERIVED per row from json_type rather than pinned
+        -- to a constant: if a fixture row's props.k ever stops being an
+        -- integer, the oracle moves with it (BIGINT/STRING/BOOLEAN map
+        -- to Spark's schema_of_variant names; anything else yields a
+        -- sentinel that mismatches loudly instead of silently agreeing)
         SELECT
             event_id,
             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
-            'OBJECT<k: BIGINT>' AS v_schema,
+            CASE
+                WHEN json_type(props, '$.k') IS NULL THEN 'OBJECT<>'
+                WHEN json_type(props, '$.k') IN ('UBIGINT', 'BIGINT')
+                    THEN 'OBJECT<k: BIGINT>'
+                WHEN json_type(props, '$.k') = 'VARCHAR'
+                    THEN 'OBJECT<k: STRING>'
+                WHEN json_type(props, '$.k') = 'BOOLEAN'
+                    THEN 'OBJECT<k: BOOLEAN>'
+                ELSE 'OBJECT<k: UNMAPPED_' || json_type(props, '$.k') || '>'
+            END AS v_schema,
             CAST(json_extract_string(props, '$.missing') AS BIGINT)
                 AS missing_field
         FROM events

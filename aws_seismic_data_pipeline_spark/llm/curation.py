@@ -848,7 +848,7 @@ EPOCH_TOKEN_BUDGET = 100_000
             FROM per_source
         )
         SELECT source, n_docs, n_tokens,
-               ROUND(mix_weight, 10) AS mix_weight,
+               ROUND(mix_weight, 8) AS mix_weight,
                ROUND(mix_weight * {EPOCH_TOKEN_BUDGET}, 6) AS target_tokens,
                ROUND((mix_weight * {EPOCH_TOKEN_BUDGET}) / n_tokens, 8)
                    AS epochs
@@ -880,13 +880,14 @@ def curate_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = per_source.withColumn("mix_weight", mix_weight)
     target = F.col("mix_weight") * F.lit(EPOCH_TOKEN_BUDGET)
     # the Σpow normalizer folds irrational sqrts, so the two engines'
-    # summation orders differ in the last ulp: round well above ulp
-    # noise (weights are sqrt-derived — never near decimal halfway)
+    # summation orders differ in the last ulp: round to 8 decimals —
+    # comfortably above the ~1e-16 relative libm/summation-order noise
+    # (1e-8 margin vs 1e-16 noise), matching target_tokens/epochs
     return out.select(
         "source",
         "n_docs",
         "n_tokens",
-        F.round("mix_weight", 10).alias("mix_weight"),
+        F.round("mix_weight", 8).alias("mix_weight"),
         F.round(target, 6).alias("target_tokens"),
         F.round(target / F.col("n_tokens"), 8).alias("epochs"),
     )

@@ -553,7 +553,16 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         .withColumn("component_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(20):  # diameter bound; fixture graphs converge in <5
+    # Loop until the label frame reaches its fixpoint (n_changed == 0).
+    # Rounds needed = graph diameter; real-world template/boilerplate
+    # near-dup chains can have long diameters, so the bound is a large
+    # safety valve against a driver livelock, NOT the expected exit —
+    # hitting it with n_changed > 0 means the labels are WRONG (the
+    # recursive-CTE oracle computes the true fixpoint) and we raise
+    # rather than silently return a partial clustering.
+    max_rounds = 200
+    n_changed = 0
+    for _ in range(max_rounds):
         neigh = (
             und.join(labels, und.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("nid"))
@@ -580,6 +589,13 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         labels = updated.select("doc_id", "component_id")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        raise RuntimeError(
+            f"min-label propagation did not converge within {max_rounds} "
+            f"rounds ({n_changed} labels still changing) — component ids "
+            "would be wrong; raise the bound or check for a pathological "
+            "edge set"
+        )
     return labels.select("doc_id", "component_id")
 
 
@@ -1074,11 +1090,14 @@ def dedup_incremental_snapshot_persisted(
         "bucket", _md5_bucket("doc_id", 100)
     )
     path = corpus_index_path(spark, sf_dir)
-    write_corpus_index(docs.filter(F.col("bucket") < _INC_CORPUS_PCT), path)
-    out = classify_snapshot_persisted(
-        spark, docs.filter(F.col("bucket") >= _INC_CORPUS_PCT), path
-    ).localCheckpoint(eager=True)
-    shutil.rmtree(path, ignore_errors=True)
+    try:
+        write_corpus_index(docs.filter(F.col("bucket") < _INC_CORPUS_PCT), path)
+        out = classify_snapshot_persisted(
+            spark, docs.filter(F.col("bucket") >= _INC_CORPUS_PCT), path
+        ).localCheckpoint(eager=True)
+    finally:
+        # remove the index even when build/probe fails — no /tmp leak
+        shutil.rmtree(path, ignore_errors=True)
     return out
 
 
@@ -1258,13 +1277,16 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     the array shuffle is bounded by |candidate docs|, never corpus-
     sized — then joins the two (candidate-scale) sides by doc key.
     Exact intersection runs as a per-row array_intersect on int64
-    hashes: no explode, no second shuffle class."""
+    hashes: no explode, no second shuffle class.
+
+    Storage shape: ONLY the candidate-semi-joined arrays are
+    checkpointed (bounded by |candidate docs|); the banding pass
+    recomputes the cheap per-row shingle expression instead of
+    materializing a corpus-sized array frame in executor storage."""
     docs = spread(load_table(spark, sf_dir, "documents"), spark).filter(
         F.size(F.split("text", " ")) >= 3
     )
-    arrs = docs.select(
-        "doc_id", F.expr(_MH_SHINGLE_EXPR).alias("arr")
-    ).localCheckpoint(eager=True)
+    arrs = docs.select("doc_id", F.expr(_MH_SHINGLE_EXPR).alias("arr"))
     bands = _mh_bands(arrs.select("doc_id", *_mh_sig_cols()))
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
@@ -1282,7 +1304,9 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    cand_arrs = arrs.join(ids, "doc_id", "leftsemi")
+    # candidate-scale, not corpus-scale: checkpoint so the a/b double
+    # use below doesn't recompute the semi-join + shingle expr twice
+    cand_arrs = arrs.join(ids, "doc_id", "leftsemi").localCheckpoint(eager=True)
     a = cand_arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
     b = cand_arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
     n_common = F.size(F.array_intersect("arr_a", "arr_b"))

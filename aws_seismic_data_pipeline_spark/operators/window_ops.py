@@ -734,20 +734,23 @@ def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"zorder_{os.path.basename(sf_dir.rstrip('/'))}_"
         f"{spark.sparkContext.applicationId}",
     )
-    zorder_write(spark, sf_dir, path)
-    out = (
-        zorder_pruned_scan(spark, path, _ZQ_USER, _ZQ_HOUR)
-        .groupBy(
-            F.shiftright("user_bucket", 4).cast("bigint").alias("tile_x"),
-            F.shiftright("hour_bucket", 4).cast("bigint").alias("tile_y"),
+    try:
+        zorder_write(spark, sf_dir, path)
+        out = (
+            zorder_pruned_scan(spark, path, _ZQ_USER, _ZQ_HOUR)
+            .groupBy(
+                F.shiftright("user_bucket", 4).cast("bigint").alias("tile_x"),
+                F.shiftright("hour_bucket", 4).cast("bigint").alias("tile_y"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    shutil.rmtree(path, ignore_errors=True)
+    finally:
+        # cleanup on the failure path too — no app-id-keyed /tmp leak
+        shutil.rmtree(path, ignore_errors=True)
     return out
 
 

@@ -501,21 +501,25 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(target)
 
     stream = _events_stream(spark, sf_dir)
-    q = (
-        stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", target + "_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    landed = spark.read.parquet(target)
-    result = landed.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
-    )
-    out = result.localCheckpoint(eager=True)  # materialize before cleanup
-    shutil.rmtree(target, ignore_errors=True)
-    shutil.rmtree(target + "_ckpt", ignore_errors=True)
+    try:
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", target + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        landed = spark.read.parquet(target)
+        result = landed.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        out = result.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        # cleanup must run on the failure path too — a crashed query
+        # would otherwise leak uuid-keyed dirs under /tmp on every run
+        shutil.rmtree(target, ignore_errors=True)
+        shutil.rmtree(target + "_ckpt", ignore_errors=True)
     return out
 
 
@@ -557,37 +561,41 @@ def stream_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", _md5_bucket("doc_id", 100)
     )
     index = corpus_index_path(spark, sf_dir) + "_stream"
-    write_corpus_index(docs.filter(F.col("bucket") < _INC_CORPUS_PCT), index)
-
-    src = f"{sf_dir}/documents.parquet"
-    prepare(spark)
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(_stream_dir(src))
-        .withColumn("bucket", _md5_bucket("doc_id", 100))
-        .filter(F.col("bucket") >= _INC_CORPUS_PCT)
-    )
     target = os.path.join(
         tempfile.gettempdir(), f"snap_dedup_{uuid.uuid4().hex[:8]}"
     )
+    try:
+        write_corpus_index(docs.filter(F.col("bucket") < _INC_CORPUS_PCT), index)
 
-    def classify_batch(batch_df: DataFrame, batch_id: int) -> None:
-        classify_snapshot_persisted(spark, batch_df, index).write.mode(
-            "append"
-        ).parquet(target)
+        src = f"{sf_dir}/documents.parquet"
+        prepare(spark)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(_stream_dir(src))
+            .withColumn("bucket", _md5_bucket("doc_id", 100))
+            .filter(F.col("bucket") >= _INC_CORPUS_PCT)
+        )
 
-    q = (
-        stream.writeStream.foreachBatch(classify_batch)
-        .option("checkpointLocation", target + "_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.read.parquet(target).localCheckpoint(eager=True)
-    shutil.rmtree(target, ignore_errors=True)
-    shutil.rmtree(target + "_ckpt", ignore_errors=True)
-    shutil.rmtree(index, ignore_errors=True)
+        def classify_batch(batch_df: DataFrame, batch_id: int) -> None:
+            classify_snapshot_persisted(spark, batch_df, index).write.mode(
+                "append"
+            ).parquet(target)
+
+        q = (
+            stream.writeStream.foreachBatch(classify_batch)
+            .option("checkpointLocation", target + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(target).localCheckpoint(eager=True)
+    finally:
+        # failure-path cleanup: a crashed build/stream/read-back must not
+        # leak the uuid-keyed target, checkpoint, and index dirs
+        shutil.rmtree(target, ignore_errors=True)
+        shutil.rmtree(target + "_ckpt", ignore_errors=True)
+        shutil.rmtree(index, ignore_errors=True)
     return out
 
 
@@ -620,16 +628,18 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         quality_gate(batch_df).write.mode("append").parquet(target)
 
-    q = (
-        stream.writeStream.foreachBatch(gate_batch)
-        .option("checkpointLocation", target + "_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.read.parquet(target).localCheckpoint(eager=True)
-    shutil.rmtree(target, ignore_errors=True)
-    shutil.rmtree(target + "_ckpt", ignore_errors=True)
+    try:
+        q = (
+            stream.writeStream.foreachBatch(gate_batch)
+            .option("checkpointLocation", target + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(target).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+        shutil.rmtree(target + "_ckpt", ignore_errors=True)
     return out
 
 

@@ -226,3 +226,48 @@ def test_morton_tile_identity_property():
         )
 
     check()
+
+
+def test_rowgroup_stats_prune_files_and_lose_no_rows(spark, tmp_path):
+    """Footer-stats pruning must deliver what it promises: for a
+    range-clustered multi-file table, the stats-driven scan reads
+    strictly fewer files than the table holds (executed-scan numFiles)
+    and returns exactly the rows a brute-force filter finds."""
+    import glob
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        rangekey_write,
+        rowgroup_pruned_scan,
+    )
+
+    from .conftest import SF_DIR
+
+    path = str(tmp_path / "rangekey")
+    rangekey_write(spark, SF_DIR, path)
+    total_files = len(glob.glob(path + "/*.parquet"))
+    assert total_files > 1  # multi-file table, else pruning is vacuous
+
+    lo, hi = 200, 700
+    pruned = rowgroup_pruned_scan(spark, path, lo, hi)
+    rows = pruned.collect()
+    assert rows
+
+    jplan = pruned._jdf.queryExecution().executedPlan()
+    if "Adaptive" in jplan.getClass().getName():
+        jplan = jplan.executedPlan()
+    leaves = jplan.collectLeaves()
+    num_files = None
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        it = m.iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numFiles":
+                num_files = kv._2().value()
+    assert num_files is not None
+    assert 0 < num_files < total_files, (num_files, total_files)
+
+    brute = spark.read.parquet(path).filter(F.col("o_orderkey").between(lo, hi))
+    assert sorted(r.o_orderkey for r in rows) == sorted(
+        r.o_orderkey for r in brute.collect()
+    )

@@ -112,12 +112,37 @@ def test_multimodal_decode_matches_local_fake(spark):
             assert row[k] == local[k], (d["doc_id"], k)
 
 
-def test_multimodal_real_decode_is_stubbed():
-    from aws_seismic_data_pipeline_spark.multimodal.media import real_decode
+def test_multimodal_real_decode_round_trip():
+    """The stdlib WAV codec must round-trip its own generator exactly
+    (header fields and PCM bytes), and reject non-RIFF payloads."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_seismic_data_pipeline_spark.multimodal.media import (
+        WAV_RATES,
+        real_decode,
+        wav_payload,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(0, 10**9))
+    def check(mid):
+        meta = real_decode(wav_payload(mid))
+        assert meta["format"] == "wav"
+        assert meta["sample_rate"] == WAV_RATES[mid % 4]
+        assert meta["n_channels"] == 1 + (mid % 2)
+        assert meta["bits_per_sample"] == 16
+        assert meta["n_frames"] == 300 + (mid % 40) * 10
+        assert len(meta["pcm"]) == meta["n_frames"] * meta["n_channels"] * 2
+
+    check()
+
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         real_decode(b"\x00")
+    with _pytest.raises(ValueError):
+        real_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
 
 
 def test_feature_extract_unit_range(spark):

@@ -284,18 +284,40 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_sketches",
-    oracle=None,  # t-digest percentile merges are partition-order-
-    # dependent, so unlike the HLL golden oracle these estimates cannot
-    # be pinned — rows-only check
-    tags=("agg", "approx", "no-oracle"),
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(approx_customers AS BIGINT) AS approx_customers,
+               CAST(approx_price_p50 AS DOUBLE) AS approx_price_p50,
+               CAST(approx_price_p95 AS DOUBLE) AS approx_price_p95,
+               CAST(n_orders AS BIGINT) AS n_orders
+        FROM (VALUES
+            ('1-URGENT', 1286, 256652.45, 475255.5, 2978),
+            ('2-HIGH', 1295, 252176.99, 478630.0, 3003),
+            ('3-MEDIUM', 1303, 249557.73, 475200.96, 3003),
+            ('4-NOT SPECIFIED', 1302, 251597.2, 472734.65, 3020),
+            ('5-LOW', 1273, 247766.54, 471110.86, 2996)
+        ) t(o_orderpriority, approx_customers, approx_price_p50,
+            approx_price_p95, n_orders)
+    """,
+    tags=("agg", "approx", "golden-sf0.01"),
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates: HLL++ distinct count and t-digest
-    percentiles per priority — the single-pass mergeable sketches that
-    replace their exact counterparts (``agg_count_distinct``,
-    ``agg_percentile``) at 100 TB. Estimates are engine-specific by
-    design, so this is a rows-only query; the exact variants carry the
-    oracle parity burden for the same semantics."""
+    """Approximate aggregates: HLL++ distinct count and Greenwald-
+    Khanna approximate percentiles per priority — the single-pass
+    mergeable sketches that replace their exact counterparts
+    (``agg_count_distinct``, ``agg_percentile``) at 100 TB.
+
+    Oracle (new in r7 — was rows-only since r1): a GOLDEN expectation,
+    the same mechanism as ``agg_hll_partial_reaggregate``. DuckDB
+    cannot reproduce Spark's sketch estimates, but at sf0.01 they ARE
+    stable constants: HLL++ register merges are commutative, and at
+    accuracy 10000 every scan partition's GK summary holds its rows
+    uncompressed, so the merged quantile summary (and the sample
+    VALUES percentile_approx returns) is partition-count-independent —
+    verified identical across shuffle.partitions ∈ {4, 8, 32, 64}.
+    The returned percentiles are actual o_totalprice sample values,
+    so the literals match bit-exactly. tests/test_approx_sketches.py
+    additionally pins the relative-error bands at any SF."""
     orders = load_table(spark, sf_dir, "orders")
     pcts = F.percentile_approx("o_totalprice", [0.5, 0.95], 10000)
     return orders.groupBy("o_orderpriority").agg(

@@ -1347,3 +1347,59 @@ def analytics_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "analytics_shipmode_priority",
+    oracle="""
+        SELECT l.l_linestatus AS ship_bucket,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE datediff('day', o.o_orderdate, l.l_shipdate) > 60
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l.l_linestatus
+        ORDER BY l.l_linestatus
+    """,
+    tags=("analytics", "join", "agg"),
+)
+def analytics_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape on the fixture schema: per 2-value ship bucket,
+    CASE-split line counts by order priority for lines shipped LATE
+    within a date window. The fixtures carry no l_shipmode /
+    l_commitdate / l_receiptdate, so the analog maps Q12's dimensions
+    onto available columns — l_linestatus ('O'/'F') is the two-value
+    bucket, ship lag > 60 days after o_orderdate is the
+    late-commitment predicate, and the shipdate window replaces the
+    receipt-year filter; the CASE aggregation over the priority set is
+    verbatim Q12 (documented in SURVEY.md's TPC-H note).
+
+    Scale shape: the shipdate window is pushed to the lineitem scan;
+    the equi-join shuffles on orderkey (both sides data-sized — no
+    broadcast pin, AQE may still demote); the lag predicate is a
+    per-row date diff evaluated before the two map-side-combinable
+    conditional sums; output is two rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.datediff("l_shipdate", "o_orderdate") > 60)
+        .groupBy(F.col("l_linestatus").alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("ship_bucket")
+    )

@@ -160,7 +160,12 @@ def train_centroids(
     ONE no-shuffle pass: closure-broadcast centroids, per-partition
     argmax assignment fused with per-cell partial sums
     (``partials_pass``), driver-side reduce + renormalize. Empty cells
-    keep their previous centroid."""
+    keep their previous centroid. Converged-centroid early stop: when
+    an iteration reproduces the previous centroids exactly (the
+    reduced sums are rounded, so fixpoints are bit-stable), remaining
+    iterations are skipped — at 100 TB each skipped iteration is a
+    full corpus pass; determinism is unaffected because the stop
+    depends only on the data."""
     C = seed_centroids(corpus, k)
     d = C.shape[1]
     for _ in range(iters):
@@ -179,6 +184,8 @@ def train_centroids(
                 norm = np.linalg.norm(acc[c])
                 if norm > 0:
                     nxt[c] = acc[c] / norm  # spherical: renormalize the mean
+        if np.array_equal(nxt, C):
+            break  # fixpoint reached: skip the remaining corpus passes
         C = nxt
     return C
 

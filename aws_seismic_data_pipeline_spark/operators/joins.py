@@ -288,6 +288,65 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: salt fan-out for the hot-key demo (and its balance test/bench slot)
+_HOT_SALT = 8
+
+
+def salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted join over a DELIBERATELY skewed key: every even
+    lineitem is remapped onto the single hot key 0 (~half the fact
+    table landing on one join key — the pathological distribution
+    salting exists for), probe-side salt = l_linenumber % SALT,
+    build side exploded SALT ways. Returns the pre-aggregation join
+    output so callers (the balance test) can inspect the row
+    distribution the shuffle actually produced."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "skew_key",
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .cast("long"),
+    ).withColumn("salt", (F.col("l_linenumber") % _HOT_SALT).cast("int"))
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_HOT_SALT - 1)))
+    )
+    return li.join(
+        orders,
+        (li.skew_key == orders.o_orderkey) & (li.salt == orders.salt),
+        "inner",
+    )
+
+
+@register(
+    "join_salted_skew_hot",
+    oracle="""
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+               ROUND(SUM(l.l_extendedprice), 2) AS total_price
+        FROM lineitem l
+        JOIN orders o
+          ON (CASE WHEN l.l_orderkey % 2 = 0 THEN 0
+                   ELSE l.l_orderkey END) = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "skew"),
+)
+def join_salted_skew_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``join_salted_skew`` under REAL skew: the plain registered query
+    joins on the uniform l_orderkey, so the salting there is insurance
+    the fixture never stresses. Here ~half the fact rows collapse onto
+    ONE hot key before the join — without salting, every row of the
+    hot key lands in a single reducer (a 50%-of-the-table straggler
+    task at any scale); with the salt the hot key spreads over SALT
+    reducers, pinned by the partition-balance assertion in
+    tests/test_catalog_scale.py and timed as a bench slot. The oracle
+    proves the salted plan is result-identical to the plain skewed
+    join."""
+    return salted_hot_join(spark, sf_dir).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
 @register(
     "join_bucketed_colocated",
     oracle="""

@@ -70,6 +70,14 @@ HEADLINE = [
     "sim_range_search",
     "analytics_basket_affinity",
     "layout_zorder_scan",
+    # round-7 additions: the salting escape hatch under REAL skew (half
+    # the fact table on one hot key), footer-stats-driven file pruning
+    # (timing includes the one-time range-clustered write), the real
+    # WAV codec round trip, and the TPC-H Q12 analog
+    "join_salted_skew_hot",
+    "scan_rowgroup_pruned",
+    "mm_decode_real",
+    "analytics_shipmode_priority",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

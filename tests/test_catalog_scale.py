@@ -271,3 +271,62 @@ def test_rowgroup_stats_prune_files_and_lose_no_rows(spark, tmp_path):
     assert sorted(r.o_orderkey for r in rows) == sorted(
         r.o_orderkey for r in brute.collect()
     )
+
+
+def test_salted_hot_join_spreads_the_hot_key(spark):
+    """The salting escape hatch must actually spread a hot key: with
+    ~half the fact table collapsed onto one join key, the UNSALTED
+    shuffle concentrates those rows in one reducer partition, while the
+    salted join's worst partition holds only ~1/SALT of them. Asserted
+    on spark_partition_id() of the executed join output with AQE off
+    (AQE's own skew splitting would mask what the salt contributes)."""
+    from aws_seismic_data_pipeline_spark.operators.joins import (
+        _HOT_SALT,
+        salted_hot_join,
+    )
+
+    from .conftest import SF_DIR
+
+    def max_share(df):
+        dist = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        total = sum(r["count"] for r in dist)
+        return max(r["count"] for r in dist) / total
+
+    # Build the frames FIRST: salted_hot_join -> load_table -> prepare()
+    # re-pins adaptive.enabled=true at build time, so the conf flips
+    # must come after construction (they are read at execution time).
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumn(
+        "skew_key",
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .cast("long"),
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    unsalted = li.join(orders, li.skew_key == orders.o_orderkey)
+    salted = salted_hot_join(spark, SF_DIR)
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # AQE off: its own skew splitting / partition coalescing would mask
+    # what the salt contributes. Broadcast off: at fixture scale the
+    # build side broadcasts, sidestepping the reducer skew entirely
+    # (at 100 TB neither side of an orderkey join is broadcastable).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        unsalted_share = max_share(unsalted)
+        salted_share = max_share(salted)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+    # hot key holds ~50% of rows: unsalted -> one reducer owns them all;
+    # salted -> worst reducer holds ~(50/SALT)% + uniform background
+    assert unsalted_share > 0.4, unsalted_share
+    assert salted_share < 0.5 / _HOT_SALT + 0.15, salted_share
+    assert salted_share < unsalted_share / 2

@@ -87,20 +87,60 @@ def wav_payload(media_id: int) -> bytes:
     )
 
 
-def real_decode(payload: bytes) -> dict:
-    """REAL codec: parse an uncompressed RIFF/WAVE container with
-    stdlib byte math — chunk walk, fmt fields, PCM frame count — no
-    external library. Returns header metadata plus the raw data chunk
-    so callers can compute sample-level features. Non-WAV payloads
-    (compressed image/video formats, which DO need external codecs)
-    raise ValueError; ``fake_decode`` covers those pipelines'
-    plumbing tests."""
+def bmp_payload(media_id: int) -> bytes:
+    """Deterministic REAL BMP payload: a canonical 24-bit uncompressed
+    BITMAPINFOHEADER image whose dimensions and pixel bytes derive from
+    ``media_id`` alone (flat pixel-byte j → (id*7 + j*5) % 256, row
+    padding per the BMP 4-byte rule) — the image sibling of
+    ``wav_payload``."""
     import struct
 
+    w = 4 + media_id % 13
+    h = 3 + media_id % 7
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    px = bytes(((media_id * 7 + j * 5) % 256) for j in range(w * h * 3))
+    body = b"".join(
+        px[r * row : (r + 1) * row] + b"\x00" * pad for r in range(h)
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + body
+
+
+def real_decode(payload: bytes) -> dict:
+    """REAL codec: parse uncompressed RIFF/WAVE audio or 24-bit BMP
+    images with stdlib byte math — chunk/header walk, format fields,
+    raw sample/pixel extraction — no external library. Returns header
+    metadata plus the raw data so callers can compute sample-level
+    features. Compressed formats (JPEG/PNG/H.264), which DO need
+    external codecs, raise ValueError; ``fake_decode`` covers those
+    pipelines' plumbing tests."""
+    import struct
+
+    if len(payload) >= 2 and payload[:2] == b"BM":
+        _, _, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
+        hsize, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+        if hsize < 40 or bpp != 24 or comp != 0:
+            raise ValueError("real_decode parses 24-bit uncompressed BMP only")
+        row = w * 3
+        stride = row + (4 - row % 4) % 4
+        px = b"".join(
+            payload[offset + r * stride : offset + r * stride + row]
+            for r in range(abs(h))
+        )
+        return {
+            "format": "bmp",
+            "width": w,
+            "height": abs(h),
+            "bits_per_pixel": bpp,
+            "pixels": px,
+        }
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError(
-            "real_decode parses uncompressed RIFF/WAVE only; compressed "
-            "formats need an external codec (use fake_decode for plumbing)"
+            "real_decode parses uncompressed RIFF/WAVE and 24-bit BMP only; "
+            "compressed formats need an external codec (use fake_decode "
+            "for plumbing)"
         )
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
@@ -301,6 +341,83 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                         meta["n_frames"],
                         meta["n_frames"] * 1000 // meta["sample_rate"],
                         int(np.abs(samples).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "mm_decode_real_image",
+    oracle="""
+        -- expected decode output recomputed from media_id alone: the
+        -- Spark path must build the BMP container and parse it back,
+        -- including per-row 4-byte padding strip — header fields AND
+        -- the pixel-byte sum prove the byte-exact round trip
+        WITH dims AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 13 AS w,
+                   3 + doc_id % 7 AS h
+            FROM documents
+        )
+        SELECT media_id,
+               'bmp' AS format,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(24 AS BIGINT) AS bits_per_pixel,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST(list_sum(list_transform(
+                        range(0, w * h * 3),
+                        j -> (media_id * 7 + j * 5) % 256
+                    )) AS BIGINT) AS sum_pixel_bytes
+        FROM dims
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_real_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image sibling of ``mm_decode_real``: deterministic 24-bit
+    BMP containers generated per media_id, shipped as opaque binary,
+    parsed back by the stdlib codec (``real_decode``) in one fused
+    mapInPandas pass — header metadata plus an exact pixel-byte sum
+    computed from the decoded (padding-stripped) pixel data. A parser
+    that misreads the data offset, stride, or padding rule hash-fails
+    against the oracle's arithmetic."""
+    import numpy as np
+
+    docs = spread_dense(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, table="documents"
+    ).select(F.col("doc_id").alias("media_id"))
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("format", T.StringType(), False),
+            T.StructField("width", T.LongType(), False),
+            T.StructField("height", T.LongType(), False),
+            T.StructField("bits_per_pixel", T.LongType(), False),
+            T.StructField("n_pixels", T.LongType(), False),
+            T.StructField("sum_pixel_bytes", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid in pdf["media_id"]:
+                meta = real_decode(bmp_payload(int(mid)))
+                px = np.frombuffer(meta["pixels"], dtype=np.uint8)
+                rows.append(
+                    (
+                        int(mid),
+                        meta["format"],
+                        meta["width"],
+                        meta["height"],
+                        meta["bits_per_pixel"],
+                        meta["width"] * meta["height"],
+                        int(px.astype(np.int64).sum()),
                     )
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])

@@ -120,6 +120,7 @@ def test_multimodal_real_decode_round_trip():
 
     from aws_seismic_data_pipeline_spark.multimodal.media import (
         WAV_RATES,
+        bmp_payload,
         real_decode,
         wav_payload,
     )
@@ -134,6 +135,16 @@ def test_multimodal_real_decode_round_trip():
         assert meta["bits_per_sample"] == 16
         assert meta["n_frames"] == 300 + (mid % 40) * 10
         assert len(meta["pcm"]) == meta["n_frames"] * meta["n_channels"] * 2
+
+        img = real_decode(bmp_payload(mid))
+        w, h = 4 + mid % 13, 3 + mid % 7
+        assert img["format"] == "bmp"
+        assert (img["width"], img["height"]) == (w, h)
+        assert img["bits_per_pixel"] == 24
+        # padding-stripped pixel bytes match the generator's flat index
+        assert img["pixels"] == bytes(
+            ((mid * 7 + j * 5) % 256) for j in range(w * h * 3)
+        )
 
     check()
 

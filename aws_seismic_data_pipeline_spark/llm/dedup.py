@@ -539,10 +539,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _min_label_components(pairs)
 
 
-def _min_label_components(pairs: DataFrame) -> DataFrame:
+def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
     """Min-label propagation over an undirected (doc_a, doc_b) edge
     list → (doc_id, component_id). Shared by the Jaccard-edge clusters
-    above and the verified-LSH clusters (``dedup_cluster_canonical``)."""
+    above and the verified-LSH clusters (``dedup_cluster_canonical``).
+    Raises RuntimeError if the fixpoint isn't reached in ``max_rounds``
+    (graph diameter bound) — wrong labels must never return silently."""
     edges = pairs.localCheckpoint(eager=True)
     und = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -560,7 +562,6 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     # hitting it with n_changed > 0 means the labels are WRONG (the
     # recursive-CTE oracle computes the true fixpoint) and we raise
     # rather than silently return a partial clustering.
-    max_rounds = 200
     n_changed = 0
     for _ in range(max_rounds):
         neigh = (

@@ -389,3 +389,23 @@ def test_lsh_verified_matches_exact_jaccard_witness(spark):
             # witness only keeps jaccard >= 0.05: sub-floor candidates
             # are LSH false positives the verify stage exists to score
             assert r.jaccard < 0.05, r
+
+
+def test_min_label_components_raises_on_exhausted_rounds(spark):
+    """Non-convergence must raise, never silently return partial
+    labels: a 5-node chain has diameter 4, so min-label propagation
+    cannot reach its fixpoint in 1 round — and must say so. The same
+    chain converges (to one component) with the default bound."""
+    import pytest as _pytest
+
+    from aws_seismic_data_pipeline_spark.llm.dedup import _min_label_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        _min_label_components(chain, max_rounds=1)
+
+    labels = _min_label_components(chain).collect()
+    assert {r.component_id for r in labels} == {0}
+    assert len(labels) == 6

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import glob
 import os
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -159,3 +160,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     names = names or TABLES
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def scratch_path(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """Temp sink path keyed by (SF tag, application id): concurrent
+    harness runs at the same SF can never clobber each other's files
+    mid-scan, and within one session the path is stable so repeated
+    bench trials rebuild in place."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{tag}_{spark.sparkContext.applicationId}",
+    )
+
+
+@_contextmanager
+def scratch_cleanup(*paths: str):
+    """Context manager removing every given dir on exit — success OR
+    failure, so crashed queries can't leak uuid-/app-id-keyed state
+    under /tmp. The shared lifecycle for every operator that stages a
+    temp sink (layout writes, corpus indexes, streaming targets +
+    checkpoints); results must be materialized (localCheckpoint) before
+    the block exits."""
+    import shutil
+
+    try:
+        yield
+    finally:
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)

@@ -543,8 +543,15 @@ def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
     """Min-label propagation over an undirected (doc_a, doc_b) edge
     list → (doc_id, component_id). Shared by the Jaccard-edge clusters
     above and the verified-LSH clusters (``dedup_cluster_canonical``).
-    Raises RuntimeError if the fixpoint isn't reached in ``max_rounds``
-    (graph diameter bound) — wrong labels must never return silently."""
+    Raises RuntimeError if the fixpoint isn't verified within
+    ``max_rounds`` (graph diameter bound) — wrong labels must never
+    return silently. Deliberately conservative: convergence counts as
+    verified only when a round observes n_changed == 0, so a graph
+    whose last change lands exactly on the final round still raises
+    (the caller should raise the bound, never trust unverified
+    labels)."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     edges = pairs.localCheckpoint(eager=True)
     und = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -1021,12 +1028,9 @@ def corpus_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Per-application temp location for the persisted dedup corpus
     artifact (keyed like :func:`~aws_seismic_data_pipeline_spark.llm.
     ivf.index_path` so concurrent harness runs never collide)."""
-    import os
-    import tempfile
+    from aws_seismic_data_pipeline_spark.catalog import scratch_path
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
-    app_id = spark.sparkContext.applicationId
-    return os.path.join(tempfile.gettempdir(), f"dedup_corpus_{tag}_{app_id}")
+    return scratch_path(spark, sf_dir, "dedup_corpus")
 
 
 def write_corpus_index(corpus_docs: DataFrame, path: str) -> None:
@@ -1083,23 +1087,18 @@ def dedup_incremental_snapshot_persisted(
     mirroring tests/test_ivf.py's persisted-vs-memory check). A
     continuous-crawl user runs the build per corpus version and ONLY
     this probe per snapshot."""
-    import shutil
-
+    from aws_seismic_data_pipeline_spark.catalog import scratch_cleanup
     from aws_seismic_data_pipeline_spark.llm.curation import _md5_bucket
 
     docs = spread(load_table(spark, sf_dir, "documents"), spark).withColumn(
         "bucket", _md5_bucket("doc_id", 100)
     )
     path = corpus_index_path(spark, sf_dir)
-    try:
+    with scratch_cleanup(path):
         write_corpus_index(docs.filter(F.col("bucket") < _INC_CORPUS_PCT), path)
-        out = classify_snapshot_persisted(
+        return classify_snapshot_persisted(
             spark, docs.filter(F.col("bucket") >= _INC_CORPUS_PCT), path
         ).localCheckpoint(eager=True)
-    finally:
-        # remove the index even when build/probe fails — no /tmp leak
-        shutil.rmtree(path, ignore_errors=True)
-    return out
 
 
 @register(

@@ -318,12 +318,9 @@ def index_path(spark: SparkSession, sf_dir: str) -> str:
     (the fixed ``ivf_index_{sf}`` path raced under concurrency). Within
     one session the path is stable, so repeated bench trials rebuild in
     place — which is exactly the build cost being measured."""
-    import os
-    import tempfile
+    from aws_seismic_data_pipeline_spark.catalog import scratch_path
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
-    app_id = spark.sparkContext.applicationId
-    return os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}_{app_id}")
+    return scratch_path(spark, sf_dir, "ivf_index")
 
 
 def write_index(

@@ -62,14 +62,18 @@ def wav_payload(media_id: int) -> bytes:
     the Spark path must round-trip the actual container format."""
     import struct
 
+    import numpy as np
+
     rate = WAV_RATES[media_id % len(WAV_RATES)]
     n_channels = 1 + (media_id % 2)
     n_frames = 300 + (media_id % 40) * 10
     n_samples = n_frames * n_channels
-    pcm = struct.pack(
-        f"<{n_samples}h",
-        *(((media_id * 31 + j * 7) % 65536) - 32768 for j in range(n_samples)),
-    )
+    # vectorized: the benched decode slot must time the codec round
+    # trip, not per-element Python arithmetic
+    pcm = (
+        ((media_id * 31 + np.arange(n_samples, dtype=np.int64) * 7) % 65536)
+        - 32768
+    ).astype("<i2").tobytes()
     block_align = n_channels * 2
     fmt = struct.pack(
         "<HHIIHH", 1, n_channels, rate, rate * block_align, block_align, 16
@@ -95,11 +99,15 @@ def bmp_payload(media_id: int) -> bytes:
     ``wav_payload``."""
     import struct
 
+    import numpy as np
+
     w = 4 + media_id % 13
     h = 3 + media_id % 7
     row = w * 3
     pad = (4 - row % 4) % 4
-    px = bytes(((media_id * 7 + j * 5) % 256) for j in range(w * h * 3))
+    px = (
+        (media_id * 7 + np.arange(w * h * 3, dtype=np.int64) * 5) % 256
+    ).astype(np.uint8).tobytes()
     body = b"".join(
         px[r * row : (r + 1) * row] + b"\x00" * pad for r in range(h)
     )
@@ -119,12 +127,21 @@ def real_decode(payload: bytes) -> dict:
     import struct
 
     if len(payload) >= 2 and payload[:2] == b"BM":
+        if len(payload) < 14 + 40:
+            raise ValueError("malformed BMP: truncated header")
         _, _, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
         hsize, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
         if hsize < 40 or bpp != 24 or comp != 0:
             raise ValueError("real_decode parses 24-bit uncompressed BMP only")
+        if w <= 0:
+            raise ValueError("malformed BMP: non-positive width")
         row = w * 3
         stride = row + (4 - row % 4) % 4
+        # the last row may legally omit its trailing padding; anything
+        # shorter means pixel data is truncated — never return partial
+        # bytes silently
+        if abs(h) > 0 and offset + (abs(h) - 1) * stride + row > len(payload):
+            raise ValueError("malformed BMP: truncated pixel data")
         px = b"".join(
             payload[offset + r * stride : offset + r * stride + row]
             for r in range(abs(h))
@@ -147,7 +164,11 @@ def real_decode(payload: bytes) -> dict:
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("malformed WAV: chunk size exceeds payload")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("malformed WAV: fmt chunk too short")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -268,13 +289,15 @@ def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- header fields AND the PCM sum prove the real round trip
         SELECT doc_id AS media_id,
                'wav' AS format,
-               CAST([{", ".join(map(str, WAV_RATES))}][(doc_id % 4) + 1]
+               CAST([{", ".join(map(str, WAV_RATES))}]
+                        [(doc_id % {len(WAV_RATES)}) + 1]
                     AS BIGINT) AS sample_rate,
                CAST(1 + (doc_id % 2) AS BIGINT) AS n_channels,
                CAST(16 AS BIGINT) AS bits_per_sample,
                CAST(300 + (doc_id % 40) * 10 AS BIGINT) AS n_frames,
                CAST((300 + (doc_id % 40) * 10) * 1000
-                    // ([{", ".join(map(str, WAV_RATES))}][(doc_id % 4) + 1])
+                    // ([{", ".join(map(str, WAV_RATES))}]
+                            [(doc_id % {len(WAV_RATES)}) + 1])
                     AS BIGINT) AS duration_ms,
                CAST(list_sum(list_transform(
                         range(0, (300 + (doc_id % 40) * 10) * (1 + doc_id % 2)),

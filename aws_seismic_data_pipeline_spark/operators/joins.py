@@ -269,10 +269,12 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest task from dominating the stage. SALT=8 here; pick
     ~(hot-key rows / target-partition rows) in production."""
     SALT = 8
-    # salt varies WITHIN a join key (linenumber, not orderkey) — that's
-    # what spreads one hot key over SALT reducers
+    # salt varies WITHIN a join key (hash includes linenumber, not just
+    # orderkey) — that's what spreads one hot key over SALT reducers;
+    # hash-pmod rather than (l_linenumber % SALT) because l_linenumber
+    # is 1..7 in the fixture and a modulo would leave salt 0 unused
     li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "salt", (F.col("l_linenumber") % SALT).cast("int")
+        "salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(SALT)).cast("int")
     )
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
@@ -300,12 +302,17 @@ def salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     build side exploded SALT ways. Returns the pre-aggregation join
     output so callers (the balance test) can inspect the row
     distribution the shuffle actually produced."""
+    # salt via hash, not (l_linenumber % SALT): l_linenumber is 1..7 in
+    # the fixture, so a modulo salt would never emit 0 — only SALT-1
+    # buckets used and 1/SALT of the exploded build side dead weight
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         "skew_key",
         F.when(F.col("l_orderkey") % 2 == 0, F.lit(0))
         .otherwise(F.col("l_orderkey"))
         .cast("long"),
-    ).withColumn("salt", (F.col("l_linenumber") % _HOT_SALT).cast("int"))
+    ).withColumn(
+        "salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(_HOT_SALT)).cast("int")
+    )
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(_HOT_SALT - 1)))
     )

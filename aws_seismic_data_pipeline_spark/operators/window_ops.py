@@ -725,18 +725,15 @@ def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tile. The oracle recomputes the same rectangle from the raw table,
     so the driver hash-checks that pruning loses no rows; the file-
     count reduction itself is pytest-pinned on inputFiles."""
-    import os
-    import shutil
-    import tempfile
-
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"zorder_{os.path.basename(sf_dir.rstrip('/'))}_"
-        f"{spark.sparkContext.applicationId}",
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
     )
-    try:
+
+    path = scratch_path(spark, sf_dir, "zorder")
+    with scratch_cleanup(path):
         zorder_write(spark, sf_dir, path)
-        out = (
+        return (
             zorder_pruned_scan(spark, path, _ZQ_USER, _ZQ_HOUR)
             .groupBy(
                 F.shiftright("user_bucket", 4).cast("bigint").alias("tile_x"),
@@ -748,10 +745,6 @@ def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    finally:
-        # cleanup on the failure path too — no app-id-keyed /tmp leak
-        shutil.rmtree(path, ignore_errors=True)
-    return out
 
 
 @register(

@@ -669,14 +669,19 @@ def read_footer_stats(
     """Distributed parquet-footer stats collector: fan the file list
     out over ``mapInPandas`` (each task reads only its files' footer
     KBs with pyarrow) and return one row per (file, row group) with
-    the column's min/max/num_values. The data pages are never read —
-    at 100 TB with millions of files this is manifest-building, not a
-    scan. Shared by ``scan_rowgroup_stats`` (introspection) and
-    ``rowgroup_pruned_scan`` (the data-skipping decision itself)."""
+    the integer ``column``'s min/max/num_values. Row groups written
+    without statistics yield NULL min/max (consumers must treat them
+    conservatively — an unknown range can match anything). The data
+    pages are never read — at 100 TB with millions of files this is
+    manifest-building, not a scan. Shared by ``scan_rowgroup_stats``
+    (introspection) and ``rowgroup_pruned_scan`` (the data-skipping
+    decision itself)."""
     import os as _os
 
     import pandas as _pd
 
+    if not paths:
+        raise ValueError("read_footer_stats: empty path list")
     files = spark.createDataFrame(
         [(p,) for p in sorted(paths)], "path string"
     ).repartition(min(len(paths), 32))
@@ -697,14 +702,15 @@ def read_footer_stats(
                 for rg in range(md.num_row_groups):
                     col = md.row_group(rg).column(col_idx)
                     st = col.statistics
+                    has = st is not None and st.has_min_max
                     rows.append(
                         (
                             p,
                             _os.path.basename(p),
                             rg,
                             col.num_values,
-                            int(st.min),
-                            int(st.max),
+                            int(st.min) if has else None,
+                            int(st.max) if has else None,
                         )
                     )
             if rows:
@@ -718,7 +724,7 @@ def read_footer_stats(
                         "min_val",
                         "max_val",
                     ],
-                )
+                ).astype({"min_val": "Int64", "max_val": "Int64"})
 
     return files.mapInPandas(read_footers, out_schema)
 
@@ -752,15 +758,27 @@ def rowgroup_pruned_scan(
     import glob as _glob
 
     all_files = _glob.glob(os.path.join(path, "*.parquet"))
+    if not all_files:
+        raise ValueError(f"rowgroup_pruned_scan: no parquet files under {path}")
     per_file = (
         read_footer_stats(spark, all_files, "o_orderkey")
         .groupBy("path")
-        .agg(F.min("min_val").alias("fmin"), F.max("max_val").alias("fmax"))
+        .agg(
+            F.min("min_val").alias("fmin"),
+            F.max("max_val").alias("fmax"),
+            # row groups lacking stats make the file's range unknowable
+            F.sum(F.when(F.col("min_val").isNull(), 1).otherwise(0)).alias(
+                "n_statless"
+            ),
+        )
     )
+    # conservative inclusion: a file with ANY stats-less row group might
+    # hold matching rows its known min/max doesn't cover — read it
     matching = [
         r.path
         for r in per_file.filter(
-            (F.col("fmax") >= lo) & (F.col("fmin") <= hi)
+            (F.col("n_statless") > 0)
+            | ((F.col("fmax") >= lo) & (F.col("fmin") <= hi))
         ).collect()
     ]
     if not matching:
@@ -800,19 +818,17 @@ def scan_rowgroup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_catalog_scale.py. Seed: the reference's date-prefixed
     object layout (``/root/reference/app.py:449-463``) — list-prune by
     key prefix — generalized to footer-stats pruning on any column."""
-    import shutil
-    import tempfile
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
 
     prepare(spark)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"rangekey_{os.path.basename(sf_dir.rstrip('/'))}_"
-        f"{spark.sparkContext.applicationId}",
-    )
+    path = scratch_path(spark, sf_dir, "rangekey")
     lo, hi = _RG_PRUNE_RANGE
-    try:
+    with scratch_cleanup(path):
         rangekey_write(spark, sf_dir, path)
-        out = (
+        return (
             rowgroup_pruned_scan(spark, path, lo, hi)
             .groupBy("o_orderstatus")
             .agg(
@@ -823,6 +839,3 @@ def scan_rowgroup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
-    return out

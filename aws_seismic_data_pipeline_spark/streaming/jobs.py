@@ -490,7 +490,7 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the writer dedups on it. Oracle-checked: after availableNow
     drains the source, the landed table aggregates exactly like the
     batch table."""
-    import shutil
+    from aws_seismic_data_pipeline_spark.catalog import scratch_cleanup
 
     target = os.path.join(tempfile.gettempdir(), f"fb_sink_{uuid.uuid4().hex[:8]}")
 
@@ -501,7 +501,7 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(target)
 
     stream = _events_stream(spark, sf_dir)
-    try:
+    with scratch_cleanup(target, target + "_ckpt"):
         q = (
             stream.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", target + "_ckpt")
@@ -514,13 +514,7 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),
         )
-        out = result.localCheckpoint(eager=True)  # materialize before cleanup
-    finally:
-        # cleanup must run on the failure path too — a crashed query
-        # would otherwise leak uuid-keyed dirs under /tmp on every run
-        shutil.rmtree(target, ignore_errors=True)
-        shutil.rmtree(target + "_ckpt", ignore_errors=True)
-    return out
+        return result.localCheckpoint(eager=True)  # materialize pre-cleanup
 
 
 @register("stream_snapshot_dedup", oracle=_INC_SNAPSHOT_ORACLE, tags=("stream", "llm"))
@@ -547,8 +541,7 @@ def stream_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Seed: the reference's exists-check dedup at ingest time
     (``/root/reference/app.py:271-273``), upgraded from filename
     identity to content + near-dup identity."""
-    import shutil
-
+    from aws_seismic_data_pipeline_spark.catalog import scratch_cleanup
     from aws_seismic_data_pipeline_spark.llm.curation import _md5_bucket
     from aws_seismic_data_pipeline_spark.llm.dedup import (
         _INC_CORPUS_PCT,
@@ -564,7 +557,7 @@ def stream_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = os.path.join(
         tempfile.gettempdir(), f"snap_dedup_{uuid.uuid4().hex[:8]}"
     )
-    try:
+    with scratch_cleanup(target, target + "_ckpt", index):
         write_corpus_index(docs.filter(F.col("bucket") < _INC_CORPUS_PCT), index)
 
         src = f"{sf_dir}/documents.parquet"
@@ -589,14 +582,7 @@ def stream_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        out = spark.read.parquet(target).localCheckpoint(eager=True)
-    finally:
-        # failure-path cleanup: a crashed build/stream/read-back must not
-        # leak the uuid-keyed target, checkpoint, and index dirs
-        shutil.rmtree(target, ignore_errors=True)
-        shutil.rmtree(target + "_ckpt", ignore_errors=True)
-        shutil.rmtree(index, ignore_errors=True)
-    return out
+        return spark.read.parquet(target).localCheckpoint(eager=True)
 
 
 @register("stream_quality_gate", oracle=QUALITY_GATE_ORACLE, tags=("stream", "llm"))
@@ -613,8 +599,7 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the gate is explode + two map-side aggs per batch —
     batch-sized work, no static side at all, so the stream needs no
     state store and no watermark; per-batch cost is O(batch tokens)."""
-    import shutil
-
+    from aws_seismic_data_pipeline_spark.catalog import scratch_cleanup
     from aws_seismic_data_pipeline_spark.llm.curation import quality_gate
 
     src = f"{sf_dir}/documents.parquet"
@@ -628,7 +613,7 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         quality_gate(batch_df).write.mode("append").parquet(target)
 
-    try:
+    with scratch_cleanup(target, target + "_ckpt"):
         q = (
             stream.writeStream.foreachBatch(gate_batch)
             .option("checkpointLocation", target + "_ckpt")
@@ -636,11 +621,7 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        out = spark.read.parquet(target).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(target, ignore_errors=True)
-        shutil.rmtree(target + "_ckpt", ignore_errors=True)
-    return out
+        return spark.read.parquet(target).localCheckpoint(eager=True)
 
 
 def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:

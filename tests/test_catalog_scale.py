@@ -312,21 +312,28 @@ def test_salted_hot_join_spreads_the_hot_key(spark):
 
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     # AQE off: its own skew splitting / partition coalescing would mask
     # what the salt contributes. Broadcast off: at fixture scale the
     # build side broadcasts, sidestepping the reducer skew entirely
     # (at 100 TB neither side of an orderkey join is broadcastable).
+    # 64 shuffle partitions: with only 8, two of the 8 salted hot keys
+    # hash-colliding into one reducer is near-certain (birthday bound),
+    # which would measure the hash function, not the salting.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
     try:
         unsalted_share = max_share(unsalted)
         salted_share = max_share(salted)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     # hot key holds ~50% of rows: unsalted -> one reducer owns them all;
-    # salted -> worst reducer holds ~(50/SALT)% + uniform background
+    # salted -> worst reducer holds ~(50/SALT)% + background, with slack
+    # for one residual (hot-salt, partition) hash collision
     assert unsalted_share > 0.4, unsalted_share
-    assert salted_share < 0.5 / _HOT_SALT + 0.15, salted_share
+    assert salted_share < 2.5 * 0.5 / _HOT_SALT, salted_share
     assert salted_share < unsalted_share / 2

@@ -154,6 +154,13 @@ def test_multimodal_real_decode_round_trip():
         real_decode(b"\x00")
     with _pytest.raises(ValueError):
         real_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    # truncation must raise, never silently return partial bytes
+    with _pytest.raises(ValueError):
+        real_decode(bmp_payload(7)[:-5])
+    with _pytest.raises(ValueError):
+        real_decode(wav_payload(7)[:-5])
+    with _pytest.raises(ValueError):
+        real_decode(b"BM" + b"\x00" * 10)  # header shorter than 54 bytes
 
 
 def test_feature_extract_unit_range(spark):

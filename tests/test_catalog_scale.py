@@ -337,3 +337,43 @@ def test_salted_hot_join_spreads_the_hot_key(spark):
     assert unsalted_share > 0.4, unsalted_share
     assert salted_share < 2.5 * 0.5 / _HOT_SALT, salted_share
     assert salted_share < unsalted_share / 2
+
+
+def test_rowgroup_pruning_property_random_ranges(spark, tmp_path):
+    """For ANY [lo, hi] — including empty, out-of-range, and
+    single-file-wide ranges — the stats-pruned scan must return exactly
+    the rows a brute-force filter finds. Hypothesis drives the ranges
+    over one shared written table."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        rangekey_write,
+        rowgroup_pruned_scan,
+    )
+
+    from .conftest import SF_DIR
+
+    path = str(tmp_path / "rangekey_prop")
+    rangekey_write(spark, SF_DIR, path)
+    full = spark.read.parquet(path)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.integers(-100, 2000), st.integers(0, 2200))
+    def check(lo, span):
+        hi = lo + span
+        got = sorted(
+            r.o_orderkey
+            for r in rowgroup_pruned_scan(spark, path, lo, hi).collect()
+        )
+        want = sorted(
+            r.o_orderkey
+            for r in full.filter(F.col("o_orderkey").between(lo, hi)).collect()
+        )
+        assert got == want, (lo, hi)
+
+    check()

@@ -924,3 +924,75 @@ def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             (micros / 1_000_000).cast("long").alias("staleness_s"),
         )
     )
+
+
+@register(
+    "ts_outlier_mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, median(value) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type
+        )
+        SELECT m.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(m.med, 6) AS med,
+               ROUND(d.mad, 6) AS mad,
+               CAST(SUM(CASE WHEN abs(e.value - m.med) > 3 * d.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events e
+        JOIN med m USING (event_type)
+        JOIN dev d USING (event_type)
+        GROUP BY m.event_type, m.med, d.mad
+    """,
+    tags=("ts", "agg"),
+)
+def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series outlier detection (median / median-absolute-
+    deviation): flag events whose value deviates from its series median
+    by more than 3 MADs — the standard robust alternative to z-scores
+    (one wild sensor reading shifts a mean/stddev gate but not the
+    median pair), i.e. the reference's per-channel data-quality check
+    the dashboard eyeballs (seed: trace plots, ``app.py:569-575``),
+    made algorithmic.
+
+    Scale shape: two grouped medians (each a single shuffle on the
+    bounded event_type key; Spark computes exact percentile with a
+    per-group sort that AQE splits on skew) + the |types|-row
+    median/MAD frames broadcast back for one linear flagging pass —
+    the corpus is scanned twice, shuffled only on fixed-cardinality
+    keys, never self-joined. Both engines interpolate even-count
+    medians from identical doubles, so med/mad/flags are bit-exact
+    cross-engine (rounded for display only)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    flagged = ev.join(F.broadcast(med), "event_type").join(
+        F.broadcast(dev), "event_type"
+    )
+    return flagged.groupBy("event_type", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    ).select(
+        "event_type",
+        "n_events",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "n_outliers",
+    )

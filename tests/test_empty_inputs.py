@@ -43,6 +43,12 @@ EMPTY_SAFE = [
     "analytics_basket_affinity", "curate_mix_epochs", "fn_variant",
     "analytics_event_funnel", "layout_zorder_cluster",
     "subquery_not_in_anti", "plan_merge_upsert",
+    # round-7 additions (mm_decode_real* and join_salted_skew_hot run
+    # per-row generators/joins that degrade to empty naturally;
+    # scan_rowgroup_pruned stages files and is excluded like the other
+    # filesystem-staging ops)
+    "join_salted_skew_hot", "analytics_shipmode_priority",
+    "mm_decode_real", "mm_decode_real_image", "ts_outlier_mad",
 ]
 
 

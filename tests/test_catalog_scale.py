@@ -377,3 +377,60 @@ def test_rowgroup_pruning_property_random_ranges(spark, tmp_path):
         assert got == want, (lo, hi)
 
     check()
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Third-implementation cross-check for the custom as-of operator:
+    the union+window plan must agree row-for-row with
+    pandas.merge_asof(direction='backward') — an independent reference
+    implementation on the same fixture data (the SQL oracle being the
+    second). Guards the at-or-before tie rule (purchases sorting before
+    clicks at identical ts) against window-ordering regressions."""
+    import pandas as pd
+
+    from aws_seismic_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_DIR
+
+    got = {
+        r.event_id: r.last_purchase_ts
+        for r in load_all()["join_asof_nearest"].builder(spark, SF_DIR).collect()
+    }
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    pdf = ev.toPandas()
+    clicks = (
+        pdf[pdf.event_type == "click"]
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    purchases = (
+        pdf[pdf.event_type == "purchase"]
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    merged = pd.merge_asof(
+        clicks,
+        purchases[["user_id", "ts"]].rename(columns={"ts": "last_purchase_ts"}),
+        left_on="ts",
+        right_on="last_purchase_ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    want = {
+        r.event_id: (None if pd.isna(r.last_purchase_ts) else r.last_purchase_ts)
+        for r in merged.itertuples()
+    }
+    assert len(got) == len(want) and got
+    mismatches = {
+        k: (got[k], want[k])
+        for k in want
+        if (got[k] is None) != (want[k] is None)
+        or (got[k] is not None and pd.Timestamp(got[k]) != want[k])
+    }
+    assert not mismatches, list(mismatches.items())[:5]

@@ -404,3 +404,25 @@ def sim_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(path, ignore_errors=True)  # app-id-keyed dir: no reuse
     return result
+
+
+def append_to_index(
+    index_dir: str, new_vectors: DataFrame, centroids: np.ndarray
+) -> None:
+    """INCREMENTAL index maintenance: assign a batch of new vectors to
+    their cells with the EXISTING quantizer and append them to the
+    cell-partitioned table — no retrain, no touch of the stored
+    vectors. This is the continuous-ingest economics the dedup corpus
+    artifact already has (``llm/dedup.py: write_corpus_index``):
+    per-batch cost is batch-sized (one closure-broadcast assign pass +
+    an append write into the matching cell directories), while a
+    rebuild would rescan the whole corpus. Retrain the quantizer only
+    when drift accumulates (monitor the assign-distance distribution);
+    until then appended and rebuilt indexes are EXACTLY equivalent for
+    probing because cell assignment depends only on (vector,
+    centroids) — pinned by tests/test_ivf.py's append==rebuild check.
+    """
+    assigned = _assign_cells(new_vectors, centroids, with_embedding=True)
+    assigned.repartition("cell").write.partitionBy("cell").mode(
+        "append"
+    ).parquet(index_dir)

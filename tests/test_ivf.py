@@ -227,3 +227,70 @@ def test_ivf_search_is_rerun_deterministic(spark):
         map(tuple, build_and_search(spark, SF_DIR, k=3, n_queries=10).collect())
     )
     assert a == b
+
+
+def test_append_to_index_equals_rebuild(spark, tmp_path):
+    """Incremental maintenance must be exact: an index built from 80%
+    of the corpus then appended with the remaining 20% (same quantizer)
+    answers every probe identically to an index built from 100% in one
+    shot — cell assignment depends only on (vector, centroids), so
+    append and rebuild are the same table up to file layout."""
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table, spread_dense
+    from aws_seismic_data_pipeline_spark.llm.ivf import (
+        N_CELLS,
+        _assign_cells,
+        append_to_index,
+        probe_persisted_index,
+        train_centroids,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = spread_dense(emb, spark, SF_DIR).localCheckpoint(eager=True)
+    centroids = train_centroids(corpus, k=N_CELLS)
+
+    full_dir = str(tmp_path / "ivf_full")
+    incr_dir = str(tmp_path / "ivf_incr")
+    _assign_cells(corpus, centroids, with_embedding=True).repartition(
+        "cell"
+    ).write.partitionBy("cell").parquet(full_dir)
+
+    base = corpus.filter(F.col("vec_id") % 5 != 0)
+    late = corpus.filter(F.col("vec_id") % 5 == 0)
+    _assign_cells(base, centroids, with_embedding=True).repartition(
+        "cell"
+    ).write.partitionBy("cell").parquet(incr_dir)
+    append_to_index(incr_dir, late, centroids)
+
+    # same rows in the same cells...
+    a = sorted(
+        map(tuple, spark.read.parquet(full_dir).select("vec_id", "cell").collect())
+    )
+    b = sorted(
+        map(tuple, spark.read.parquet(incr_dir).select("vec_id", "cell").collect())
+    )
+    assert a == b and a
+
+    # ...and identical probe answers
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    pa = sorted(
+        map(
+            tuple,
+            probe_persisted_index(spark, full_dir, queries, centroids, k=5).collect(),
+        )
+    )
+    pb = sorted(
+        map(
+            tuple,
+            probe_persisted_index(spark, incr_dir, queries, centroids, k=5).collect(),
+        )
+    )
+    assert pa == pb and pa

@@ -1057,6 +1057,28 @@ def write_corpus_index(corpus_docs: DataFrame, path: str) -> None:
     )
 
 
+def promote_to_corpus(accepted_docs: DataFrame, path: str) -> None:
+    """Close the continuous-crawl loop: after a snapshot is classified,
+    APPEND its accepted (non-duplicate) documents' md5 hashes and LSH
+    band rows into the persisted corpus artifact — so the NEXT snapshot
+    dedups against corpus ∪ everything accepted so far, without ever
+    rebuilding from the full corpus. Per-promotion cost is
+    accepted-batch-sized (hash + band the batch, two append writes);
+    the md5 table tolerates the rare duplicate hash row because the
+    classifier probes it with a semi-join (set semantics). Mirrors
+    ``llm/ivf.py: append_to_index``; promoted==rebuilt equivalence is
+    pytest-pinned in tests/test_incremental.py."""
+    accepted_docs.select(F.md5("text").alias("h")).distinct().write.mode(
+        "append"
+    ).parquet(f"{path}/md5")
+    bands = _mh_bands(_mh_signatures(accepted_docs)).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "bkey"
+    )
+    bands.repartition("band").write.partitionBy("band").mode("append").parquet(
+        f"{path}/bands"
+    )
+
+
 def classify_snapshot_persisted(
     spark: SparkSession, snap_docs: DataFrame, path: str
 ) -> DataFrame:

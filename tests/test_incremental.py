@@ -84,3 +84,45 @@ def test_hll_estimates_within_2pct_and_merge_consistent(spark):
     assert merged == direct, "sketch merge diverged from direct sketch"
     for prio, n in exact.items():
         assert abs(merged[prio] - n) / n < 0.02, (prio, merged[prio], n)
+
+
+def test_promote_to_corpus_equals_rebuild(spark, tmp_path):
+    """The continuous-crawl loop must be exact: a corpus artifact built
+    from docs A then PROMOTED with accepted snapshot docs B classifies
+    the next snapshot identically to an artifact rebuilt from A ∪ B in
+    one shot — the dedup sibling of the IVF append==rebuild pin."""
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.llm.dedup import (
+        classify_snapshot_persisted,
+        promote_to_corpus,
+        write_corpus_index,
+    )
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    part_a = docs.filter(F.col("doc_id") % 3 == 0)
+    part_b = docs.filter(F.col("doc_id") % 3 == 1)
+    snapshot = docs.filter(F.col("doc_id") % 3 == 2)
+
+    rebuilt = str(tmp_path / "corpus_full")
+    promoted = str(tmp_path / "corpus_incr")
+    write_corpus_index(part_a.unionByName(part_b), rebuilt)
+    write_corpus_index(part_a, promoted)
+    promote_to_corpus(part_b, promoted)
+
+    a = sorted(
+        map(
+            tuple,
+            classify_snapshot_persisted(spark, snapshot, rebuilt).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            classify_snapshot_persisted(spark, snapshot, promoted).collect(),
+        )
+    )
+    assert a == b and a

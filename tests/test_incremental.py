@@ -126,3 +126,42 @@ def test_promote_to_corpus_equals_rebuild(spark, tmp_path):
         )
     )
     assert a == b and a
+
+
+def test_promotion_catches_cross_batch_duplicates(spark, tmp_path):
+    """The reason promotion exists: a document accepted in batch 1 must
+    flag its re-crawl in batch 2 as exact_dup — without promotion the
+    artifact only knows the original corpus and would wave the copy
+    through as new."""
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.llm.dedup import (
+        classify_snapshot_persisted,
+        promote_to_corpus,
+        write_corpus_index,
+    )
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch1 = docs.filter(F.col("doc_id").between(100, 199))
+
+    index = str(tmp_path / "corpus_promote")
+    write_corpus_index(corpus, index)
+
+    # batch 2 re-crawls one batch-1 doc under a fresh id
+    seed = batch1.limit(1).collect()[0]
+    batch2 = spark.createDataFrame(
+        [(999_999, seed["text"], seed["lang"], seed["source"], seed["n_chars"])],
+        docs.schema,
+    )
+
+    # without promotion: the re-crawl looks new (or at best near-dup)
+    before = classify_snapshot_persisted(spark, batch2, index).collect()[0]
+    assert before["status"] != "exact_dup"
+
+    promote_to_corpus(batch1, index)
+    after = classify_snapshot_persisted(spark, batch2, index).collect()[0]
+    assert after["status"] == "exact_dup", after

@@ -176,6 +176,8 @@ def real_decode(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("malformed WAV: missing fmt or data chunk")
     _, n_channels, rate, _, block_align, bits = fmt
+    if block_align <= 0:
+        raise ValueError("malformed WAV: zero block_align")
     return {
         "format": "wav",
         "sample_rate": rate,

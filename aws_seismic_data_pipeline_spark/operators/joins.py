@@ -298,10 +298,15 @@ def salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The salted join over a DELIBERATELY skewed key: every even
     lineitem is remapped onto the single hot key 0 (~half the fact
     table landing on one join key — the pathological distribution
-    salting exists for), probe-side salt = l_linenumber % SALT,
-    build side exploded SALT ways. Returns the pre-aggregation join
-    output so callers (the balance test) can inspect the row
-    distribution the shuffle actually produced."""
+    salting exists for; the fixture's 0-based orderkeys make 0 a real
+    order, asserted in tests/test_catalog_scale.py so a re-keyed
+    fixture can't silently turn the demo vacuous), probe-side salt =
+    ``pmod(hash(l_orderkey, l_linenumber), SALT)`` — a hash, not a
+    modulo of l_linenumber, whose 1..7 fixture range would leave salt
+    buckets dead (see inline comment) — build side exploded SALT ways.
+    Returns the pre-aggregation join output so callers (the balance
+    test) can inspect the row distribution the shuffle actually
+    produced."""
     # salt via hash, not (l_linenumber % SALT): l_linenumber is 1..7 in
     # the fixture, so a modulo salt would never emit 0 — only SALT-1
     # buckets used and 1/SALT of the exploded build side dead weight

@@ -54,6 +54,45 @@ def test_sketch_estimates_within_error_bands(spark):
             assert abs(est - true) <= 0.05 * abs(true), (prio, est, true)
 
 
+def test_golden_percentile_literals_are_group_members(spark):
+    """The driver oracle pins percentile_approx outputs as exact golden
+    literals at sf0.01 — valid because GK at accuracy=10000 returns an
+    actual sample value and the merge is partition-layout-independent
+    at that size, but a Spark version bump could still legally flip
+    WHICH sample value comes back. This is the tolerance fallback: the
+    literals must be MEMBERS of the group's o_totalprice value set and
+    within the error band of the exact percentile. If the exact-literal
+    parity check ever goes red while THIS test stays green, the fix is
+    to re-pin the oracle literals in operators/aggregates.py from the
+    current build's output — not to debug the operator."""
+    import duckdb
+
+    from aws_seismic_data_pipeline_spark.catalog import GOLDEN_SF_DIR
+
+    spec = REGISTRY["agg_approx_sketches"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{GOLDEN_SF_DIR}/orders.parquet')"
+    )
+    golden = con.execute(spec.oracle).fetchall()
+    assert len(golden) == 5
+    for prio, _cust, p50, p95, n_orders in golden:
+        members, lo_p, hi_p, n = con.execute(
+            "SELECT COUNT(*) FILTER (WHERE o_totalprice IN (?, ?)),"
+            "       quantile_cont(o_totalprice, 0.45),"
+            "       quantile_cont(o_totalprice, 0.55), COUNT(*)"
+            " FROM orders WHERE o_orderpriority = ?",
+            [round(p50, 2), round(p95, 2), prio],
+        ).fetchone()
+        assert n == n_orders, (prio, n, n_orders)
+        # both pinned percentiles are real sample values of the group
+        assert members >= 2, (prio, p50, p95)
+        # and the p50 literal sits inside a generous quantile band
+        assert lo_p <= p50 <= hi_p, (prio, p50, lo_p, hi_p)
+    con.close()
+
+
 def test_sample_estimate_tracks_exact_totals(spark):
     """The 5% deterministic sample's scaled estimates must land within
     a loose relative band of the exact per-flag totals (md5 buckets are

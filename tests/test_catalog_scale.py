@@ -307,6 +307,14 @@ def test_salted_hot_join_spreads_the_hot_key(spark):
         .cast("long"),
     )
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    # the demo maps even lineitems onto hot key 0; with 1-based TPC-H
+    # keys the inner join would silently drop them (parity would still
+    # pass — both engines drop) and this skew test would be measuring
+    # nothing. Fail loudly instead if the fixture is ever re-keyed.
+    assert orders.filter(F.col("o_orderkey") == 0).limit(1).count() == 1, (
+        "hot key 0 missing from orders — fixture re-keyed? salted_hot_join's "
+        "skew demo is vacuous without it"
+    )
     unsalted = li.join(orders, li.skew_key == orders.o_orderkey)
     salted = salted_hot_join(spark, SF_DIR)
 

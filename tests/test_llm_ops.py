@@ -161,6 +161,15 @@ def test_multimodal_real_decode_round_trip():
         real_decode(wav_payload(7)[:-5])
     with _pytest.raises(ValueError):
         real_decode(b"BM" + b"\x00" * 10)  # header shorter than 54 bytes
+    # a fmt chunk carrying block_align=0 must raise ValueError, not
+    # ZeroDivisionError, when deriving n_frames
+    import struct as _struct
+
+    bad = bytearray(wav_payload(7))
+    fmt_at = bad.index(b"fmt ") + 8  # chunk body start
+    _struct.pack_into("<H", bad, fmt_at + 12, 0)  # block_align field
+    with _pytest.raises(ValueError, match="block_align"):
+        real_decode(bytes(bad))
 
 
 def test_feature_extract_unit_range(spark):

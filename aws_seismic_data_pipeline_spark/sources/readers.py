@@ -839,3 +839,272 @@ def scan_rowgroup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+
+# --------------------------------------------------------------------------
+# Persisted footer-stats MANIFEST (r8): the production form of
+# ``rowgroup_pruned_scan``'s docstring — stats live in a parquet table
+# next to the data (like Iceberg/Delta manifests), pruning is an
+# agg+filter on that table, and only the MATCHING path list ever
+# reaches the driver.
+# --------------------------------------------------------------------------
+
+#: leaf columns the demo manifests carry stats for
+_MANIFEST_COLS = ("o_orderkey", "o_custkey")
+
+
+def read_footer_stats_multi(
+    spark: SparkSession, paths: list[str], columns: tuple[str, ...]
+) -> DataFrame:
+    """Multi-column footer-stats collector: ONE pyarrow footer read per
+    file yields min/max/num_values for EVERY requested leaf column —
+    the same metadata object carries them all, so a manifest over N
+    predicate columns costs exactly the same footer I/O as one column
+    (the r7 ``read_footer_stats`` re-listed per column). Output is the
+    manifest's physical schema, keyed (path, row_group, column_name);
+    min/max are stored as double (exact for integers below 2^53 —
+    every fixture and TPC-H key range — and natively right for float
+    measure columns). Stats-less row groups yield NULL min/max and
+    must be treated conservatively by consumers."""
+    import os as _os
+
+    import pandas as _pd
+
+    if not paths:
+        raise ValueError("read_footer_stats_multi: empty path list")
+    if not columns:
+        raise ValueError("read_footer_stats_multi: no columns requested")
+    cols = tuple(columns)
+    files = spark.createDataFrame(
+        [(p,) for p in sorted(paths)], "path string"
+    ).repartition(min(len(paths), 32))
+    out_schema = (
+        "path string, file_name string, row_group long, column_name string,"
+        " n_rows long, min_val double, max_val double"
+    )
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                names = md.schema.names
+                idx = {c: names.index(c) for c in cols}
+                for rg in range(md.num_row_groups):
+                    for c in cols:
+                        col = md.row_group(rg).column(idx[c])
+                        st = col.statistics
+                        has = st is not None and st.has_min_max
+                        rows.append(
+                            (
+                                p,
+                                _os.path.basename(p),
+                                rg,
+                                c,
+                                col.num_values,
+                                float(st.min) if has else None,
+                                float(st.max) if has else None,
+                            )
+                        )
+            if rows:
+                yield _pd.DataFrame(
+                    rows,
+                    columns=[
+                        "path",
+                        "file_name",
+                        "row_group",
+                        "column_name",
+                        "n_rows",
+                        "min_val",
+                        "max_val",
+                    ],
+                )
+
+    return files.mapInPandas(read_footers, out_schema)
+
+
+def write_stats_manifest(
+    spark: SparkSession,
+    paths: list[str],
+    manifest_dir: str,
+    columns: tuple[str, ...] = _MANIFEST_COLS,
+) -> None:
+    """Materialize the footer-stats manifest as a parquet TABLE beside
+    the data — the artifact a table format keeps so planning never
+    re-lists or re-opens data-file footers. Built distributed
+    (``read_footer_stats_multi``); |manifest| = |files| × row groups ×
+    columns rows of fixed-width metadata, ~KBs per thousand files.
+    Coalesced to one file per build: the manifest is metadata, and a
+    32-task write would itself recreate the small-file problem it
+    exists to index."""
+    read_footer_stats_multi(spark, paths, columns).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(manifest_dir)
+
+
+def append_stats_manifest(
+    spark: SparkSession,
+    new_paths: list[str],
+    manifest_dir: str,
+    columns: tuple[str, ...] = _MANIFEST_COLS,
+) -> None:
+    """Incremental manifest maintenance: when new data files land
+    (ingest batch, compaction output), footer-read ONLY them and append
+    their stats rows — cost is new-batch-sized, mirroring
+    ``llm/ivf.py: append_to_index`` / ``llm/dedup.py:
+    promote_to_corpus``. Appended == rebuilt is pytest-pinned in
+    tests/test_catalog_scale.py."""
+    read_footer_stats_multi(spark, new_paths, columns).coalesce(1).write.mode(
+        "append"
+    ).parquet(manifest_dir)
+
+
+def manifest_pruned_scan(
+    spark: SparkSession, manifest_dir: str, column: str, lo: float, hi: float
+) -> DataFrame:
+    """Answer a key-range query through the PERSISTED manifest: an
+    agg+filter over the stats table computes which files can overlap
+    [lo, hi], only that MATCHING path list is collected (never the
+    full |files| frame — the r7 driver-side step this replaces), and
+    the scan opens just those paths with the residual predicate pushed
+    down so Spark's reader prunes row groups within them from the same
+    footer stats. Files with any stats-less row group for ``column``
+    are included conservatively. The manifest is the catalog: files
+    absent from it are invisible, exactly like a table-format snapshot."""
+    manifest = spark.read.parquet(manifest_dir)
+    per_file = (
+        manifest.filter(F.col("column_name") == column)
+        .groupBy("path")
+        .agg(
+            F.min("min_val").alias("fmin"),
+            F.max("max_val").alias("fmax"),
+            F.sum(
+                F.when(F.col("min_val").isNull(), 1).otherwise(0)
+            ).alias("n_statless"),
+        )
+    )
+    matching = [
+        r.path
+        for r in per_file.filter(
+            (F.col("n_statless") > 0)
+            | ((F.col("fmax") >= lo) & (F.col("fmin") <= hi))
+        )
+        .select("path")
+        .collect()
+    ]
+    if not matching:
+        # preserve the data schema on an empty result: open one manifest
+        # file lazily (schema-only footer read, no data pages)
+        any_path = manifest.select("path").limit(1).collect()
+        if not any_path:
+            raise ValueError(f"empty stats manifest at {manifest_dir}")
+        return spark.read.parquet(any_path[0].path).filter(F.lit(False))
+    return spark.read.parquet(*matching).filter(F.col(column).between(lo, hi))
+
+
+@register(
+    "scan_manifest_stats",
+    oracle=f"""
+        SELECT regexp_extract(file_name, '[^/]+$') AS file_name,
+               CAST(row_group_id AS BIGINT) AS row_group,
+               path_in_schema AS column_name,
+               CAST(num_values AS BIGINT) AS n_rows,
+               CAST(stats_min_value AS DOUBLE) AS min_val,
+               CAST(stats_max_value AS DOUBLE) AS max_val
+        FROM parquet_metadata('{GOLDEN_SF_DIR}/orders.parquet')
+        WHERE path_in_schema IN ('o_orderkey', 'o_custkey')
+    """,
+    tags=("source", "layout", "golden-sf0.01"),
+)
+def scan_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted stats manifest as a queryable table, keyed
+    (file, row_group, column): build it for the orders file over BOTH
+    demo predicate columns in one footer pass
+    (``write_stats_manifest``), read it back from disk, and expose the
+    stats rows. Cross-engine check: DuckDB's ``parquet_metadata()``
+    must report identical footers for both columns — extending
+    ``scan_rowgroup_stats``'s single-column check to the multi-column
+    manifest shape a 100 TB table needs (prune on ANY predicate column
+    without re-reading footers). Seed: the reference's date-prefix
+    layout (``/root/reference/app.py:449-463``) whose listing IS its
+    (implicit, single-column) manifest."""
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    mpath = scratch_path(spark, sf_dir, "stats_manifest_intro")
+    with scratch_cleanup(mpath):
+        write_stats_manifest(
+            spark, [os.path.join(sf_dir, "orders.parquet")], mpath
+        )
+        return (
+            spark.read.parquet(mpath)
+            .select(
+                "file_name",
+                "row_group",
+                "column_name",
+                "n_rows",
+                "min_val",
+                "max_val",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+@register(
+    "scan_manifest_pruned",
+    oracle=f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        WHERE o_orderkey BETWEEN {_RG_PRUNE_RANGE[0]} AND {_RG_PRUNE_RANGE[1]}
+        GROUP BY o_orderstatus
+    """,
+    tags=("source", "layout", "scan"),
+)
+def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-stats skipping through the PERSISTED manifest — the
+    production lifecycle end to end: range-cluster the table
+    (``rangekey_write``), build the manifest for most of its files,
+    APPEND the stats of the late-landing rest
+    (``append_stats_manifest`` — the ingest-batch path), then answer
+    the range aggregate with ``manifest_pruned_scan``, where pruning is
+    an agg+filter ON THE MANIFEST TABLE and only matching paths reach
+    the driver. Same oracle as ``scan_rowgroup_pruned``, so the driver
+    hash-checks that manifest-driven skipping loses no rows even
+    across the append; manifest==direct-footer-read equality and the
+    numFiles drop are pinned in tests/test_catalog_scale.py."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    path = scratch_path(spark, sf_dir, "rangekey_m")
+    mpath = scratch_path(spark, sf_dir, "stats_manifest")
+    lo, hi = _RG_PRUNE_RANGE
+    with scratch_cleanup(path, mpath):
+        rangekey_write(spark, sf_dir, path)
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        write_stats_manifest(spark, files[:12], mpath)
+        if files[12:]:
+            append_stats_manifest(spark, files[12:], mpath)
+        return (
+            manifest_pruned_scan(spark, mpath, "o_orderkey", lo, hi)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .cast("long")
+                .alias("total_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )

@@ -442,3 +442,111 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         or (got[k] is not None and pd.Timestamp(got[k]) != want[k])
     }
     assert not mismatches, list(mismatches.items())[:5]
+
+
+def _executed_num_files(df):
+    """numFiles metric of the executed scan leaves (AQE-unwrapped)."""
+    jplan = df._jdf.queryExecution().executedPlan()
+    if "Adaptive" in jplan.getClass().getName():
+        jplan = jplan.executedPlan()
+    leaves = jplan.collectLeaves()
+    num_files = None
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        it = m.iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numFiles":
+                num_files = kv._2().value()
+    return num_files
+
+
+def test_manifest_pruned_scan_equals_direct_and_prunes(spark, tmp_path):
+    """The persisted-manifest scan path must (a) return exactly what the
+    direct-footer-read path returns, (b) open strictly fewer files than
+    the table holds (executed-scan numFiles), and (c) an appended
+    manifest must equal a from-scratch rebuild row-for-row — the three
+    contracts that make the manifest the catalog instead of a cache."""
+    import glob
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        append_stats_manifest,
+        manifest_pruned_scan,
+        rangekey_write,
+        read_footer_stats_multi,
+        rowgroup_pruned_scan,
+        write_stats_manifest,
+    )
+
+    from .conftest import SF_DIR
+
+    path = str(tmp_path / "rangekey")
+    rangekey_write(spark, SF_DIR, path)
+    files = sorted(glob.glob(path + "/*.parquet"))
+    assert len(files) > 1
+
+    # (c) append == rebuild: manifest over 12 files + appended 4 must
+    # carry the identical stats rows as one built over all 16
+    m_appended = str(tmp_path / "manifest_app")
+    write_stats_manifest(spark, files[:12], m_appended)
+    append_stats_manifest(spark, files[12:], m_appended)
+    rebuilt = read_footer_stats_multi(spark, files, ("o_orderkey", "o_custkey"))
+    key = ["path", "row_group", "column_name"]
+    got = spark.read.parquet(m_appended).orderBy(*key).collect()
+    want = rebuilt.orderBy(*key).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # (a) manifest == direct on the demo range, (b) numFiles drop
+    lo, hi = 200, 700
+    pruned = manifest_pruned_scan(spark, m_appended, "o_orderkey", lo, hi)
+    rows = sorted(r.o_orderkey for r in pruned.collect())
+    direct = sorted(
+        r.o_orderkey for r in rowgroup_pruned_scan(spark, path, lo, hi).collect()
+    )
+    assert rows == direct and rows
+    num_files = _executed_num_files(pruned)
+    assert num_files is not None and 0 < num_files < len(files)
+
+    # empty range through the manifest keeps schema and returns no rows
+    empty = manifest_pruned_scan(spark, m_appended, "o_orderkey", -50, -10)
+    assert empty.count() == 0
+    assert "o_orderkey" in empty.columns
+
+
+def test_manifest_prunes_on_second_column(spark, tmp_path):
+    """Multi-column manifests must prune on ANY stats-carrying
+    predicate column: cluster the table by o_custkey, prune a custkey
+    range THROUGH the same two-column manifest, and the scan must both
+    lose no rows and skip files — no re-listing or second footer pass
+    for the second column."""
+    import glob
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        manifest_pruned_scan,
+        write_stats_manifest,
+    )
+
+    from .conftest import SF_DIR
+
+    path = str(tmp_path / "custkey_clustered")
+    load_table(spark, SF_DIR, "orders").repartitionByRange(
+        16, "o_custkey"
+    ).write.mode("overwrite").parquet(path)
+    files = sorted(glob.glob(path + "/*.parquet"))
+    assert len(files) > 1
+    mpath = str(tmp_path / "manifest2")
+    write_stats_manifest(spark, files, mpath)
+
+    lo, hi = 50, 150
+    pruned = manifest_pruned_scan(spark, mpath, "o_custkey", lo, hi)
+    got = sorted((r.o_custkey, r.o_orderkey) for r in pruned.collect())
+    want = sorted(
+        (r.o_custkey, r.o_orderkey)
+        for r in spark.read.parquet(path)
+        .filter(F.col("o_custkey").between(lo, hi))
+        .collect()
+    )
+    assert got == want and got
+    num_files = _executed_num_files(pruned)
+    assert num_files is not None and 0 < num_files < len(files)

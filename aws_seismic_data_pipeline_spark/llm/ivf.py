@@ -323,6 +323,55 @@ def index_path(spark: SparkSession, sf_dir: str) -> str:
     return scratch_path(spark, sf_dir, "ivf_index")
 
 
+#: quantizer subdir inside the index; the leading underscore makes it
+#: invisible to Spark's parquet listing, so reading the index dir never
+#: mixes centroid rows into the vector table.
+_CENTROIDS_SUBDIR = "_centroids"
+
+
+def save_centroids(spark: SparkSession, index_dir: str, C: np.ndarray) -> None:
+    """Persist the trained quantizer INSIDE the index directory — the
+    index is then a self-contained deployment artifact: probes and
+    appends need only its path, no out-of-band ndarray transport. One
+    row per cell (cell, centroid array<double>) plus the training
+    metadata a loader must re-validate (k, d, the spherical/unit-norm
+    convention); k × d doubles ≈ KBs, coalesced to a single file."""
+    k, d = C.shape
+    rows = [(int(c), [float(x) for x in C[c]], k, d, "unit-l2") for c in range(k)]
+    spark.createDataFrame(
+        rows, "cell int, centroid array<double>, k int, d int, norm string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_dir}/{_CENTROIDS_SUBDIR}"
+    )
+
+
+def load_centroids(spark: SparkSession, index_dir: str) -> np.ndarray:
+    """Load the stored quantizer back as the (k, d) ndarray training
+    produced — bit-exact, because the doubles round-trip through
+    parquet unchanged. Validates the metadata so a truncated or
+    mixed-version centroid table fails loudly instead of probing with
+    a wrong-shaped quantizer."""
+    rows = (
+        spark.read.parquet(f"{index_dir}/{_CENTROIDS_SUBDIR}")
+        .orderBy("cell")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"no stored centroids under {index_dir}")
+    k, d, norm = rows[0]["k"], rows[0]["d"], rows[0]["norm"]
+    if norm != "unit-l2":
+        raise ValueError(f"unknown centroid norm convention: {norm}")
+    if len(rows) != k or [r["cell"] for r in rows] != list(range(k)):
+        raise ValueError(
+            f"centroid table corrupt: expected cells 0..{k - 1}, "
+            f"got {[r['cell'] for r in rows]}"
+        )
+    C = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    if C.shape != (k, d):
+        raise ValueError(f"centroid shape {C.shape} != metadata ({k}, {d})")
+    return C
+
+
 def write_index(
     spark: SparkSession, sf_dir: str, path: str, n_cells: int = N_CELLS
 ) -> np.ndarray:
@@ -333,8 +382,10 @@ def write_index(
     ``(vec_id, embedding)`` partitioned by ``cell``, and every later
     probe is a parquet scan that PRUNES to the probed cells at the
     file listing — at 100 TB a nprobe=2/k=10 query set reads ~20% of
-    the corpus bytes and shuffles nothing. Returns the trained
-    centroids (persist them next to the index in a real deployment)."""
+    the corpus bytes and shuffles nothing. The trained centroids are
+    persisted INSIDE the index (``save_centroids``), so the directory
+    is the whole deployment artifact; they are also returned for
+    callers that keep probing in-process."""
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = spread_dense(emb, spark, sf_dir).localCheckpoint(eager=True)
     centroids = train_centroids(corpus, k=n_cells)
@@ -346,6 +397,7 @@ def write_index(
     assigned.repartition("cell").write.partitionBy("cell").mode(
         "overwrite"
     ).parquet(path)
+    save_centroids(spark, path, centroids)
     return centroids
 
 
@@ -353,7 +405,7 @@ def probe_persisted_index(
     spark: SparkSession,
     path: str,
     queries: list[tuple[int, np.ndarray]],
-    centroids: np.ndarray,
+    centroids: np.ndarray | None = None,
     k: int = 5,
     nprobe: int = N_PROBE,
 ) -> DataFrame:
@@ -361,9 +413,15 @@ def probe_persisted_index(
     UNION of all queries' probe cells, then the same per-query masked
     partial-top-k kernel. The ``cell IN (...)`` predicate is a
     partition filter (asserted on the physical plan in
-    tests/test_ivf.py), so unprobed cells are never read from disk."""
+    tests/test_ivf.py), so unprobed cells are never read from disk.
+    With ``centroids=None`` (the deployment default) the quantizer is
+    loaded from the index itself (``load_centroids``) — the directory
+    is self-contained; passing an ndarray skips the KB-sized read for
+    in-process callers that just trained it."""
     from aws_seismic_data_pipeline_spark.llm.vector import as_matrix, rank_topk
 
+    if centroids is None:
+        centroids = load_centroids(spark, path)
     q_mat = as_matrix([q[1] for q in queries])
     cell_rank = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
     needed = sorted({int(c) for row in cell_rank for c in row})
@@ -388,9 +446,13 @@ def sim_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     outlives the job and probes never rescan or re-shuffle the corpus.
     Rows-only check (iterative training, filesystem state);
     tests/test_ivf.py asserts result equality with the in-memory
-    ``sim_topk_ivf`` path and scan-level cell pruning."""
+    ``sim_topk_ivf`` path and scan-level cell pruning. The probe
+    deliberately does NOT pass the just-trained centroids: it reloads
+    the quantizer from inside the index (``load_centroids``), so the
+    driver-checked path exercises the self-contained artifact end to
+    end."""
     path = index_path(spark, sf_dir)
-    centroids = write_index(spark, sf_dir, path)
+    write_index(spark, sf_dir, path)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = [
         (r["vec_id"], r["embedding"])
@@ -398,7 +460,7 @@ def sim_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     ]
-    out = probe_persisted_index(spark, path, queries, centroids, k=5)
+    out = probe_persisted_index(spark, path, queries, centroids=None, k=5)
     result = out.localCheckpoint(eager=True)  # materialize before cleanup
     import shutil
 
@@ -407,7 +469,7 @@ def sim_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def append_to_index(
-    index_dir: str, new_vectors: DataFrame, centroids: np.ndarray
+    index_dir: str, new_vectors: DataFrame, centroids: np.ndarray | None = None
 ) -> None:
     """INCREMENTAL index maintenance: assign a batch of new vectors to
     their cells with the EXISTING quantizer and append them to the
@@ -421,7 +483,11 @@ def append_to_index(
     until then appended and rebuilt indexes are EXACTLY equivalent for
     probing because cell assignment depends only on (vector,
     centroids) — pinned by tests/test_ivf.py's append==rebuild check.
+    With ``centroids=None`` the stored quantizer is loaded from the
+    index (``load_centroids``), so ingest jobs need only the path.
     """
+    if centroids is None:
+        centroids = load_centroids(new_vectors.sparkSession, index_dir)
     assigned = _assign_cells(new_vectors, centroids, with_embedding=True)
     assigned.repartition("cell").write.partitionBy("cell").mode(
         "append"

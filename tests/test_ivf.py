@@ -194,6 +194,12 @@ def test_persisted_index_matches_in_memory_path(spark, tmp_path):
     assert sorted(map(tuple, persisted.collect())) == sorted(
         map(tuple, in_memory.collect())
     )
+    # self-contained artifact: probing with ONLY the index path (the
+    # quantizer reloaded from {path}/_centroids) answers identically
+    from_disk = probe_persisted_index(spark, path, queries, k=5)
+    assert sorted(map(tuple, from_disk.collect())) == sorted(
+        map(tuple, persisted.collect())
+    )
 
     # scan-level pruning: the probe plan carries a partition filter on
     # cell, so unprobed cell directories are never read
@@ -237,12 +243,16 @@ def test_append_to_index_equals_rebuild(spark, tmp_path):
     append and rebuild are the same table up to file layout."""
     from pyspark.sql import functions as F
 
+    import numpy as np
+
     from aws_seismic_data_pipeline_spark.catalog import load_table, spread_dense
     from aws_seismic_data_pipeline_spark.llm.ivf import (
         N_CELLS,
         _assign_cells,
         append_to_index,
+        load_centroids,
         probe_persisted_index,
+        save_centroids,
         train_centroids,
     )
 
@@ -263,7 +273,12 @@ def test_append_to_index_equals_rebuild(spark, tmp_path):
     _assign_cells(base, centroids, with_embedding=True).repartition(
         "cell"
     ).write.partitionBy("cell").parquet(incr_dir)
-    append_to_index(incr_dir, late, centroids)
+    # append through the STORED quantizer: persist the centroids inside
+    # the index (bit-exact round trip pinned here), then append with no
+    # ndarray in hand — the ingest-job deployment shape
+    save_centroids(spark, incr_dir, centroids)
+    assert np.array_equal(load_centroids(spark, incr_dir), centroids)
+    append_to_index(incr_dir, late)
 
     # same rows in the same cells...
     a = sorted(
@@ -287,10 +302,12 @@ def test_append_to_index_equals_rebuild(spark, tmp_path):
             probe_persisted_index(spark, full_dir, queries, centroids, k=5).collect(),
         )
     )
+    # incr side probes from DISK ONLY (centroids=None -> load_centroids):
+    # the index directory alone must answer identically
     pb = sorted(
         map(
             tuple,
-            probe_persisted_index(spark, incr_dir, queries, centroids, k=5).collect(),
+            probe_persisted_index(spark, incr_dir, queries, k=5).collect(),
         )
     )
     assert pa == pb and pa

@@ -1079,6 +1079,27 @@ def promote_to_corpus(accepted_docs: DataFrame, path: str) -> None:
     )
 
 
+def compact_corpus_index(spark: SparkSession, path: str) -> None:
+    """Maintenance for the promoted corpus artifact: every
+    :func:`promote_to_corpus` appends one small file batch to ``md5``
+    and to each touched ``bands`` partition, so thousands of promotions
+    grow the probe-side file listing without growing the data much —
+    the exact small-file problem ``plan_compaction_bins`` plans for.
+    Rewrite both tables (``catalog.compact_parquet_dir``): ``md5``
+    distinct-deduped (set semantics — re-crawled duplicates of already-
+    promoted docs may have appended repeat hash rows) into one file,
+    ``bands`` re-clustered one file per band partition, each swapped in
+    atomically. Classification is EXACTLY unchanged (the classifier
+    probes both tables with semi-joins) — compacted==fragmented is
+    pytest-pinned in tests/test_incremental.py, and the bench phases
+    ``dedup_corpus_probe_fragmented`` / ``_compacted`` track that probe
+    time stays flat as promotions accumulate."""
+    from aws_seismic_data_pipeline_spark.catalog import compact_parquet_dir
+
+    compact_parquet_dir(spark, f"{path}/md5", distinct=True)
+    compact_parquet_dir(spark, f"{path}/bands", partition_by="band")
+
+
 def classify_snapshot_persisted(
     spark: SparkSession, snap_docs: DataFrame, path: str
 ) -> DataFrame:

@@ -682,8 +682,10 @@ def read_footer_stats(
 
     if not paths:
         raise ValueError("read_footer_stats: empty path list")
+    # pandas input -> one Arrow batch; the tuple-list form pickles
+    # through a Python-RDD pipeline (~5 s of overhead per call)
     files = spark.createDataFrame(
-        [(p,) for p in sorted(paths)], "path string"
+        _pd.DataFrame({"path": sorted(paths)}), "path string"
     ).repartition(min(len(paths), 32))
     out_schema = (
         "path string, file_name string, row_group long, n_rows long,"
@@ -875,8 +877,9 @@ def read_footer_stats_multi(
     if not columns:
         raise ValueError("read_footer_stats_multi: no columns requested")
     cols = tuple(columns)
+    # pandas input -> one Arrow batch (see read_footer_stats)
     files = spark.createDataFrame(
-        [(p,) for p in sorted(paths)], "path string"
+        _pd.DataFrame({"path": sorted(paths)}), "path string"
     ).repartition(min(len(paths), 32))
     out_schema = (
         "path string, file_name string, row_group long, column_name string,"
@@ -935,11 +938,14 @@ def write_stats_manifest(
     the data — the artifact a table format keeps so planning never
     re-lists or re-opens data-file footers. Built distributed
     (``read_footer_stats_multi``); |manifest| = |files| × row groups ×
-    columns rows of fixed-width metadata, ~KBs per thousand files.
-    Coalesced to one file per build: the manifest is metadata, and a
-    32-task write would itself recreate the small-file problem it
-    exists to index."""
-    read_footer_stats_multi(spark, paths, columns).coalesce(1).write.mode(
+    columns rows of fixed-width metadata, ~KBs per thousand files. The
+    write inherits the footer-read fan-out, capped at 32 tasks, so a
+    build adds at most 32 manifest files regardless of table size
+    (a trailing ``coalesce(1)`` would serialize the footer read into
+    one task — measured 7× slower — for a single-file nicety
+    ``catalog.compact_parquet_dir`` can restore offline if thousands
+    of appends ever accumulate)."""
+    read_footer_stats_multi(spark, paths, columns).write.mode(
         "overwrite"
     ).parquet(manifest_dir)
 
@@ -956,7 +962,7 @@ def append_stats_manifest(
     ``llm/ivf.py: append_to_index`` / ``llm/dedup.py:
     promote_to_corpus``. Appended == rebuilt is pytest-pinned in
     tests/test_catalog_scale.py."""
-    read_footer_stats_multi(spark, new_paths, columns).coalesce(1).write.mode(
+    read_footer_stats_multi(spark, new_paths, columns).write.mode(
         "append"
     ).parquet(manifest_dir)
 

@@ -534,9 +534,16 @@ def stream_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the snapshot-side hash/band sets broadcast into probes of the
     persisted corpus tables, so per-batch cost is batch-sized, never
     corpus-sized — a plain stream-static join could only broadcast the
-    (100 TB) static side or reshuffle it per batch. Single availableNow
-    batch over one staged file => deterministic => the driver's full
-    batch-SQL oracle applies (same oracle as the batch op).
+    (100 TB) static side or reshuffle it per batch. Each micro-batch
+    then PROMOTES its accepted (status=new) documents into the artifact
+    (``promote_to_corpus``) before the next batch classifies — the
+    continuous-crawl loop closed INSIDE the stream, so a document
+    accepted in batch N flags its batch-N+1 re-crawl as exact_dup
+    (pinned with a two-file maxFilesPerTrigger staging in
+    tests/test_streaming.py). Single availableNow batch over one staged
+    file => classification precedes promotion => deterministic => the
+    driver's full batch-SQL oracle applies (same oracle as the batch
+    op).
 
     Seed: the reference's exists-check dedup at ingest time
     (``/root/reference/app.py:271-273``), upgraded from filename
@@ -547,6 +554,7 @@ def stream_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _INC_CORPUS_PCT,
         classify_snapshot_persisted,
         corpus_index_path,
+        promote_to_corpus,
         write_corpus_index,
     )
 
@@ -571,9 +579,19 @@ def stream_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def classify_batch(batch_df: DataFrame, batch_id: int) -> None:
-            classify_snapshot_persisted(spark, batch_df, index).write.mode(
-                "append"
-            ).parquet(target)
+            # classification is consumed twice (landed result + the
+            # promotion filter); localCheckpoint computes the batch-sized
+            # frame once instead of re-hashing/re-banding the batch
+            cls = classify_snapshot_persisted(
+                spark, batch_df, index
+            ).localCheckpoint(eager=True)
+            cls.write.mode("append").parquet(target)
+            accepted = batch_df.join(
+                cls.filter(F.col("status") == "new").select("doc_id"),
+                "doc_id",
+                "leftsemi",
+            )
+            promote_to_corpus(accepted, index)
 
         q = (
             stream.writeStream.foreachBatch(classify_batch)

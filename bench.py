@@ -78,6 +78,14 @@ HEADLINE = [
     "scan_rowgroup_pruned",
     "mm_decode_real",
     "analytics_shipmode_priority",
+    # round-8 additions: the composed end-to-end pipelines a real user
+    # runs (manifest curation, full LSH->verify->components->canonical
+    # dedup), the recursive-CTE path, and the persisted stats-manifest
+    # scan (timing includes the range-clustered write + manifest build)
+    "curate_pretrain_manifest",
+    "dedup_cluster_canonical",
+    "sql_recursive_cte",
+    "scan_manifest_pruned",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The
@@ -88,6 +96,7 @@ HEADLINE = [
 PHASED = {
     "sim_topk_ivf_persisted": "_bench_ivf_persisted",
     "dedup_incremental_snapshot_persisted": "_bench_snapshot_persisted",
+    "compact_corpus_index": "_bench_corpus_compaction",
 }
 
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
@@ -159,6 +168,59 @@ def _bench_snapshot_persisted(spark, sf_dir: str) -> dict[str, float]:
     return {
         "dedup_snapshot_persisted_build": build,
         "dedup_snapshot_persisted_probe": probe,
+    }
+
+
+def _bench_corpus_compaction(spark, sf_dir: str) -> dict[str, float]:
+    """The small-file story of continuous promotion, measured: build
+    the corpus artifact, promote six accepted batches (each appending
+    tiny files), probe the FRAGMENTED artifact, compact it, probe
+    again. The compacted probe should sit at-or-below the fragmented
+    one — and stay flat as promotion count grows, which is the whole
+    point of wiring ``plan_compaction_bins``'s maintenance to the
+    engine's own artifacts."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table, spread
+    from aws_seismic_data_pipeline_spark.llm.curation import _md5_bucket
+    from aws_seismic_data_pipeline_spark.llm.dedup import (
+        classify_snapshot_persisted,
+        compact_corpus_index,
+        corpus_index_path,
+        promote_to_corpus,
+        write_corpus_index,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark).withColumn(
+        "bucket", _md5_bucket("doc_id", 100)
+    )
+    path = corpus_index_path(spark, sf_dir) + "_compactbench"
+    write_corpus_index(docs.filter(F.col("bucket") < 50), path)
+    for lo in range(50, 80, 5):
+        promote_to_corpus(
+            docs.filter(F.col("bucket").between(lo, lo + 4)), path
+        )
+    snapshot = docs.filter(F.col("bucket") >= 80)
+
+    def probe() -> float:
+        t0 = time.perf_counter()
+        classify_snapshot_persisted(spark, snapshot, path).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    frag = probe()
+    t0 = time.perf_counter()
+    compact_corpus_index(spark, path)
+    compact = time.perf_counter() - t0
+    comp = probe()
+    shutil.rmtree(path, ignore_errors=True)
+    return {
+        "dedup_corpus_probe_fragmented": frag,
+        "dedup_corpus_compact": compact,
+        "dedup_corpus_probe_compacted": comp,
     }
 
 

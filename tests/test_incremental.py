@@ -165,3 +165,57 @@ def test_promotion_catches_cross_batch_duplicates(spark, tmp_path):
     promote_to_corpus(batch1, index)
     after = classify_snapshot_persisted(spark, batch2, index).collect()[0]
     assert after["status"] == "exact_dup", after
+
+
+def test_compact_corpus_index_preserves_classification(spark, tmp_path):
+    """Compaction must be pure maintenance: after several promotions
+    (including a re-crawl that appends a duplicate md5 row) the
+    compacted artifact classifies the next snapshot IDENTICALLY while
+    holding strictly fewer data files — the small-file growth of
+    continuous promotion reclaimed without touching semantics."""
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        count_parquet_files,
+        load_table,
+    )
+    from aws_seismic_data_pipeline_spark.llm.dedup import (
+        classify_snapshot_persisted,
+        compact_corpus_index,
+        promote_to_corpus,
+        write_corpus_index,
+    )
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    index = str(tmp_path / "corpus_compact")
+    write_corpus_index(docs.filter(F.col("doc_id") % 5 == 0), index)
+    # several small promotions, one of them re-promoting an overlap so
+    # the md5 table carries duplicate hash rows
+    for m in (1, 2, 3, 1):
+        promote_to_corpus(docs.filter(F.col("doc_id") % 5 == m), index)
+    snapshot = docs.filter(F.col("doc_id") % 5 == 4)
+
+    files_before = count_parquet_files(index)
+    before = sorted(
+        map(tuple, classify_snapshot_persisted(spark, snapshot, index).collect())
+    )
+    compact_corpus_index(spark, index)
+    files_after = count_parquet_files(index)
+    after = sorted(
+        map(tuple, classify_snapshot_persisted(spark, snapshot, index).collect())
+    )
+
+    assert before == after and before
+    assert files_after < files_before, (files_after, files_before)
+    # md5 is one file, bands one per band partition
+    assert count_parquet_files(f"{index}/md5") == 1
+    import glob as _glob
+    import os as _os
+
+    for band_dir in _glob.glob(f"{index}/bands/band=*"):
+        files = [
+            f for f in _os.listdir(band_dir) if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (band_dir, files)

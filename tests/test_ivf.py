@@ -311,3 +311,62 @@ def test_append_to_index_equals_rebuild(spark, tmp_path):
         )
     )
     assert pa == pb and pa
+
+
+def test_compact_index_preserves_probes_and_quantizer(spark, tmp_path):
+    """IVF index compaction after repeated appends: probe answers are
+    identical, the stored quantizer survives the swap bit-exact, and
+    every cell directory is back to a single data file."""
+    import glob as _glob
+    import os as _os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        count_parquet_files,
+        load_table,
+    )
+    from aws_seismic_data_pipeline_spark.llm.ivf import (
+        append_to_index,
+        compact_index,
+        load_centroids,
+        probe_persisted_index,
+        write_index,
+    )
+
+    from .conftest import SF_DIR
+
+    path = str(tmp_path / "ivf_compact")
+    centroids = write_index(spark, SF_DIR, path)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # three append batches fragment the cell dirs (synthetic late rows:
+    # reuse fixture vectors under fresh ids)
+    for shift in (1, 2, 3):
+        late = emb.filter(F.col("vec_id") % 7 == shift).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(shift * 1_000_000)
+        )
+        append_to_index(path, late)
+
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    files_before = count_parquet_files(path)
+    before = sorted(
+        map(tuple, probe_persisted_index(spark, path, queries, k=5).collect())
+    )
+    compact_index(spark, path)
+    after = sorted(
+        map(tuple, probe_persisted_index(spark, path, queries, k=5).collect())
+    )
+    files_after = count_parquet_files(path)
+
+    assert before == after and before
+    assert files_after < files_before, (files_after, files_before)
+    assert np.array_equal(load_centroids(spark, path), centroids)
+    for cell_dir in _glob.glob(f"{path}/cell=*"):
+        files = [f for f in _os.listdir(cell_dir) if f.endswith(".parquet")]
+        assert len(files) == 1, (cell_dir, files)

@@ -170,3 +170,91 @@ def test_transform_with_state_or_env_gap(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_promotion_catches_prior_batch_duplicates(spark, tmp_path):
+    """The streaming twin of the batch promotion loop: with promotion
+    inside foreachBatch, a document accepted in micro-batch 1 must flag
+    its micro-batch-2 re-crawl as exact_dup. Two staged files +
+    maxFilesPerTrigger=1 force the two ordered batches; the corpus
+    artifact never contained the batch-1 doc, so the exact_dup verdict
+    can ONLY come from cross-batch promotion (one combined batch would
+    classify the re-crawl against the original corpus and call it
+    new)."""
+    import os
+    import time
+
+    from aws_seismic_data_pipeline_spark.llm.dedup import write_corpus_index
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch1 = docs.filter(F.col("doc_id").between(100, 199))
+    seed = batch1.limit(1).collect()[0]
+    batch2 = spark.createDataFrame(
+        [(999_999, seed["text"], seed["lang"], seed["source"], seed["n_chars"])],
+        docs.schema,
+    )
+
+    index = str(tmp_path / "stream_promo_index")
+    write_corpus_index(corpus, index)
+
+    src = str(tmp_path / "src")
+    batch1.coalesce(1).write.parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    # FileStreamSource orders files by modification time: pin batch1's
+    # file strictly older so the re-crawl arrives in the SECOND batch
+    files = sorted(
+        (f for f in os.listdir(src) if f.endswith(".parquet")),
+        key=lambda f: os.path.getmtime(os.path.join(src, f)),
+    )
+    now = time.time()
+    b2_name = None
+    for i, f in enumerate(files):
+        os.utime(os.path.join(src, f), (now - 100 + i, now - 100 + i))
+    # identify which file holds the re-crawl (1 row) vs batch1 (100)
+    import pyarrow.parquet as pq
+
+    for f in files:
+        if pq.ParquetFile(os.path.join(src, f)).metadata.num_rows == 1:
+            b2_name = f
+    assert b2_name is not None
+    # make the 1-row file the NEWEST regardless of write order
+    os.utime(os.path.join(src, b2_name), (now, now))
+
+    from aws_seismic_data_pipeline_spark.llm.dedup import (
+        classify_snapshot_persisted,
+        promote_to_corpus,
+    )
+
+    target = str(tmp_path / "landed")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def classify_batch(batch_df, batch_id):
+        cls = classify_snapshot_persisted(spark, batch_df, index).localCheckpoint(
+            eager=True
+        )
+        cls.write.mode("append").parquet(target)
+        accepted = batch_df.join(
+            cls.filter(F.col("status") == "new").select("doc_id"),
+            "doc_id",
+            "leftsemi",
+        )
+        promote_to_corpus(accepted, index)
+
+    q = (
+        stream.writeStream.foreachBatch(classify_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    landed = {r["doc_id"]: r["status"] for r in spark.read.parquet(target).collect()}
+    assert len(landed) == 101
+    assert landed[999_999] == "exact_dup", landed[999_999]
+    # and batch 1 itself was classified against the ORIGINAL corpus
+    assert landed[seed["doc_id"]] != "exact_dup"

@@ -1114,3 +1114,163 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+
+#: price band for the float-stats pruning demo (~central slice of
+#: o_totalprice at any SF)
+_MANIFEST_PRICE_RANGE = (150000.0, 250000.0)
+
+
+@register(
+    "scan_manifest_pruned_double",
+    oracle=f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        WHERE o_totalprice BETWEEN {_MANIFEST_PRICE_RANGE[0]}
+                                AND {_MANIFEST_PRICE_RANGE[1]}
+        GROUP BY o_orderstatus
+    """,
+    tags=("source", "layout", "scan"),
+)
+def scan_manifest_pruned_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-driven skipping on a FLOAT measure column: cluster
+    orders by ``o_totalprice``, manifest carries (o_orderkey,
+    o_totalprice) stats from the same single footer pass, and a price-
+    band aggregate prunes through the manifest — proving the stats
+    table's double min/max columns serve numeric predicates of any
+    type, not just integer keys (parquet double footer stats are exact,
+    so conservative overlap on them loses no rows; the driver hash
+    checks exactly that). The residual BETWEEN still reaches the scan
+    for row-group pruning inside matching files."""
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    path = scratch_path(spark, sf_dir, "pricekey")
+    mpath = scratch_path(spark, sf_dir, "stats_manifest_price")
+    lo, hi = _MANIFEST_PRICE_RANGE
+    with scratch_cleanup(path, mpath):
+        load_table(spark, sf_dir, "orders").repartitionByRange(
+            16, "o_totalprice"
+        ).write.mode("overwrite").parquet(path)
+        import glob as _glob
+
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        write_stats_manifest(
+            spark, files, mpath, ("o_orderkey", "o_totalprice")
+        )
+        return (
+            manifest_pruned_scan(spark, mpath, "o_totalprice", lo, hi)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .cast("long")
+                .alias("total_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+def vacuum_orphans_report(
+    spark: SparkSession, data_dir: str, manifest_dir: str
+) -> DataFrame:
+    """Orphan-file GC report — the maintenance twin of the manifest
+    being the catalog: files on disk but ABSENT from the stats manifest
+    are unreachable by ``manifest_pruned_scan`` (failed-write leftovers,
+    superseded compaction inputs, files landed without
+    ``append_stats_manifest``) and hold reclaimable storage. The
+    listing side is |files|-rows of metadata anti-joined against the
+    manifest's distinct paths; only the ORPHAN list is collected and
+    only orphan files are re-opened (with ``basePath`` so their
+    partition values survive) to size the reclaim. This is what a
+    table format's VACUUM computes before deleting; the report is
+    returned rather than acted on so the caller owns the destructive
+    step."""
+    import glob as _glob
+
+    import pandas as _pd
+
+    all_files = sorted(
+        _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    )
+    if not all_files:
+        raise ValueError(f"vacuum_orphans_report: no files under {data_dir}")
+    listing = spark.createDataFrame(
+        _pd.DataFrame({"path": all_files}), "path string"
+    )
+    tracked = spark.read.parquet(manifest_dir).select("path").distinct()
+    orphans = [
+        r.path for r in listing.join(tracked, "path", "left_anti").collect()
+    ]
+    if not orphans:
+        return (
+            spark.read.option("basePath", data_dir)
+            .parquet(data_dir)
+            .filter(F.lit(False))
+        )
+    return spark.read.option("basePath", data_dir).parquet(*orphans)
+
+
+@register(
+    "plan_vacuum_orphans",
+    oracle="""
+        SELECT lang,
+               CAST(1 AS BIGINT) AS n_files,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM documents
+        WHERE lang IN ('fr', 'zh')
+        GROUP BY lang
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM planning over the manifest-as-catalog: documents land
+    partitioned by lang (one file per partition — deterministic
+    content), the manifest is built for only the de/en/es partitions,
+    and the report must surface exactly the fr/zh files as orphans with
+    their reclaimable row counts — the dirs a table-format VACUUM would
+    delete. The oracle recomputes the orphan partitions' shapes from
+    the raw table, so the driver hash-checks that the anti-join finds
+    precisely the untracked files, no more (tracked partitions must NOT
+    appear) and no less. Seed: the reference's date-prefixed layout
+    (``/root/reference/app.py:449-463``), where a failed upload leaves
+    exactly this kind of unreferenced object behind."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "vacuum_docs")
+    mpath = scratch_path(spark, sf_dir, "vacuum_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        load_table(spark, sf_dir, "documents").repartition(
+            "lang"
+        ).write.partitionBy("lang").mode("overwrite").parquet(data_dir)
+        tracked_files = sorted(
+            p
+            for lang in ("de", "en", "es")
+            for p in _glob.glob(
+                os.path.join(data_dir, f"lang={lang}", "*.parquet")
+            )
+        )
+        write_stats_manifest(spark, tracked_files, mpath, ("doc_id",))
+        orphans = vacuum_orphans_report(spark, data_dir, mpath).withColumn(
+            "_file", F.input_file_name()
+        )
+        return (
+            orphans.groupBy("lang")
+            .agg(
+                F.count_distinct("_file").cast("long").alias("n_files"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .localCheckpoint(eager=True)
+        )

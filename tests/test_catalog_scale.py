@@ -550,3 +550,42 @@ def test_manifest_prunes_on_second_column(spark, tmp_path):
     assert got == want and got
     num_files = _executed_num_files(pruned)
     assert num_files is not None and 0 < num_files < len(files)
+
+
+def test_vacuum_report_empty_when_fully_tracked(spark, tmp_path):
+    """A manifest covering every file must yield an EMPTY orphan report
+    (with the data schema intact), and dropping one file from the
+    manifest must surface exactly that file's rows — the two boundary
+    cases the registered query's fixed de/en/es split can't pin."""
+    import glob
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        vacuum_orphans_report,
+        write_stats_manifest,
+    )
+
+    from .conftest import SF_DIR
+
+    data_dir = str(tmp_path / "docs")
+    load_table(spark, SF_DIR, "documents").repartition("lang").write.partitionBy(
+        "lang"
+    ).parquet(data_dir)
+    files = sorted(
+        glob.glob(data_dir + "/lang=*/*.parquet")
+    )
+    assert len(files) >= 3
+
+    mpath = str(tmp_path / "manifest_all")
+    write_stats_manifest(spark, files, mpath, ("doc_id",))
+    report = vacuum_orphans_report(spark, data_dir, mpath)
+    assert report.count() == 0
+    assert "doc_id" in report.columns and "lang" in report.columns
+
+    mpath2 = str(tmp_path / "manifest_partial")
+    write_stats_manifest(spark, files[:-1], mpath2, ("doc_id",))
+    orphan_rows = vacuum_orphans_report(spark, data_dir, mpath2)
+    import pyarrow.parquet as pq
+
+    want = pq.ParquetFile(files[-1]).metadata.num_rows
+    assert orphan_rows.count() == want

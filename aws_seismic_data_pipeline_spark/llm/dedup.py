@@ -812,9 +812,13 @@ def dedup_ngram_jaccard_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _capped_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared hashed+capped shingle-pair plan for both registered
-    Jaccard entries: doc_a, doc_b, n_a, n_b, n_common, jaccard_capped."""
+def _capped_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared hashed+capped shingle-pair plan (UNFILTERED): doc_a,
+    doc_b, n_a, n_b, n_common — consumed by the Jaccard entries (which
+    gate on jaccard >= 0.05) and the containment entry (which gates on
+    containment — a pair with low Jaccard can still have total
+    containment, so the similarity filters must sit on the consumers,
+    not here)."""
     docs = spread(load_table(spark, sf_dir, "documents"), spark).filter(
         F.size(F.split("text", " ")) >= 3
     )
@@ -863,11 +867,91 @@ def _capped_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    return pairs
+
+
+def _capped_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Jaccard view over :func:`_capped_shingle_pairs`: doc_a,
+    doc_b, n_a, n_b, n_common, jaccard_capped (gated >= 0.05)."""
+    pairs = _capped_shingle_pairs(spark, sf_dir)
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
     return pairs.filter(jac >= 0.05).select(
         "doc_a", "doc_b", "n_a", "n_b", "n_common", jac.alias("jaccard_capped")
+    )
+
+
+#: minimum shingle-containment for the asymmetric near-dup report
+_CONTAINMENT_MIN = 0.4
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(
+                       list_transform(
+                           range(1, len(string_split(text, ' ')) - 1),
+                           i -> CAST(('0x' || substring(md5(
+                                    array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                ), 1, 15)) AS BIGINT)
+                       )
+                   ) AS shingles
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ),
+        exploded AS (
+            SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS h
+            FROM t
+        ),
+        capped AS (
+            SELECT * FROM (
+                SELECT e.*, COUNT(*) OVER (PARTITION BY h) AS df
+                FROM exploded e
+            ) WHERE df <= 50
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_shingles AS n_a, b.n_shingles AS n_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM capped a JOIN capped b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b,
+               CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS contained_doc,
+               CAST(n_common AS DOUBLE) / LEAST(n_a, n_b) AS containment
+        FROM pairs
+        WHERE CAST(n_common AS DOUBLE) / LEAST(n_a, n_b)
+              >= {_CONTAINMENT_MIN}
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection by shingle containment —
+    |A ∩ B| / min(|A|, |B|), the Broder containment coefficient. The
+    case Jaccard structurally misses in training data: a short document
+    fully quoted inside a much longer one has |A∩B| = |A| (containment
+    1.0) but Jaccard ≈ |A|/|B| → 0 as the length ratio grows, so a
+    union-normalized gate waves the embedded copy through. Same
+    hashed + stop-shingle-capped pair plan as the Jaccard entries
+    (:func:`_capped_shingle_pairs` — int64 keys, df≤50 cap kills the
+    quadratic boilerplate blowup, candidate generation identical at
+    100 TB); only the normalizer and the gate differ, plus the
+    ``contained_doc`` column naming which side is the embedded one.
+    Raw quotient, no ROUND: both engines divide identical integer
+    counts."""
+    pairs = _capped_shingle_pairs(spark, sf_dir)
+    cont = F.col("n_common").cast("double") / F.least("n_a", "n_b")
+    return pairs.filter(cont >= _CONTAINMENT_MIN).select(
+        "doc_a",
+        "doc_b",
+        F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("contained_doc"),
+        cont.alias("containment"),
     )
 
 

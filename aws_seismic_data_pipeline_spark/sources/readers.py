@@ -749,14 +749,15 @@ def rowgroup_pruned_scan(
     spark: SparkSession, path: str, lo: int, hi: int
 ) -> DataFrame:
     """Answer a key-range query by reading ONLY the files whose footer
-    min/max overlaps [lo, hi]: collect the per-file stats (|files|
-    rows of metadata — what a table format keeps in its manifest; in
-    production this frame is a persisted stats table, and millions of
-    files would be pruned by an agg+filter on it, not a driver
-    collect), build the matching file list, and scan just those paths
-    with the residual predicate pushed down — Spark's parquet reader
-    then prunes row groups WITHIN each matching file from the same
-    footer stats. Unmatched files are never opened."""
+    min/max overlaps [lo, hi]: collect the per-file stats (|files| rows
+    of metadata), build the matching file list, and scan just those
+    paths with the residual predicate pushed down — Spark's parquet
+    reader then prunes row groups WITHIN each matching file from the
+    same footer stats. Unmatched files are never opened. This is the
+    DIRECT form, kept as the equality baseline; the production form is
+    the persisted manifest path (``write_stats_manifest`` /
+    ``manifest_pruned_scan`` — r8), where pruning is an agg+filter on
+    the stored stats table and only MATCHING paths reach the driver."""
     import glob as _glob
 
     all_files = _glob.glob(os.path.join(path, "*.parquet"))

@@ -175,10 +175,12 @@ def _bench_corpus_compaction(spark, sf_dir: str) -> dict[str, float]:
     """The small-file story of continuous promotion, measured: build
     the corpus artifact, promote six accepted batches (each appending
     tiny files), probe the FRAGMENTED artifact, compact it, probe
-    again. The compacted probe should sit at-or-below the fragmented
-    one — and stay flat as promotion count grows, which is the whole
-    point of wiring ``plan_compaction_bins``'s maintenance to the
-    engine's own artifacts."""
+    again. At six promotions the two probes are within noise of each
+    other (fragmentation costs file-listing overhead, which only
+    dominates at thousands of appends); the number being tracked is
+    that the compacted probe stays FLAT as promotion count grows while
+    the fragmented one would drift up with the listing — plus the
+    compaction cost itself, which must stay artifact-sized."""
     import shutil
 
     from pyspark.sql import functions as F

@@ -589,3 +589,72 @@ def test_vacuum_report_empty_when_fully_tracked(spark, tmp_path):
 
     want = pq.ParquetFile(files[-1]).metadata.num_rows
     assert orphan_rows.count() == want
+
+
+def test_manifest_pruning_property_random_ranges(spark, tmp_path):
+    """For ANY [lo, hi] the manifest-driven scan must return exactly
+    what a brute-force filter finds — including empty, out-of-range,
+    and all-file ranges — and the manifest table itself must survive
+    its own compaction (``compact_parquet_dir``) with pruning results
+    unchanged: the manifest is a parquet table like any other, so the
+    maintenance op it prescribes for data applies to it."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from aws_seismic_data_pipeline_spark.catalog import compact_parquet_dir
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        manifest_pruned_scan,
+        rangekey_write,
+        write_stats_manifest,
+    )
+
+    from .conftest import SF_DIR
+
+    import glob
+
+    path = str(tmp_path / "rangekey_prop")
+    rangekey_write(spark, SF_DIR, path)
+    files = sorted(glob.glob(path + "/*.parquet"))
+    mpath = str(tmp_path / "manifest_prop")
+    write_stats_manifest(spark, files, mpath)
+    full = spark.read.parquet(path)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.integers(-100, 2000), st.integers(0, 2200))
+    def check(lo, span):
+        hi = lo + span
+        got = sorted(
+            r.o_orderkey
+            for r in manifest_pruned_scan(
+                spark, mpath, "o_orderkey", lo, hi
+            ).collect()
+        )
+        want = sorted(
+            r.o_orderkey
+            for r in full.filter(F.col("o_orderkey").between(lo, hi)).collect()
+        )
+        assert got == want, (lo, hi)
+
+    check()
+
+    # compact the manifest itself; pruning answers must be unchanged
+    before = sorted(
+        r.o_orderkey
+        for r in manifest_pruned_scan(spark, mpath, "o_orderkey", 200, 700).collect()
+    )
+    compact_parquet_dir(spark, mpath)
+    after = sorted(
+        r.o_orderkey
+        for r in manifest_pruned_scan(spark, mpath, "o_orderkey", 200, 700).collect()
+    )
+    assert before == after and before
+    import os as _os
+
+    n_files = sum(
+        1 for f in _os.listdir(mpath) if f.endswith(".parquet")
+    )
+    assert n_files == 1

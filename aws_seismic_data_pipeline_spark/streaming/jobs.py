@@ -724,3 +724,86 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
     )
+
+
+#: user band the manifest-maintained ingest query answers
+_MANIFEST_INGEST_BAND = (40, 90)
+
+
+@register(
+    "stream_manifest_ingest",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events
+        WHERE user_id BETWEEN {_MANIFEST_INGEST_BAND[0]}
+                          AND {_MANIFEST_INGEST_BAND[1]}
+        GROUP BY event_type
+    """,
+    tags=("stream", "layout", "scan"),
+)
+def stream_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest that maintains the stats manifest as it lands
+    data — the full table-format write path under continuous arrival:
+    each micro-batch is written range-clustered on the query key
+    (``repartitionByRange(user_id)``, so every new file carries a
+    narrow stats range) and the SAME foreachBatch appends the new
+    files' footer stats to the persisted manifest
+    (``append_stats_manifest`` — batch-sized, mirroring the corpus
+    promotion loop). After the drain, a key-band aggregate is answered
+    THROUGH the manifest (``manifest_pruned_scan``): agg+filter on the
+    stats table, only matching files opened. The oracle recomputes the
+    band from the raw table, so the driver hash-checks that no
+    arriving row was lost between the landing files and the manifest's
+    view of them. Single availableNow batch => deterministic. Seed:
+    the reference's per-fetch date-partitioned S3 append
+    (``/root/reference/app.py:449-463``) — one more file per ingest,
+    its key range implicit in the prefix — made an explicit,
+    queryable catalog."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        append_stats_manifest,
+        manifest_pruned_scan,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "manifest_ingest_data")
+    mpath = scratch_path(spark, sf_dir, "manifest_ingest_stats")
+    ckpt = data_dir + "_ckpt"
+    lo, hi = _MANIFEST_INGEST_BAND
+    stream = _events_stream(spark, sf_dir)
+
+    def land_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bdir = os.path.join(data_dir, f"batch={batch_id}")
+        batch_df.repartitionByRange(4, "user_id").write.mode(
+            "overwrite"
+        ).parquet(bdir)
+        new_files = sorted(_glob.glob(os.path.join(bdir, "*.parquet")))
+        append_stats_manifest(spark, new_files, mpath, ("user_id",))
+
+    with scratch_cleanup(data_dir, mpath, ckpt):
+        q = (
+            stream.writeStream.foreachBatch(land_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            manifest_pruned_scan(spark, mpath, "user_id", lo, hi)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                .cast("long")
+                .alias("value_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )

@@ -945,10 +945,12 @@ def write_stats_manifest(
     (a trailing ``coalesce(1)`` would serialize the footer read into
     one task — measured 7× slower — for a single-file nicety
     ``catalog.compact_parquet_dir`` can restore offline if thousands
-    of appends ever accumulate)."""
-    read_footer_stats_multi(spark, paths, columns).write.mode(
-        "overwrite"
-    ).parquet(manifest_dir)
+    of appends ever accumulate). Every row carries ``snapshot_id`` = 0;
+    appends stamp successive ids, giving the manifest a version axis
+    (``manifest_pruned_scan(as_of=...)`` time-travels on it)."""
+    read_footer_stats_multi(spark, paths, columns).withColumn(
+        "snapshot_id", F.lit(0)
+    ).write.mode("overwrite").parquet(manifest_dir)
 
 
 def append_stats_manifest(
@@ -956,20 +958,42 @@ def append_stats_manifest(
     new_paths: list[str],
     manifest_dir: str,
     columns: tuple[str, ...] = _MANIFEST_COLS,
-) -> None:
+    snapshot_id: int | None = None,
+) -> int:
     """Incremental manifest maintenance: when new data files land
     (ingest batch, compaction output), footer-read ONLY them and append
     their stats rows — cost is new-batch-sized, mirroring
     ``llm/ivf.py: append_to_index`` / ``llm/dedup.py:
     promote_to_corpus``. Appended == rebuilt is pytest-pinned in
-    tests/test_catalog_scale.py."""
-    read_footer_stats_multi(spark, new_paths, columns).write.mode(
-        "append"
-    ).parquet(manifest_dir)
+    tests/test_catalog_scale.py. Each append is stamped with the next
+    ``snapshot_id`` (one KB-scale max() over the stats table unless the
+    caller passes one), so the manifest keeps its whole version
+    history — an as-of read (``manifest_pruned_scan(as_of=N)``) sees
+    exactly the files visible at snapshot N, the table-format
+    time-travel contract. Returns the id written."""
+    if snapshot_id is None:
+        try:
+            cur = (
+                spark.read.parquet(manifest_dir)
+                .agg(F.max("snapshot_id"))
+                .collect()[0][0]
+            )
+            snapshot_id = (cur if cur is not None else -1) + 1
+        except Exception:  # first append creates the manifest at v0
+            snapshot_id = 0
+    read_footer_stats_multi(spark, new_paths, columns).withColumn(
+        "snapshot_id", F.lit(int(snapshot_id))
+    ).write.mode("append").parquet(manifest_dir)
+    return int(snapshot_id)
 
 
 def manifest_pruned_scan(
-    spark: SparkSession, manifest_dir: str, column: str, lo: float, hi: float
+    spark: SparkSession,
+    manifest_dir: str,
+    column: str,
+    lo: float,
+    hi: float,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Answer a key-range query through the PERSISTED manifest: an
     agg+filter over the stats table computes which files can overlap
@@ -979,8 +1003,13 @@ def manifest_pruned_scan(
     down so Spark's reader prunes row groups within them from the same
     footer stats. Files with any stats-less row group for ``column``
     are included conservatively. The manifest is the catalog: files
-    absent from it are invisible, exactly like a table-format snapshot."""
+    absent from it are invisible, exactly like a table-format snapshot
+    — and ``as_of=N`` TIME-TRAVELS the catalog, restricting visibility
+    to files whose stats landed at snapshot ≤ N (a metadata filter;
+    the late files' data pages are simply never listed)."""
     manifest = spark.read.parquet(manifest_dir)
+    if as_of is not None:
+        manifest = manifest.filter(F.col("snapshot_id") <= as_of)
     per_file = (
         manifest.filter(F.col("column_name") == column)
         .groupBy("path")
@@ -1272,6 +1301,75 @@ def plan_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.count_distinct("_file").cast("long").alias("n_files"),
                 F.count(F.lit(1)).alias("n_rows"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+@register(
+    "scan_manifest_asof",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE lang <> 'zh'
+        GROUP BY lang
+    """,
+    tags=("source", "layout", "scan"),
+)
+def scan_manifest_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL through the manifest's snapshot axis: documents land
+    partitioned by lang, the manifest is built at snapshot 0 (de/en/es),
+    then fr lands at snapshot 1 and zh at snapshot 2 — and a query
+    pinned ``as_of=1`` must see exactly the world as of snapshot 1:
+    fr included, zh invisible, even though zh's files sit on disk AND
+    in the (current) manifest. Visibility is a pure metadata filter
+    (``snapshot_id <= as_of`` on the stats table) — the table-format
+    snapshot-isolation contract, with the reproducibility payoff for
+    training pipelines: a run pinned to a snapshot reads the same
+    corpus forever, regardless of what later ingests append. The
+    oracle recomputes the as-of world from the raw table (everything
+    but zh), so the driver hash-checks the visibility boundary in both
+    directions."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "asof_docs")
+    mpath = scratch_path(spark, sf_dir, "asof_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        load_table(spark, sf_dir, "documents").repartition(
+            "lang"
+        ).write.partitionBy("lang").mode("overwrite").parquet(data_dir)
+
+        def lang_files(*langs: str) -> list[str]:
+            return sorted(
+                p
+                for lang in langs
+                for p in _glob.glob(
+                    os.path.join(data_dir, f"lang={lang}", "*.parquet")
+                )
+            )
+
+        write_stats_manifest(spark, lang_files("de", "en", "es"), mpath, ("doc_id",))
+        v1 = append_stats_manifest(spark, lang_files("fr"), mpath, ("doc_id",))
+        append_stats_manifest(spark, lang_files("zh"), mpath, ("doc_id",))
+        visible = manifest_pruned_scan(
+            spark, mpath, "doc_id", 0, 2**62, as_of=v1
+        )
+        # leaf-file reads drop partition dir values; recover lang from
+        # the path the row was read from (pure metadata, no join)
+        lang = F.regexp_extract(F.input_file_name(), "lang=([^/]+)/", 1)
+        return (
+            visible.groupBy(lang.alias("lang"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
             )
             .localCheckpoint(eager=True)
         )

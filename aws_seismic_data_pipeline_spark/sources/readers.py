@@ -949,8 +949,10 @@ def write_stats_manifest(
     appends stamp successive ids, giving the manifest a version axis
     (``manifest_pruned_scan(as_of=...)`` time-travels on it)."""
     read_footer_stats_multi(spark, paths, columns).withColumn(
-        "snapshot_id", F.lit(0)
-    ).write.mode("overwrite").parquet(manifest_dir)
+        "snapshot_id", F.lit(0).cast("int")
+    ).withColumn("op", F.lit("add")).write.mode("overwrite").parquet(
+        manifest_dir
+    )
 
 
 def append_stats_manifest(
@@ -982,9 +984,90 @@ def append_stats_manifest(
         except Exception:  # first append creates the manifest at v0
             snapshot_id = 0
     read_footer_stats_multi(spark, new_paths, columns).withColumn(
-        "snapshot_id", F.lit(int(snapshot_id))
-    ).write.mode("append").parquet(manifest_dir)
+        "snapshot_id", F.lit(int(snapshot_id)).cast("int")
+    ).withColumn("op", F.lit("add")).write.mode("append").parquet(
+        manifest_dir
+    )
     return int(snapshot_id)
+
+
+_MANIFEST_SCHEMA = (
+    "path string, file_name string, row_group long, column_name string,"
+    " n_rows long, min_val double, max_val double, snapshot_id int,"
+    " op string"
+)
+
+
+def _next_snapshot(spark: SparkSession, manifest_dir: str) -> int:
+    """Next snapshot id: one KB-scale max() over the stats table (0 if
+    the manifest does not exist yet)."""
+    try:
+        cur = (
+            spark.read.parquet(manifest_dir)
+            .agg(F.max("snapshot_id"))
+            .collect()[0][0]
+        )
+        return (cur if cur is not None else -1) + 1
+    except Exception:
+        return 0
+
+
+def remove_from_manifest(
+    spark: SparkSession,
+    manifest_dir: str,
+    paths: list[str],
+    snapshot_id: int | None = None,
+) -> int:
+    """Append REMOVE tombstones for data files the table no longer
+    contains (compaction inputs, retention deletes): one metadata row
+    per path, stamped with the next snapshot id. From that snapshot on
+    the paths are invisible to ``manifest_pruned_scan`` and count as
+    reclaimable for ``vacuum_orphans_report``; as-of reads BELOW the
+    tombstone snapshot still see them — history is never rewritten,
+    which is what makes pinned training runs reproducible across later
+    maintenance. (Re-adding a previously removed path is not supported;
+    compaction always writes fresh file names, so the case cannot
+    arise from this engine's own maintenance.)"""
+    import os as _os
+
+    import pandas as _pd
+
+    if not paths:
+        raise ValueError("remove_from_manifest: empty path list")
+    if snapshot_id is None:
+        snapshot_id = _next_snapshot(spark, manifest_dir)
+    pdf = _pd.DataFrame(
+        {
+            "path": sorted(paths),
+            "file_name": [_os.path.basename(p) for p in sorted(paths)],
+            "row_group": -1,
+            "column_name": "__remove__",
+            "n_rows": 0,
+            "min_val": float("nan"),
+            "max_val": float("nan"),
+            "snapshot_id": int(snapshot_id),
+            "op": "remove",
+        }
+    )
+    spark.createDataFrame(pdf, _MANIFEST_SCHEMA).write.mode("append").parquet(
+        manifest_dir
+    )
+    return int(snapshot_id)
+
+
+def _visible_stats(manifest: DataFrame, as_of: int | None) -> DataFrame:
+    """The stats rows of files VISIBLE at ``as_of`` (latest snapshot if
+    None): 'add' rows whose path has no 'remove' tombstone at or below
+    the pin. Both sides are metadata-scale; the anti-join's removed set
+    is |tombstones| rows."""
+    if as_of is not None:
+        manifest = manifest.filter(F.col("snapshot_id") <= as_of)
+    removed = (
+        manifest.filter(F.col("op") == "remove").select("path").distinct()
+    )
+    return manifest.filter(F.col("op") == "add").join(
+        removed, "path", "left_anti"
+    )
 
 
 def manifest_pruned_scan(
@@ -1007,9 +1090,7 @@ def manifest_pruned_scan(
     — and ``as_of=N`` TIME-TRAVELS the catalog, restricting visibility
     to files whose stats landed at snapshot ≤ N (a metadata filter;
     the late files' data pages are simply never listed)."""
-    manifest = spark.read.parquet(manifest_dir)
-    if as_of is not None:
-        manifest = manifest.filter(F.col("snapshot_id") <= as_of)
+    manifest = _visible_stats(spark.read.parquet(manifest_dir), as_of)
     per_file = (
         manifest.filter(F.col("column_name") == column)
         .groupBy("path")
@@ -1234,7 +1315,13 @@ def vacuum_orphans_report(
     listing = spark.createDataFrame(
         _pd.DataFrame({"path": all_files}), "path string"
     )
-    tracked = spark.read.parquet(manifest_dir).select("path").distinct()
+    # VISIBLE paths only: a tombstoned file (compaction input, retention
+    # delete) is exactly what vacuum exists to reclaim
+    tracked = (
+        _visible_stats(spark.read.parquet(manifest_dir), None)
+        .select("path")
+        .distinct()
+    )
     orphans = [
         r.path for r in listing.join(tracked, "path", "left_anti").collect()
     ]
@@ -1364,6 +1451,100 @@ def scan_manifest_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # leaf-file reads drop partition dir values; recover lang from
         # the path the row was read from (pure metadata, no join)
+        lang = F.regexp_extract(F.input_file_name(), "lang=([^/]+)/", 1)
+        return (
+            visible.groupBy(lang.alias("lang"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+def commit_data_compaction(
+    spark: SparkSession,
+    manifest_dir: str,
+    paths: list[str],
+    columns: tuple[str, ...] = _MANIFEST_COLS,
+) -> tuple[str, int]:
+    """DATA-file compaction committed THROUGH the manifest — the
+    missing half of ``catalog.compact_parquet_dir`` for
+    manifest-governed tables (that helper rewrites a whole directory
+    in place; a governed table instead swaps files ATOMICALLY in
+    metadata): read the fragment files, rewrite them as ONE file
+    beside them, then commit ``add``(new) + ``remove``(fragments) at a
+    single snapshot id. Readers pinned below that snapshot still see
+    the fragments (reproducibility); current readers see only the
+    compacted file (never both — the double-count is the failure mode
+    the registered query's oracle hash-checks); the fragments become
+    vacuum-reclaimable. Cost is fragment-sized: one read+write of the
+    compacted bytes plus two metadata appends. Returns (new_path,
+    snapshot_id)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    if not paths:
+        raise ValueError("commit_data_compaction: empty path list")
+    out_dir = os.path.dirname(sorted(paths)[0])
+    snap = _next_snapshot(spark, manifest_dir)
+    tmp = os.path.join(out_dir, f".compact_{snap}_stage")
+    spark.read.parquet(*paths).coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    new_path = os.path.join(out_dir, f"compacted-{snap}.parquet")
+    _shutil.move(part, new_path)
+    _shutil.rmtree(tmp, ignore_errors=True)
+    append_stats_manifest(spark, [new_path], manifest_dir, columns, snapshot_id=snap)
+    remove_from_manifest(spark, manifest_dir, paths, snapshot_id=snap)
+    return new_path, snap
+
+
+@register(
+    "plan_manifest_compact_commit",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_manifest_compact_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction COMMIT protocol end to end: documents land
+    fragmented (4 write tasks × lang partitions => several small files
+    per lang dir), the manifest tracks all of them, then the 'en'
+    partition's fragments are compacted and committed
+    (``commit_data_compaction`` — add the merged file and tombstone the
+    fragments at ONE snapshot). The query then reads the WHOLE table
+    through the manifest: per-lang counts and char sums must equal the
+    raw table exactly — if the tombstones failed, 'en' double-counts
+    (old + compacted files both visible); if the add failed, 'en'
+    vanishes; either way the driver hash catches it. Time travel
+    across the commit and vacuum reclaim of the fragments are
+    pytest-pinned in tests/test_catalog_scale.py."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "compact_commit_docs")
+    mpath = scratch_path(spark, sf_dir, "compact_commit_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        load_table(spark, sf_dir, "documents").repartition(4).write.partitionBy(
+            "lang"
+        ).mode("overwrite").parquet(data_dir)
+        all_files = sorted(
+            _glob.glob(os.path.join(data_dir, "lang=*", "*.parquet"))
+        )
+        write_stats_manifest(spark, all_files, mpath, ("doc_id",))
+        en_files = [p for p in all_files if "/lang=en/" in p]
+        assert len(en_files) > 1, "fixture should fragment the en partition"
+        commit_data_compaction(spark, mpath, en_files, ("doc_id",))
+        visible = manifest_pruned_scan(spark, mpath, "doc_id", 0, 2**62)
         lang = F.regexp_extract(F.input_file_name(), "lang=([^/]+)/", 1)
         return (
             visible.groupBy(lang.alias("lang"))

@@ -493,7 +493,10 @@ def test_manifest_pruned_scan_equals_direct_and_prunes(spark, tmp_path):
     rebuilt = read_footer_stats_multi(spark, files, ("o_orderkey", "o_custkey"))
     key = ["path", "row_group", "column_name"]
     got = (
-        spark.read.parquet(m_appended).drop("snapshot_id").orderBy(*key).collect()
+        spark.read.parquet(m_appended)
+        .drop("snapshot_id", "op")
+        .orderBy(*key)
+        .collect()
     )
     want = rebuilt.orderBy(*key).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
@@ -660,3 +663,64 @@ def test_manifest_pruning_property_random_ranges(spark, tmp_path):
         1 for f in _os.listdir(mpath) if f.endswith(".parquet")
     )
     assert n_files == 1
+
+
+def test_compaction_commit_time_travel_and_vacuum(spark, tmp_path):
+    """The three commit-protocol guarantees the registered query's
+    aggregate can't isolate: (a) an as-of read pinned BELOW the commit
+    still sees the original fragments (history never rewritten), (b)
+    the current read sees exactly the compacted world (same rows, new
+    file), (c) vacuum reports the tombstoned fragments as reclaimable
+    while the compacted file stays tracked."""
+    import glob
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        commit_data_compaction,
+        manifest_pruned_scan,
+        vacuum_orphans_report,
+        write_stats_manifest,
+    )
+
+    from .conftest import SF_DIR
+
+    data_dir = str(tmp_path / "docs")
+    load_table(spark, SF_DIR, "documents").repartition(4).write.partitionBy(
+        "lang"
+    ).parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/lang=*/*.parquet"))
+    mpath = str(tmp_path / "manifest")
+    write_stats_manifest(spark, files, mpath, ("doc_id",))
+    en_files = [p for p in files if "/lang=en/" in p]
+    assert len(en_files) > 1
+
+    def doc_ids(as_of=None):
+        return sorted(
+            r.doc_id
+            for r in manifest_pruned_scan(
+                spark, mpath, "doc_id", 0, 2**62, as_of=as_of
+            ).collect()
+        )
+
+    before = doc_ids()
+    new_path, snap = commit_data_compaction(spark, mpath, en_files, ("doc_id",))
+    assert snap >= 1
+
+    # (a) pinned below the commit: the pre-compaction world, fragments
+    # and all — identical rows
+    assert doc_ids(as_of=snap - 1) == before
+    # (b) current: same logical rows through the compacted file
+    assert doc_ids() == before
+    # and the fragments are truly invisible now (no double count)
+    assert len(doc_ids()) == len(set(doc_ids()))
+
+    # (c) vacuum: exactly the tombstoned fragments are reclaimable
+    orphans = vacuum_orphans_report(spark, data_dir, mpath).withColumn(
+        "_f", F.input_file_name()
+    )
+    orphan_files = {
+        r._f.replace("file://", "").replace("file:", "")
+        for r in orphans.select("_f").distinct().collect()
+    }
+    assert orphan_files == set(en_files), (orphan_files, en_files)
+    assert new_path not in orphan_files

@@ -575,3 +575,101 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media_frame(spark, sf_dir).mapInPandas(run, schema)
+
+
+@register(
+    "mm_audio_features",
+    oracle="""
+        -- per-channel signal features recomputed from media_id alone:
+        -- the Spark side must decode REAL PCM and deinterleave channels
+        -- correctly — a channel-offset bug flips every feature
+        WITH ch AS (
+            SELECT doc_id AS media_id,
+                   1 + doc_id % 2 AS n_ch,
+                   300 + (doc_id % 40) * 10 AS n_frames,
+                   unnest([0, 1]) AS channel
+            FROM documents
+        ),
+        s AS (
+            SELECT media_id, channel, n_frames,
+                   list_transform(
+                       range(0, n_frames),
+                       j -> ((media_id * 31 + (j * n_ch + channel) * 7)
+                             % 65536) - 32768
+                   ) AS samples
+            FROM ch
+            WHERE channel < n_ch
+        )
+        SELECT media_id,
+               CAST(channel AS BIGINT) AS channel,
+               CAST(n_frames AS BIGINT) AS n_samples,
+               CAST(list_max(list_transform(samples, x -> abs(x)))
+                    AS BIGINT) AS peak_amplitude,
+               CAST(list_sum(list_transform(samples, x -> x * x))
+                    AS BIGINT) AS sum_sq_amplitude,
+               CAST(list_sum(list_transform(
+                        range(0, n_frames - 1),
+                        j -> CASE WHEN samples[j + 1] * samples[j + 2] < 0
+                                  THEN 1 ELSE 0 END
+                    )) AS BIGINT) AS n_zero_crossings
+        FROM s
+    """,
+    tags=("multimodal",),
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO FEATURE EXTRACTION over really-decoded PCM — the
+    'feature-extract' half of the multimodal mandate running on true
+    sample values, not metadata: decode each WAV container
+    (``real_decode``), DEINTERLEAVE the frame-major channels, and emit
+    per-channel signal features — peak amplitude, energy (sum of
+    squares), and strict zero-crossing count — all exact integers, so
+    the DuckDB oracle recomputes them from the generation arithmetic
+    and any deinterleave off-by-one (sampling channel 0's neighbor
+    instead of its next frame) flips every crossing count and
+    hash-fails. One fused mapInPandas pass, numpy on the sample
+    arrays per Arrow batch; at scale this is the embarrassingly
+    parallel per-object stage of an audio-corpus pipeline (VAD,
+    loudness gating, silence trimming all start from these sums)."""
+    import numpy as np
+
+    docs = spread_dense(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, table="documents"
+    ).select(F.col("doc_id").alias("media_id"))
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("channel", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("peak_amplitude", T.LongType(), False),
+            T.StructField("sum_sq_amplitude", T.LongType(), False),
+            T.StructField("n_zero_crossings", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid in pdf["media_id"]:
+                meta = real_decode(wav_payload(int(mid)))
+                samples = np.frombuffer(meta["pcm"], dtype="<i2").astype(
+                    np.int64
+                )
+                n_ch = meta["n_channels"]
+                for c in range(n_ch):
+                    s = samples[c::n_ch]  # deinterleave frame-major PCM
+                    rows.append(
+                        (
+                            int(mid),
+                            c,
+                            int(s.size),
+                            int(np.abs(s).max()),
+                            int((s * s).sum()),
+                            int(((s[:-1] * s[1:]) < 0).sum()),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return docs.mapInPandas(run, schema)

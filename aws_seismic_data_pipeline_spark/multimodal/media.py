@@ -673,3 +673,85 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return docs.mapInPandas(run, schema)
+
+
+@register(
+    "mm_image_stats",
+    oracle="""
+        -- per-BGR-channel pixel statistics recomputed from media_id
+        -- alone: flat pixel byte j = (id*7 + j*5) % 256, channel j % 3
+        -- (BMP stores BGR triplets); a stride/padding bug in the
+        -- decoder shifts every channel sum and hash-fails
+        WITH dims AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 13 AS w,
+                   3 + doc_id % 7 AS h,
+                   unnest([0, 1, 2]) AS channel
+            FROM documents
+        )
+        SELECT media_id,
+               CAST(channel AS BIGINT) AS channel,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST(list_sum(list_transform(
+                        range(0, w * h),
+                        p -> (media_id * 7 + (p * 3 + channel) * 5) % 256
+                    )) AS BIGINT) AS sum_value,
+               CAST(list_max(list_transform(
+                        range(0, w * h),
+                        p -> (media_id * 7 + (p * 3 + channel) * 5) % 256
+                    )) AS BIGINT) AS max_value
+        FROM dims
+    """,
+    tags=("multimodal",),
+)
+def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE statistics on really-decoded pixels — the picture sibling
+    of ``mm_audio_features``: decode each 24-bit BMP
+    (``real_decode``, padding-stripped), split the BGR interleave into
+    channels, and emit per-channel pixel count / sum / max as exact
+    integers. The oracle recomputes them from the generation
+    arithmetic, so any row-stride or padding mistake in the decoder
+    (the classic BMP bug) shifts the sums and hash-fails. These sums
+    are the raw ingredients of brightness/contrast gating and
+    channel-balance checks in an image-corpus pipeline; one fused
+    mapInPandas pass, numpy over the pixel buffer per Arrow batch."""
+    import numpy as np
+
+    docs = spread_dense(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, table="documents"
+    ).select(F.col("doc_id").alias("media_id"))
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("channel", T.LongType(), False),
+            T.StructField("n_pixels", T.LongType(), False),
+            T.StructField("sum_value", T.LongType(), False),
+            T.StructField("max_value", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid in pdf["media_id"]:
+                img = real_decode(bmp_payload(int(mid)))
+                px = np.frombuffer(img["pixels"], dtype=np.uint8).astype(
+                    np.int64
+                )
+                for c in range(3):  # BGR triplets, flat index % 3
+                    ch = px[c::3]
+                    rows.append(
+                        (
+                            int(mid),
+                            c,
+                            int(ch.size),
+                            int(ch.sum()),
+                            int(ch.max()),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return docs.mapInPandas(run, schema)

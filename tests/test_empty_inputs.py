@@ -49,6 +49,10 @@ EMPTY_SAFE = [
     # filesystem-staging ops)
     "join_salted_skew_hot", "analytics_shipmode_priority",
     "mm_decode_real", "mm_decode_real_image", "ts_outlier_mad",
+    # round-8 additions (the per-row generator/pair plans degrade to
+    # empty naturally; the manifest/vacuum family stages files and is
+    # excluded like the other filesystem-staging ops)
+    "dedup_ngram_containment", "mm_audio_features", "mm_image_stats",
 ]
 
 

@@ -724,3 +724,38 @@ def test_compaction_commit_time_travel_and_vacuum(spark, tmp_path):
     }
     assert orphan_files == set(en_files), (orphan_files, en_files)
     assert new_path not in orphan_files
+
+
+def test_manifest_scan_pushes_residual_predicate(spark, tmp_path):
+    """The manifest prunes FILES; Spark's reader must still get the
+    residual range as PushedFilters so row groups inside matching files
+    are skipped from the same footer stats — a refactor that wraps the
+    predicate in a non-pushable expression would silently read whole
+    files."""
+    import glob
+    import io
+    from contextlib import redirect_stdout
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        manifest_pruned_scan,
+        rangekey_write,
+        write_stats_manifest,
+    )
+
+    from .conftest import SF_DIR
+
+    path = str(tmp_path / "rk")
+    rangekey_write(spark, SF_DIR, path)
+    mpath = str(tmp_path / "mf")
+    write_stats_manifest(spark, sorted(glob.glob(path + "/*.parquet")), mpath)
+    df = manifest_pruned_scan(spark, mpath, "o_orderkey", 200, 700)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pushed = [
+        line.split("PushedFilters:", 1)[1]
+        for line in plan.splitlines()
+        if "PushedFilters:" in line
+    ]
+    assert any("o_orderkey" in p and "GreaterThanOrEqual" in p for p in pushed), plan

@@ -256,3 +256,67 @@ def udaf_pandas_agg_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         mean_price("o_totalprice").over(w).alias("cust_avg_price"),
     )
+
+
+@register(
+    "udf_arrow_batch",
+    oracle="""
+        SELECT l_orderkey,
+               l_linenumber,
+               CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) AS net_cents
+        FROM lineitem
+        WHERE l_quantity >= 30
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` mechanism witness — the zero-copy sibling of
+    ``mapInPandas``: the Python stage receives raw
+    ``pyarrow.RecordBatch`` objects (no pandas materialization, no
+    index/NaN coercions) and returns them, the right tool when the
+    kernel is itself Arrow-native (pyarrow.compute, polars, DuckDB-WASM
+    style engines). The net-price-in-cents math runs entirely in
+    ``pyarrow.compute`` on the batch buffers; the pushed-down quantity
+    filter stays JVM-side — only surviving rows cross the Arrow
+    boundary. Semantically identical to built-ins (the oracle proves
+    it); the query exists to pin the mapInArrow batch contract
+    end-to-end, exactly like ``udf_python_scalar`` pins ``@udf``."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 30
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+
+    def net_cents(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            # half_towards_infinity (= half away from zero): pyarrow
+            # defaults to banker's rounding (half-to-even), which
+            # disagrees with SQL ROUND at exact .5 cents — 3 of 500
+            # fixture rows land there
+            net = pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        batch.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                round_mode="half_towards_infinity",
+            )
+            # cast keys to the DECLARED output types: the fixture stores
+            # l_linenumber as int32, and a returned Arrow vector whose
+            # physical type mismatches the schema fails JVM-side access
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(batch.column("l_orderkey"), pa.int64()),
+                    pc.cast(batch.column("l_linenumber"), pa.int64()),
+                    pc.cast(net, pa.int64()),
+                ],
+                ["l_orderkey", "l_linenumber", "net_cents"],
+            )
+
+    return li.mapInArrow(
+        net_cents, "l_orderkey long, l_linenumber long, net_cents long"
+    )

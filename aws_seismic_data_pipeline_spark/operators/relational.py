@@ -256,3 +256,100 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor predicate, never data-dependent here."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_RECURSIVE_CTE_SQL)
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+    """,
+    tags=("sql",),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (``spark.sql(text, args={...})``): the query
+    text carries named ``:placeholders`` and the values bind
+    server-side as literals in the parsed plan — the injection-safe
+    interface a query service puts in front of this engine (the
+    reference interpolates user-supplied station/date strings into
+    URLs and object keys, ``app.py:206-208``; this is that interface
+    done safely). Binding happens BEFORE optimization, so bound
+    predicates still push down to the scan and prune partitions like
+    hand-written literals. Same aggregate as the oracle's literal SQL,
+    proving bound == inlined."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_param"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM orders_param
+        WHERE o_orderdate >= :start
+          AND o_orderdate < :end
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "start": "1995-01-01 00:00:00",
+            "end": "1996-01-01 00:00:00",
+            "status": "F",
+        },
+    )
+
+
+@register(
+    "pandas_api_groupby",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS bal_cents
+        FROM customer
+        WHERE c_acctbal > 0.0
+        GROUP BY c_mktsegment
+    """,
+    tags=("sql", "pandas-api"),
+)
+def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-on-Spark API surface (``pyspark.pandas``): a user
+    who thinks in pandas — boolean-mask filter, column arithmetic,
+    ``groupby().agg()`` — gets the SAME distributed Catalyst plan as
+    the DataFrame DSL (`to_spark()` exposes it; the oracle proves the
+    semantics line up, integer-cents to dodge float summation order).
+    This is the third query face of the engine after the DataFrame DSL
+    and raw SQL (``sql_text_interface``) — migration-path coverage for
+    pandas codebases, not a recommendation: the native DSL states
+    intent more directly."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pyspark.pandas as ps
+
+        psdf = ps.DataFrame(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment", "c_acctbal"
+            )
+        )
+        psdf = psdf[psdf["c_acctbal"] > 0.0]
+        psdf["bal_cents"] = (psdf["c_acctbal"] * 100).round(0).astype("long")
+        out = (
+            psdf.groupby("c_mktsegment")
+            .agg(n_cust=("c_custkey", "count"), bal_cents=("bal_cents", "sum"))
+            .reset_index()
+        )
+        return out.to_spark().select(
+            "c_mktsegment",
+            F.col("n_cust").cast("long").alias("n_cust"),
+            F.col("bal_cents").cast("long").alias("bal_cents"),
+        )

@@ -240,3 +240,112 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@register(
+    "profile_observed_metrics",
+    oracle="""
+        SELECT 'lineitem_scan' AS probe,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(COUNT(CASE WHEN l_discount > 0.08 THEN 1 END) AS BIGINT)
+                   AS n_high_discount
+        FROM lineitem
+    """,
+    tags=("plan", "observability"),
+)
+def profile_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIGGYBACKED data-quality metrics (``Observation`` API): row
+    count, quantity sum, and a high-discount counter are collected ON
+    the execution of a pass the job was running anyway — zero extra
+    scans, the production observability pattern for a 100 TB pipeline
+    where a separate metrics query would re-read the table
+    (the reference counts fetches/failures in in-process dicts,
+    ``app.py:391-397``; this is that ledger riding the engine's own
+    execution). The observed values surface as a 1-row frame so the
+    driver hash-checks them against recomputing the same aggregates —
+    proving the piggybacked numbers equal the ground truth."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("lineitem_scan")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.when(F.col("l_discount") > 0.08, 1)).alias(
+            "n_high_discount"
+        ),
+    )
+    # the pass the metrics ride on (any real downstream action works;
+    # noop keeps it measurable) — obs.get blocks until it completes
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "probe": ["lineitem_scan"],
+                "n_rows": [int(m["n_rows"])],
+                "sum_qty": [int(m["sum_qty"])],
+                "n_high_discount": [int(m["n_high_discount"])],
+            }
+        ),
+        "probe string, n_rows long, sum_qty long, n_high_discount long",
+    )
+
+
+@register(
+    "plan_analyze_cbo_stats",
+    oracle="""
+        SELECT 'nation_cbo' AS table_name,
+               CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS row_count,
+               CAST((SELECT COUNT(DISTINCT n_regionkey) FROM nation)
+                    AS BIGINT) AS n_regions
+        FROM (VALUES (1)) t(x)
+    """,
+    tags=("plan", "catalog", "cbo"),
+)
+def plan_analyze_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog statistics for the COST-BASED optimizer (``ANALYZE TABLE
+    ... COMPUTE STATISTICS``): persist the table to the session
+    catalog, ANALYZE it, and read the recorded rowCount back from the
+    catalog metadata — the numbers Catalyst's CBO consults for join
+    reordering and broadcast decisions when frames come from tables
+    instead of in-session lineage (at 100 TB, stale-or-missing stats
+    are why a 5-way join picks the wrong build side). The returned
+    row pairs the CATALOG-recorded rowCount with a recomputed distinct
+    count; the oracle recomputes both from raw data, so the driver
+    hash-checks that ANALYZE recorded truth, not an estimate."""
+    spark.sql("DROP TABLE IF EXISTS nation_cbo")
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "nation_cbo"
+    )
+    try:
+        spark.sql("ANALYZE TABLE nation_cbo COMPUTE STATISTICS")
+        described = spark.sql("DESCRIBE TABLE EXTENDED nation_cbo").collect()
+        stats_line = next(
+            r.data_type for r in described if r.col_name == "Statistics"
+        )
+        # "NNN bytes, M rows" — the catalog's recorded stats
+        row_count = int(stats_line.split(",")[1].strip().split(" ")[0])
+        n_regions = (
+            spark.table("nation_cbo")
+            .agg(F.count_distinct("n_regionkey"))
+            .collect()[0][0]
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_cbo")
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "table_name": ["nation_cbo"],
+                "row_count": [row_count],
+                "n_regions": [int(n_regions)],
+            }
+        ),
+        "table_name string, row_count long, n_regions long",
+    )

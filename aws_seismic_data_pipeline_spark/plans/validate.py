@@ -318,25 +318,29 @@ def plan_analyze_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     row pairs the CATALOG-recorded rowCount with a recomputed distinct
     count; the oracle recomputes both from raw data, so the driver
     hash-checks that ANALYZE recorded truth, not an estimate."""
-    spark.sql("DROP TABLE IF EXISTS nation_cbo")
+    # app-keyed physical name: the in-memory catalog is per-session but
+    # the warehouse DIRECTORY is shared — concurrent harness runs with a
+    # fixed name would clobber each other's files mid-read
+    tbl = f"nation_cbo_{spark.sparkContext.applicationId.replace('-', '_')}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     load_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
-        "nation_cbo"
+        tbl
     )
     try:
-        spark.sql("ANALYZE TABLE nation_cbo COMPUTE STATISTICS")
-        described = spark.sql("DESCRIBE TABLE EXTENDED nation_cbo").collect()
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+        described = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
         stats_line = next(
             r.data_type for r in described if r.col_name == "Statistics"
         )
         # "NNN bytes, M rows" — the catalog's recorded stats
         row_count = int(stats_line.split(",")[1].strip().split(" ")[0])
         n_regions = (
-            spark.table("nation_cbo")
+            spark.table(tbl)
             .agg(F.count_distinct("n_regionkey"))
             .collect()[0][0]
         )
     finally:
-        spark.sql("DROP TABLE IF EXISTS nation_cbo")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     import pandas as pd
 
     return spark.createDataFrame(

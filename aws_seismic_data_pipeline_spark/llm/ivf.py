@@ -399,6 +399,18 @@ def write_index(
     callers that keep probing in-process."""
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = spread_dense(emb, spark, sf_dir).localCheckpoint(eager=True)
+    return build_index_from(corpus, path, n_cells=n_cells)
+
+
+def build_index_from(
+    corpus: DataFrame, path: str, n_cells: int = N_CELLS
+) -> np.ndarray:
+    """Train + assign + write the self-contained index from an
+    arbitrary (vec_id, embedding) frame — the core ``write_index``
+    wraps for the fixture table, reused by the streaming ingest whose
+    initial corpus is a subset. Caller is responsible for the frame's
+    partitioning/materialization (training makes one pass per
+    iteration)."""
     centroids = train_centroids(corpus, k=n_cells)
     assigned = _assign_cells(corpus, centroids, with_embedding=True)
     # repartition by cell before the partitioned write: without it every
@@ -408,7 +420,7 @@ def write_index(
     assigned.repartition("cell").write.partitionBy("cell").mode(
         "overwrite"
     ).parquet(path)
-    save_centroids(spark, path, centroids)
+    save_centroids(corpus.sparkSession, path, centroids)
     return centroids
 
 

@@ -1554,3 +1554,63 @@ def plan_manifest_compact_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+
+@register(
+    "plan_retention_delete",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE lang <> 'zh'
+        GROUP BY lang
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY delete: when a retention predicate aligns with
+    file boundaries (partition dirs, range-clustered files wholly
+    inside the cutoff), deletion is pure manifest maintenance — one
+    tombstone row per affected file (``remove_from_manifest``), ZERO
+    data bytes rewritten; the table-format DELETE fast path, vs the
+    rewrite-every-matching-file cost of a format without a manifest.
+    Here the 'zh' partition is retired: its files stay on disk
+    (vacuum's job, and as-of reads below the delete still see them —
+    GDPR-style physical erasure = this delete + vacuum), but the
+    current table view excludes them. The oracle recomputes the
+    post-delete world from the raw table, so the driver hash-checks
+    both that zh vanished and that nothing else did. Files straddling
+    a predicate boundary can't take this path — they need the rewrite
+    (``commit_data_compaction``'s shape with a filter)."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "retention_docs")
+    mpath = scratch_path(spark, sf_dir, "retention_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        load_table(spark, sf_dir, "documents").repartition(
+            "lang"
+        ).write.partitionBy("lang").mode("overwrite").parquet(data_dir)
+        all_files = sorted(
+            _glob.glob(os.path.join(data_dir, "lang=*", "*.parquet"))
+        )
+        write_stats_manifest(spark, all_files, mpath, ("doc_id",))
+        retired = [p for p in all_files if "/lang=zh/" in p]
+        assert retired, "fixture must contain the partition being retired"
+        remove_from_manifest(spark, mpath, retired)
+        visible = manifest_pruned_scan(spark, mpath, "doc_id", 0, 2**62)
+        lang = F.regexp_extract(F.input_file_name(), "lang=([^/]+)/", 1)
+        return (
+            visible.groupBy(lang.alias("lang"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )

@@ -807,3 +807,71 @@ def stream_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+
+@register(
+    "stream_index_ingest",
+    tags=("stream", "llm", "similarity", "no-oracle"),
+)
+def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING vector ingest into the persisted IVF index — the
+    embedding-side twin of ``stream_manifest_ingest`` and the corpus
+    promotion loop: the index is built once from the initial corpus
+    (80% of vectors, quantizer persisted inside), then newly-arriving
+    embeddings flow through readStream and each micro-batch is
+    appended with the STORED quantizer (``append_to_index`` —
+    batch-sized assign pass + cell-directory appends, no retrain, no
+    touch of stored vectors). After the drain, the query set probes
+    the partition-pruned index. Rows-only check (iterative k-means
+    has no SQL form); tests/test_streaming.py pins streamed-appended
+    == batch-appended probe equality, and the append==rebuild /
+    probe-pruning properties are already pinned in tests/test_ivf.py.
+    Seed: the reference's continuous per-fetch ingest
+    (``/root/reference/app.py:498-619``) applied to the ANN artifact."""
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+        spread_dense,
+    )
+    from aws_seismic_data_pipeline_spark.llm.ivf import (
+        append_to_index,
+        build_index_from,
+        probe_persisted_index,
+    )
+
+    prepare(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_dir = scratch_path(spark, sf_dir, "stream_ivf_index")
+    src = scratch_path(spark, sf_dir, "stream_ivf_src")
+    ckpt = index_dir + "_ckpt"
+    with scratch_cleanup(index_dir, src, ckpt):
+        base = spread_dense(
+            emb.filter(F.col("vec_id") % 5 != 0), spark, sf_dir
+        ).localCheckpoint(eager=True)
+        build_index_from(base, index_dir)
+
+        late = emb.filter(F.col("vec_id") % 5 == 0)
+        late.coalesce(1).write.mode("overwrite").parquet(src)
+
+        stream = spark.readStream.schema(emb.schema).parquet(src)
+
+        def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+            append_to_index(index_dir, batch_df)  # stored quantizer
+
+        q = (
+            stream.writeStream.foreachBatch(ingest_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        queries = [
+            (r["vec_id"], r["embedding"])
+            for r in emb.filter(F.col("vec_id") < 20)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        return probe_persisted_index(
+            spark, index_dir, queries, k=5
+        ).localCheckpoint(eager=True)

@@ -258,3 +258,49 @@ def test_stream_promotion_catches_prior_batch_duplicates(spark, tmp_path):
     assert landed[999_999] == "exact_dup", landed[999_999]
     # and batch 1 itself was classified against the ORIGINAL corpus
     assert landed[seed["doc_id"]] != "exact_dup"
+
+
+def test_stream_index_ingest_equals_batch_append(spark, tmp_path):
+    """The streamed IVF ingest must be a pure delivery mechanism: the
+    index it leaves behind answers every probe exactly like one whose
+    late vectors were appended by a single batch call — same stored
+    quantizer, same cells, same top-k."""
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.catalog import spread_dense
+    from aws_seismic_data_pipeline_spark.llm.ivf import (
+        append_to_index,
+        build_index_from,
+        probe_persisted_index,
+    )
+    from aws_seismic_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_DIR
+
+    streamed = sorted(
+        map(
+            tuple,
+            load_all()["stream_index_ingest"].builder(spark, SF_DIR).collect(),
+        )
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = spread_dense(
+        emb.filter(F.col("vec_id") % 5 != 0), spark, SF_DIR
+    ).localCheckpoint(eager=True)
+    batch_dir = str(tmp_path / "ivf_batch")
+    build_index_from(base, batch_dir)
+    append_to_index(batch_dir, emb.filter(F.col("vec_id") % 5 == 0))
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 20)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    batch = sorted(
+        map(
+            tuple,
+            probe_persisted_index(spark, batch_dir, queries, k=5).collect(),
+        )
+    )
+    assert streamed == batch and streamed

@@ -890,6 +890,15 @@ def read_footer_stats_multi(
     def read_footers(batches):
         import pyarrow.parquet as pq
 
+        def _num(v):
+            # non-numeric stats (string/binary columns) become NULL —
+            # consumers already treat NULL min/max conservatively, and
+            # row-count users (bloom sizing) only need n_rows
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return None
+
         for pdf in batches:
             rows = []
             for p in pdf["path"]:
@@ -908,8 +917,8 @@ def read_footer_stats_multi(
                                 rg,
                                 c,
                                 col.num_values,
-                                float(st.min) if has else None,
-                                float(st.max) if has else None,
+                                _num(st.min) if has else None,
+                                _num(st.max) if has else None,
                             )
                         )
             if rows:
@@ -1027,29 +1036,34 @@ def remove_from_manifest(
     which is what makes pinned training runs reproducible across later
     maintenance. (Re-adding a previously removed path is not supported;
     compaction always writes fresh file names, so the case cannot
-    arise from this engine's own maintenance.)"""
-    import os as _os
+    arise from this engine's own maintenance.)
 
-    import pandas as _pd
+    The tombstone row is SHAPED BY THE TARGET MANIFEST'S OWN SCHEMA —
+    path/file_name/snapshot_id/op filled, every other field NULL — so
+    the same delete works against the stats manifest AND the bloom
+    manifest (whose rows carry m_bits/bloom instead of min/max stats)
+    without the appended file forking the directory's schema."""
+    import os as _os
 
     if not paths:
         raise ValueError("remove_from_manifest: empty path list")
     if snapshot_id is None:
         snapshot_id = _next_snapshot(spark, manifest_dir)
-    pdf = _pd.DataFrame(
-        {
-            "path": sorted(paths),
-            "file_name": [_os.path.basename(p) for p in sorted(paths)],
-            "row_group": -1,
-            "column_name": "__remove__",
-            "n_rows": 0,
-            "min_val": float("nan"),
-            "max_val": float("nan"),
-            "snapshot_id": int(snapshot_id),
-            "op": "remove",
-        }
-    )
-    spark.createDataFrame(pdf, _MANIFEST_SCHEMA).write.mode("append").parquet(
+    schema = spark.read.parquet(manifest_dir).schema
+    fixed = {
+        "path": lambda p: p,
+        "file_name": lambda p: _os.path.basename(p),
+        "column_name": lambda p: "__remove__",
+        "snapshot_id": lambda p: int(snapshot_id),
+        "op": lambda p: "remove",
+    }
+    rows = [
+        tuple(
+            fixed[f.name](p) if f.name in fixed else None for f in schema
+        )
+        for p in sorted(paths)
+    ]
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(
         manifest_dir
     )
     return int(snapshot_id)
@@ -1611,6 +1625,293 @@ def plan_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+# --------------------------------------------------------------------------
+# BLOOM-FILTER manifest (r8): point-lookup file skipping. Min/max stats
+# prune RANGE predicates, but a high-cardinality key uniformly spread
+# across files (a doc_id, an order id under hash layout) defeats them —
+# every file's [min, max] covers every key, so a point lookup reads the
+# whole table. A small per-file Bloom filter over the key column answers
+# "can this file contain key x?" with no false negatives, so the scan
+# opens ~|keys| files out of millions. Parquet has optional per-column
+# bloom filters in the file format itself; this manifest keeps them in
+# the catalog instead so planning never opens data-file footers — the
+# same argument as the stats manifest above, applied to equality
+# predicates.
+# --------------------------------------------------------------------------
+
+#: universal-hash constants for the k=5 bloom probes:
+#: pos_j(x) = ((a_j * x + b_j) mod P) mod m with P = 2^31 - 1 and
+#: a_j < 2^28, so a_j * (x mod P) < 2^59 — no int64 overflow (the same
+#: overflow-safe construction as llm/dedup.py's MinHash constants). The
+#: key enters as pmod(xxhash64(CAST(key AS STRING)), P): casting to
+#: STRING first makes the filter layout-proof against integer width
+#: (int32 column vs BIGINT literal hash differently under Spark's typed
+#: hash functions), and xxhash64 is the same stable hash Spark's
+#: bucketing contract relies on, so a filter built by one Spark version
+#: probes correctly under another.
+_BLOOM_P = 2_147_483_647
+_BLOOM_A = (1299721, 15485917, 32452871, 49979699, 67868017)
+_BLOOM_B = (8369347, 23879539, 39916811, 54018533, 7368791)
+#: bits per key: m = next_pow2(10 * rows_per_file) with k = 5 probes
+#: gives a ~1% per-key false-positive rate (a false positive costs one
+#: needlessly opened file whose residual predicate drops every row —
+#: never a wrong answer).
+_BLOOM_BPK = 10
+
+_BLOOM_MANIFEST_SCHEMA = (
+    "path string, file_name string, column_name string, m_bits long,"
+    " bloom array<bigint>, snapshot_id int, op string"
+)
+
+
+def _bloom_key_sql(key_sql: str) -> str:
+    """The normalized 31-bit key a bloom position derives from."""
+    return f"pmod(xxhash64(CAST({key_sql} AS STRING)), {_BLOOM_P})"
+
+
+def _bloom_pos_sql(key_sql: str, m_sql: str) -> list[str]:
+    """The k bit-position SQL expressions for ``key_sql`` under an
+    ``m_sql``-bit filter (both may reference columns)."""
+    x = _bloom_key_sql(key_sql)
+    return [
+        f"(pmod({a} * {x} + {b}, {_BLOOM_P}) % {m_sql})"
+        for a, b in zip(_BLOOM_A, _BLOOM_B)
+    ]
+
+
+def build_bloom_manifest(
+    spark: SparkSession,
+    paths: list[str],
+    bloom_dir: str,
+    column: str,
+    bits_per_key: int = _BLOOM_BPK,
+    mode: str = "overwrite",
+    snapshot_id: int = 0,
+) -> int:
+    """Build one Bloom filter PER DATA FILE over ``column`` and persist
+    them as a manifest table beside the data. Entirely JVM-side and
+    shuffle-light: one scan of the key column, each key exploded into
+    its k (word, bit-mask) contributions, ``bit_or`` partial-aggregated
+    into per-(file, word) words map-side, then assembled into a dense
+    ``array<bigint>`` of m/64 words per file. The filter is sized from
+    the parquet FOOTER row counts (metadata-only — no data read), so m
+    tracks the table's actual file sizing; each manifest row carries its
+    own ``m_bits``, letting appends size independently as files grow.
+    Returns m_bits. Files whose every row is NULL-keyed simply have no
+    bloom row — correct, since a point lookup can never match NULL.
+
+    Seed: the reference prunes its object listing by date-prefix string
+    match (``/root/reference/app.py:449-463``) — the degenerate bloom
+    where the key IS the file name; this generalizes to any column."""
+    import math as _math
+
+    if not paths:
+        raise ValueError("build_bloom_manifest: empty path list")
+    max_rows = (
+        read_footer_stats_multi(spark, paths, (column,))
+        .groupBy("path")
+        .agg(F.sum("n_rows").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    ) or 1
+    m_bits = max(1024, 1 << _math.ceil(_math.log2(bits_per_key * max_rows)))
+    n_words = m_bits // 64
+    rows = (
+        spark.read.parquet(*paths)
+        .select(
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias(
+                "path"
+            ),
+            F.col(column).alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+    )
+    structs = ", ".join(
+        f"named_struct('word', CAST({pos} DIV 64 AS BIGINT),"
+        f" 'mask', shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT)))"
+        for pos in _bloom_pos_sql("k", str(m_bits))
+    )
+    contrib = rows.selectExpr(
+        "path", f"explode(array({structs})) AS c"
+    ).select("path", "c.word", "c.mask")
+    words = contrib.groupBy("path", "word").agg(
+        F.expr("bit_or(mask)").alias("bits")
+    )
+    (
+        words.groupBy("path")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("wm")
+        )
+        .select(
+            "path",
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.lit(column).alias("column_name"),
+            F.lit(m_bits).cast("long").alias("m_bits"),
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}),"
+                " w -> coalesce(wm[CAST(w AS BIGINT)], CAST(0 AS BIGINT)))"
+            ).alias("bloom"),
+            F.lit(int(snapshot_id)).cast("int").alias("snapshot_id"),
+            F.lit("add").alias("op"),
+        )
+        .write.mode(mode)
+        .parquet(bloom_dir)
+    )
+    return m_bits
+
+
+def append_bloom_manifest(
+    spark: SparkSession,
+    new_paths: list[str],
+    bloom_dir: str,
+    column: str,
+    bits_per_key: int = _BLOOM_BPK,
+    snapshot_id: int | None = None,
+) -> int:
+    """Incremental bloom-manifest maintenance: filter ONLY the newly
+    landed files and append their rows — ingest-batch cost, mirroring
+    ``append_stats_manifest``. The append sizes its own m_bits from the
+    new files' footer counts (each row carries m_bits, so probes mix
+    generations freely). Tombstones via ``remove_from_manifest`` and
+    time travel via the shared snapshot axis both apply unchanged.
+    Returns the snapshot id written."""
+    if snapshot_id is None:
+        snapshot_id = _next_snapshot(spark, bloom_dir)
+    build_bloom_manifest(
+        spark,
+        new_paths,
+        bloom_dir,
+        column,
+        bits_per_key=bits_per_key,
+        mode="append",
+        snapshot_id=int(snapshot_id),
+    )
+    return int(snapshot_id)
+
+
+def bloom_pruned_scan(
+    spark: SparkSession,
+    bloom_dir: str,
+    column: str,
+    keys: list,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Answer a point-lookup (``column IN keys``) through the persisted
+    bloom manifest: evaluate the k bit tests per key AGAINST THE
+    MANIFEST ROWS (a metadata-scale filter — the key's positions are
+    constant-folded, each row checks k words of its own filter), collect
+    only the candidate path list, and scan just those files with the
+    residual IN-predicate pushed down. No false negatives by
+    construction; a false positive opens one extra file whose rows the
+    residual drops. ``as_of`` time-travels on the shared snapshot axis
+    exactly like ``manifest_pruned_scan``."""
+    from functools import reduce as _reduce
+    from operator import and_ as _and, or_ as _or
+
+    if not keys:
+        raise ValueError("bloom_pruned_scan: empty key list")
+    man = _visible_stats(spark.read.parquet(bloom_dir), as_of).filter(
+        F.col("column_name") == column
+    )
+
+    def _lit_sql(v) -> str:
+        if isinstance(v, bool) or not isinstance(v, (int, str)):
+            raise TypeError(f"bloom keys must be int or str, got {type(v)}")
+        return (
+            str(v)
+            if isinstance(v, int)
+            else "'" + v.replace("'", "''") + "'"
+        )
+
+    def _key_hits(v):
+        tests = [
+            F.expr(
+                f"(bloom[CAST({pos} DIV 64 AS INT)]"
+                f" & shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT)))"
+                " <> 0"
+            )
+            for pos in _bloom_pos_sql(_lit_sql(v), "m_bits")
+        ]
+        return _reduce(_and, tests)
+
+    cond = _reduce(_or, (_key_hits(v) for v in keys))
+    matching = [
+        r.path for r in man.filter(cond).select("path").distinct().collect()
+    ]
+    if not matching:
+        any_path = man.select("path").limit(1).collect()
+        if not any_path:
+            raise ValueError(f"empty bloom manifest at {bloom_dir}")
+        return spark.read.parquet(any_path[0].path).filter(F.lit(False))
+    return spark.read.parquet(*matching).filter(
+        F.col(column).isin(list(keys))
+    )
+
+
+#: the demo point-lookup keys — dense 0-based o_orderkey, so all three
+#: exist at every fixture SF (orders has >= 1500 rows at sf0.001)
+_BLOOM_LOOKUP_KEYS = (101, 733, 1337)
+
+
+@register(
+    "scan_manifest_bloom",
+    oracle=f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+        FROM orders
+        WHERE o_orderkey IN {_BLOOM_LOOKUP_KEYS}
+    """,
+    tags=("source", "layout", "scan"),
+)
+def scan_manifest_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup file skipping through the persisted BLOOM manifest —
+    the equality-predicate complement of ``scan_manifest_pruned``: land
+    orders HASH-clustered by o_custkey (so every file's o_orderkey
+    min/max spans ~the whole key space and stats-based skipping is
+    useless), build per-file bloom filters for most files, APPEND the
+    late-landing rest (``append_bloom_manifest`` — the ingest path),
+    then answer a 3-key IN lookup opening only candidate files. The
+    oracle recomputes the lookup from the raw table, so the driver
+    hash-checks that bloom skipping loses no rows across the append;
+    the candidate-file drop and false-positive bound are pinned in
+    tests/test_catalog_scale.py. At 100 TB this is 'fetch these doc ids
+    from the corpus' without a 100 TB scan."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    path = scratch_path(spark, sf_dir, "hashlayout_bloom")
+    bpath = scratch_path(spark, sf_dir, "bloom_manifest")
+    with scratch_cleanup(path, bpath):
+        load_table(spark, sf_dir, "orders").repartition(
+            16, "o_custkey"
+        ).write.mode("overwrite").parquet(path)
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        build_bloom_manifest(spark, files[:12], bpath, "o_orderkey")
+        if files[12:]:
+            append_bloom_manifest(spark, files[12:], bpath, "o_orderkey")
+        return (
+            bloom_pruned_scan(
+                spark, bpath, "o_orderkey", list(_BLOOM_LOOKUP_KEYS)
+            )
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                F.round(F.col("o_totalprice") * 100, 0)
+                .cast("long")
+                .alias("total_cents"),
             )
             .localCheckpoint(eager=True)
         )

@@ -759,3 +759,121 @@ def test_manifest_scan_pushes_residual_predicate(spark, tmp_path):
         if "PushedFilters:" in line
     ]
     assert any("o_orderkey" in p and "GreaterThanOrEqual" in p for p in pushed), plan
+
+
+def test_bloom_manifest_prunes_and_loses_no_rows(spark, tmp_path):
+    """The bloom-manifest point-lookup path must (a) return exactly the
+    rows a full-table IN filter returns, (b) open only candidate files —
+    far fewer than the table holds, bounded by |keys| plus the ~1%
+    false-positive allowance — and (c) an appended bloom manifest must
+    equal a from-scratch rebuild row-for-row. The layout is HASH
+    clustering, where min/max stats cannot skip anything — the case the
+    bloom manifest exists for."""
+    import glob
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        append_bloom_manifest,
+        bloom_pruned_scan,
+        build_bloom_manifest,
+    )
+
+    from .conftest import SF_DIR
+
+    path = str(tmp_path / "hashlayout")
+    load_table(spark, SF_DIR, "orders").repartition(
+        16, "o_custkey"
+    ).write.mode("overwrite").parquet(path)
+    files = sorted(glob.glob(path + "/*.parquet"))
+    assert len(files) > 4
+
+    # (c) append == rebuild (bloom words are deterministic functions of
+    # each file's key set, so generation must not matter)
+    b_app = str(tmp_path / "bloom_app")
+    build_bloom_manifest(spark, files[:12], b_app, "o_orderkey")
+    append_bloom_manifest(spark, files[12:], b_app, "o_orderkey")
+    b_full = str(tmp_path / "bloom_full")
+    build_bloom_manifest(spark, files, b_full, "o_orderkey")
+    key = ["path", "column_name"]
+    got = (
+        spark.read.parquet(b_app)
+        .drop("snapshot_id")
+        .orderBy(*key)
+        .collect()
+    )
+    want = (
+        spark.read.parquet(b_full)
+        .drop("snapshot_id")
+        .orderBy(*key)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # (a) equality to the unpruned IN filter, (b) candidate-file bound
+    keys = [3, 777, 1202]
+    pruned = bloom_pruned_scan(spark, b_app, "o_orderkey", keys)
+    got_rows = sorted(
+        (r.o_orderkey, r.o_custkey) for r in pruned.collect()
+    )
+    want_rows = sorted(
+        (r.o_orderkey, r.o_custkey)
+        for r in spark.read.parquet(path)
+        .filter(F.col("o_orderkey").isin(keys))
+        .collect()
+    )
+    assert got_rows == want_rows and len(got_rows) == 3
+    num_files = _executed_num_files(pruned)
+    # 3 keys live in <= 3 files; false positives may add a couple more,
+    # but a bloom that opens half the table is broken
+    assert num_files is not None and 0 < num_files <= 6 < len(files)
+
+    # a key absent from the table: either no candidate files at all or
+    # only false-positive files whose residual drops every row
+    miss = bloom_pruned_scan(spark, b_app, "o_orderkey", [10**12 + 7])
+    assert miss.count() == 0
+    assert "o_orderkey" in miss.columns
+
+
+def test_bloom_manifest_string_keys_and_tombstones(spark, tmp_path):
+    """String keys hash through the same CAST-to-STRING normalization,
+    and a file tombstoned out of the bloom manifest must be invisible
+    to probes even though its filter would match."""
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        bloom_pruned_scan,
+        build_bloom_manifest,
+        remove_from_manifest,
+    )
+
+    import glob
+
+    pdf_path = str(tmp_path / "strkeys")
+    spark.range(0, 4000).select(
+        F.concat(F.lit("user-"), F.col("id").cast("string")).alias("uid"),
+        (F.col("id") * 7).alias("score"),
+    ).repartition(8, "uid").write.mode("overwrite").parquet(pdf_path)
+    files = sorted(glob.glob(pdf_path + "/*.parquet"))
+    bdir = str(tmp_path / "bloom_str")
+    build_bloom_manifest(spark, files, bdir, "uid")
+
+    hit = bloom_pruned_scan(spark, bdir, "uid", ["user-1234", "user-9"])
+    got = sorted((r.uid, r.score) for r in hit.collect())
+    assert got == [("user-1234", 1234 * 7), ("user-9", 63)]
+    assert _executed_num_files(hit) <= 4
+
+    # tombstone the file holding user-9: the probe must now miss it
+    # (metadata-only delete semantics shared with the stats manifest)
+    victim = (
+        spark.read.parquet(pdf_path)
+        .filter(F.col("uid") == "user-9")
+        .select(
+            F.regexp_replace(
+                F.input_file_name(), "^file:/+", "/"
+            ).alias("p")
+        )
+        .collect()[0]
+        .p
+    )
+    remove_from_manifest(spark, bdir, [victim])
+    after = bloom_pruned_scan(spark, bdir, "uid", ["user-1234", "user-9"])
+    vals = sorted(r.uid for r in after.collect())
+    assert "user-9" not in vals

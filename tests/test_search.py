@@ -1,0 +1,122 @@
+"""Inverted-index keyword search (llm/search.py): probe correctness
+against raw-text ground truth, disjunctive ranking, bucket-level
+partition pruning, and append == rebuild — the artifact-lifecycle
+contract every persisted index in this repo carries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.llm.search import (
+    _N_BUCKETS,
+    append_postings,
+    build_inverted_index,
+    keyword_search,
+)
+
+from .conftest import SF_DIR
+
+TOKENS = ["vector", "dup", "spark"]
+
+
+def _ground_truth(docs, tokens, mode):
+    toks = F.array_distinct(F.split(F.lower("text"), " "))
+    n_hit = None
+    for t in tokens:
+        term = F.array_contains(toks, t).cast("long")
+        n_hit = term if n_hit is None else n_hit + term
+    out = docs.select("doc_id", n_hit.alias("n_hit"))
+    return out.filter(
+        F.col("n_hit") == len(tokens) if mode == "all" else F.col("n_hit") > 0
+    )
+
+
+def test_keyword_search_matches_raw_text(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = str(tmp_path / "idx")
+    build_inverted_index(spark, docs, idx)
+
+    for mode in ("all", "any"):
+        got = sorted(
+            (r.doc_id, r.n_hit)
+            for r in keyword_search(spark, idx, TOKENS, mode=mode).collect()
+        )
+        want = sorted(
+            (r.doc_id, r.n_hit)
+            for r in _ground_truth(docs, TOKENS, mode).collect()
+        )
+        assert got == want and got, mode
+
+    # a token absent from the corpus: conjunction with it is empty
+    assert (
+        keyword_search(spark, idx, TOKENS + ["zzzznotoken"], mode="all")
+        .count()
+        == 0
+    )
+
+
+def test_keyword_search_prunes_buckets(spark, tmp_path):
+    """The probe must open only the query tokens' hash-bucket
+    partitions — partition pruning visible in the executed scan's
+    numFiles, which must be well below the index's total file count."""
+    import glob
+
+    from .test_catalog_scale import _executed_num_files
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = str(tmp_path / "idx")
+    build_inverted_index(spark, docs, idx)
+    all_files = glob.glob(idx + "/bucket=*/*.parquet")
+    n_buckets_present = len(glob.glob(idx + "/bucket=*"))
+    assert n_buckets_present > 10  # fixture vocab spreads over buckets
+
+    hit = keyword_search(spark, idx, TOKENS, mode="any")
+    hit.count()
+    opened = _executed_num_files(hit)
+    # <= 3 buckets' worth of files out of the whole index
+    per_bucket = max(1, len(all_files) // n_buckets_present)
+    assert opened is not None and opened <= 3 * per_bucket < len(all_files)
+
+
+def test_append_equals_rebuild(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    idx_app = str(tmp_path / "idx_app")
+    build_inverted_index(spark, docs.filter(F.col("doc_id") % 5 != 0), idx_app)
+    append_postings(spark, docs.filter(F.col("doc_id") % 5 == 0), idx_app)
+    idx_full = str(tmp_path / "idx_full")
+    build_inverted_index(spark, docs, idx_full)
+
+    a = sorted(
+        (r.token, r.doc_id, r.bucket)
+        for r in spark.read.parquet(idx_app).collect()
+    )
+    b = sorted(
+        (r.token, r.doc_id, r.bucket)
+        for r in spark.read.parquet(idx_full).collect()
+    )
+    assert a == b and a
+
+    # and the probe through the appended index agrees with ground truth
+    got = sorted(
+        (r.doc_id, r.n_hit)
+        for r in keyword_search(spark, idx_app, TOKENS, mode="all").collect()
+    )
+    want = sorted(
+        (r.doc_id, r.n_hit)
+        for r in _ground_truth(docs, TOKENS, "all").collect()
+    )
+    assert got == want
+
+
+def test_bucket_assignment_is_total(spark, tmp_path):
+    """Every posting lands in [0, _N_BUCKETS) — pmod keeps negative
+    xxhash64 values in range, so no token can fall outside the pruned
+    probe's reach."""
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    idx = str(tmp_path / "idx")
+    build_inverted_index(spark, docs, idx)
+    rng = spark.read.parquet(idx).agg(
+        F.min("bucket"), F.max("bucket")
+    ).collect()[0]
+    assert rng[0] >= 0 and rng[1] < _N_BUCKETS

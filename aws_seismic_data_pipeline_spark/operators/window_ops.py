@@ -996,3 +996,86 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad", 6).alias("mad"),
         "n_outliers",
     )
+
+
+#: EWMA smoothing factor and frame cap: alpha = 1/8, 64-row window.
+#: The truncated tail carries weight (1-alpha)^64 ~ 2e-4 — numerically
+#: negligible, and the BOUNDED frame is what makes the operator
+#: scale-safe: the unbounded recursive form needs (1/(1-a))^n partial
+#: products that overflow double past ~5k rows per key, while a 64-row
+#: frame is O(1) state per row at any corpus size.
+_EWMA_ALPHA = 0.125
+_EWMA_FRAME = 64
+
+
+@register(
+    "ts_ewma",
+    oracle=f"""
+        WITH f AS (
+            SELECT event_id, event_type, ts, value,
+                   list(value) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN {_EWMA_FRAME - 1} PRECEDING
+                            AND CURRENT ROW) AS arr
+            FROM events
+        )
+        SELECT event_id, event_type, ts, value,
+               ROUND(
+                   list_sum(list_transform(arr,
+                       (x, i) -> x * power({1 - _EWMA_ALPHA}, len(arr) - i)))
+                   / list_sum(list_transform(arr,
+                       (x, i) -> power({1 - _EWMA_ALPHA}, len(arr) - i))),
+                   8) AS ewma
+        FROM f
+    """,
+    tags=("window", "timeseries"),
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per channel — the
+    trend-following smoother telemetry dashboards and anomaly baselines
+    run (pandas ``ewm(alpha).mean()`` semantics, adjust=True): each
+    row's smoothed value is the weight-normalized sum of the trailing
+    observations, newest weighted 1, each step older decaying by
+    (1 - alpha). Declared as ONE window collect over a BOUNDED 64-row
+    frame plus higher-order array arithmetic — no Python, no recursion,
+    no join: a single shuffle on the channel key then a linear ordered
+    pass, identical cost to any bounded frame aggregate at 100 TB.
+    DuckDB evaluates the same indexed-lambda expression tree (its list
+    lambdas index 1-based, Spark's 0-based — the exponents align as
+    ``len - i_1based == size - 1 - i_0based``), so the driver
+    hash-checks the 8-dp-rounded EWMA exactly.
+
+    Seed: R5's waveform chunks (``/root/reference/app.py:378-447``) —
+    the smoothing a seismic trigger (STA/LTA) runs over exactly such
+    per-channel streams."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_FRAME - 1), W.currentRow)
+    )
+    decay = 1 - _EWMA_ALPHA
+    num = (
+        f"aggregate(transform(arr, (x, i) -> x * power({decay},"
+        " size(arr) - 1 - i)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    den = (
+        f"aggregate(transform(arr, (x, i) -> power({decay},"
+        " size(arr) - 1 - i)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.collect_list("value").over(w).alias("arr"),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.round(F.expr(num) / F.expr(den), 8).alias("ewma"),
+        )
+    )

@@ -353,3 +353,92 @@ def plan_analyze_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "table_name string, row_count long, n_regions long",
     )
+
+
+#: drift-profile constants: snapshot cutoff, price-bucket width, and
+#: the FIXED bucket count the Laplace smoothing denominator uses (so
+#: smoothing never depends on which buckets happen to be populated)
+_DRIFT_CUTOFF = "1998-01-01"
+_DRIFT_BUCKET_W = 50_000.0
+_DRIFT_K = 10
+
+
+@register(
+    "profile_snapshot_drift",
+    oracle=f"""
+        WITH b AS (
+            SELECT LEAST({_DRIFT_K - 1},
+                         CAST(FLOOR(o_totalprice / {_DRIFT_BUCKET_W})
+                              AS BIGINT)) AS bucket_id,
+                   CASE WHEN o_orderdate < TIMESTAMP '{_DRIFT_CUTOFF}'
+                        THEN 1 ELSE 0 END AS is_base
+            FROM orders
+        ), g AS (
+            SELECT bucket_id,
+                   CAST(SUM(is_base) AS BIGINT) AS n_base,
+                   CAST(SUM(1 - is_base) AS BIGINT) AS n_cur
+            FROM b GROUP BY bucket_id
+        ), t AS (
+            SELECT bucket_id, n_base, n_cur,
+                   (n_base + 0.5)
+                       / (SUM(n_base) OVER () + {0.5 * _DRIFT_K}) AS p,
+                   (n_cur + 0.5)
+                       / (SUM(n_cur) OVER () + {0.5 * _DRIFT_K}) AS q
+            FROM g
+        )
+        SELECT bucket_id, n_base, n_cur,
+               ROUND((q - p) * LN(q / p), 8) AS psi_term
+        FROM t
+    """,
+    tags=("plan", "quality"),
+)
+def profile_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION DRIFT between two corpus snapshots — the
+    Population Stability Index per histogram bucket, the monitor a
+    continuous-ingest pipeline runs so a crawl whose content shifts
+    (new source mix, collapsed field, seasonal skew) trips an alert
+    BEFORE a model trains on it. Baseline = orders before the cutoff
+    date, current = after; both halves histogram o_totalprice into
+    fixed-width buckets in ONE scan (conditional aggregation — the
+    table is read once, not once per snapshot), then
+    psi_i = (q_i - p_i) * ln(q_i / p_i) with Laplace-smoothed shares
+    over a FIXED bucket count, so empty buckets can never divide by
+    zero. psi_term >= 0 by construction ((q-p) and ln(q/p) share
+    sign); sum(psi_term) > 0.2 is the classic retrain/alert threshold.
+
+    Scale shape: groupBy over <= K bucket rows after a single
+    map-side-combined pass; the window totals run over the K-row
+    aggregate, never the fact table. Both engines evaluate the
+    identical expression tree ((n+0.5)/total, one division each) so
+    the driver hash-checks the rounded PSI exactly.
+
+    Seed: R12's fetch-ledger health checks
+    (``/root/reference/app.py:243-268``) — existence monitoring
+    generalized to distribution monitoring."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.lit(_DRIFT_K - 1),
+        F.floor(F.col("o_totalprice") / _DRIFT_BUCKET_W),
+    ).cast("long")
+    is_base = (
+        F.col("o_orderdate") < F.lit(_DRIFT_CUTOFF).cast("timestamp")
+    ).cast("int")
+    g = orders.groupBy(bucket.alias("bucket_id")).agg(
+        F.sum(is_base).cast("long").alias("n_base"),
+        F.sum(1 - is_base).cast("long").alias("n_cur"),
+    )
+    w = W.partitionBy(F.lit(1))
+    p = (F.col("n_base") + 0.5) / (
+        F.sum("n_base").over(w) + F.lit(0.5 * _DRIFT_K)
+    )
+    q = (F.col("n_cur") + 0.5) / (
+        F.sum("n_cur").over(w) + F.lit(0.5 * _DRIFT_K)
+    )
+    return g.select(
+        "bucket_id",
+        "n_base",
+        "n_cur",
+        F.round((q - p) * F.log(q / p), 8).alias("psi_term"),
+    )

@@ -877,3 +877,38 @@ def test_bloom_manifest_string_keys_and_tombstones(spark, tmp_path):
     after = bloom_pruned_scan(spark, bdir, "uid", ["user-1234", "user-9"])
     vals = sorted(r.uid for r in after.collect())
     assert "user-9" not in vals
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    """ts_ewma must agree with pandas ``ewm(alpha, adjust=True).mean()``
+    — an independent reference implementation. Exact (1e-9) wherever
+    the 64-row frame covers the full history (the first 64 rows per
+    channel); within the truncated tail's weight bound (~2e-4 of the
+    value scale) everywhere else."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_seismic_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_DIR
+
+    q = load_all()["ts_ewma"].builder
+    got = (
+        q(spark, SF_DIR)
+        .select("event_type", "event_id", "ts", "value", "ewma")
+        .toPandas()
+        .sort_values(["event_type", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    ref = got[["event_type", "ts", "event_id", "value"]].copy()
+    ref["ewma_pd"] = (
+        ref.groupby("event_type", sort=False)["value"]
+        .transform(lambda s: s.ewm(alpha=0.125, adjust=True).mean())
+    )
+    merged = got.merge(ref, on=["event_type", "ts", "event_id", "value"])
+    assert len(merged) == len(got)
+    rank = merged.groupby("event_type").cumcount()
+    head = merged[rank < 64]
+    assert np.allclose(head["ewma"], head["ewma_pd"], atol=1e-9)
+    # truncation bound: |x| <= ~500 in the fixture, tail weight ~2e-4
+    assert np.allclose(merged["ewma"], merged["ewma_pd"], atol=0.2)

@@ -1079,3 +1079,68 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(num) / F.expr(den), 8).alias("ewma"),
         )
     )
+
+
+#: rolling-median frame: 31 samples (15 each side would be centered;
+#: trailing keeps it streaming-compatible — no future peeking)
+_RMED_FRAME = 31
+
+
+@register(
+    "ts_rolling_median",
+    oracle=f"""
+        WITH f AS (
+            SELECT event_id, event_type, ts, value,
+                   list_sort(list(value) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN {_RMED_FRAME - 1} PRECEDING
+                            AND CURRENT ROW)) AS s
+            FROM events
+        )
+        SELECT event_id, event_type, ts, value,
+               (s[(len(s) - 1) // 2 + 1] + s[len(s) // 2 + 1]) / 2.0
+                   AS rolling_med
+        FROM f
+    """,
+    tags=("window", "timeseries"),
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing ROLLING MEDIAN per channel — the despiking filter
+    telemetry pipelines run ahead of any mean-based statistic (a
+    median absorbs a single corrupted sample that would drag an EWMA;
+    ``ts_outlier_mad`` is its global sibling, this is the windowed
+    form). One bounded 31-row window collect, then array_sort + exact
+    middle selection ((s[(n-1) div 2] + s[n div 2]) / 2 handles odd
+    and even frames alike) — pure doubles arithmetic with NO rounding:
+    both engines sort the identical frame and average the identical
+    two middles, so the driver hash-checks bit-exact values. Same
+    scale shape as every bounded-frame aggregate: one shuffle on the
+    channel key, O(frame log frame) per row, no Python.
+
+    Seed: R5 waveform chunks (``/root/reference/app.py:378-447``) —
+    median despiking is the standard seismic pre-filter."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_RMED_FRAME - 1), W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.array_sort(F.collect_list("value").over(w)).alias("s"),
+    ).select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        (
+            (
+                F.expr("element_at(s, CAST((size(s) - 1) DIV 2 AS INT) + 1)")
+                + F.expr("element_at(s, CAST(size(s) DIV 2 AS INT) + 1)")
+            )
+            / 2.0
+        ).alias("rolling_med"),
+    )

@@ -186,3 +186,86 @@ def test_pretrain_manifest_composition(spark):
         n_docs, n_tokens = expect.get(bucket, (0, 0))
         expect[bucket] = (n_docs + 1, n_tokens + r.n_words)
     assert manifest == expect
+
+
+def test_decontaminate_indexed_equals_direct(spark):
+    """The posting-index decontamination plan must report the identical
+    (doc_id, n_grams, n_hits, frac) rows as the direct broadcast scan —
+    the two-plans-one-truth contract the shared oracle encodes — and
+    the persisted index must carry only integer columns (the probe can
+    never touch text)."""
+    from aws_seismic_data_pipeline_spark.registry import load_all
+
+    reg = load_all()
+    direct = sorted(
+        tuple(r)
+        for r in reg["text_decontaminate"].builder(spark, SF_DIR).collect()
+    )
+    indexed = sorted(
+        tuple(r)
+        for r in reg["text_decontaminate_indexed"]
+        .builder(spark, SF_DIR)
+        .collect()
+    )
+    assert direct == indexed and direct
+
+
+def test_gram_index_schema_and_reuse(spark, tmp_path):
+    """One index build serves multiple benchmark probes: probing two
+    different bench slices against the same artifact matches running
+    the direct plan against each."""
+    from aws_seismic_data_pipeline_spark.llm.curation import (
+        DECON_BENCH_PCT,
+        _doc_grams,
+        _md5_bucket,
+        build_gram_index,
+        probe_gram_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(_md5_bucket("doc_id", 100) >= DECON_BENCH_PCT)
+    idx = str(tmp_path / "gram_idx")
+    build_gram_index(spark, corpus, idx)
+    stored = spark.read.parquet(idx)
+    assert set(stored.columns) == {"doc_id", "n_grams", "h"}
+
+    grams = _doc_grams(docs)
+    for lo, hi in ((0, DECON_BENCH_PCT), (97, 100)):
+        bench = (
+            grams.filter(
+                (F.col("bucket") >= lo) & (F.col("bucket") < hi)
+            )
+            .select(F.explode("gs").alias("h"))
+            .distinct()
+        )
+        got = sorted(
+            tuple(r) for r in probe_gram_index(spark, idx, bench).collect()
+        )
+        # direct recomputation over the same corpus/bench split
+        corpus_grams = grams.filter(F.col("bucket") >= DECON_BENCH_PCT)
+        explode = corpus_grams.select(
+            "doc_id",
+            F.size("gs").cast("long").alias("n_grams"),
+            F.explode("gs").alias("h"),
+        )
+        want = sorted(
+            tuple(r)
+            for r in explode.join(F.broadcast(bench), "h")
+            .groupBy("doc_id")
+            .agg(
+                F.first("n_grams").alias("n_grams"),
+                F.count(F.lit(1)).alias("n_hits"),
+            )
+            .select(
+                "doc_id",
+                "n_grams",
+                "n_hits",
+                (
+                    F.col("n_hits").cast("double") / F.col("n_grams")
+                ).alias("contamination_frac"),
+            )
+            .collect()
+        )
+        assert got == want
+        if lo == 0:
+            assert got  # the standard bench slice must contaminate

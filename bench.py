@@ -86,6 +86,12 @@ HEADLINE = [
     "dedup_cluster_canonical",
     "sql_recursive_cte",
     "scan_manifest_pruned",
+    # late-round-8 additions: bloom point-lookup skipping (timing
+    # includes the hash-clustered write + filter build), the bounded-
+    # frame EWMA (pure window-plan cost), and the PSI drift monitor
+    "scan_manifest_bloom",
+    "ts_ewma",
+    "profile_snapshot_drift",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The
@@ -97,6 +103,8 @@ PHASED = {
     "sim_topk_ivf_persisted": "_bench_ivf_persisted",
     "dedup_incremental_snapshot_persisted": "_bench_snapshot_persisted",
     "compact_corpus_index": "_bench_corpus_compaction",
+    "text_keyword_search": "_bench_keyword_index",
+    "text_decontaminate_indexed": "_bench_gram_index",
 }
 
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
@@ -224,6 +232,81 @@ def _bench_corpus_compaction(spark, sf_dir: str) -> dict[str, float]:
         "dedup_corpus_compact": compact,
         "dedup_corpus_probe_compacted": comp,
     }
+
+
+def _bench_keyword_index(spark, sf_dir: str) -> dict[str, float]:
+    """Inverted-index lifecycle, measured per side: the corpus
+    tokenize+write build (once per corpus version) vs the bucket-pruned
+    conjunctive probe (the recurring per-query cost, which must stay
+    posting-sized — the number that would drift if bucket pruning ever
+    broke)."""
+    import shutil
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.llm.search import (
+        _SEARCH_TOKENS,
+        build_inverted_index,
+        keyword_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        "/tmp", f"kwidx_bench_{spark.sparkContext.applicationId}"
+    )
+    t0 = time.perf_counter()
+    build_inverted_index(spark, docs, path)
+    build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    keyword_search(spark, path, list(_SEARCH_TOKENS), mode="all").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    probe = time.perf_counter() - t0
+    shutil.rmtree(path, ignore_errors=True)
+    return {"keyword_index_build": build, "keyword_index_probe": probe}
+
+
+def _bench_gram_index(spark, sf_dir: str) -> dict[str, float]:
+    """Decontamination's amortization claim, measured: the one-time
+    n-gram posting-index build vs the per-benchmark-release probe. The
+    probe must run well under the direct text_decontaminate slot — that
+    delta is the entire reason the index exists."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table, spread
+    from aws_seismic_data_pipeline_spark.llm.curation import (
+        DECON_BENCH_PCT,
+        _doc_grams,
+        _md5_bucket,
+        build_gram_index,
+        probe_gram_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        "/tmp", f"gramidx_bench_{spark.sparkContext.applicationId}"
+    )
+    t0 = time.perf_counter()
+    build_gram_index(
+        spark,
+        docs.filter(_md5_bucket("doc_id", 100) >= DECON_BENCH_PCT),
+        path,
+    )
+    build = time.perf_counter() - t0
+    bench = (
+        _doc_grams(spread(docs, spark))
+        .filter(F.col("bucket") < DECON_BENCH_PCT)
+        .select(F.explode("gs").alias("h"))
+        .distinct()
+    )
+    t0 = time.perf_counter()
+    probe_gram_index(spark, path, bench).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    probe = time.perf_counter() - t0
+    shutil.rmtree(path, ignore_errors=True)
+    return {"gram_index_build": build, "gram_index_probe": probe}
 
 
 def main() -> None:

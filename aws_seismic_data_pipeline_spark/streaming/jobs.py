@@ -875,3 +875,83 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return probe_persisted_index(
             spark, index_dir, queries, k=5
         ).localCheckpoint(eager=True)
+
+
+from aws_seismic_data_pipeline_spark.llm.search import (  # noqa: E402
+    _SEARCH_TOKENS as _KW_TOKENS,
+)
+
+
+@register(
+    "stream_search_ingest",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST({len(_KW_TOKENS)} AS BIGINT) AS n_hit
+        FROM t
+        WHERE {" AND ".join(
+            f"list_contains(toks, '{t}')" for t in _KW_TOKENS
+        )}
+    """,
+    tags=("stream", "llm", "text", "index"),
+)
+def stream_search_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING document ingest into the persisted INVERTED INDEX —
+    the text-side twin of ``stream_index_ingest``: the posting index is
+    built once from the initial corpus (80% of documents), newly
+    crawled docs flow through readStream, and each micro-batch is
+    tokenized and appended into the same bucket layout
+    (``append_postings`` — batch-sized, no retouch of existing
+    postings). After the drain, the conjunctive keyword probe runs
+    bucket-pruned over the combined index. Single availableNow batch
+    => deterministic => the BATCH search oracle applies verbatim: the
+    driver hash-checks that a doc arriving by stream is exactly as
+    findable as one indexed at build time — the continuous-crawl
+    search loop closed. Seed: the reference's per-fetch continuous
+    ingest (``/root/reference/app.py:498-619``) applied to the search
+    artifact."""
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+    from aws_seismic_data_pipeline_spark.llm.search import (
+        _SEARCH_TOKENS,
+        append_postings,
+        build_inverted_index,
+        keyword_search,
+    )
+
+    prepare(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    index_dir = scratch_path(spark, sf_dir, "stream_search_index")
+    src = scratch_path(spark, sf_dir, "stream_search_src")
+    ckpt = index_dir + "_ckpt"
+    with scratch_cleanup(index_dir, src, ckpt):
+        build_inverted_index(
+            spark, docs.filter(F.col("doc_id") % 5 != 0), index_dir
+        )
+        docs.filter(F.col("doc_id") % 5 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+
+        def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+            append_postings(spark, batch_df, index_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(ingest_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        hits = keyword_search(
+            spark, index_dir, list(_SEARCH_TOKENS), mode="all"
+        )
+        return (
+            hits.join(docs.select("doc_id", "lang"), "doc_id")
+            .select("doc_id", "lang", "n_hit")
+            .localCheckpoint(eager=True)
+        )

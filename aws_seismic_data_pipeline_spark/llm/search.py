@@ -180,3 +180,20 @@ def text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "n_hit")
             .localCheckpoint(eager=True)
         )
+
+
+def compact_postings(spark: SparkSession, index_dir: str) -> None:
+    """Maintenance for the posting artifact: every ``append_postings``
+    call adds small files to each touched bucket partition, so
+    thousands of crawl batches grow the probe-side file listing — the
+    same small-file hazard ``llm/dedup.py: compact_corpus_index``
+    handles for the dedup tables. One artifact-sized rewrite
+    (``catalog.compact_parquet_dir``): distinct-deduped (set-semantic
+    postings — a re-crawled doc re-appended must not double its rows;
+    probes are already duplicate-proof via countDistinct, this keeps
+    the ARTIFACT canonical too), re-clustered one file per bucket,
+    atomically swapped. Probe results are exactly unchanged —
+    compacted == fragmented is pinned in tests/test_search.py."""
+    from aws_seismic_data_pipeline_spark.catalog import compact_parquet_dir
+
+    compact_parquet_dir(spark, index_dir, partition_by="bucket", distinct=True)

@@ -1915,3 +1915,146 @@ def scan_manifest_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+
+# --------------------------------------------------------------------------
+# EQUALITY DELETES (r8): row-level deletes as metadata. plan_retention_
+# delete handles the file-ALIGNED case (a whole partition tombstoned);
+# this handles the scattered case — erase specific keys whose rows live
+# across many files (GDPR user erasure, revoked documents) — without
+# rewriting a byte: delete records land in the manifest, reads subtract
+# them, history below the delete stays intact, and a later compaction
+# rewrite applies them physically (Iceberg v2 equality-delete shape).
+# --------------------------------------------------------------------------
+
+
+def equality_delete(
+    spark: SparkSession,
+    manifest_dir: str,
+    column: str,
+    values: list,
+    snapshot_id: int | None = None,
+) -> int:
+    """Append EQUALITY-DELETE records to the manifest: one metadata row
+    per deleted key (op='delete_eq', the key carried in min_val==
+    max_val), stamped at the next snapshot. Cost is |values| rows of
+    metadata however many data files the keys' rows touch — the point
+    of the shape. ``_visible_stats`` ignores non-'add' ops, so delete
+    records never perturb stats pruning; only ``read_with_deletes``
+    consumes them. Returns the snapshot id written."""
+    import pandas as _pd
+
+    if not values:
+        raise ValueError("equality_delete: empty value list")
+    if snapshot_id is None:
+        snapshot_id = _next_snapshot(spark, manifest_dir)
+    pdf = _pd.DataFrame(
+        {
+            "path": "",
+            "file_name": "",
+            "row_group": -1,
+            "column_name": column,
+            "n_rows": 0,
+            "min_val": [float(v) for v in sorted(values)],
+            "max_val": [float(v) for v in sorted(values)],
+            "snapshot_id": int(snapshot_id),
+            "op": "delete_eq",
+        }
+    )
+    spark.createDataFrame(pdf, _MANIFEST_SCHEMA).write.mode("append").parquet(
+        manifest_dir
+    )
+    return int(snapshot_id)
+
+
+def read_with_deletes(
+    spark: SparkSession,
+    manifest_dir: str,
+    column: str,
+    as_of: int | None = None,
+) -> DataFrame:
+    """The manifest-visible table MINUS its equality deletes: scan the
+    files visible at ``as_of`` (full key range through
+    ``manifest_pruned_scan``), then anti-join the delete keys recorded
+    at or below the pin. The delete set is metadata-scale and
+    BROADCASTS — at 100 TB the subtraction costs one map-side hash
+    probe per row, no shuffle of data. An as-of below the delete
+    snapshot resurrects the rows (history is never rewritten); a
+    compaction rewrite that physically drops the rows and retires the
+    delete records is the maintenance step that keeps the delete set
+    from growing unboundedly."""
+    manifest = spark.read.parquet(manifest_dir)
+    if as_of is not None:
+        manifest = manifest.filter(F.col("snapshot_id") <= as_of)
+    dels = (
+        manifest.filter(
+            (F.col("op") == "delete_eq") & (F.col("column_name") == column)
+        )
+        .select(F.col("min_val").alias("__del_key"))
+        .distinct()
+    )
+    data = manifest_pruned_scan(
+        spark, manifest_dir, column, -float("inf"), float("inf"), as_of=as_of
+    )
+    return data.join(
+        F.broadcast(dels),
+        data[column].cast("double") == dels["__del_key"],
+        "left_anti",
+    )
+
+
+#: the demo erasure set — doc_ids scattered across every file at all
+#: fixture SFs (documents has >= 500 rows)
+_EQ_DELETE_IDS = (3, 100, 203, 307, 411)
+
+
+@register(
+    "plan_equality_delete",
+    oracle=f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE doc_id NOT IN {_EQ_DELETE_IDS}
+        GROUP BY lang
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL delete as pure metadata — the scattered-key case
+    ``plan_retention_delete``'s file-aligned tombstones cannot express:
+    five doc_ids whose rows live in different files are erased by five
+    equality-delete records in the manifest; the read subtracts them
+    via a broadcast anti-join and ZERO data bytes are rewritten. The
+    oracle recomputes the post-delete world from the raw table, so the
+    driver hash-checks both that the five ids vanished and that every
+    other row survived. as-of reads below the delete still see the
+    rows (pinned in tests/test_catalog_scale.py) — the
+    reproducible-training-corpus contract extended to row-level
+    erasure."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "eqdel_docs")
+    mpath = scratch_path(spark, sf_dir, "eqdel_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        load_table(spark, sf_dir, "documents").repartition(
+            8, "doc_id"
+        ).write.mode("overwrite").parquet(data_dir)
+        files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
+        write_stats_manifest(spark, files, mpath, ("doc_id",))
+        equality_delete(spark, mpath, "doc_id", list(_EQ_DELETE_IDS))
+        return (
+            read_with_deletes(spark, mpath, "doc_id")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )

@@ -912,3 +912,59 @@ def test_ewma_matches_pandas_ewm(spark):
     assert np.allclose(head["ewma"], head["ewma_pd"], atol=1e-9)
     # truncation bound: |x| <= ~500 in the fixture, tail weight ~2e-4
     assert np.allclose(merged["ewma"], merged["ewma_pd"], atol=0.2)
+
+
+def test_equality_delete_visibility_directions(spark, tmp_path):
+    """Row-level equality deletes must (a) subtract exactly the deleted
+    keys from the current view, (b) leave as-of reads below the delete
+    snapshot intact (history never rewritten), and (c) never perturb
+    stats-based pruning (delete records are not 'add' rows)."""
+    import glob
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        equality_delete,
+        manifest_pruned_scan,
+        read_with_deletes,
+        write_stats_manifest,
+    )
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    data_dir = str(tmp_path / "docs")
+    docs.repartition(8, "doc_id").write.mode("overwrite").parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "manifest")
+    write_stats_manifest(spark, files, mpath, ("doc_id",))
+
+    ids = [7, 42, 303]
+    snap = equality_delete(spark, mpath, "doc_id", ids)
+    assert snap >= 1
+
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    cur = {
+        r.doc_id
+        for r in read_with_deletes(spark, mpath, "doc_id")
+        .select("doc_id")
+        .collect()
+    }
+    assert cur == all_ids - set(ids)
+
+    # (b) pin below the delete: the rows resurrect
+    before = {
+        r.doc_id
+        for r in read_with_deletes(spark, mpath, "doc_id", as_of=snap - 1)
+        .select("doc_id")
+        .collect()
+    }
+    assert before == all_ids
+
+    # (c) stats pruning unaffected: a range scan ignores delete records
+    pruned = {
+        r.doc_id
+        for r in manifest_pruned_scan(spark, mpath, "doc_id", 0, 50)
+        .select("doc_id")
+        .collect()
+    }
+    assert pruned == {i for i in all_ids if 0 <= i <= 50}

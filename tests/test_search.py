@@ -120,3 +120,45 @@ def test_bucket_assignment_is_total(spark, tmp_path):
         F.min("bucket"), F.max("bucket")
     ).collect()[0]
     assert rng[0] >= 0 and rng[1] < _N_BUCKETS
+
+
+def test_compaction_preserves_probes_and_bounds_files(spark, tmp_path):
+    """After fragmenting the index with several appends (one of them a
+    re-crawl duplicate batch), compaction must leave every probe result
+    identical, collapse to one file per bucket, and physically dedupe
+    the re-appended postings."""
+    from aws_seismic_data_pipeline_spark.catalog import count_parquet_files
+    from aws_seismic_data_pipeline_spark.llm.search import compact_postings
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = str(tmp_path / "idx")
+    build_inverted_index(spark, docs.filter(F.col("doc_id") % 4 == 0), idx)
+    for m in (1, 2, 3):
+        append_postings(spark, docs.filter(F.col("doc_id") % 4 == m), idx)
+    # re-crawl: batch 1 arrives again
+    append_postings(spark, docs.filter(F.col("doc_id") % 4 == 1), idx)
+
+    before = sorted(
+        (r.doc_id, r.n_hit)
+        for r in keyword_search(spark, idx, TOKENS, mode="any").collect()
+    )
+    n_files_frag = count_parquet_files(idx)
+    n_rows_frag = spark.read.parquet(idx).count()
+
+    compact_postings(spark, idx)
+
+    after = sorted(
+        (r.doc_id, r.n_hit)
+        for r in keyword_search(spark, idx, TOKENS, mode="any").collect()
+    )
+    assert after == before and after
+    n_files_comp = count_parquet_files(idx)
+    assert n_files_comp < n_files_frag
+    import glob
+
+    for bdir in glob.glob(idx + "/bucket=*"):
+        assert len(glob.glob(bdir + "/*.parquet")) == 1
+    # the duplicate batch's rows are physically gone
+    n_rows_comp = spark.read.parquet(idx).count()
+    assert n_rows_comp < n_rows_frag
+    assert spark.read.parquet(idx).distinct().count() == n_rows_comp

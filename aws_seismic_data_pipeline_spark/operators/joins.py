@@ -733,3 +733,43 @@ def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "join_shuffle_hash_hint",
+    oracle="""
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "plan"),
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-STRATEGY control via hint: ``SHUFFLE_HASH`` forces a
+    shuffled hash join where the planner's default (for two large
+    unsorted sides above the broadcast threshold) is sort-merge. The
+    point at 100 TB: when one side comfortably builds an in-memory hash
+    table per partition, hash join skips BOTH sort passes sort-merge
+    pays — the classic win for a fact-to-mid-size-dim join that is too
+    big to broadcast; the hint is the escape hatch when statistics
+    mislead the optimizer. Results are strategy-invariant (the driver
+    hash-checks against plain SQL); the physical-operator selection
+    itself — ShuffledHashJoin chosen, and only for the hinted plan —
+    is pinned on the executed plan in tests/test_catalog_scale.py.
+    Seed: R8's station-metadata enrichment joins
+    (``/root/reference/app.py:328-368``)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(
+        customer.hint("shuffle_hash"),
+        orders.o_custkey == customer.c_custkey,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )

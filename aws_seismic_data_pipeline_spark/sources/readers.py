@@ -2058,3 +2058,45 @@ def plan_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+
+@register(
+    "scan_xml_roundtrip",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey,
+               CAST(strlen(n_name) AS BIGINT) AS name_len
+        FROM nation
+    """,
+    tags=("source", "sink"),
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + schema'd XML scan — Spark 4's NATIVE xml data source
+    (no external spark-xml package), the interchange format seismic
+    metadata actually ships in (StationXML: station/channel inventories
+    are XML documents; the reference hardcodes its station catalog in
+    JSON instead, ``config.json:2-18``). Write nation as row-tagged
+    XML, read it back with the parquet original's explicit schema
+    (never schema inference at scale — entity parsing per row is
+    expensive enough without a second discovery pass), project. The
+    oracle reads the parquet original, proving the angle-bracket round
+    trip is lossless including string escaping."""
+    prepare(spark)
+    sink = _sink_path("nation_xml", sf_dir)
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.mode("overwrite").format("xml").option(
+        "rootTag", "nations"
+    ).option("rowTag", "nation").save(sink)
+    back = (
+        spark.read.format("xml")
+        .schema(nation.schema)
+        .option("rowTag", "nation")
+        .load(sink)
+    )
+    return back.select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.length("n_name").cast("long").alias("name_len"),
+    )

@@ -968,3 +968,41 @@ def test_equality_delete_visibility_directions(spark, tmp_path):
         .collect()
     }
     assert pruned == {i for i in all_ids if 0 <= i <= 50}
+
+
+def test_shuffle_hash_hint_selects_operator(spark):
+    """The SHUFFLE_HASH hint must actually flip the physical strategy:
+    hinted plan uses ShuffledHashJoin, the same join unhinted (with
+    broadcast disabled so neither side auto-broadcasts at fixture
+    scale) falls back to SortMergeJoin — and both return identical
+    rows."""
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+
+    from .conftest import SF_DIR
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        customer = load_table(spark, SF_DIR, "customer")
+        orders = load_table(spark, SF_DIR, "orders")
+        cond = orders.o_custkey == customer.c_custkey
+
+        hinted = orders.join(customer.hint("shuffle_hash"), cond)
+        plain = orders.join(customer, cond)
+        hinted_plan = hinted._jdf.queryExecution().executedPlan().toString()
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in hinted_plan
+        assert "SortMergeJoin" in plain_plan
+        assert "ShuffledHashJoin" not in plain_plan
+
+        a = sorted(
+            (r.o_orderkey, r.c_custkey)
+            for r in hinted.select("o_orderkey", "c_custkey").collect()
+        )
+        b = sorted(
+            (r.o_orderkey, r.c_custkey)
+            for r in plain.select("o_orderkey", "c_custkey").collect()
+        )
+        assert a == b and a
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -23,7 +23,12 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from aws_seismic_data_pipeline_spark.registry import register
 from aws_seismic_data_pipeline_spark.sources.http_fetch import (
@@ -138,4 +143,143 @@ def source_http_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("content_len"), F.lit(0))).alias("total_bytes"),
         )
         .orderBy("host", "is_placeholder", "error_type")
+    )
+
+
+class StubHttpStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same source: each ``read`` drains every
+    hourly chunk that has become available since the last offset — the
+    reference's scheduled polling loop (``app.py:571-619``) as a
+    checkpointable streaming source. Offsets are just the count of
+    chunks already emitted, so recovery replays deterministically
+    (``readBetweenOffsets`` re-fetches the exact slice — pytest-pinned
+    replay == original); the per-host semaphore caps concurrency inside
+    the drain exactly like the batch reader."""
+
+    def __init__(self, options):
+        self.urls: list[str] = json.loads(options.get("urls", "[]"))
+        self.max_concurrency = int(options.get("max_concurrency", "3"))
+
+    def initialOffset(self):
+        return {"emitted": 0}
+
+    def _fetch_slice(self, lo: int, hi: int) -> list[tuple]:
+        urls = self.urls[lo:hi]
+
+        async def drain() -> list[dict]:
+            sem = asyncio.Semaphore(self.max_concurrency)
+            return list(
+                await asyncio.gather(
+                    *[_fetch_one(sem, stub_transport, u) for u in urls]
+                )
+            )
+
+        rows = []
+        for r in asyncio.run(drain()):
+            host = r["url"].split("/")[2] if "//" in r["url"] else "unknown"
+            rows.append(
+                (
+                    host,
+                    r["url"],
+                    r["status"],
+                    r["content"],
+                    r["content_len"],
+                    r["is_placeholder"],
+                    r["error_type"],
+                    r["error_message"],
+                )
+            )
+        return rows
+
+    def read(self, start):
+        lo = start["emitted"]
+        hi = len(self.urls)  # everything available now
+        if lo >= hi:
+            return iter([]), start
+        return iter(self._fetch_slice(lo, hi)), {"emitted": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._fetch_slice(start["emitted"], end["emitted"]))
+
+
+class StubHttpStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "stub_http_stream"
+
+    def schema(self):
+        return FETCH_SCHEMA
+
+    def simpleStreamReader(self, schema) -> StubHttpStreamReader:
+        return StubHttpStreamReader(self.options)
+
+
+@register(
+    "stream_http_datasource",
+    oracle="""
+        SELECT host,
+               CAST(is_placeholder AS BOOLEAN) AS is_placeholder,
+               error_type,
+               CAST(n_requests AS BIGINT) AS n_requests,
+               CAST(total_bytes AS BIGINT) AS total_bytes
+        FROM (VALUES
+            ('10.144.0.10:8080', false, CAST(NULL AS VARCHAR), 4, 224),
+            ('10.144.0.11:8080', false, CAST(NULL AS VARCHAR), 4, 288),
+            ('10.144.0.12:8080', true, 'CONNECTION_ERROR', 4, 0)
+        ) t(host, is_placeholder, error_type, n_requests, total_bytes)
+    """,
+    tags=("stream", "source"),
+)
+def stream_http_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sensor fleet as a STREAMING Python DataSource (Spark 4
+    ``SimpleDataSourceStreamReader``): checkpointed offsets over the
+    chunk sequence, each micro-batch draining what the poll finds
+    pending — the API-complete streaming twin of
+    ``source_http_datasource`` (same 12 chunks, same error-channel
+    contract), closing the reference's scheduler loop
+    (``app.py:571-619``) through the engine's own source API rather
+    than foreachBatch plumbing. Single availableNow drain of the fixed
+    fleet => deterministic => the identical GOLDEN oracle applies; the
+    offset-replay contract (``readBetweenOffsets`` == original slice)
+    is pinned in tests/test_streaming.py."""
+    import tempfile
+
+    spark.dataSource.register(StubHttpStreamDataSource)
+    hosts = ["10.144.0.10:8080", "10.144.0.11:8080", "10.144.0.12:8080"]
+    urls = [
+        f"http://{h}/data?channel=OX.ST{i}.00.HHZ&from=2024-01-15T{hh:02d}"
+        + ("&timeout=1" if i == 2 else "")
+        for i, h in enumerate(hosts)
+        for hh in range(4)
+    ]
+    ckpt = tempfile.mkdtemp(prefix="stream_http_ds_")
+    name = "stream_http_ds_sink"
+    df = (
+        spark.readStream.format("stub_http_stream")
+        .option("urls", json.dumps(urls))
+        .option("max_concurrency", "3")
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("host", "is_placeholder", "error_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum(F.coalesce(F.col("content_len"), F.lit(0))).alias(
+                "total_bytes"
+            ),
+        )
+        .orderBy("host", "is_placeholder", "error_type")
+        .localCheckpoint(eager=True)
     )

@@ -304,3 +304,42 @@ def test_stream_index_ingest_equals_batch_append(spark, tmp_path):
         )
     )
     assert streamed == batch and streamed
+
+
+def test_stream_datasource_offset_replay(spark):
+    """The streaming DataSource's recovery contract: re-reading any
+    committed offset range (readBetweenOffsets — what Spark does when a
+    checkpointed batch must be replayed) returns exactly the rows the
+    original read() emitted for that range, and an exhausted reader
+    returns an empty batch at an unchanged offset."""
+    import json as _json
+
+    from aws_seismic_data_pipeline_spark.sources.datasource import (
+        StubHttpStreamReader,
+    )
+
+    hosts = ["10.144.0.10:8080", "10.144.0.11:8080"]
+    urls = [
+        f"http://{h}/data?channel=OX.ST{i}.00.HHZ&from=2024-01-15T{hh:02d}"
+        for i, h in enumerate(hosts)
+        for hh in range(3)
+    ]
+    reader = StubHttpStreamReader(
+        {"urls": _json.dumps(urls), "max_concurrency": "3"}
+    )
+    start = reader.initialOffset()
+    rows_iter, end = reader.read(start)
+    original = sorted(rows_iter)
+    assert end == {"emitted": len(urls)} and len(original) == len(urls)
+
+    replay = sorted(reader.readBetweenOffsets(start, end))
+    assert replay == original
+
+    # partial-range replay: a strict subsequence of the full drain
+    mid = {"emitted": 2}
+    partial = sorted(reader.readBetweenOffsets(start, mid))
+    assert len(partial) == 2 and all(r in original for r in partial)
+
+    # exhausted: empty iterator, offset unchanged
+    empty_iter, same = reader.read(end)
+    assert list(empty_iter) == [] and same == end

@@ -1006,3 +1006,51 @@ def test_shuffle_hash_hint_selects_operator(spark):
         assert a == b and a
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bloom_property_no_false_negatives(spark, tmp_path):
+    """THE bloom invariant, property-tested: for ANY mix of present and
+    absent keys, every present key's rows appear in the pruned result —
+    a bloom may open extra files (false positives), it may NEVER drop a
+    match. Hypothesis drives key sets over one shared build."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        bloom_pruned_scan,
+        build_bloom_manifest,
+    )
+
+    from .conftest import SF_DIR
+
+    import glob
+
+    path = str(tmp_path / "hashlayout_prop")
+    orders = load_table(spark, SF_DIR, "orders")
+    orders.repartition(16, "o_custkey").write.mode("overwrite").parquet(path)
+    files = sorted(glob.glob(path + "/*.parquet"))
+    bdir = str(tmp_path / "bloom_prop")
+    build_bloom_manifest(spark, files, bdir, "o_orderkey")
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.sets(st.integers(0, int(max_key)), min_size=1, max_size=8),
+        st.sets(st.integers(10**9, 10**9 + 10**6), max_size=4),
+    )
+    def check(present, absent):
+        keys = sorted(present | absent)
+        got = sorted(
+            r.o_orderkey
+            for r in bloom_pruned_scan(
+                spark, bdir, "o_orderkey", keys
+            ).collect()
+        )
+        assert got == sorted(present), (present, absent)
+
+    check()

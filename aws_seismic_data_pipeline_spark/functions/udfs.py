@@ -320,3 +320,75 @@ def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInArrow(
         net_cents, "l_orderkey long, l_linenumber long, net_cents long"
     )
+
+
+@register(
+    "udaf_arrow_grouped",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+               CAST(MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS max_price_cents
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("udf", "arrow"),
+)
+def udaf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` mechanism witness — the GROUPED sibling of
+    ``mapInArrow`` (Spark 4): each group's rows arrive as one
+    ``pyarrow.Table`` and the aggregation runs in ``pyarrow.compute``
+    on the buffers, no pandas materialization — the shape for
+    Arrow-native grouped kernels (polars aggregations, Arrow-UDF
+    libraries). Shuffle semantics are identical to any groupBy: one
+    hash shuffle on the key, then per-group Python cost proportional
+    to group size — at 100 TB the key must be bounded-cardinality,
+    exactly like ``udaf_pandas_grouped``'s caveat. The oracle proves
+    the arithmetic equals built-in aggregates; the query pins the
+    grouped Arrow boundary (schema contract, typed key passthrough,
+    half-away rounding) end-to-end."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+    def agg_group(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        qty = pc.sum(pc.cast(table.column("l_quantity"), pa.int64()))
+        cents = pc.max(
+            pc.cast(
+                pc.round(
+                    pc.multiply(
+                        table.column("l_extendedprice"), pa.scalar(100.0)
+                    ),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+        )
+        return pa.Table.from_pydict(
+            {
+                "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+                "n_items": [table.num_rows],
+                "total_qty": [qty.as_py()],
+                "max_price_cents": [cents.as_py()],
+            },
+            schema=pa.schema(
+                [
+                    ("l_returnflag", pa.string()),
+                    ("n_items", pa.int64()),
+                    ("total_qty", pa.int64()),
+                    ("max_price_cents", pa.int64()),
+                ]
+            ),
+        )
+
+    return li.groupBy("l_returnflag").applyInArrow(
+        agg_group,
+        schema=(
+            "l_returnflag string, n_items long, total_qty long,"
+            " max_price_cents long"
+        ),
+    )

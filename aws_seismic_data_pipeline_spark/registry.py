@@ -176,6 +176,7 @@ def load_all() -> dict[str, QuerySpec]:
         curation,
         dedup,
         ivf,
+        pq,
         search,
         similarity,
         simhash,

@@ -86,10 +86,9 @@ HEADLINE = [
     "dedup_cluster_canonical",
     "sql_recursive_cte",
     "scan_manifest_pruned",
-    # late-round-8 additions: bloom point-lookup skipping (timing
-    # includes the hash-clustered write + filter build), the bounded-
-    # frame EWMA (pure window-plan cost), and the PSI drift monitor
-    "scan_manifest_bloom",
+    # late-round-8 additions: the bounded-frame EWMA (pure window-plan
+    # cost) and the PSI drift monitor; the bloom-manifest and PQ
+    # lifecycles are PHASED below so build and probe regress separately
     "ts_ewma",
     "profile_snapshot_drift",
 ]
@@ -105,6 +104,8 @@ PHASED = {
     "compact_corpus_index": "_bench_corpus_compaction",
     "text_keyword_search": "_bench_keyword_index",
     "text_decontaminate_indexed": "_bench_gram_index",
+    "scan_manifest_bloom": "_bench_bloom_manifest",
+    "sim_topk_pq": "_bench_pq",
 }
 
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
@@ -307,6 +308,87 @@ def _bench_gram_index(spark, sf_dir: str) -> dict[str, float]:
     probe = time.perf_counter() - t0
     shutil.rmtree(path, ignore_errors=True)
     return {"gram_index_build": build, "gram_index_probe": probe}
+
+
+def _bench_bloom_manifest(spark, sf_dir: str) -> dict[str, float]:
+    """Bloom lifecycle per side: the hash-clustered layout write (the
+    table's own landing cost, not the filter's), the per-file filter
+    build (once per corpus version), and the point-lookup probe — the
+    recurring number, which must stay manifest-sized however large the
+    table grows."""
+    import glob
+    import shutil
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        _BLOOM_LOOKUP_KEYS,
+        bloom_pruned_scan,
+        build_bloom_manifest,
+    )
+
+    base = os.path.join(
+        "/tmp", f"bloombench_{spark.sparkContext.applicationId}"
+    )
+    path, bdir = base + "_data", base + "_manifest"
+    t0 = time.perf_counter()
+    load_table(spark, sf_dir, "orders").repartition(
+        16, "o_custkey"
+    ).write.mode("overwrite").parquet(path)
+    write = time.perf_counter() - t0
+    files = sorted(glob.glob(path + "/*.parquet"))
+    t0 = time.perf_counter()
+    build_bloom_manifest(spark, files, bdir, "o_orderkey")
+    build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    bloom_pruned_scan(
+        spark, bdir, "o_orderkey", list(_BLOOM_LOOKUP_KEYS)
+    ).write.format("noop").mode("overwrite").save()
+    probe = time.perf_counter() - t0
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(bdir, ignore_errors=True)
+    return {
+        "bloom_layout_write": write,
+        "bloom_build": build,
+        "bloom_probe": probe,
+    }
+
+
+def _bench_pq(spark, sf_dir: str) -> dict[str, float]:
+    """PQ lifecycle per side: codebook training + corpus encode (once
+    per corpus version) vs the ADC-shortlist + exact-rerank probe (per
+    query batch — the number that must stay codes-sized)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        load_table,
+        spread_dense,
+    )
+    from aws_seismic_data_pipeline_spark.llm.pq import (
+        encode_corpus,
+        pq_search_rerank,
+        train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = spread_dense(emb, spark, sf_dir)
+    d = len(emb.select("embedding").limit(1).collect()[0]["embedding"])
+    t0 = time.perf_counter()
+    C = train_codebooks(corpus, d)
+    codes = encode_corpus(corpus, C).localCheckpoint(eager=True)
+    build = time.perf_counter() - t0
+    queries = [
+        (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+        for r in emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    t0 = time.perf_counter()
+    pq_search_rerank(corpus, codes, queries, C, k=5).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    probe = time.perf_counter() - t0
+    return {"pq_train_encode": build, "pq_probe_rerank": probe}
 
 
 def main() -> None:

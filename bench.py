@@ -459,6 +459,16 @@ def main() -> None:
     # only queries regressing well beyond it (a plan-specific problem,
     # not a slow machine) are flagged.
     history_path = os.path.join(REPO_ROOT, "bench_history.jsonl")
+    if TRIALS < 2:
+        # single-trial runs are SMOKE runs: no min-of-N absorbs cold-JIT
+        # and first-scan noise, so their numbers are structurally slower
+        # than any real record — recording one would poison the
+        # best-prior regression gate (measured: a 1-trial smoke flagged
+        # six phantom ~2x "regressions" against min-of-3 priors)
+        result["smoke"] = True
+        print(json.dumps(result, separators=(",", ":")))
+        spark.stop()
+        return
     best_prior = _best_prior(history_path, sf_val)
     regressions, host_factor = _normalized_regressions(timings, best_prior)
     result["host_factor"] = host_factor

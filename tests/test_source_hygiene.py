@@ -36,6 +36,7 @@ def _rel(p: str) -> str:
 #: frames, per-token bucket lookups)
 COLLECT_ALLOWED = {
     "llm/ivf.py",
+    "llm/pq.py",
     "llm/search.py",
     "llm/similarity.py",
     "plans/validate.py",

@@ -322,3 +322,48 @@ def pq_search_rerank(
         .select("query_id", "neighbor_id", exact_dot.alias("dot"))
     )
     return rank_topk(rescored, k)
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: list[tuple[int, np.ndarray]],
+    k: int,
+    nprobe: int = 2,
+    shortlist: int = 50,
+) -> DataFrame:
+    """The two ANN scale axes COMPOSED (the production IVF+PQ shape):
+    the coarse IVF quantizer restricts WHICH vectors a probe scans
+    (nprobe nearest cells per query, a corpus/n_cells fraction) and PQ
+    restricts WHAT each scanned vector costs (8-byte codes, ADC
+    scoring), with the exact re-rank restoring fine order over the
+    shortlist. Plan: assign+encode in one corpus pass each (build
+    side); the probe filters the codes table to the UNION of every
+    query's probed cells — a pushdown-able IN filter (cell-partitioned
+    storage would make it partition pruning, exactly like
+    ``llm/ivf.py: write_index``) — then ADC + re-rank as in
+    ``pq_search_rerank``. Extra candidates another query's cells admit
+    can only widen a shortlist, never corrupt it: the re-rank is
+    exact. (FAISS-style residual encoding — PQ over x minus its cell
+    centroid — is the next refinement; raw-vector PQ keeps the two
+    artifacts independently reusable, which is what the separate
+    registered queries exercise.)"""
+    from aws_seismic_data_pipeline_spark.llm.ivf import (
+        _assign_cells,
+        train_centroids,
+    )
+    from aws_seismic_data_pipeline_spark.llm.vector import as_matrix
+
+    coarse = train_centroids(corpus)
+    d = coarse.shape[1]
+    C = train_codebooks(corpus, d)
+    assigned = _assign_cells(corpus, coarse)
+    codes = encode_corpus(corpus, C).join(assigned, "vec_id")
+
+    q_mat = as_matrix([q[1] for q in queries])
+    cell_rank = np.argsort(-(q_mat @ coarse.T), axis=1)[:, :nprobe]
+    probe_cells = sorted({int(c) for row in cell_rank for c in row})
+    pruned = codes.filter(F.col("cell").isin(probe_cells)).select(
+        "vec_id", "codes"
+    )
+    return pq_search_rerank(corpus, pruned, queries, C, k, shortlist)

@@ -173,3 +173,40 @@ def test_pq_recall_on_planted_clusters(spark, tmp_path):
         total += 5
     recall = hits / total
     assert recall >= 0.9, f"recall@5 = {recall:.2f}"
+
+
+def test_ivfpq_composition_on_planted_clusters(spark):
+    """IVF cell pruning and PQ codes composed (the production shape):
+    on planted clusters the probe scans only the probed cells' codes
+    yet still recovers nearly all true neighbors after the exact
+    re-rank — both scale axes engaged without recall collapse."""
+    from aws_seismic_data_pipeline_spark.llm.pq import ivfpq_search
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in range(10):
+        pts = centers[c] + 0.15 * rng.normal(size=(40, 32))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        vecs.append(pts)
+    X = np.vstack(vecs)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+
+    queries = [(i, X[i].astype(np.float64)) for i in range(20)]
+    approx: dict = {}
+    for r in ivfpq_search(spark, df, queries, k=5).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    D = X.astype(np.float64) @ X.astype(np.float64).T
+    np.fill_diagonal(D, -np.inf)
+    hits = total = 0
+    for q in range(20):
+        true = set(np.argsort(-np.round(D[q], 6))[:5].tolist())
+        hits += len(approx.get(q, set()) & true)
+        total += 5
+    recall = hits / total
+    assert recall >= 0.85, f"recall@5 = {recall:.2f}"

@@ -627,7 +627,16 @@ def probe_gram_index(
     join against the posting table, count hits per doc. Identical
     output contract to ``text_decontaminate``; the corpus text is never
     touched — only (doc_id, n_grams, h) integers flow."""
-    idx = spark.read.parquet(index_dir)
+    try:
+        idx = spark.read.parquet(index_dir)
+    except Exception:
+        # empty-corpus index: a 0-row build writes no readable parquet —
+        # bootstrap state, nothing can be contaminated
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_grams long, n_hits long,"
+            " contamination_frac double",
+        )
     return (
         idx.join(F.broadcast(bench.select("h").distinct()), "h")
         .groupBy("doc_id")

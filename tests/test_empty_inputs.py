@@ -53,6 +53,14 @@ EMPTY_SAFE = [
     # empty naturally; the manifest/vacuum family stages files and is
     # excluded like the other filesystem-staging ops)
     "dedup_ngram_containment", "mm_audio_features", "mm_image_stats",
+    # late-round-8 additions: bounded-frame window ops, the PSI monitor
+    # (no populated buckets -> no rows -> no division), the hardened
+    # index probes (an empty-corpus build writes no readable parquet;
+    # both probes return schema-correct empty frames), the strategy
+    # hint, and the grouped-Arrow witness
+    "ts_ewma", "ts_rolling_median", "profile_snapshot_drift",
+    "text_keyword_search", "text_decontaminate_indexed",
+    "join_shuffle_hash_hint", "udaf_arrow_grouped",
 ]
 
 

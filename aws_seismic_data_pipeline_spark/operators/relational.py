@@ -353,3 +353,67 @@ def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_cust").cast("long").alias("n_cust"),
             F.col("bal_cents").cast("long").alias("bal_cents"),
         )
+
+
+@register(
+    "sql_scripting",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        // COUNT(*) AS BIGINT) AS avg_cents
+            FROM orders
+        ),
+        cut AS (
+            SELECT ((((avg_cents * 11) // 10) * 11 // 10) * 11 // 10)
+                       AS cutoff_cents
+            FROM base
+        )
+        SELECT o.o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               c.cutoff_cents
+        FROM orders o, cut c
+        WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT) > c.cutoff_cents
+        GROUP BY o.o_orderstatus, c.cutoff_cents
+    """,
+    tags=("sql", "scripting"),
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4's procedural BEGIN..END blocks): DECLARE,
+    scalar-subquery SET, and a WHILE loop run server-side as one script
+    — the stored-procedure-style migration/maintenance logic
+    (escalating a threshold, retrying a step) that previously needed a
+    Python driver loop with a round trip per statement. The loop's
+    arithmetic is INTEGER cents (DIV), so the escalated cutoff is
+    bit-exact in both engines and the driver hash-checks the scripted
+    result against a purely declarative oracle that algebraically
+    unrolls the three iterations. Seed: R21/R26's migrate-and-verify
+    scripts (``/root/reference/upload_to_rfs.py``) — procedural control
+    flow the engine now executes natively."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    old = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE i INT DEFAULT 0;
+              DECLARE cutoff_cents BIGINT;
+              SET cutoff_cents = (
+                  SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                         DIV COUNT(*)
+                  FROM orders_v);
+              WHILE i < 3 DO
+                SET cutoff_cents = cutoff_cents * 11 DIV 10;
+                SET i = i + 1;
+              END WHILE;
+              SELECT o_orderstatus,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     cutoff_cents
+              FROM orders_v
+              WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > cutoff_cents
+              GROUP BY o_orderstatus, cutoff_cents;
+            END
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", old)

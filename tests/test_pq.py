@@ -210,3 +210,77 @@ def test_ivfpq_composition_on_planted_clusters(spark):
         total += 5
     recall = hits / total
     assert recall >= 0.85, f"recall@5 = {recall:.2f}"
+
+
+def test_residual_encoding_cuts_quantization_error(spark):
+    """What residual encoding actually buys, measured: the SAME 8-byte
+    budget spent on residuals (norm ~cluster-spread) instead of raw
+    unit vectors (norm 1) must cut the ADC score error — quantization
+    error scales with the encoded vector's magnitude. (Recall is NOT
+    the right pin here: the planted clusters' interiors are isotropic
+    noise, so no code assignment can rank within them — raw and
+    residual ADC measured 0.45 vs 0.46 recall@5, an honest null
+    result; the re-ranked pipeline is where recall is asserted.)"""
+    from aws_seismic_data_pipeline_spark.llm.ivf import train_centroids
+    from aws_seismic_data_pipeline_spark.llm.pq import (
+        _residual_frame,
+        adc_topk_residual,
+        ivfpq_residual_search,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in range(10):
+        pts = centers[c] + 0.08 * rng.normal(size=(40, 32))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        vecs.append(pts)
+    X = np.vstack(vecs)
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    queries = [(i, X[i].astype(np.float64)) for i in range(20)]
+    Xd = X.astype(np.float64)
+
+    def mean_abs_score_err(rows):
+        errs = [
+            abs(r.dot - float(Xd[r.query_id] @ Xd[r.neighbor_id]))
+            for r in rows
+        ]
+        return float(np.mean(errs))
+
+    C_raw = train_codebooks(df, 32)
+    raw_rows = rank_topk(
+        adc_topk(encode_corpus(df, C_raw), queries, C_raw, 5), 5
+    ).collect()
+    raw_err = mean_abs_score_err(raw_rows)
+
+    coarse = train_centroids(df)
+    res = _residual_frame(df, coarse).localCheckpoint(eager=True)
+    C_res = train_codebooks(res, 32)
+    codes_res = encode_corpus(res, C_res).join(
+        res.select("vec_id", "cell"), "vec_id"
+    )
+    res_rows = rank_topk(
+        adc_topk_residual(codes_res, queries, C_res, coarse, 5), 5
+    ).collect()
+    res_err = mean_abs_score_err(res_rows)
+
+    # same byte budget, materially tighter scores (measured 0.036 raw
+    # vs 0.024 residual = 0.67x; pinned with margin)
+    assert res_err < 0.75 * raw_err, (raw_err, res_err)
+
+    # and the full residual pipeline with re-rank recovers the truth
+    D = Xd @ Xd.T
+    np.fill_diagonal(D, -np.inf)
+    truth = {
+        q: set(np.argsort(-np.round(D[q], 6))[:5].tolist())
+        for q in range(20)
+    }
+    by_q: dict = {}
+    for r in ivfpq_residual_search(spark, df, queries, k=5).collect():
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & by_q.get(q, set())) for q in range(20))
+    assert hits / 100 >= 0.9, hits / 100

@@ -1054,3 +1054,56 @@ def test_bloom_property_no_false_negatives(spark, tmp_path):
         assert got == sorted(present), (present, absent)
 
     check()
+
+
+def test_bloom_scan_pushes_residual_in_filter(spark, tmp_path):
+    """The bloom-pruned scan's residual IN-predicate must reach the
+    parquet reader (PushedFilters) — row groups within candidate files
+    then skip on their own dictionaries/stats, the second pruning level
+    below file skipping."""
+    import glob
+    import re
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        bloom_pruned_scan,
+        build_bloom_manifest,
+    )
+
+    from .conftest import SF_DIR
+
+    path = str(tmp_path / "data")
+    load_table(spark, SF_DIR, "orders").repartition(
+        8, "o_custkey"
+    ).write.parquet(path)
+    files = sorted(glob.glob(path + "/*.parquet"))
+    bdir = str(tmp_path / "bloom")
+    build_bloom_manifest(spark, files, bdir, "o_orderkey")
+    df = bloom_pruned_scan(spark, bdir, "o_orderkey", [101, 733])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[[^\]]*", plan)
+    assert any("In(o_orderkey" in p for p in pushed), pushed
+
+
+def test_keyword_probe_pushes_token_filter(spark, tmp_path):
+    """The keyword probe's token IN-predicate must reach the posting
+    scan (PushedFilters) on top of the bucket partition pruning the
+    numFiles test already pins — dictionary-encoded token columns then
+    skip row groups for free."""
+    import re
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.llm.search import (
+        build_inverted_index,
+        keyword_search,
+    )
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = str(tmp_path / "idx")
+    build_inverted_index(spark, docs, idx)
+    df = keyword_search(spark, idx, ["vector", "dup"], mode="any")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[[^\]]*", plan)
+    assert any("In(token" in p for p in pushed), pushed

@@ -622,3 +622,56 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.schema_of_variant(v).alias("v_schema"),
         F.try_variant_get(v, "$.missing", "bigint").alias("missing_field"),
     )
+
+
+@register(
+    "fn_collation",
+    oracle="""
+        WITH u AS (SELECT n_nationkey, upper(n_name) AS uname FROM nation),
+             l AS (SELECT n_nationkey, lower(n_name) AS lname FROM nation)
+        SELECT u.n_nationkey, u.uname, l.lname,
+               CAST(1 AS BOOLEAN) AS ci_equal
+        FROM u JOIN l
+          ON u.n_nationkey = l.n_nationkey
+         AND lower(u.uname) = lower(l.lname)
+    """,
+    tags=("fn", "string"),
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATION-aware comparison (Spark 4 collated strings): two
+    copies of the nation dimension whose names differ only in case
+    join successfully when the key is collated UTF8_LCASE — equality,
+    grouping, and sort order all follow the collation instead of raw
+    bytes, the engine-native answer to the upper()/lower() wrappers
+    ad-hoc pipelines scatter around (which defeat pushdown and
+    dictionary reuse; a collated column keeps both). The oracle
+    expresses the same join with explicit lower() normalization, so
+    the driver hash-checks that the collation's equality relation is
+    exactly case-insensitivity; the ci_equal column re-asserts it
+    row-wise via collated comparison. Seed: R8's channel/station code
+    matching (``/root/reference/app.py:328-368``) — real feeds mix
+    case conventions."""
+    nation = load_table(spark, sf_dir, "nation")
+    u = nation.select(
+        "n_nationkey", F.upper("n_name").alias("uname")
+    )
+    lo = nation.select(
+        F.col("n_nationkey").alias("l_key"), F.lower("n_name").alias("lname")
+    )
+    joined = u.join(
+        lo,
+        (F.col("n_nationkey") == F.col("l_key"))
+        & (
+            F.expr("collate(uname, 'UTF8_LCASE')")
+            == F.expr("collate(lname, 'UTF8_LCASE')")
+        ),
+    )
+    return joined.select(
+        "n_nationkey",
+        "uname",
+        "lname",
+        (
+            F.expr("collate(uname, 'UTF8_LCASE')")
+            == F.expr("collate(lname, 'UTF8_LCASE')")
+        ).alias("ci_equal"),
+    )

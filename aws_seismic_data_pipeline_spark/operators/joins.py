@@ -773,3 +773,108 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+#: sorted-neighborhood window (rank distance) and edit-distance gate
+_FUZZY_WINDOW = 3
+_FUZZY_MAX_DIST = 1
+#: blocking prefix: rows only compare within a block, so the rank
+#: window never spans the whole corpus (the fixture's synthetic names
+#: share one block; real name corpora spread across many)
+_FUZZY_BLOCK_LEN = 9
+
+
+@register(
+    "join_fuzzy_neighborhood",
+    oracle=f"""
+        WITH clean AS (
+            SELECT s_name AS name, 'clean' AS side FROM supplier
+        ),
+        dirty AS (
+            SELECT substring(s_name, 1, len(s_name) - 1) AS name,
+                   'dirty' AS side
+            FROM supplier WHERE s_suppkey % 7 = 3
+        ),
+        u AS (
+            SELECT name, side,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY substring(name, 1, {_FUZZY_BLOCK_LEN})
+                       ORDER BY name, side) AS rn,
+                   substring(name, 1, {_FUZZY_BLOCK_LEN}) AS blk
+            FROM (SELECT * FROM clean UNION ALL SELECT * FROM dirty)
+        )
+        SELECT DISTINCT d.name AS dirty_name, c.name AS clean_name,
+               CAST(levenshtein(d.name, c.name) AS BIGINT) AS dist
+        FROM u d JOIN u c
+          ON d.blk = c.blk AND d.side = 'dirty' AND c.side = 'clean'
+         AND abs(d.rn - c.rn) <= {_FUZZY_WINDOW}
+        WHERE levenshtein(d.name, c.name) <= {_FUZZY_MAX_DIST}
+    """,
+    tags=("join", "llm", "text"),
+)
+def join_fuzzy_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY entity-resolution join by SORTED-NEIGHBORHOOD blocking:
+    union both sides, rank within a blocking prefix, compare only rows
+    within a +-3 rank window, verify survivors with exact edit
+    distance — candidate pairs are O(n x window) per block instead of
+    the n^2 a naive edit-distance join costs (a truncated supplier
+    name finds its originals without comparing against every name in
+    the corpus). Single-pass sorted neighborhood misses mid-string
+    typos that shift sort position (measured: a char dropped mid-name
+    found only 2 of 14 originals — the known limitation); production
+    runs MULTI-PASS with different sort keys (reversed name, phonetic
+    key) and unions the candidate pairs — the demo uses suffix typos,
+    which a lexicographic pass always places adjacent. Both engines
+    evaluate the identical block/rank/window construction, so the
+    driver hash-checks the full match set. Seed: R8's code-based
+    matching (``app.py:328-368``) hardened against dirty keys."""
+    from pyspark.sql import Window as W
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    clean = supplier.select(
+        F.col("s_name").alias("name"), F.lit("clean").alias("side")
+    )
+    dirty = supplier.filter(F.col("s_suppkey") % 7 == 3).select(
+        F.expr("substring(s_name, 1, length(s_name) - 1)").alias("name"),
+        F.lit("dirty").alias("side"),
+    )
+    u = (
+        clean.unionByName(dirty)
+        .withColumn("blk", F.substring("name", 1, _FUZZY_BLOCK_LEN))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("blk").orderBy("name", "side")
+            ),
+        )
+    )
+    d = u.filter(F.col("side") == "dirty").select(
+        F.col("name").alias("dirty_name"),
+        F.col("blk").alias("d_blk"),
+        F.col("rn").alias("d_rn"),
+    )
+    c = u.filter(F.col("side") == "clean").select(
+        F.col("name").alias("clean_name"),
+        F.col("blk").alias("c_blk"),
+        F.col("rn").alias("c_rn"),
+    )
+    return (
+        d.join(
+            c,
+            (F.col("d_blk") == F.col("c_blk"))
+            & (
+                F.abs(F.col("d_rn") - F.col("c_rn")) <= _FUZZY_WINDOW
+            ),
+        )
+        .filter(
+            F.levenshtein("dirty_name", "clean_name") <= _FUZZY_MAX_DIST
+        )
+        .select(
+            "dirty_name",
+            "clean_name",
+            F.levenshtein("dirty_name", "clean_name")
+            .cast("long")
+            .alias("dist"),
+        )
+        .distinct()
+    )

@@ -136,3 +136,67 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "stream_session_dynamic",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN event_type = 'purchase'
+                        THEN INTERVAL 30 MINUTE
+                        ELSE INTERVAL 10 MINUTE END AS gap
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, ts, ts + gap AS iend,
+                   MAX(ts + gap) OVER (
+                       PARTITION BY user_id ORDER BY ts, ts + gap
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_end
+            FROM e
+        ),
+        g AS (
+            SELECT user_id, ts, iend,
+                   SUM(CASE WHEN prev_end IS NULL OR ts >= prev_end
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, iend
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+            FROM m
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(iend) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM g GROUP BY user_id, sid
+    """,
+    tags=("stream", "window"),
+)
+def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a DYNAMIC, per-event inactivity gap
+    (``session_window`` with a Column gap — Spark 4 API surface the
+    fixed-gap query cannot reach): a purchase keeps its session alive
+    for 30 minutes, anything else for 10 — the checkout-flow semantics
+    real funnels use (a buying user pausing to fetch a card must not
+    split the session). Sessions merge while each event's [ts,
+    ts + its_gap) interval overlaps the running maximum end, so session
+    end = max(ts + gap) of the merged chain; the oracle is the
+    gaps-and-islands rewrite with a running-max window, which both
+    engines evaluate identically (the break rule is order-tie-proof:
+    equal timestamps always co-session). Same one-shuffle cost as
+    fixed-gap sessionization at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

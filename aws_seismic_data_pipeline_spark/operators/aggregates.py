@@ -880,3 +880,97 @@ def agg_approx_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_estimated"),
         )
     )
+
+
+#: count-min parameters: eps 0.001 (width 2000 counters), confidence
+#: 0.99 (7 hash rows), fixed seed — the sketch is a pure function of
+#: the multiset, so merges commute and the bytes are identical under
+#: any partitioning (pytest-pinned)
+_CMS_EPS = 0.001
+_CMS_CONF = 0.99
+_CMS_SEED = 42
+_CMS_PROBE_KEYS = (3, 17, 42, 77, 96)
+#: golden estimates at the driver's sf0.01 fixture — at this eps and
+#: N=10k the sketch happens to be collision-free (est == exact), which
+#: the oracle exposes by recomputing true counts; at sf0.1 collisions
+#: appear (over_by > 0 for some keys), which is why the oracle is
+#: golden-pinned rather than claiming est == true in general
+_CMS_GOLDEN = {3: 59, 17: 83, 42: 73, 77: 62, 96: 63}
+
+
+@register(
+    "agg_countmin_sketch",
+    oracle=f"""
+        WITH t AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_count
+            FROM events
+            WHERE user_id IN {_CMS_PROBE_KEYS}
+            GROUP BY user_id
+        )
+        SELECT v.user_id, v.est_count, t.true_count,
+               CAST(v.est_count - t.true_count AS BIGINT) AS over_by
+        FROM (VALUES {", ".join(
+            f"(CAST({k} AS BIGINT), CAST({v} AS BIGINT))"
+            for k, v in sorted(_CMS_GOLDEN.items())
+        )}) v(user_id, est_count)
+        JOIN t USING (user_id)
+    """,
+    tags=("agg", "sketch", "golden-sf0.01"),
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH frequency estimation — the heavy-hitter /
+    point-frequency sketch completing the mergeable-sketch family
+    (HLL distinct: ``agg_hll_partial_reaggregate``; quantiles:
+    ``agg_approx_sketches``): one pass builds a fixed 2000x7 counter
+    grid whose merges COMMUTE, so the bytes are identical under any
+    partitioning (pytest-pinned across repartition counts) and
+    estimates never undercount (est >= true always; over_by bounds the
+    collision error at eps x N). Five probe keys are estimated by
+    deserializing the one-row sketch driver-side next to their exact
+    recounts. At 100 TB: the sketch is KBs per partition merged up a
+    tree — 'how often does this token/user/key occur' without a
+    groupBy over the corpus. Golden-pinned at sf0.01 (collision-free
+    there; sf0.1 shows real over_by — the honest sketch contract).
+    Seed: R12's per-station fetch counters (``app.py:243-268``),
+    sketched."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    cms_bytes = bytes(
+        ev.agg(
+            F.count_min_sketch(
+                "user_id",
+                F.lit(_CMS_EPS),
+                F.lit(_CMS_CONF),
+                F.lit(_CMS_SEED),
+            ).alias("cms")
+        ).collect()[0].cms
+    )
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(cms_bytes)
+    )
+    est = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": list(_CMS_PROBE_KEYS),
+                "est_count": [
+                    cms.estimateCount(int(k)) for k in _CMS_PROBE_KEYS
+                ],
+            }
+        ),
+        "user_id long, est_count long",
+    )
+    true = (
+        ev.filter(F.col("user_id").isin(list(_CMS_PROBE_KEYS)))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return est.join(true, "user_id").select(
+        "user_id",
+        "est_count",
+        "true_count",
+        (F.col("est_count") - F.col("true_count"))
+        .cast("long")
+        .alias("over_by"),
+    )

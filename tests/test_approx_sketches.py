@@ -129,3 +129,41 @@ def test_sample_estimate_tracks_exact_totals(spark):
         assert rel < 0.35, (flag, r.n_estimated, exact[flag].n)
         rel_rev = abs(r.revenue_estimated - exact[flag].rev) / exact[flag].rev
         assert rel_rev < 0.35, (flag, r.revenue_estimated, exact[flag].rev)
+
+
+def test_countmin_layout_invariant_and_never_undercounts(spark):
+    """The two sketch contracts: identical bytes under any partitioning
+    (merges commute), and estimates bounded below by truth and above
+    by truth + eps*N."""
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.operators.aggregates import (
+        _CMS_CONF,
+        _CMS_EPS,
+        _CMS_SEED,
+    )
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    agg = F.count_min_sketch(
+        "user_id", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
+    ).alias("cms")
+    blobs = [
+        bytes(ev.repartition(n).agg(agg).collect()[0].cms) for n in (2, 7, 32)
+    ]
+    assert blobs[0] == blobs[1] == blobs[2]
+
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(blobs[0])
+    )
+    n_total = ev.count()
+    true = {
+        r.user_id: r.c
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for k, t in sorted(true.items())[:50]:
+        est = cms.estimateCount(int(k))
+        assert t <= est <= t + _CMS_EPS * n_total + 1, (k, t, est)

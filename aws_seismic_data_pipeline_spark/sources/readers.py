@@ -2100,3 +2100,76 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_regionkey",
         F.length("n_name").cast("long").alias("name_len"),
     )
+
+
+def clone_manifest(
+    spark: SparkSession, src_manifest: str, dst_manifest: str
+) -> None:
+    """ZERO-COPY shallow clone: a new manifest referencing the SAME
+    data files — cloning a 100 TB table costs one metadata-table copy
+    (KBs), no data bytes move. From that instant the two catalogs
+    evolve independently: deletes/appends/compactions committed to one
+    are invisible to the other, while both keep reading the shared
+    files (vacuum safety therefore requires the union of live
+    manifests — noted in ``vacuum_orphans_report``'s contract). This
+    is the dev/staging-against-production-data workflow every table
+    format ships (Delta SHALLOW CLONE, Iceberg snapshot refs)."""
+    df = spark.read.parquet(src_manifest)
+    df.coalesce(1).write.mode("overwrite").parquet(dst_manifest)
+
+
+@register(
+    "plan_shallow_clone",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE lang <> 'zh'
+        GROUP BY lang
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow-clone ISOLATION end to end: clone the documents table's
+    manifest (zero data copied), retire the 'zh' partition IN THE CLONE
+    ONLY (metadata tombstones), and read the clone — the oracle
+    recomputes the post-delete world, so the driver hash-checks that
+    the clone both sees the shared data files and carries its own
+    delete. The pytest twin asserts the other direction: the SOURCE
+    manifest still sees zh untouched — two catalogs, one set of bytes.
+    Seed: R19's copy-verify-delete migration
+    (``/root/reference/upload_to_rfs.py``) — the copy leg made free."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "clone_docs")
+    src_m = scratch_path(spark, sf_dir, "clone_src_manifest")
+    dst_m = scratch_path(spark, sf_dir, "clone_dst_manifest")
+    with scratch_cleanup(data_dir, src_m, dst_m):
+        load_table(spark, sf_dir, "documents").repartition(
+            "lang"
+        ).write.partitionBy("lang").mode("overwrite").parquet(data_dir)
+        all_files = sorted(
+            _glob.glob(os.path.join(data_dir, "lang=*", "*.parquet"))
+        )
+        write_stats_manifest(spark, all_files, src_m, ("doc_id",))
+        clone_manifest(spark, src_m, dst_m)
+        retired = [p for p in all_files if "/lang=zh/" in p]
+        assert retired, "fixture must contain the partition being retired"
+        remove_from_manifest(spark, dst_m, retired)  # clone only
+        visible = manifest_pruned_scan(spark, dst_m, "doc_id", 0, 2**62)
+        lang = F.regexp_extract(F.input_file_name(), "lang=([^/]+)/", 1)
+        return (
+            visible.groupBy(lang.alias("lang"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )

@@ -1169,3 +1169,58 @@ def test_hilbert_layout_prunes_and_beats_morton_runs(spark, tmp_path):
             th += runs([_hilbert_xy2d_py(4, x, y) for x, y in tiles])
             tm += runs([_morton_interleave_py(x, y) for x, y in tiles])
     assert th == 628 and tm == 1000
+
+
+def test_shallow_clone_isolates_both_directions(spark, tmp_path):
+    """Two catalogs, one set of bytes: after cloning and deleting a
+    partition in the CLONE, the source manifest still sees everything;
+    after a delete in the SOURCE, the clone is unaffected; and no data
+    file was copied (the clone is purely the metadata table)."""
+    import glob
+    import os
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        clone_manifest,
+        manifest_pruned_scan,
+        remove_from_manifest,
+        write_stats_manifest,
+    )
+
+    from .conftest import SF_DIR
+
+    data_dir = str(tmp_path / "docs")
+    load_table(spark, SF_DIR, "documents").repartition(
+        "lang"
+    ).write.partitionBy("lang").mode("overwrite").parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/lang=*/*.parquet"))
+    src_m, dst_m = str(tmp_path / "src_m"), str(tmp_path / "dst_m")
+    write_stats_manifest(spark, files, src_m, ("doc_id",))
+    n_data_files_before = len(files)
+    clone_manifest(spark, src_m, dst_m)
+    assert len(glob.glob(data_dir + "/lang=*/*.parquet")) == n_data_files_before
+
+    def visible_docs(manifest):
+        return {
+            r.doc_id
+            for r in manifest_pruned_scan(spark, manifest, "doc_id", 0, 2**62)
+            .select("doc_id")
+            .collect()
+        }
+
+    all_ids = visible_docs(src_m)
+    assert visible_docs(dst_m) == all_ids  # clone sees shared data
+
+    zh = [p for p in files if "/lang=zh/" in p]
+    remove_from_manifest(spark, dst_m, zh)
+    dst_after_zh = visible_docs(dst_m)
+    assert dst_after_zh < all_ids  # clone's delete took
+    assert visible_docs(src_m) == all_ids  # source untouched
+
+    en = [p for p in files if "/lang=en/" in p]
+    remove_from_manifest(spark, src_m, en)
+    src_after = visible_docs(src_m)
+    assert src_after < all_ids and src_after != dst_after_zh
+    # the source's en delete is invisible to the clone: its view is
+    # exactly what it was after its own zh delete
+    assert visible_docs(dst_m) == dst_after_zh

@@ -755,3 +755,131 @@ def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return docs.mapInPandas(run, schema)
+
+
+#: decimation factor for the audio downsample stage
+_RESAMPLE_K = 4
+
+
+@register(
+    "mm_audio_resample",
+    oracle=f"""
+        -- block-averaged 4x decimation recomputed from media_id alone:
+        -- the Spark side must decode REAL PCM, deinterleave, and window
+        -- the blocks identically — any off-by-one shifts every mean
+        WITH ch AS (
+            SELECT doc_id AS media_id,
+                   1 + doc_id % 2 AS n_ch,
+                   300 + (doc_id % 40) * 10 AS n_frames,
+                   unnest([0, 1]) AS channel
+            FROM documents
+        ),
+        s AS (
+            SELECT media_id, channel, n_frames,
+                   list_transform(
+                       range(0, n_frames),
+                       j -> ((media_id * 31 + (j * n_ch + channel) * 7)
+                             % 65536) - 32768
+                   ) AS samples
+            FROM ch
+            WHERE channel < n_ch
+        ),
+        r AS (
+            SELECT media_id, channel,
+                   n_frames // {_RESAMPLE_K} AS n_out,
+                   list_transform(
+                       range(0, n_frames // {_RESAMPLE_K}),
+                       b -> (samples[b * {_RESAMPLE_K} + 1]
+                             + samples[b * {_RESAMPLE_K} + 2]
+                             + samples[b * {_RESAMPLE_K} + 3]
+                             + samples[b * {_RESAMPLE_K} + 4])
+                            // {_RESAMPLE_K}
+                   ) AS out
+            FROM s
+        )
+        SELECT media_id,
+               CAST(channel AS BIGINT) AS channel,
+               CAST(n_out AS BIGINT) AS n_out,
+               CAST(list_sum(out) AS BIGINT) AS sum_out,
+               CAST(list_max(list_transform(out, x -> abs(x)))
+                    AS BIGINT) AS peak_out
+        FROM r
+    """,
+    tags=("multimodal",),
+)
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO DOWNSAMPLING over really-decoded PCM — the transform half
+    of the audio modality (``mm_frame_sample`` / ``mm_resize_plan``'s
+    sibling for sound): decode each WAV, deinterleave, and decimate
+    every channel 4x by BLOCK AVERAGING with truncating division — exact
+    integer arithmetic, so the DuckDB oracle recomputes the entire
+    resampled stream from the generation arithmetic and any window
+    misalignment flips the sums. Block-mean decimation is the
+    integer-exact stand-in for the FIR low-pass a production resampler
+    applies before striding (the anti-aliasing filter needs float
+    coefficients — same env-honesty as the compressed-codec gating);
+    the plumbing (decode -> channel split -> block window -> emit) is
+    the real pipeline shape either way. One fused mapInPandas pass,
+    numpy reshape per Arrow batch."""
+    import numpy as np
+
+    docs = spread_dense(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, table="documents"
+    ).select(F.col("doc_id").alias("media_id"))
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("channel", T.LongType(), False),
+            T.StructField("n_out", T.LongType(), False),
+            T.StructField("sum_out", T.LongType(), False),
+            T.StructField("peak_out", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid in pdf["media_id"]:
+                meta = real_decode(wav_payload(int(mid)))
+                samples = np.frombuffer(meta["pcm"], dtype="<i2").astype(
+                    np.int64
+                )
+                n_ch = meta["n_channels"]
+                for c in range(n_ch):
+                    ch = samples[c::n_ch]
+                    n_out = len(ch) // _RESAMPLE_K
+                    blocks = ch[: n_out * _RESAMPLE_K].reshape(
+                        n_out, _RESAMPLE_K
+                    )
+                    # DuckDB's // TRUNCATES toward zero on negatives
+                    # (-7 // 4 = -1) while numpy floor-divides (= -2):
+                    # divide in float and cast, which truncates — exact
+                    # for |sum| far below 2^53
+                    out = (
+                        blocks.sum(axis=1) / _RESAMPLE_K
+                    ).astype(np.int64)
+                    rows.append(
+                        (
+                            int(mid),
+                            c,
+                            n_out,
+                            int(out.sum()),
+                            int(np.abs(out).max()) if n_out else 0,
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id",
+                        "channel",
+                        "n_out",
+                        "sum_out",
+                        "peak_out",
+                    ],
+                )
+
+    return docs.mapInPandas(run, schema)

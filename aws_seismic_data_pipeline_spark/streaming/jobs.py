@@ -955,3 +955,117 @@ def stream_search_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "n_hit")
             .localCheckpoint(eager=True)
         )
+
+
+@register(
+    "stream_drift_monitor",
+    oracle="""
+        WITH b AS (
+            SELECT LEAST(9,
+                         CAST(FLOOR(o_totalprice / 50000.0)
+                              AS BIGINT)) AS bucket_id,
+                   CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                        THEN 1 ELSE 0 END AS is_base
+            FROM orders
+        ), g AS (
+            SELECT bucket_id,
+                   CAST(SUM(is_base) AS BIGINT) AS n_base,
+                   CAST(SUM(1 - is_base) AS BIGINT) AS n_cur
+            FROM b GROUP BY bucket_id
+        ), t AS (
+            SELECT bucket_id, n_base, n_cur,
+                   (n_base + 0.5) / (SUM(n_base) OVER () + 5.0) AS p,
+                   (n_cur + 0.5) / (SUM(n_cur) OVER () + 5.0) AS q
+            FROM g
+        )
+        SELECT bucket_id, n_base, n_cur,
+               ROUND((q - p) * LN(q / p), 8) AS psi_term
+        FROM t
+    """,
+    tags=("stream", "quality"),
+)
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSI drift monitor UNDER CONTINUOUS INGEST — the streaming
+    twin of ``profile_snapshot_drift`` with the identical oracle (one
+    truth, two plans, same contract as the decontamination pair): the
+    baseline histogram is computed once from the pre-cutoff snapshot
+    (static, broadcastable — eval-suite-sized state), while the
+    current-side histogram accumulates through a STREAMING groupBy over
+    arriving orders; after the drain the K-row join computes the
+    Laplace-smoothed PSI exactly as the batch plan does. Single
+    availableNow pass over the staged arrivals => deterministic => the
+    batch oracle applies verbatim. At 100 TB the streaming state is K
+    counters per bucket — the monitor costs nothing beyond the ingest
+    it rides. Seed: R12's health checks (``app.py:243-268``) running
+    ON the ingest instead of after it."""
+    from pyspark.sql import Window as W
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+    from aws_seismic_data_pipeline_spark.plans.validate import (
+        _DRIFT_BUCKET_W,
+        _DRIFT_CUTOFF,
+        _DRIFT_K,
+    )
+
+    prepare(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.lit(_DRIFT_K - 1),
+        F.floor(F.col("o_totalprice") / _DRIFT_BUCKET_W),
+    ).cast("long")
+    cutoff = F.lit(_DRIFT_CUTOFF).cast("timestamp")
+
+    base = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .groupBy(bucket.alias("bucket_id"))
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+
+    src = scratch_path(spark, sf_dir, "drift_stream_src")
+    ckpt = src + "_ckpt"
+    name = "stream_drift_cur"
+    with scratch_cleanup(src, ckpt):
+        orders.filter(F.col("o_orderdate") >= cutoff).coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(orders.schema).parquet(src)
+        cur = stream.groupBy(bucket.alias("bucket_id")).agg(
+            F.count(F.lit(1)).alias("n_cur")
+        )
+        q = (
+            cur.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        g = (
+            base.join(spark.table(name), "bucket_id", "full_outer")
+            .select(
+                "bucket_id",
+                F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+                F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+            )
+        )
+        w = W.partitionBy(F.lit(1))
+        p = (F.col("n_base") + 0.5) / (
+            F.sum("n_base").over(w) + F.lit(0.5 * _DRIFT_K)
+        )
+        qq = (F.col("n_cur") + 0.5) / (
+            F.sum("n_cur").over(w) + F.lit(0.5 * _DRIFT_K)
+        )
+        return (
+            g.select(
+                "bucket_id",
+                "n_base",
+                "n_cur",
+                F.round((qq - p) * F.log(qq / p), 8).alias("psi_term"),
+            )
+            .localCheckpoint(eager=True)
+        )

@@ -1224,3 +1224,34 @@ def test_shallow_clone_isolates_both_directions(spark, tmp_path):
     # the source's en delete is invisible to the clone: its view is
     # exactly what it was after its own zh delete
     assert visible_docs(dst_m) == dst_after_zh
+
+
+def test_multipass_fuzzy_recovers_what_single_pass_misses(spark):
+    """The measured motivation for multi-pass blocking: mid-string
+    typos shift lexicographic position so the forward pass alone finds
+    almost none of the originals, while forward+reversed finds every
+    one. Counts are deterministic on the fixture."""
+    from aws_seismic_data_pipeline_spark.registry import load_all
+
+    from .conftest import SF_DIR
+
+    multi = load_all()["join_fuzzy_multipass"].builder(spark, SF_DIR)
+    matched_dirty = {
+        r.dirty_name for r in multi.select("dirty_name").distinct().collect()
+    }
+    # every mid-typo'd name must find at least one dist<=1 original
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+
+    expected_dirty = {
+        r.n
+        for r in load_table(spark, SF_DIR, "supplier")
+        .filter(F.col("s_suppkey") % 7 == 3)
+        .select(
+            F.expr(
+                "concat(substring(s_name, 1, 11), substring(s_name, 13))"
+            ).alias("n")
+        )
+        .distinct()
+        .collect()
+    }
+    assert matched_dirty == expected_dirty and matched_dirty

@@ -32,11 +32,12 @@ def _rel(p: str) -> str:
 
 #: files allowed to contain driver-side .collect() — every site audited
 #: bounded (query-vector sets of 10-50 rows, k x d k-means partials,
-#: 1-row coverage aggs, dim tables, metadata-scale manifest/path
-#: frames, per-token bucket lookups)
+#: 1-row coverage aggs and the 1-row count-min sketch blob, dim tables,
+#: metadata-scale manifest/path frames, per-token bucket lookups)
 COLLECT_ALLOWED = {
     "llm/ivf.py",
     "llm/pq.py",
+    "operators/aggregates.py",
     "llm/search.py",
     "llm/similarity.py",
     "plans/validate.py",

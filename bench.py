@@ -91,6 +91,14 @@ HEADLINE = [
     # lifecycles are PHASED below so build and probe regress separately
     "ts_ewma",
     "profile_snapshot_drift",
+    # final-round-8 additions: the Hilbert layout lifecycle (timing
+    # includes the tiled write), multi-pass fuzzy matching (two rank
+    # windows + verify), real-PCM decode+decimate CPU, and dynamic-gap
+    # sessionization
+    "layout_hilbert_scan",
+    "join_fuzzy_multipass",
+    "mm_audio_resample",
+    "stream_session_dynamic",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

@@ -162,3 +162,56 @@ def test_compaction_preserves_probes_and_bounds_files(spark, tmp_path):
     n_rows_comp = spark.read.parquet(idx).count()
     assert n_rows_comp < n_rows_frag
     assert spark.read.parquet(idx).distinct().count() == n_rows_comp
+
+
+def test_keyword_search_property_random_token_sets(spark, tmp_path):
+    """For ANY mix of present and absent tokens and either mode, the
+    index probe must agree with raw-text ground truth — hypothesis
+    drives token sets over one shared build (the bloom property test's
+    sibling for the text artifact)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = str(tmp_path / "idx_prop")
+    build_inverted_index(spark, docs, idx)
+    vocab = sorted(
+        r.t
+        for r in docs.select(
+            F.explode(
+                F.array_distinct(F.split(F.lower("text"), " "))
+            ).alias("t")
+        )
+        .distinct()
+        .collect()
+        if r.t
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.sets(st.sampled_from(vocab), min_size=1, max_size=4),
+        st.sets(
+            st.text(
+                alphabet="abcdefghijklmnopqrstuvwxyz", min_size=8, max_size=12
+            ),
+            max_size=2,
+        ),
+        st.sampled_from(["all", "any"]),
+    )
+    def check(present, absent, mode):
+        toks = sorted(present | {a for a in absent if a not in vocab})
+        got = sorted(
+            (r.doc_id, r.n_hit)
+            for r in keyword_search(spark, idx, toks, mode=mode).collect()
+        )
+        want = sorted(
+            (r.doc_id, r.n_hit)
+            for r in _ground_truth(docs, toks, mode).collect()
+        )
+        assert got == want, (toks, mode)
+
+    check()

@@ -2173,3 +2173,42 @@ def plan_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+
+@register(
+    "scan_text_lines",
+    oracle="""
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars,
+               lang
+        FROM documents
+    """,
+    tags=("source", "sink"),
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented TEXT sink + scan (the log/plain-corpus interchange
+    format — one record per line, schema recovered by parsing): write
+    each document as a tab-joined ``doc_id\\tlang\\ttext`` line, read
+    the directory back with the ``text`` source, and re-derive the
+    typed columns by splitting on the first two tabs. The oracle reads
+    the parquet original, proving the line round trip is lossless
+    (the fixture corpus is newline/tab-free — a production writer
+    escapes or length-prefixes; the parse side's limit-3 split already
+    tolerates tabs INSIDE the payload). Line order is not preserved
+    across partitioned files — irrelevant here because every row
+    carries its own key, which is exactly why log-style formats embed
+    one. Seed: R15's line-oriented fetch logs
+    (``/root/reference/app.py:243-268``)."""
+    prepare(spark)
+    sink = _sink_path("documents_txt", sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), "lang", "text")
+        .alias("value")
+    ).write.mode("overwrite").text(sink)
+    back = spark.read.text(sink)
+    parts = F.split("value", "\t", 3)
+    return back.select(
+        F.element_at(parts, 1).cast("long").alias("doc_id"),
+        F.length(F.element_at(parts, 3)).cast("long").alias("n_chars"),
+        F.element_at(parts, 2).alias("lang"),
+    )

@@ -683,3 +683,95 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("surprisal"), 6).alias("cross_entropy"),
         )
     )
+
+
+#: (token, weight) rows of the frozen linear quality model applied by
+#: text_classifier_score — stand-in for fastText/DCLM-style classifier
+#: weights shipped as a model artifact alongside the pipeline. Kept as
+#: data (not code) so the Spark map literal and the oracle CASE arms are
+#: generated from ONE source and cannot drift.
+CLASSIFIER_WEIGHTS = (
+    ("spark", 0.9),
+    ("query", 0.7),
+    ("table", 0.6),
+    ("join", 0.5),
+    ("stream", 0.5),
+    ("data", 0.4),
+    ("vector", 0.4),
+    ("slow", -0.6),
+    ("the", -0.3),
+    ("a", -0.4),
+    ("of", -0.3),
+    ("to", -0.3),
+)
+
+#: intercept of the frozen model
+CLASSIFIER_BIAS = -0.5
+
+
+@register(
+    "text_classifier_score",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               ROUND(z, 6) + 0.0 AS logit,
+               ROUND(1.0 / (1.0 + exp(-z)), 6) AS prob_keep,
+               ROUND(z, 6) >= 0 AS keep
+        FROM (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '),
+                       t -> {" OR ".join(f"t = '{t}'" for t, _ in CLASSIFIER_WEIGHTS)}))
+                       AS n_hits,
+                   {CLASSIFIER_BIAS} + list_sum(list_transform(
+                       string_split(text, ' '),
+                       t -> CASE {" ".join(f"WHEN t = '{t}' THEN {w}" for t, w in CLASSIFIER_WEIGHTS)}
+                            ELSE 0.0 END)) AS z
+            FROM documents
+        )
+    """,
+    tags=("llm", "text", "classifier"),
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: apply a FROZEN linear text
+    classifier (bag-of-words weights + bias, the shape of a
+    fastText / DCLM quality model after training) to every document in
+    one map-only pass. Token weights live in a map literal folded over
+    the token list with ``aggregate`` — per-row lookup, no explode, no
+    join, no shuffle; the sigmoid and keep/drop label are computed from
+    the same logit. This is the third quality signal family next to the
+    heuristic ratios (``text_quality_score``) and the self-trained LM
+    (``text_lm_perplexity``): pretrained-model scoring, the filter
+    modern curation stacks (CCNet, DCLM) put in front of pretraining.
+
+    Value parity: the weights are exact multiples of 0.1, so true
+    logits can be EXACTLY zero — and the two engines associate the
+    bias+weights sum differently, leaving +-1e-16 residues on opposite
+    sides of a raw ``z >= 0`` threshold (caught by the minidriver on
+    first run). Both the keep label and the emitted logit therefore go
+    through ROUND(6), with ``+ 0.0`` normalizing the -0.0 a negative
+    residue rounds to; the sigmoid gets the same ROUND(6) as every
+    exp/ln oracle (text_lm_perplexity policy).
+
+    Scale shape: embarrassingly parallel scan — the model rides the
+    plan as a literal (at real vocab sizes it would broadcast as a map
+    column), cost linear in corpus bytes, WholeStageCodegen end to end.
+    Seed: reference has no scoring at all; its only per-object gate is
+    the HTTP 200 check (app.py:342-344)."""
+    docs = load_table(spark, sf_dir, "documents")
+    map_lit = ", ".join(f"'{t}', {w}d" for t, w in CLASSIFIER_WEIGHTS)
+    hits = F.expr(
+        "size(filter(split(text, ' '), t -> array_contains(array("
+        + ", ".join(f"'{t}'" for t, _ in CLASSIFIER_WEIGHTS)
+        + "), t)))"
+    )
+    z = F.expr(
+        f"aggregate(split(text, ' '), {CLASSIFIER_BIAS}d,"
+        f" (acc, t) -> acc + coalesce(element_at(map({map_lit}), t), 0.0d))"
+    )
+    return docs.select(
+        "doc_id",
+        hits.cast("long").alias("n_hits"),
+        (F.round(z, 6) + F.lit(0.0)).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("prob_keep"),
+        (F.round(z, 6) >= 0).alias("keep"),
+    )

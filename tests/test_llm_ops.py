@@ -425,3 +425,56 @@ def test_min_label_components_raises_on_exhausted_rounds(spark):
     labels = _min_label_components(chain).collect()
     assert {r.component_id for r in labels} == {0}
     assert len(labels) == 6
+
+
+def test_classifier_score_matches_hand_logit(spark):
+    """text_classifier_score is a frozen linear model: on a crafted doc
+    the logit must equal bias + sum(weights of matched tokens, counting
+    repeats), the sigmoid must match, and the keep label must flip
+    exactly at logit 0 — including the exact-zero case the rounded
+    threshold exists for (weights are 0.1-multiples, so z == 0.0 is
+    reachable and engine summation order must not decide the label)."""
+    import math
+
+    import aws_seismic_data_pipeline_spark.llm.text as T
+
+    w = dict(T.CLASSIFIER_WEIGHTS)
+    docs = spark.createDataFrame(
+        [
+            (1, "spark query join"),            # 0.9+0.7+0.5-0.5 = 1.6
+            (2, "the a of to"),                 # -1.3-0.5 = -1.8
+            (3, "spark spark unknown"),         # repeats count: 1.8-0.5=1.3
+            (4, "spark a"),                     # 0.9-0.4-0.5 = 0.0 exactly
+        ],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("documents_clf_test")
+    # reuse the registered builder's expression by scoring the temp view
+    # through the same module-level code path
+    from aws_seismic_data_pipeline_spark.registry import REGISTRY
+
+    builder = REGISTRY["text_classifier_score"].builder
+    import aws_seismic_data_pipeline_spark.catalog as cat
+
+    orig = cat.load_table
+    try:
+        cat.load_table = lambda s, d, t: docs  # builder only loads documents
+        T.load_table = cat.load_table
+        out = {r.doc_id: r for r in builder(spark, "unused").collect()}
+    finally:
+        cat.load_table = orig
+        T.load_table = orig
+
+    def hand(text):
+        z = T.CLASSIFIER_BIAS + sum(w.get(t, 0.0) for t in text.split(" "))
+        return z
+
+    for doc_id, text in [(1, "spark query join"), (2, "the a of to"),
+                         (3, "spark spark unknown"), (4, "spark a")]:
+        z = hand(text)
+        r = out[doc_id]
+        assert abs(r.logit - round(z, 6)) < 1e-12, (doc_id, r.logit, z)
+        assert abs(r.prob_keep - round(1 / (1 + math.exp(-z)), 6)) < 1e-6
+        assert r.keep == (round(z, 6) >= 0), (doc_id, r)
+    # the exact-zero doc must be kept (>= threshold), not order-dependent
+    assert out[4].keep is True and out[4].logit == 0.0

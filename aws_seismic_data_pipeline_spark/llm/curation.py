@@ -1002,3 +1002,119 @@ def curate_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(target, 6).alias("target_tokens"),
         F.round(target / F.col("n_tokens"), 8).alias("epochs"),
     )
+
+
+@register(
+    "curate_importance_weights",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        raw_counts AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_raw FROM toks GROUP BY tok
+        ),
+        tgt_counts AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_tgt
+            FROM toks WHERE lang = 'en' GROUP BY tok
+        ),
+        sizes AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_raw,
+                   CAST(COUNT(*) FILTER (WHERE lang = 'en') AS DOUBLE) AS n_tgt,
+                   CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+            FROM toks
+        ),
+        ratios AS (
+            SELECT r.tok,
+                   ln((COALESCE(t.c_tgt, 0) + 1.0) / (s.n_tgt + s.v))
+                 - ln((r.c_raw + 1.0) / (s.n_raw + s.v)) AS log_ratio
+            FROM raw_counts r
+            LEFT JOIN tgt_counts t ON r.tok = t.tok
+            CROSS JOIN sizes s
+        )
+        SELECT tk.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(SUM(rt.log_ratio), 6) AS log_weight
+        FROM toks tk JOIN ratios rt ON tk.tok = rt.tok
+        GROUP BY tk.doc_id
+    """,
+    tags=("llm", "curation", "importance"),
+)
+def curate_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw document by how much a TARGET distribution (here the
+    ``lang = 'en'`` slice standing in for the high-quality target
+    domain) up- or down-weights its tokens relative to the raw corpus.
+    Per-token log ratio ``ln p_tgt(t) - ln p_raw(t)`` under add-one
+    smoothed unigram models sharing the joint vocabulary; per-doc log
+    importance weight is the sum over the doc's tokens (repeats count —
+    it is a product of per-token ratios in probability space).
+    Downstream, ``curate_pretrain_manifest``-style selection samples
+    proportionally to exp(log_weight); emitting the log keeps the
+    driver hash away from overflow-prone exp.
+
+    Value parity: each distinct token's log ratio is the same ln of the
+    same integer-derived doubles on both engines (division structure
+    parenthesized identically); only the per-doc SUM accumulates in
+    engine order, so ROUND(6) sits on the aggregate — the
+    text_lm_perplexity policy, irrational summands, no halfway hazard.
+
+    Scale shape: one corpus scan explodes tokens (spread() first — the
+    single-file fixture otherwise serializes tokenization on one core);
+    the exploded frame is localCheckpointed and feeds the raw counts,
+    the target counts, the vocab/total sizes, and the final join-back,
+    so the corpus is tokenized ONCE. Both unigram models are
+    vocabulary-sized (≪ corpus); the 1-row sizes frame rides a
+    broadcast cross join; the ratio join-back fans each distinct token
+    only to its own occurrences (hot tokens don't multiply), and the
+    per-doc rollup shuffles on doc_id — all linear. At 100 TB the
+    vocab tables are the only state that must fit per-executor, exactly
+    the artifact DSIR's hashed-ngram variant bounds by hashing into
+    fixed buckets (our portable-hash ngram machinery in dedup could
+    supply that cap unchanged).
+
+    Seed: reference has no notion of corpus selection; its only
+    "weighting" is first-come file ordering (app.py:342-360)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .localCheckpoint(eager=True)
+    )
+    raw_counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c_raw")
+    )
+    tgt_counts = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_tgt"))
+    )
+    sizes = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("n_raw"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("double").alias("n_tgt"),
+        F.countDistinct("tok").cast("double").alias("v"),
+    )
+    ratios = (
+        raw_counts.join(tgt_counts, "tok", "left")
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "tok",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n_tgt") + F.col("v"))
+                )
+                - F.log((F.col("c_raw") + F.lit(1.0)) / (F.col("n_raw") + F.col("v")))
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        toks.join(ratios, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("log_ratio"), 6).alias("log_weight"),
+        )
+    )

@@ -269,3 +269,61 @@ def test_gram_index_schema_and_reuse(spark, tmp_path):
         assert got == want
         if lo == 0:
             assert got  # the standard bench slice must contaminate
+
+
+def test_importance_weights_match_hand_model(spark):
+    """curate_importance_weights on a 3-doc corpus must reproduce the
+    hand-computed add-one-smoothed unigram log ratios: a token appearing
+    only in the en target slice scores positive, a token appearing only
+    outside it scores negative, and per-doc weights are the exact sums
+    (repeats counted)."""
+    import math
+
+    import aws_seismic_data_pipeline_spark.llm.curation as C
+    from aws_seismic_data_pipeline_spark.registry import REGISTRY
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good good nice", "en"),
+            (2, "good bad", "de"),
+            (3, "bad bad", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    import aws_seismic_data_pipeline_spark.catalog as cat
+
+    orig_load, orig_spread = cat.load_table, C.spread
+    try:
+        C.load_table = lambda s, d, t: docs
+        C.spread = lambda df, s: df
+        out = {
+            r.doc_id: r
+            for r in REGISTRY["curate_importance_weights"]
+            .builder(spark, "unused")
+            .collect()
+        }
+    finally:
+        C.load_table = orig_load
+        C.spread = orig_spread
+
+    # joint vocab {good,nice,bad} V=3; raw N=7: good=3,nice=1,bad=3
+    # target (en) N=3: good=2,nice=1,bad=0
+    def lr(c_tgt, c_raw):
+        return math.log((c_tgt + 1.0) / (3 + 3.0)) - math.log(
+            (c_raw + 1.0) / (7 + 3.0)
+        )
+
+    good, nice, bad = lr(2, 3), lr(1, 1), lr(0, 3)
+    assert good > 0 and nice > 0 and bad < 0
+    expect = {
+        1: 2 * good + nice,
+        2: good + bad,
+        3: 2 * bad,
+    }
+    for doc_id, z in expect.items():
+        assert abs(out[doc_id].log_weight - round(z, 6)) < 1e-9, (
+            doc_id,
+            out[doc_id].log_weight,
+            z,
+        )
+    assert out[1].n_tokens == 3 and out[3].n_tokens == 2

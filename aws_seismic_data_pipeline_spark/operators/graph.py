@@ -1,0 +1,162 @@
+"""Iterative graph analytics over the relational fixtures.
+
+Seed: the reference has no graph surface at all (its only linkage is
+filename → station parsing, ``/root/reference/app.py:328-330``); this
+module supplies the iterative-algorithm witness a corpus pipeline needs
+— link-graph centrality is a standard web-corpus quality feature
+(Common Crawl host ranks feed CCNet/RefinedWeb-style curation), and the
+same loop shape (join → re-aggregate → feed back) is how any fixpoint
+computation runs on Spark. Connected components (the other canonical
+iteration) lives in ``llm/dedup._min_label_components``.
+
+Scale posture: the edge list and degree table are computed once,
+hash-partitioned on the join key, and eagerly localCheckpointed, so
+each of the fixed iterations shuffles only the rank table (|nodes|
+rows, ≪ |edges|); contributions combine map-side before the shuffle.
+No driver-side state beyond the loop counter — ranks never collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_seismic_data_pipeline_spark.catalog import load_table
+from aws_seismic_data_pipeline_spark.registry import register
+
+#: damping factor — the standard 0.85 of Page et al.
+PAGERANK_DAMPING = 0.85
+
+#: fixed iteration count: rank queries run a bounded number of sweeps so
+#: the plan (and the unrolled oracle) is deterministic; production would
+#: iterate to an L1-delta threshold with the same per-iteration body
+PAGERANK_ITERS = 3
+
+
+def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected supplier↔part edge list from lineitem: node ids are
+    2·suppkey (suppliers) and 2·partkey+1 (parts) so the two families
+    share one integer key space. Every node has degree ≥ 1 by
+    construction (nodes exist only via edges) — no dangling-mass
+    handling needed."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+    )
+    fwd = pairs.select(
+        (F.col("l_suppkey") * 2).cast("long").alias("src"),
+        (F.col("l_partkey") * 2 + 1).cast("long").alias("dst"),
+    )
+    rev = pairs.select(
+        (F.col("l_partkey") * 2 + 1).cast("long").alias("src"),
+        (F.col("l_suppkey") * 2).cast("long").alias("dst"),
+    )
+    return fwd.unionAll(rev)
+
+
+_PR_ORACLE_ITER = """
+        r{i} AS (
+            SELECT e.dst AS node,
+                   0.15 / ANY_VALUE(n.n) + 0.85 * SUM(r.rank / d.deg) AS rank
+            FROM edges e
+            JOIN r{prev} r ON e.src = r.node
+            JOIN deg d ON e.src = d.node
+            CROSS JOIN n
+            GROUP BY e.dst
+        )"""
+
+
+@register(
+    "graph_pagerank",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+        ),
+        edges AS (
+            SELECT CAST(2 * s AS BIGINT) AS src, CAST(2 * p + 1 AS BIGINT) AS dst
+            FROM pairs
+            UNION ALL
+            SELECT CAST(2 * p + 1 AS BIGINT), CAST(2 * s AS BIGINT) FROM pairs
+        ),
+        deg AS (
+            SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS deg
+            FROM edges GROUP BY src
+        ),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+        r0 AS (
+            SELECT deg.node, 1.0 / n.n AS rank FROM deg CROSS JOIN n
+        ),"""
+    + ",".join(
+        _PR_ORACLE_ITER.format(i=i, prev=i - 1)
+        for i in range(1, PAGERANK_ITERS + 1)
+    )
+    + f"""
+        SELECT r.node,
+               CASE WHEN r.node % 2 = 0 THEN 'supplier' ELSE 'part' END
+                   AS node_type,
+               ROUND(r.rank, 9) AS rank
+        FROM r{PAGERANK_ITERS} r
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, PAGERANK_ITERS fixed sweeps) over the
+    undirected supplier↔part co-occurrence graph: ``r'(v) = (1-d)/N +
+    d·Σ_{u~v} r(u)/deg(u)``. The corpus-curation reading: replace
+    suppliers/parts with hosts/documents and this is the link-centrality
+    quality feature web-corpus pipelines attach to every page.
+
+    Oracle: the same three sweeps UNROLLED as chained CTEs — iterative
+    Spark loop vs closed-form SQL, exact value parity. Per-edge
+    contributions ``rank/deg`` and the combine ``0.15/n + 0.85·sum``
+    are structured identically on both engines; only the per-node SUM
+    accumulates in engine order, so the final ranks round at 9 decimals
+    (≈1e-19 absolute summation noise vs 5e-10 rounding granularity at
+    the fixture's ~1e-4 rank scale; same policy family as
+    curate_mix_epochs' 8-dp normalizer rounding).
+
+    Scale shape: edges+degrees computed once, repartitioned on ``src``
+    and localCheckpointed — each sweep's join probes that stable
+    partitioning with the (|nodes|-row) rank table and shuffles only
+    rank-sized data; partial sums combine map-side. Driver holds the
+    loop counter only. At 1000 executors the edge partitioning is
+    reused across sweeps exactly like GraphX's routing table."""
+    edges = _bipartite_edges(spark, sf_dir).repartition(
+        32, "src"
+    ).localCheckpoint(eager=True)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
+    n = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg.withColumnRenamed("node", "src_d"), F.col("src") == F.col("src_d"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s")).alias("rank"),
+            )
+        )
+    return ranks.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("part"))
+        .alias("node_type"),
+        F.round("rank", 9).alias("rank"),
+    )

@@ -152,6 +152,7 @@ def load_all() -> dict[str, QuerySpec]:
     from aws_seismic_data_pipeline_spark.operators import (  # noqa: F401
         aggregates,
         analytics,
+        graph,
         joins,
         relational,
         reshape,

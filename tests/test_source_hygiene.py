@@ -57,6 +57,8 @@ CROSSJOIN_ALLOWED = {
     "plans/validate.py",
     "operators/joins.py",
     "operators/analytics.py",
+    "operators/graph.py",  # 1-row node-count frame (broadcast, per sweep)
+    "llm/curation.py",  # 1-row corpus-sizes frame (DSIR normalizers)
     "llm/dedup.py",
     "llm/text.py",
     "llm/similarity.py",

@@ -99,6 +99,13 @@ HEADLINE = [
     "join_fuzzy_multipass",
     "mm_audio_resample",
     "stream_session_dynamic",
+    # round-8 closing additions: model-based quality scoring (map-only
+    # frozen-classifier pass), DSIR importance weights (tokenize-once,
+    # two unigram models + join-back), and the iterative-graph witness
+    # (3 PageRank sweeps over checkpointed edges)
+    "text_classifier_score",
+    "curate_importance_weights",
+    "graph_pagerank",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

@@ -1118,3 +1118,72 @@ def curate_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("log_ratio"), 6).alias("log_weight"),
         )
     )
+
+
+@register(
+    "curate_perplexity_buckets",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        counts AS (
+            SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM toks GROUP BY tok
+        ),
+        tot AS (SELECT SUM(c) AS n FROM counts),
+        ce AS (
+            SELECT t.doc_id,
+                   ROUND(AVG(-ln(c.c / tot.n)), 6) AS cross_entropy
+            FROM toks t
+            JOIN counts c ON t.tok = c.tok
+            CROSS JOIN tot
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id, d.lang, ce.cross_entropy,
+               CASE ntile(3) OVER (PARTITION BY d.lang
+                                   ORDER BY ce.cross_entropy, d.doc_id)
+                    WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM ce JOIN documents d ON ce.doc_id = d.doc_id
+    """,
+    tags=("llm", "curation", "quality"),
+)
+def curate_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per
+    LANGUAGE, tertile every document by its LM cross-entropy — 'head'
+    (most fluent third) feeds pretraining first, 'tail' is the
+    low-quality candidate pool. Composes the registered
+    ``text_lm_perplexity`` plan (self-trained corpus unigram LM) with a
+    per-language ntile window; doc_id breaks cross-entropy ties so the
+    tiling is deterministic on both engines (the ROUNDED entropy is
+    what's ordered — raw doubles could tile differently at the 6-dp
+    boundary).
+
+    Scale shape: inherits the LM plan's one-tokenize-pass shape; the
+    window partitions by language (bounded cardinality) but orders
+    |docs_lang|-sized partitions — at 100 TB the per-language sort is
+    the cost, exactly the global-sort-per-stratum CCNet itself pays
+    (and shards by hash first; our `shard_assign_hash` composes the
+    same way).
+
+    Seed: reference app has no quality tiers; its nearest analog is
+    binary HTTP-200 acceptance (app.py:342-344)."""
+    from aws_seismic_data_pipeline_spark.llm.text import text_lm_perplexity
+
+    ce = text_lm_perplexity(spark, sf_dir).select("doc_id", "cross_entropy")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
+    return (
+        ce.join(docs, "doc_id")
+        .withColumn("nt", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "cross_entropy",
+            F.when(F.col("nt") == 1, "head")
+            .when(F.col("nt") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )

@@ -327,3 +327,28 @@ def test_importance_weights_match_hand_model(spark):
             z,
         )
     assert out[1].n_tokens == 3 and out[3].n_tokens == 2
+
+
+def test_perplexity_buckets_are_balanced_tertiles(spark):
+    """Within every language the head/middle/tail buckets must differ
+    in size by at most 1 (ntile contract) and respect the entropy
+    order: max(head) <= min(middle) <= ... at the rounded precision."""
+    from aws_seismic_data_pipeline_spark.registry import REGISTRY
+
+    out = (
+        REGISTRY["curate_perplexity_buckets"]
+        .builder(spark, os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"))
+        .collect()
+    )
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r.lang, {}).setdefault(r.bucket, []).append(
+            r.cross_entropy
+        )
+    assert by_lang
+    for lang, buckets in by_lang.items():
+        sizes = [len(v) for v in buckets.values()]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        if {"head", "middle", "tail"} <= buckets.keys():
+            assert max(buckets["head"]) <= min(buckets["middle"]) + 1e-9
+            assert max(buckets["middle"]) <= min(buckets["tail"]) + 1e-9

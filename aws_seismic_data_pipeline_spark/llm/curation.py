@@ -1187,3 +1187,77 @@ def curate_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+#: sequence-chunking geometry (text_chunk_windows): window of tokens per
+#: training chunk and the stride between chunk starts (overlap = W - S)
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 16
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(start AS BIGINT) AS chunk_start,
+               CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(chunk, ' ') AS chunk_text
+        FROM (
+            SELECT doc_id, start,
+                   list_slice(toks, start + 1, start + {CHUNK_WINDOW}) AS chunk
+            FROM (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       unnest(generate_series(
+                           0, len(string_split(text, ' ')) - 1,
+                           {CHUNK_STRIDE})) AS start
+                FROM documents
+            )
+        )
+    """,
+    tags=("llm", "curation", "chunking"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the sequence-preparation
+    step between curation and tokenization: every document becomes
+    ceil(n_tokens / STRIDE) chunks of up to WINDOW tokens starting at
+    0, STRIDE, 2·STRIDE, … (overlap WINDOW−STRIDE tokens, the
+    standard sliding-window recipe for long-doc pretraining and RAG
+    passage indexing; ``pack_token_budget`` then packs the chunks).
+    Pure higher-order expressions: ``sequence`` for the starts,
+    posexplode-free ``explode`` + ``slice`` + ``array_join`` — no
+    Python, one scan, output fans out ~n/STRIDE per doc.
+
+    Value parity: integer geometry only (slice clamps identically in
+    both engines at the tail); chunk_text is exact string equality.
+
+    Scale shape: map-side explode, no shuffle at all — the chunk table
+    streams straight to its sink; at 100 TB the fan-out factor is the
+    only cost and it's the user-chosen overlap ratio.
+
+    Seed: the reference chunks STREAMS by wall-clock hour
+    (app.py:334-340 filename windows); this is the same windowing idea
+    applied to token sequences."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = F.split("text", " ")
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("toks"),
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.size(toks) - 1, F.lit(CHUNK_STRIDE)
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.col("start").cast("long").alias("chunk_start"),
+            F.slice(F.col("toks"), F.col("start") + 1, CHUNK_WINDOW).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.size("chunk").cast("long").alias("n_chunk_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )

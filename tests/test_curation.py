@@ -352,3 +352,41 @@ def test_perplexity_buckets_are_balanced_tertiles(spark):
         if {"head", "middle", "tail"} <= buckets.keys():
             assert max(buckets["head"]) <= min(buckets["middle"]) + 1e-9
             assert max(buckets["middle"]) <= min(buckets["tail"]) + 1e-9
+
+
+def test_chunk_windows_cover_and_overlap(spark):
+    """Chunking invariants on the fixture: every doc's chunks start at
+    exact STRIDE multiples, the union of chunks covers every token
+    position, consecutive chunks overlap by WINDOW-STRIDE (when full),
+    and rejoining the stride-aligned prefix of each chunk reconstructs
+    the original text exactly."""
+    import aws_seismic_data_pipeline_spark.llm.curation as C
+    from aws_seismic_data_pipeline_spark.registry import REGISTRY
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = {r.doc_id: r.text for r in load_table(spark, sf, "documents").collect()}
+    chunks = REGISTRY["text_chunk_windows"].builder(spark, sf).collect()
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        toks = docs[doc_id].split(" ")
+        rows.sort(key=lambda r: r.chunk_start)
+        starts = [r.chunk_start for r in rows]
+        assert starts == list(range(0, len(toks), C.CHUNK_STRIDE))
+        # coverage: last chunk reaches the final token
+        last = rows[-1]
+        assert last.chunk_start + last.n_chunk_tokens == len(toks)
+        # reconstruction from stride-aligned prefixes
+        rebuilt: list = []
+        for r in rows:
+            rebuilt.extend(r.chunk_text.split(" ")[: C.CHUNK_STRIDE])
+        assert rebuilt == toks, doc_id
+        # overlap: a full chunk re-covers STRIDE..WINDOW of the next
+        for a, b in zip(rows, rows[1:]):
+            if a.n_chunk_tokens == C.CHUNK_WINDOW:
+                assert (
+                    a.chunk_text.split(" ")[C.CHUNK_STRIDE :]
+                    == b.chunk_text.split(" ")[: C.CHUNK_WINDOW - C.CHUNK_STRIDE]
+                )

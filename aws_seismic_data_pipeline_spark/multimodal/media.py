@@ -5,11 +5,13 @@ opaque ``binary`` columns with typed metadata, decoded/transformed by
 Arrow-batched Python stages. Two codec paths, one plumbing:
 
 - ``real_decode`` is a REAL stdlib codec for uncompressed RIFF/WAVE
-  containers (header chunk walk + 16-bit PCM) — ``mm_decode_real``
-  runs it end to end over generated-in-engine WAV payloads with an
-  exact oracle. Compressed formats (JPEG/PNG/H.264) genuinely need
-  external libraries (Pillow, ffmpeg) not in this container, so
-  ``real_decode`` raises ValueError for them;
+  containers (header chunk walk + 16-bit PCM), 24-bit BMP, and —
+  genuinely compressed — 8-bit truecolor PNG (CRC-verified chunk walk,
+  zlib inflate, all five inverse scanline filters); ``mm_decode_real``
+  / ``mm_decode_real_image`` / ``mm_decode_real_png`` run it end to
+  end over generated-in-engine payloads with exact oracles. Formats
+  whose codecs genuinely need external libraries (JPEG, H.264 —
+  Pillow/ffmpeg, absent from this container) raise ValueError;
 - ``fake_decode`` is a clearly-marked deterministic fake (metadata
   derived from md5(payload)) standing in for those compressed-format
   codecs, so the distributed plumbing — schema, binary payload
@@ -116,15 +118,165 @@ def bmp_payload(media_id: int) -> bytes:
     return header + info + body
 
 
-def real_decode(payload: bytes) -> dict:
-    """REAL codec: parse uncompressed RIFF/WAVE audio or 24-bit BMP
-    images with stdlib byte math — chunk/header walk, format fields,
-    raw sample/pixel extraction — no external library. Returns header
-    metadata plus the raw data so callers can compute sample-level
-    features. Compressed formats (JPEG/PNG/H.264), which DO need
-    external codecs, raise ValueError; ``fake_decode`` covers those
-    pipelines' plumbing tests."""
+def png_payload(media_id: int) -> bytes:
+    """Deterministic REAL PNG payload: an 8-bit truecolor (RGB) PNG
+    whose dimensions and raw pixel bytes derive from ``media_id`` alone
+    (pixel byte j → (id·11 + j·3) % 256). Unlike the WAV/BMP siblings
+    this is a genuinely COMPRESSED container: scanlines are filtered —
+    the filter type CYCLES r % 5 through None/Sub/Up/Average/Paeth so
+    every inverse filter in the decoder is load-bearing — then
+    zlib-deflated into IDAT, with CRC-32 on every chunk. All stdlib
+    (zlib, struct): the one compressed image format that needs no
+    external codec."""
     import struct
+    import zlib
+
+    import numpy as np
+
+    w = 4 + media_id % 13
+    h = 3 + media_id % 7
+    bpp = 3
+    raw = (
+        (media_id * 11 + np.arange(w * h * bpp, dtype=np.int64) * 3) % 256
+    ).astype(np.uint8)
+    rows = raw.reshape(h, w * bpp)
+    out = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    for r in range(h):
+        line = rows[r].astype(np.int64)
+        ftype = r % 5
+        a = np.concatenate([np.zeros(bpp, dtype=np.int64), line[:-bpp]])
+        c = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+        if ftype == 0:
+            filt = line
+        elif ftype == 1:
+            filt = (line - a) % 256
+        elif ftype == 2:
+            filt = (line - prev) % 256
+        elif ftype == 3:
+            filt = (line - (a + prev) // 2) % 256
+        else:
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c)
+            )
+            filt = (line - pred) % 256
+        out.append(ftype)
+        out.extend(filt.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(dec: bytes, w: int, h: int, bpp: int) -> bytes:
+    """Invert PNG scanline filtering: the decompressed IDAT stream is
+    h lines of (filter_byte + w·bpp filtered bytes); reconstruct the
+    raw pixel bytes per the spec's five inverse filters. Sub/Average/
+    Paeth carry a left-neighbor dependency, so each line walks its
+    bytes sequentially (lines themselves vectorize over numpy in the
+    Up/None cases; fixture images are tiny either way — a production
+    image pipeline hands this to a native codec, the point here is the
+    spec-exact stdlib reference implementation)."""
+    stride = w * bpp
+    if len(dec) != h * (stride + 1):
+        raise ValueError("malformed PNG: IDAT length mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    for r in range(h):
+        ftype = dec[r * (stride + 1)]
+        line = bytearray(dec[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ftype == 0:
+            pass
+        elif ftype == 1:
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"malformed PNG: unknown filter type {ftype}")
+        out.extend(line)
+        prev = line
+    return bytes(out)
+
+
+def real_decode(payload: bytes) -> dict:
+    """REAL codec: parse uncompressed RIFF/WAVE audio, 24-bit BMP, or
+    8-bit truecolor PNG (a genuinely compressed format — chunk walk
+    with CRC-32 verification, zlib inflate, all five inverse scanline
+    filters) with stdlib byte math — no external library. Returns
+    header metadata plus the raw data so callers can compute
+    sample-level features. Formats whose codecs genuinely need
+    external libraries (JPEG/H.264), raise ValueError; ``fake_decode``
+    covers those pipelines' plumbing tests."""
+    import struct
+    import zlib
+
+    if len(payload) >= 8 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        pos, ihdr, idat, saw_end = 8, None, bytearray(), False
+        while pos + 8 <= len(payload):
+            (size,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + size]
+            if len(body) < size or pos + 12 + size > len(payload):
+                raise ValueError("malformed PNG: truncated chunk")
+            (crc,) = struct.unpack_from(">I", payload, pos + 8 + size)
+            if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+                raise ValueError("malformed PNG: chunk CRC mismatch")
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif ctype == b"IDAT":
+                idat.extend(body)
+            elif ctype == b"IEND":
+                saw_end = True
+                break
+            pos += 12 + size
+        if ihdr is None or not idat or not saw_end:
+            raise ValueError("malformed PNG: missing IHDR, IDAT, or IEND")
+        w, h, depth, color, comp, filt, interlace = ihdr
+        if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+            raise ValueError(
+                "real_decode parses 8-bit non-interlaced RGB/RGBA PNG only"
+            )
+        bpp = 3 if color == 2 else 4
+        try:
+            dec = zlib.decompress(bytes(idat))
+        except zlib.error as e:
+            raise ValueError(f"malformed PNG: IDAT inflate failed ({e})")
+        px = _png_unfilter(dec, w, h, bpp)
+        return {
+            "format": "png",
+            "width": w,
+            "height": h,
+            "bits_per_pixel": bpp * 8,
+            "pixels": px,
+        }
 
     if len(payload) >= 2 and payload[:2] == b"BM":
         if len(payload) < 14 + 40:
@@ -155,9 +307,9 @@ def real_decode(payload: bytes) -> dict:
         }
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError(
-            "real_decode parses uncompressed RIFF/WAVE and 24-bit BMP only; "
-            "compressed formats need an external codec (use fake_decode "
-            "for plumbing)"
+            "real_decode parses uncompressed RIFF/WAVE, 24-bit BMP, and "
+            "8-bit RGB/RGBA PNG only; other compressed formats need an "
+            "external codec (use fake_decode for plumbing)"
         )
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
@@ -433,6 +585,88 @@ def mm_decode_real_image(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for mid in pdf["media_id"]:
                 meta = real_decode(bmp_payload(int(mid)))
+                px = np.frombuffer(meta["pixels"], dtype=np.uint8)
+                rows.append(
+                    (
+                        int(mid),
+                        meta["format"],
+                        meta["width"],
+                        meta["height"],
+                        meta["bits_per_pixel"],
+                        meta["width"] * meta["height"],
+                        int(px.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "mm_decode_real_png",
+    oracle="""
+        -- expected decode output recomputed from media_id alone: the
+        -- Spark path must build a REAL compressed PNG (per-row cycling
+        -- scanline filters, zlib IDAT, chunk CRCs) and decode it back —
+        -- the pixel sum only matches if inflate + all five inverse
+        -- filters reproduce the raw bytes exactly
+        WITH dims AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 13 AS w,
+                   3 + doc_id % 7 AS h
+            FROM documents
+        )
+        SELECT media_id,
+               'png' AS format,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(24 AS BIGINT) AS bits_per_pixel,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST(list_sum(list_transform(
+                        range(0, w * h * 3),
+                        j -> (media_id * 11 + j * 3) % 256
+                    )) AS BIGINT) AS sum_pixel_bytes
+        FROM dims
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED-format sibling of ``mm_decode_real_image``: each
+    media_id is rendered into a real PNG — raw RGB bytes filtered with
+    the spec's five scanline filters cycling per row, zlib-deflated,
+    CRC'd per chunk — shipped as opaque binary, then decoded back by
+    the stdlib codec (CRC verify → inflate → inverse filters) in one
+    fused mapInPandas pass. The oracle recomputes the expected pixel
+    sum from the generation arithmetic alone, so any defect in the
+    filter inversion, inflate handling, or chunk walk hash-fails.
+    This closes the 'compressed codecs are env-blocked' gap for the one
+    compressed image format whose codec is pure stdlib; JPEG/H.264
+    remain honestly gated on external libraries."""
+    import numpy as np
+
+    docs = spread_dense(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, table="documents"
+    ).select(F.col("doc_id").alias("media_id"))
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("format", T.StringType(), False),
+            T.StructField("width", T.LongType(), False),
+            T.StructField("height", T.LongType(), False),
+            T.StructField("bits_per_pixel", T.LongType(), False),
+            T.StructField("n_pixels", T.LongType(), False),
+            T.StructField("sum_pixel_bytes", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid in pdf["media_id"]:
+                meta = real_decode(png_payload(int(mid)))
                 px = np.frombuffer(meta["pixels"], dtype=np.uint8)
                 rows.append(
                     (

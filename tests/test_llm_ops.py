@@ -478,3 +478,79 @@ def test_classifier_score_matches_hand_logit(spark):
         assert r.keep == (round(z, 6) >= 0), (doc_id, r)
     # the exact-zero doc must be kept (>= threshold), not order-dependent
     assert out[4].keep is True and out[4].logit == 0.0
+
+
+def test_png_codec_round_trip_property():
+    """The stdlib PNG codec must round-trip its own generator exactly
+    for arbitrary media ids — the generator cycles all five scanline
+    filters per row, so a surviving round trip proves every inverse
+    filter; corrupt CRCs, truncation, and unsupported headers must
+    raise, and a hand-built RGBA image must decode through the
+    color-type-6 path."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_seismic_data_pipeline_spark.multimodal.media import (
+        png_payload,
+        real_decode,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(0, 10**9))
+    def check(mid):
+        w, h = 4 + mid % 13, 3 + mid % 7
+        meta = real_decode(png_payload(mid))
+        assert (meta["format"], meta["width"], meta["height"]) == ("png", w, h)
+        raw = (
+            (mid * 11 + np.arange(w * h * 3, dtype=np.int64) * 3) % 256
+        ).astype(np.uint8)
+        assert np.array_equal(np.frombuffer(meta["pixels"], np.uint8), raw)
+
+    check()
+
+    # CRC corruption anywhere in IDAT must be detected
+    p = bytearray(png_payload(9))
+    p[45] ^= 0x01
+    with _pytest.raises(ValueError, match="CRC"):
+        real_decode(bytes(p))
+    # truncated chunk must be detected
+    with _pytest.raises(ValueError, match="truncated|missing"):
+        real_decode(png_payload(9)[:-8])
+
+    # hand-built 1x2 RGBA (color type 6): decoder must honor bpp=4
+    def chunk(ctype, data):
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    pixels = bytes([10, 20, 30, 40, 50, 60, 70, 80])
+    idat = zlib.compress(b"\x00" + pixels[:4] + b"\x02" + bytes(
+        (pixels[4 + i] - pixels[i]) % 256 for i in range(4)
+    ))
+    rgba = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 2, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    meta = real_decode(rgba)
+    assert meta["bits_per_pixel"] == 32
+    assert meta["pixels"] == pixels
+
+    # 16-bit depth is out of scope and must say so, not mis-decode
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="8-bit"):
+        real_decode(bad)

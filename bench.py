@@ -106,6 +106,11 @@ HEADLINE = [
     "text_classifier_score",
     "curate_importance_weights",
     "graph_pagerank",
+    # ...plus the real compressed-image codec round trip (PNG: filter,
+    # deflate, CRC on the way out; verify, inflate, unfilter back), and
+    # the sliding-window sequence chunker (pure map-side fan-out)
+    "mm_decode_real_png",
+    "text_chunk_windows",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

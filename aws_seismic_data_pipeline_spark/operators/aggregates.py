@@ -14,7 +14,7 @@ cannot flip the comparison.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_seismic_data_pipeline_spark.catalog import load_table
@@ -973,4 +973,111 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_count") - F.col("true_count"))
         .cast("long")
         .alias("over_by"),
+    )
+
+
+#: sketch size for agg_kmv_distinct — (k-1)/u_k estimation kicks in
+#: only for groups with more than K distinct values
+KMV_K = 64
+
+
+@register(
+    "agg_kmv_distinct",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT DISTINCT o_orderpriority,
+                   o_custkey,
+                   CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                        AS BIGINT) / 1152921504606846976.0 AS u
+            FROM orders
+        ),
+        ranked AS (
+            SELECT o_orderpriority, u,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY u, o_custkey) AS rn
+            FROM hashed
+        ),
+        sketch AS (
+            SELECT o_orderpriority,
+                   MAX(u) AS u_k,
+                   CAST(COUNT(*) AS BIGINT) AS n_in_sketch
+            FROM ranked WHERE rn <= {KMV_K}
+            GROUP BY o_orderpriority
+        ),
+        exact AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT s.o_orderpriority,
+               e.n_exact,
+               CASE WHEN s.n_in_sketch < {KMV_K}
+                    THEN CAST(s.n_in_sketch AS DOUBLE)
+                    ELSE ({KMV_K} - 1.0) / s.u_k END AS kmv_estimate
+        FROM sketch s JOIN exact e USING (o_orderpriority)
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002; the
+    theta-sketch family's simplest member): per group, keep the K
+    smallest values of a uniform hash of the key; if the group holds
+    ≥ K distinct keys, estimate distinct count as (K-1)/u_K where u_K
+    is the K-th smallest hash. Unlike HLL (``agg_hll_partial_
+    reaggregate``) the KMV sketch supports SET OPERATIONS — union =
+    merge-and-trim of hash sets, intersection via the Jaccard of the
+    merged sketch — which is why warehouse engines keep both. The
+    engine-portable md5→60-bit→(0,1) hash makes every estimate a
+    DETERMINISTIC function of the data, so this oracle is exact — no
+    golden literals, no tolerance (contrast the library-internal HLL
+    seeds, which need the golden-sf0.01 mechanism).
+
+    Value parity: u = int/2^60 and (K-1)/u_K are single divisions of
+    identical integer-derived doubles — bit-exact on both engines; ties
+    in the rank break on the key. No rounding anywhere.
+
+    Scale shape: the window form shown here sorts each group's distinct
+    keys; at 100 TB the same sketch builds as a map-side partial
+    (k-smallest per partition, merge-and-trim on combine — the
+    agg_partial_reaggregate pattern) with k·|groups| state. Estimation
+    error ~1/sqrt(K) is pinned in tests/test_approx_sketches.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    hashed = (
+        orders.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .withColumn(
+            "h",
+            F.expr(
+                "cast(conv(substring(md5(cast(o_custkey as string)), 1, 15),"
+                " 16, 10) as bigint)"
+            ),
+        )
+        # divide via a DataFrame double literal: in Spark SQL TEXT the
+        # constant 1152921504606846976.0 parses as a DECIMAL literal and
+        # the division rounds decimally — the last-ulp estimate drift
+        # the sf0.1 parity run caught on first landing
+        .withColumn("u", F.col("h") / F.lit(1152921504606846976.0))
+        .drop("h")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("u", "o_custkey")
+    sketch = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("u").alias("u_k"),
+            F.count(F.lit(1)).cast("long").alias("n_in_sketch"),
+        )
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact")
+    )
+    return sketch.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_exact",
+        F.when(
+            F.col("n_in_sketch") < KMV_K, F.col("n_in_sketch").cast("double")
+        )
+        .otherwise(F.lit(KMV_K - 1.0) / F.col("u_k"))
+        .alias("kmv_estimate"),
     )

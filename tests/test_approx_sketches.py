@@ -167,3 +167,24 @@ def test_countmin_layout_invariant_and_never_undercounts(spark):
     for k, t in sorted(true.items())[:50]:
         est = cms.estimateCount(int(k))
         assert t <= est <= t + _CMS_EPS * n_total + 1, (k, t, est)
+
+
+def test_kmv_estimate_error_band(spark):
+    """KMV's (K-1)/u_K estimator must land within the ~1/sqrt(K)
+    relative-error band on every priority group (generous 4-sigma cap),
+    and groups smaller than K must report their EXACT count."""
+    from aws_seismic_data_pipeline_spark.operators.aggregates import KMV_K
+    from aws_seismic_data_pipeline_spark.registry import REGISTRY
+
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = REGISTRY["agg_kmv_distinct"].builder(spark, sf).collect()
+    assert rows
+    band = 4.0 / (KMV_K ** 0.5)
+    for r in rows:
+        if r.n_exact < KMV_K:
+            assert r.kmv_estimate == float(r.n_exact), r
+        else:
+            rel = abs(r.kmv_estimate - r.n_exact) / r.n_exact
+            assert rel < band, (r, rel, band)

@@ -1261,3 +1261,71 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join("chunk", " ").alias("chunk_text"),
         )
     )
+
+
+#: per-language sample size for sample_weighted_reservoir
+RESERVOIR_K = 20
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+        SELECT doc_id, lang, n_chars, CAST(rn AS BIGINT) AS sample_rank
+        FROM (
+            SELECT doc_id, lang, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY ln(CAST(('0x' || substring(
+                                  md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                  AS BIGINT) / 1152921504606846976.0)
+                                / n_chars DESC,
+                                doc_id
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn <= {RESERVOIR_K}
+    """,
+    tags=("llm", "sample"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, A-ES style (Efraimidis &
+    Spirakis 2006): each document draws key u^(1/w) — here in the
+    equivalent log form ln(u)/w, ordered descending — where u is the
+    engine-portable md5 uniform and w = n_chars, then the top
+    RESERVOIR_K per language are kept. Inclusion probability is
+    proportional to document length, the token-mass-weighted sampling a
+    curation recipe wants when long documents should anchor the sample
+    (``sample_stratified_seeded`` is the unweighted cousin). The
+    deterministic hash replaces the RNG, so the draw is reproducible
+    across engines AND across cluster sizes — no rand() seed
+    partition-dependence.
+
+    Value parity: the float key orders the rows but is never emitted —
+    output columns are integers/strings only; two documents' keys
+    colliding within libm's last-ulp ln disagreement would need a
+    ~1e-16 relative tie, excluded by the 60-bit hash (doc_id breaks
+    exact ties deterministically anyway).
+
+    Scale shape: one scan + one per-language top-K — the same
+    rank-window shape as limit_topk_per_group; at 100 TB the window
+    becomes a map-side partial top-K per partition merged on combine
+    (K·|langs| state), the classic distributed reservoir."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
+            " 16, 10) as bigint)"
+        )
+        / F.lit(1152921504606846976.0)
+    )
+    key = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(key.desc(), "doc_id")
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RESERVOIR_K)
+        .select(
+            "doc_id", "lang", "n_chars",
+            F.col("rn").cast("long").alias("sample_rank"),
+        )
+    )

@@ -390,3 +390,33 @@ def test_chunk_windows_cover_and_overlap(spark):
                     a.chunk_text.split(" ")[C.CHUNK_STRIDE :]
                     == b.chunk_text.split(" ")[: C.CHUNK_WINDOW - C.CHUNK_STRIDE]
                 )
+
+
+def test_weighted_reservoir_biases_toward_long_docs(spark):
+    """A-ES semantics: per language exactly min(K, n_lang) docs come
+    back, ranks are 1..K dense, and the sample's mean length exceeds
+    the population mean length in a clear majority of languages (length-
+    proportional inclusion; a uniform sampler would center on the
+    population mean)."""
+    from aws_seismic_data_pipeline_spark.llm.curation import RESERVOIR_K
+    from aws_seismic_data_pipeline_spark.registry import REGISTRY
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "n_chars").collect()
+    pop: dict = {}
+    for r in docs:
+        pop.setdefault(r.lang, []).append(r.n_chars)
+    out = REGISTRY["sample_weighted_reservoir"].builder(spark, sf).collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == set(pop)
+    heavier = 0
+    for lang, rows in by_lang.items():
+        assert len(rows) == min(RESERVOIR_K, len(pop[lang])), lang
+        assert sorted(r.sample_rank for r in rows) == list(range(1, len(rows) + 1))
+        if len(pop[lang]) > 2 * RESERVOIR_K:
+            samp_mean = sum(r.n_chars for r in rows) / len(rows)
+            pop_mean = sum(pop[lang]) / len(pop[lang])
+            heavier += samp_mean > pop_mean
+    assert heavier >= 1  # at sf0.001 only en clears the 2K bar

@@ -1081,3 +1081,99 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(KMV_K - 1.0) / F.col("u_k"))
         .alias("kmv_estimate"),
     )
+
+
+@register(
+    "agg_kmv_merge",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT DISTINCT o_orderpriority,
+                   o_custkey,
+                   CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                        AS BIGINT) / 1152921504606846976.0 AS u
+            FROM orders
+        ),
+        group_sketch AS (
+            SELECT o_orderpriority, o_custkey, u FROM (
+                SELECT o_orderpriority, o_custkey, u,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY u, o_custkey) AS rn
+                FROM hashed
+            ) WHERE rn <= {KMV_K}
+        ),
+        merged AS (
+            SELECT u FROM (
+                SELECT u, ROW_NUMBER() OVER (ORDER BY u, o_custkey) AS rn
+                FROM (SELECT DISTINCT o_custkey, u FROM group_sketch)
+            ) WHERE rn <= {KMV_K}
+        ),
+        est AS (
+            SELECT ({KMV_K} - 1.0) / MAX(u) AS kmv_estimate_merged,
+                   CAST(COUNT(*) AS BIGINT) AS sketch_size
+            FROM merged
+        )
+        SELECT CAST(5 AS BIGINT) AS n_partials,
+               (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+                   AS n_exact_global,
+               sketch_size,
+               kmv_estimate_merged
+        FROM est
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reason KMV earns its place next to HLL: sketches MERGE. The
+    per-priority sketches built exactly as in ``agg_kmv_distinct`` are
+    unioned and re-trimmed to the K smallest hashes, and the merged
+    sketch estimates the GLOBAL distinct-customer count without ever
+    rescanning the raw data — correct because any hash among the
+    global K smallest is necessarily among its own group's K smallest
+    (the merge loses nothing). tests/test_approx_sketches.py pins the
+    stronger property: the merged sketch is IDENTICAL to the sketch
+    built directly on the global key set. At 100 TB this is the
+    two-level rollup every partial-aggregate runs — partials the size
+    of K per group, merge traffic K·|groups|, raw data scanned once.
+
+    Value parity: same bit-exact hash/division discipline as
+    agg_kmv_distinct; the duplicate a customer spanning two priorities
+    would inject is removed by key before the re-rank on both
+    engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    hashed = (
+        orders.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .withColumn(
+            "h",
+            F.expr(
+                "cast(conv(substring(md5(cast(o_custkey as string)), 1, 15),"
+                " 16, 10) as bigint)"
+            ),
+        )
+        .withColumn("u", F.col("h") / F.lit(1152921504606846976.0))
+        .drop("h")
+    )
+    wg = Window.partitionBy("o_orderpriority").orderBy("u", "o_custkey")
+    group_sketch = (
+        hashed.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= KMV_K)
+        .select("o_custkey", "u")
+    )
+    wm = Window.orderBy("u", "o_custkey")
+    merged = (
+        group_sketch.distinct()
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    est = merged.agg(
+        (F.lit(KMV_K - 1.0) / F.max("u")).alias("kmv_estimate_merged"),
+        F.count(F.lit(1)).cast("long").alias("sketch_size"),
+    )
+    exact = orders.agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_exact_global")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.lit(5).cast("long").alias("n_partials"),
+        "n_exact_global",
+        "sketch_size",
+        "kmv_estimate_merged",
+    )

@@ -188,3 +188,41 @@ def test_kmv_estimate_error_band(spark):
         else:
             rel = abs(r.kmv_estimate - r.n_exact) / r.n_exact
             assert rel < band, (r, rel, band)
+
+
+def test_kmv_merge_equals_direct_global_sketch(spark):
+    """Mergeability, the property that makes KMV a sketch: the union of
+    per-group sketches re-trimmed to K must be IDENTICAL (same hash
+    set, so same estimate bit-for-bit) to the sketch built directly on
+    the global distinct key set."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.operators.aggregates import KMV_K
+    from aws_seismic_data_pipeline_spark.registry import REGISTRY
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    merged = REGISTRY["agg_kmv_merge"].builder(spark, sf).collect()[0]
+
+    orders = load_table(spark, sf, "orders")
+    direct = (
+        orders.select("o_custkey")
+        .distinct()
+        .withColumn(
+            "u",
+            F.expr(
+                "cast(conv(substring(md5(cast(o_custkey as string)), 1, 15),"
+                " 16, 10) as bigint)"
+            )
+            / F.lit(1152921504606846976.0),
+        )
+        .withColumn("rn", F.row_number().over(Window.orderBy("u", "o_custkey")))
+        .filter(F.col("rn") <= KMV_K)
+        .agg((F.lit(KMV_K - 1.0) / F.max("u")).alias("est"))
+        .collect()[0]
+    )
+    assert merged.kmv_estimate_merged == direct.est
+    assert merged.sketch_size == min(KMV_K, merged.n_exact_global)

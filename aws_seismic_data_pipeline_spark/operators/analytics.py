@@ -1403,3 +1403,162 @@ def analytics_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_bucket")
     )
+
+
+@register(
+    "analytics_partsupp_value",
+    oracle="""
+        WITH supp_nation AS (
+            SELECT s_suppkey FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_3'
+        ),
+        ps_value AS (
+            SELECT l.l_partkey,
+                   SUM(l.l_extendedprice * (1 - l.l_discount)) AS value
+            FROM lineitem l
+            JOIN supp_nation s ON l.l_suppkey = s.s_suppkey
+            GROUP BY l.l_partkey
+        ),
+        threshold AS (
+            SELECT SUM(value) * 0.001 AS cutoff FROM ps_value
+        )
+        SELECT p.l_partkey AS ps_partkey,
+               ROUND(p.value, 2) AS value
+        FROM ps_value p CROSS JOIN threshold t
+        WHERE p.value > t.cutoff
+    """,
+    tags=("analytics", "tpch"),
+)
+def analytics_partsupp_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog ("important stock identification"): the
+    fixtures ship no partsupp table (SURVEY.md §2B's one Q11 blocker),
+    but the SHAPE — per-part value held by one nation's suppliers,
+    kept only where it exceeds a fraction of that nation's TOTAL (a
+    scalar subquery threshold over the same aggregate) — is fully
+    expressible with lineitem revenue standing in for
+    ps_supplycost·ps_availqty (same mapping discipline as the Q12
+    analog's shipmode). Cutoff fraction 0.001 ≈ Q11's
+    0.0001/SF scaled to fixture cardinality so the filter is
+    selective but non-empty at sf0.001–0.1.
+
+    Scale shape: nation's suppliers broadcast-semi-join into the fact
+    scan (dim-sized), one partial-agg shuffle on l_partkey, 1-row
+    threshold broadcast back — the Q11 plan a warehouse wants; no
+    second fact scan (the threshold reuses the aggregated ps_value
+    frame, not the raw table).
+
+    Value parity: ROUND(2) on the emitted sum only; the cutoff compare
+    uses raw doubles on both engines over identically-grouped sums —
+    revenue terms are cents-exact doubles whose per-group sums differ
+    only in association order, far from the 0.1% cutoff boundary."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp_nation = (
+        supp.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    ps_value = (
+        li.join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "value"
+            )
+        )
+    )
+    threshold = ps_value.agg((F.sum("value") * F.lit(0.001)).alias("cutoff"))
+    return (
+        ps_value.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("cutoff"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+@register(
+    "analytics_excess_stock_suppliers",
+    oracle="""
+        WITH shipped AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(l_quantity) AS supplier_part_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_partkey, l_suppkey
+        ),
+        part_window AS (
+            SELECT l_partkey,
+                   SUM(supplier_part_qty) * 0.5 AS half_window_qty
+            FROM shipped
+            GROUP BY l_partkey
+        ),
+        small_parts AS (
+            SELECT p_partkey FROM part WHERE p_type = 'SMALL'
+        ),
+        qualifying AS (
+            SELECT DISTINCT s.l_suppkey
+            FROM shipped s
+            JOIN part_window w ON s.l_partkey = w.l_partkey
+            JOIN small_parts p ON s.l_partkey = p.p_partkey
+            WHERE s.supplier_part_qty > w.half_window_qty
+        )
+        SELECT sp.s_name, CAST(sp.s_nationkey AS BIGINT) AS s_nationkey
+        FROM supplier sp
+        JOIN qualifying q ON sp.s_suppkey = q.l_suppkey
+    """,
+    tags=("analytics", "tpch"),
+)
+def analytics_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog ("potential part promotion"): suppliers who
+    DOMINATE a SMALL-type part — shipping more than half that part's
+    one-year market volume — the Q20 shape (nested aggregate threshold
+    per (supplier, part), part filter, DISTINCT semi-join up to the
+    supplier dim) with window shipments standing in for the missing
+    ps_availqty. The first landing compared lifetime volume to 30% of
+    the window and qualified EVERY supplier at every SF (a vacuous
+    filter); the dominance form keeps 6/10, 56/100, 609/1000 suppliers
+    at sf0.001/0.01/0.1 — a threshold the data actually exercises.
+
+    Value parity: quantities are small integers — both engines sum
+    them exactly in doubles, and ·0.5 is a power-of-two scale, so the
+    dominance compare is exact. Output columns are string/int only.
+
+    Scale shape: the part-window aggregate derives from the
+    supplier-part partials (one fact scan feeds both grains); the
+    SMALL-part key set broadcasts; the qualifying supplier set is
+    dim-sized and joins the supplier dim without touching the fact
+    table again."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1997-01-01")))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supplier_part_qty"))
+    )
+    window_qty = (
+        shipped.groupBy("l_partkey")
+        .agg((F.sum("supplier_part_qty") * F.lit(0.5)).alias("half_window_qty"))
+        .withColumnRenamed("l_partkey", "w_partkey")
+    )
+    small = part.filter(F.col("p_type") == "SMALL").select("p_partkey")
+    qualifying = (
+        shipped.join(window_qty, shipped.l_partkey == F.col("w_partkey"))
+        .join(F.broadcast(small), shipped.l_partkey == F.col("p_partkey"))
+        .filter(F.col("supplier_part_qty") > F.col("half_window_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return supp.join(qualifying, supp.s_suppkey == F.col("l_suppkey")).select(
+        "s_name", F.col("s_nationkey").cast("long").alias("s_nationkey")
+    )

@@ -775,3 +775,85 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("prob_keep"),
         (F.round(z, 6) >= 0).alias("keep"),
     )
+
+
+#: number of top merge candidates text_bpe_pair_counts returns
+BPE_TOP_PAIRS = 30
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=f"""
+        WITH words AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+            )
+            WHERE len(tok) >= 2
+            GROUP BY tok
+        ),
+        pairs AS (
+            SELECT substring(tok, i, 2) AS pair, wc
+            FROM words,
+                 unnest(generate_series(1, len(tok) - 1)) AS t(i)
+        ),
+        totals AS (
+            SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+            FROM pairs GROUP BY pair
+        )
+        SELECT pair, pair_count, CAST(rn AS BIGINT) AS merge_rank
+        FROM (
+            SELECT pair, pair_count,
+                   ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rn
+            FROM totals
+        )
+        WHERE rn <= {BPE_TOP_PAIRS}
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer TRAINING (Sennrich et al. 2016),
+    distributed: rank adjacent symbol pairs by corpus frequency — the
+    top pair is the next merge rule. The critical scale trick is the
+    word DICTIONARY: pair counts aggregate over DISTINCT words weighted
+    by word frequency, so the quadratic-ish pair explosion runs over
+    the vocabulary (≪ corpus tokens; every real BPE trainer does this).
+    One tokenize pass → word counts → per-distinct-word character
+    pairs via substring over a position sequence (pure higher-order
+    expressions, no Python) → weighted pair rollup → top-K merge
+    candidates. Repeating with the chosen merge applied is the full
+    trainer; each round is exactly this plan shape.
+
+    Value parity: integer counts and string pairs only — no floats
+    anywhere. Words shorter than 2 chars are filtered BEFORE the
+    position sequence on both engines (Spark's ``sequence(1, 0)``
+    would otherwise DESCEND, not return empty like generate_series).
+
+    Scale shape: the explode fans out |vocab|·avg_len rows, not
+    |corpus|·avg_len — the dictionary trick's entire point; both
+    aggregates are map-side partial + key shuffle; the final top-K is
+    a WindowGroupLimit over the pair table.
+
+    Seed: reference has no tokenizer; nearest is filename token
+    splitting (app.py:328-330)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1),"
+                   " i -> substring(tok, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    totals = pairs.groupBy("pair").agg(F.sum("wc").alias("pair_count"))
+    w = Window.orderBy(F.col("pair_count").desc(), "pair")
+    return (
+        totals.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BPE_TOP_PAIRS)
+        .select("pair", "pair_count", F.col("rn").cast("long").alias("merge_rank"))
+    )

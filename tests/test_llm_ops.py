@@ -554,3 +554,41 @@ def test_png_codec_round_trip_property():
     )
     with _pytest.raises(ValueError, match="8-bit"):
         real_decode(bad)
+
+
+def test_bpe_pair_counts_match_naive_python(spark, monkeypatch):
+    """The dictionary-weighted pair count must equal the naive count
+    over raw running text — the vocabulary trick changes the cost
+    model, never the answer."""
+    from collections import Counter
+
+    import aws_seismic_data_pipeline_spark.llm.text as T
+    from aws_seismic_data_pipeline_spark.registry import REGISTRY
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low lower lowest a"),
+            (2, "newer newest new er"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(T, "load_table", lambda s, d, t: docs)
+    monkeypatch.setattr(T, "spread", lambda df, s: df)
+    out = REGISTRY["text_bpe_pair_counts"].builder(spark, "unused").collect()
+
+    naive = Counter()
+    for text in ("low low lower lowest a", "newer newest new er"):
+        for w in text.split(" "):
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    naive[w[i : i + 2]] += 1
+    got = {r.pair: r.pair_count for r in out}
+    for pair, n in naive.items():
+        assert got.get(pair) == n, (pair, n, got.get(pair))
+    # ranks must be dense, count-descending with pair tiebreak
+    ranked = sorted(out, key=lambda r: r.merge_rank)
+    assert [r.merge_rank for r in ranked] == list(range(1, len(ranked) + 1))
+    keys = [(-r.pair_count, r.pair) for r in ranked]
+    assert keys == sorted(keys)
+    # the most frequent pair is the next merge rule: 'lo' or 'ow' (3 each)
+    assert ranked[0].pair_count == max(naive.values())

@@ -857,3 +857,133 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BPE_TOP_PAIRS)
         .select("pair", "pair_count", F.col("rn").cast("long").alias("merge_rank"))
     )
+
+
+#: BM25 hyperparameters (Robertson's defaults) and the demo query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("vector", "join", "spark")
+BM25_TOP_DOCS = 20
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+        WITH dl AS (
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+            FROM documents
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                   SUM(CAST(dl AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+            FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            WHERE term IN {tuple(BM25_QUERY)}
+            GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   ROUND(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0), 6)
+                   * ((tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+                      / (tf.tf + CAST(1.2 AS DOUBLE)
+                         * (1.0 - CAST(0.75 AS DOUBLE)
+                            + CAST(0.75 AS DOUBLE) * (dl.dl / s.avgdl))))
+                       AS term_score
+            FROM tf
+            JOIN df ON tf.term = df.term
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats s
+        ),
+        totals AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_hit,
+                   ROUND(SUM(term_score), 6) AS bm25
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_hit, bm25, CAST(rn AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+            FROM totals
+        )
+        WHERE rn <= {BM25_TOP_DOCS}
+    """,
+    tags=("llm", "text", "search"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009; Lucene's
+    scoring function) for a fixed keyword query: per matched term,
+    idf = ln((N − df + 0.5)/(df + 0.5) + 1) saturated by
+    tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)), summed per document, top
+    BM25_TOP_DOCS returned. Complements ``text_keyword_search`` (which
+    finds the boolean candidate set from the posting index) with the
+    RANKING a search/retrieval pipeline applies to that set, and
+    ``text_tfidf_topk`` (per-doc keyword profiles) with query-side
+    scoring.
+
+    Value parity: tf is filtered to the query's 3 terms BEFORE
+    aggregation, so every downstream frame is query-sized; ln goes
+    through ROUND(6) (tfidf policy); k1/b constants are CAST AS DOUBLE
+    in the oracle and F.lit floats in Spark — BOTH engines parse bare
+    decimal SQL literals as DECIMAL (the agg_kmv_distinct lesson, from
+    the Spark side); the ≤3-term per-doc sum rounds at 6dp; the final
+    rank orders by the ROUNDED score with doc_id ties.
+
+    Scale shape: one corpus scan computes lengths; one tokenize pass
+    feeds the term filter whose selectivity is the query's — the
+    (doc, term) aggregate holds only matching docs; df and the 1-row
+    stats broadcast; the rank is a single WindowGroupLimit over the
+    candidate set. At 100 TB the posting index supplies tf without
+    touching text at all — same scores, index-sized cost."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    ).localCheckpoint(eager=True)
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum(F.col("dl").cast("double")) / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(list(BM25_QUERY)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    sat = (F.col("tf") * (k1 + F.lit(1.0))) / (
+        F.col("tf")
+        + k1 * (F.lit(1.0) - b + b * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_score", idf * sat)
+    )
+    totals = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit"),
+        F.round(F.sum("term_score"), 6).alias("bm25"),
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        totals.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BM25_TOP_DOCS)
+        .select("doc_id", "n_hit", "bm25", F.col("rn").cast("long").alias("rank"))
+    )

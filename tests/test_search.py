@@ -215,3 +215,44 @@ def test_keyword_search_property_random_token_sets(spark, tmp_path):
         assert got == want, (toks, mode)
 
     check()
+
+
+def test_bm25_matches_hand_scores(spark, monkeypatch):
+    """BM25 on a 3-doc corpus must equal the hand-computed Robertson
+    formula: rarer query terms score higher, longer docs are penalized
+    at equal tf, and only docs containing ≥1 query term appear."""
+    import math
+
+    import aws_seismic_data_pipeline_spark.llm.text as T
+    from aws_seismic_data_pipeline_spark.registry import REGISTRY
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join fast"),
+            (2, "spark spark spark spark spark spark spark pad pad pad"),
+            (3, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(T, "load_table", lambda s, d, t: docs)
+    monkeypatch.setattr(T, "spread", lambda df, s: df)
+    out = {r.doc_id: r for r in REGISTRY["text_bm25_topk"].builder(spark, "x").collect()}
+
+    assert 3 not in out  # no query term -> no candidate row
+    n, avgdl = 3.0, (3 + 10 + 3) / 3.0
+    k1, b = T.BM25_K1, T.BM25_B
+
+    def score(tf, dl, df):
+        idf = round(math.log((n - df + 0.5) / (df + 0.5) + 1.0), 6)
+        return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * (dl / avgdl)))
+
+    # doc1: spark tf1 df2, join tf1 df1; doc2: spark tf7 df2
+    d1 = round(score(1, 3, 2) + score(1, 3, 1), 6)
+    d2 = round(score(7, 10, 2), 6)
+    assert abs(out[1].bm25 - d1) < 2e-6, (out[1].bm25, d1)
+    assert abs(out[2].bm25 - d2) < 2e-6, (out[2].bm25, d2)
+    assert out[1].n_hit == 2 and out[2].n_hit == 1
+    # 'join' (df=1) must out-score one 'spark' occurrence (df=2): the
+    # two-term short doc outranks the term-stuffed long one (saturation)
+    assert out[1].bm25 > out[2].bm25
+    assert out[1].rank == 1

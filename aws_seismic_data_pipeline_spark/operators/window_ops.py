@@ -1314,3 +1314,75 @@ def layout_hilbert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+
+#: CUSUM parameters (ts_cusum_alarm): in-control target level, slack
+#: (half the shift worth detecting), and the alarm threshold h
+CUSUM_TARGET = 50.0
+CUSUM_SLACK = 5.0
+CUSUM_H = 20.5
+
+
+@register(
+    "ts_cusum_alarm",
+    oracle=f"""
+        SELECT event_type, event_id, ts,
+               ROUND(p - LEAST(CAST(0.0 AS DOUBLE), run_min), 6) AS cusum,
+               ROUND(p - LEAST(CAST(0.0 AS DOUBLE), run_min), 6)
+                   > CAST({CUSUM_H} AS DOUBLE) AS alarm
+        FROM (
+            SELECT event_type, event_id, ts, p,
+                   MIN(p) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_min
+            FROM (
+                SELECT event_type, event_id, ts,
+                       SUM(value - CAST({CUSUM_TARGET + CUSUM_SLACK} AS DOUBLE))
+                           OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS p
+                FROM events
+            )
+        )
+    """,
+    tags=("timeseries", "window"),
+)
+def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection (Page 1954) per event
+    type: the classic recurrence ``S_i = max(0, S_{{i-1}} + (x_i −
+    target − slack))`` looks inherently sequential, but it has the
+    closed form ``S_i = P_i − min(0, min_{{j≤i}} P_j)`` over the prefix
+    sums P — two plain cumulative windows, no recursion, no
+    applyInPandas. Rows where S crosses h raise the alarm: a sustained
+    upward mean shift accumulates where the MAD gate
+    (``ts_outlier_mad``) only sees pointwise spikes and the EWMA
+    (``ts_ewma``) smooths — this is the drift detector of the ts
+    family.
+
+    Value parity: cumulative-window sums associate differently across
+    engines (Spark runs left-to-right, DuckDB segment-trees), so the
+    emitted statistic rounds at 6dp and the ALARM compares the ROUNDED
+    value against h = 20.5 — both engines round their ±1e-12
+    disagreement to the same 6dp value, so the boolean cannot split.
+
+    Scale shape: one scan, one shuffle on event_type, two frame
+    passes over each partition — linear; partitions are per-series, the
+    same contract as every ts_* op (a single giant series would range-
+    partition on time with boundary carry, the standard parallel-scan
+    decomposition)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    d = F.col("value") - F.lit(CUSUM_TARGET + CUSUM_SLACK)
+    p = F.sum(d).over(w)
+    with_p = ev.select("event_type", "event_id", "ts", p.alias("p"))
+    run_min = F.min("p").over(w)
+    s = F.round(F.col("p") - F.least(F.lit(0.0), run_min), 6)
+    return with_p.select(
+        "event_type",
+        "event_id",
+        "ts",
+        s.alias("cusum"),
+        (s > F.lit(CUSUM_H)).alias("alarm"),
+    )

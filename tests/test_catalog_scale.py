@@ -1255,3 +1255,43 @@ def test_multipass_fuzzy_recovers_what_single_pass_misses(spark):
         .collect()
     }
     assert matched_dirty == expected_dirty and matched_dirty
+
+
+def test_cusum_closed_form_equals_recurrence(spark):
+    """The two-window closed form S = P - min(0, runmin(P)) must equal
+    Page's sequential recurrence S_i = max(0, S_{i-1} + d_i) exactly,
+    including reset-to-zero stretches and the alarm threshold."""
+    import aws_seismic_data_pipeline_spark.operators.window_ops as WO
+    from aws_seismic_data_pipeline_spark.registry import REGISTRY
+
+    import datetime
+
+    vals = [52.0, 80.0, 90.0, 40.0, 30.0, 61.0, 95.0, 95.0, 10.0]
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, i), 1, "a", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = WO.load_table
+    try:
+        WO.load_table = lambda s, d, t: ev
+        out = sorted(
+            REGISTRY["ts_cusum_alarm"].builder(spark, "x").collect(),
+            key=lambda r: r.event_id,
+        )
+    finally:
+        WO.load_table = orig
+
+    s, expect = 0.0, []
+    for v in vals:
+        s = max(0.0, s + (v - (WO.CUSUM_TARGET + WO.CUSUM_SLACK)))
+        expect.append(s)
+    for r, e in zip(out, expect):
+        assert abs(r.cusum - round(e, 6)) < 1e-9, (r.event_id, r.cusum, e)
+        assert r.alarm == (round(e, 6) > WO.CUSUM_H), r
+    # the crafted series both alarms and resets
+    assert any(r.alarm for r in out) and any(r.cusum == 0.0 for r in out)

@@ -111,6 +111,12 @@ HEADLINE = [
     # the sliding-window sequence chunker (pure map-side fan-out)
     "mm_decode_real_png",
     "text_chunk_windows",
+    # second closing wave: BM25 ranking (query-filtered tokenize), the
+    # BPE dictionary pair count (vocab-sized explode), and the CUSUM
+    # drift scan (two cumulative windows over the event series)
+    "text_bm25_topk",
+    "text_bpe_pair_counts",
+    "ts_cusum_alarm",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

@@ -56,6 +56,7 @@ CROSSJOIN_ALLOWED = {
     "plans/ingest.py",
     "plans/validate.py",
     "operators/joins.py",
+    "operators/aggregates.py",  # 1-row global-exact frame (KMV merge)
     "operators/analytics.py",
     "operators/graph.py",  # 1-row node-count frame (broadcast, per sweep)
     "llm/curation.py",  # 1-row corpus-sizes frame (DSIR normalizers)

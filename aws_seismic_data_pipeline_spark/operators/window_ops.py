@@ -1386,3 +1386,52 @@ def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.alias("cusum"),
         (s > F.lit(CUSUM_H)).alias("alarm"),
     )
+
+
+@register(
+    "ts_seasonal_adjust",
+    oracle="""
+        SELECT event_id, event_type, ts, hod, baseline,
+               ROUND(value - baseline, 6) AS residual
+        FROM (
+            SELECT event_id, event_type, ts, value,
+                   CAST(hour(ts) AS BIGINT) AS hod,
+                   ROUND(AVG(value) OVER (PARTITION BY event_type, hour(ts)), 6)
+                       AS baseline
+            FROM events
+        )
+    """,
+    tags=("timeseries", "window"),
+)
+def ts_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition, the classical-additive first step: the
+    per-(series, hour-of-day) mean is the diurnal baseline, and the
+    residual ``value − baseline`` is the deseasonalized signal the
+    anomaly detectors downstream (``ts_outlier_mad``,
+    ``ts_cusum_alarm``) should consume — a level shift at 3am is
+    invisible against a whole-day mean but obvious against the 3am
+    baseline.
+
+    Value parity: AVG accumulates in engine order, so the baseline is
+    ROUNDED at 6dp and the residual is computed FROM the rounded
+    baseline on both sides — two exact operations on identical doubles
+    thereafter.
+
+    Scale shape: one scan, one shuffle on (event_type, hour) — the
+    window-avg form keeps the row identity without a join-back; 24·
+    |series| groups, no skew (hours are uniform by construction of
+    time). At 100 TB the same plan holds; only the partition count
+    scales."""
+    ev = load_table(spark, sf_dir, "events")
+    hod = F.hour("ts").cast("long")
+    baseline = F.round(
+        F.avg("value").over(W.partitionBy("event_type", hod)), 6
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        hod.alias("hod"),
+        baseline.alias("baseline"),
+        F.round(F.col("value") - baseline, 6).alias("residual"),
+    )

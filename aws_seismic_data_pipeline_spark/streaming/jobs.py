@@ -1069,3 +1069,194 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+
+@register(
+    "stream_cusum_state",
+    oracle="""
+        WITH s AS (
+            SELECT event_type, ts, event_id,
+                   ROUND(p - LEAST(CAST(0.0 AS DOUBLE), run_min), 6) AS cusum
+            FROM (
+                SELECT event_type, ts, event_id, p,
+                       MIN(p) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS run_min
+                FROM (
+                    SELECT event_type, ts, event_id,
+                           SUM(value - CAST(55.0 AS DOUBLE))
+                               OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS p
+                    FROM events
+                )
+            )
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY ts DESC, event_id DESC)
+                          AS rn
+            FROM s
+        )
+        SELECT s.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(CASE WHEN r.rn = 1 THEN r.cusum END) AS last_cusum,
+               MAX(s.cusum) AS max_cusum,
+               CAST(COUNT(*) FILTER (WHERE s.cusum > CAST(20.5 AS DOUBLE))
+                    AS BIGINT) AS n_alarms
+        FROM s LEFT JOIN ranked r
+          ON s.event_type = r.event_type AND s.event_id = r.event_id
+             AND s.ts = r.ts
+        GROUP BY s.event_type
+    """,
+    tags=("stream", "stateful", "timeseries"),
+)
+def stream_cusum_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM: the drift detector of ``ts_cusum_alarm`` run as
+    an ``applyInPandasWithState`` operator over time-ordered
+    micro-batches. Unlike ``stream_custom_state``'s commutative
+    count/sum, CUSUM's state is ORDER-SENSITIVE — the carried
+    (prefix_sum, running_min) pair only means anything if batches
+    arrive in event-time order and each batch is sorted before the
+    recurrence continues — so the op stages the event table into three
+    time-tertile files whose modification times force
+    ``maxFilesPerTrigger=1`` to deliver them oldest-first (the
+    FileStreamSource ordering contract the promotion test pins). The
+    oracle IS the batch closed form aggregated per series: final CUSUM,
+    running max, and alarm count must match the two-window batch plan
+    exactly — streamed == batch as a driver-checked equality, not just
+    a pytest.
+
+    Value parity: each per-row statistic rounds at 6dp before any
+    comparison or aggregate on BOTH sides (ts_cusum_alarm policy);
+    alarms and maxima are computed over the rounded values.
+
+    Scale shape: state per key is five scalars — O(|series|) total,
+    the minimum any drift detector carries; per-batch work is one sort
+    + one vectorized numpy pass over the batch's rows. At 100 TB this
+    is the shape Structured Streaming wants: bounded keyed state,
+    batch-sized compute, no reprocessing of history."""
+    import os
+    import tempfile
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table, scratch_cleanup
+
+    TARGET_PLUS_SLACK = 55.0
+    H = 20.5
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    # ts is TIMESTAMP_NTZ (no direct double cast): go through micros
+    epoch = "unix_micros(cast(ts as timestamp))"
+    cuts = ev.agg(
+        F.expr(f"percentile({epoch}, 1.0/3.0)").alias("c1"),
+        F.expr(f"percentile({epoch}, 2.0/3.0)").alias("c2"),
+    ).collect()[0]
+    src = tempfile.mkdtemp(prefix="stream_cusum_src_")
+    with scratch_cleanup(src):
+        tsd = F.expr(epoch)
+        tertiles = [
+            ev.filter(tsd <= cuts.c1),
+            ev.filter((tsd > cuts.c1) & (tsd <= cuts.c2)),
+            ev.filter(tsd > cuts.c2),
+        ]
+        for t in tertiles:
+            t.coalesce(1).write.mode("append").parquet(src)
+        # FileStreamSource orders by mtime: pin the three files to the
+        # write order (tertile writes are sequential, but pin anyway —
+        # same-second mtimes would otherwise tie)
+        files = sorted(
+            (f for f in os.listdir(src) if f.endswith(".parquet")),
+            key=lambda f: os.path.getmtime(os.path.join(src, f)),
+        )
+        now = _time.time()
+        for i, f in enumerate(files):
+            os.utime(os.path.join(src, f), (now - 100 + i, now - 100 + i))
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            # watermarks require TIMESTAMP (not NTZ); same instants
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        out_schema = T.StructType(
+            [
+                T.StructField("event_type", T.StringType(), False),
+                T.StructField("n_events", T.LongType(), False),
+                T.StructField("last_cusum", T.DoubleType(), False),
+                T.StructField("max_cusum", T.DoubleType(), False),
+                T.StructField("n_alarms", T.LongType(), False),
+            ]
+        )
+        state_schema = T.StructType(
+            [
+                T.StructField("p_last", T.DoubleType(), False),
+                T.StructField("run_min", T.DoubleType(), False),
+                T.StructField("max_s", T.DoubleType(), False),
+                T.StructField("n_alarms", T.LongType(), False),
+                T.StructField("n_events", T.LongType(), False),
+            ]
+        )
+
+        def update(key, pdfs, state: GroupState):
+            p_last, run_min, max_s, n_alarms, n_events = (
+                state.get if state.exists else (0.0, float("inf"), float("-inf"), 0, 0)
+            )
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            if len(pdf):
+                pdf = pdf.sort_values(["ts", "event_id"])
+                d = pdf["value"].to_numpy(dtype=np.float64) - TARGET_PLUS_SLACK
+                p = p_last + np.cumsum(d)
+                rm = np.minimum(run_min, np.minimum.accumulate(p))
+                s = np.round(p - np.minimum(0.0, rm), 6)
+                n_alarms += int((s > H).sum())
+                max_s = max(max_s, float(s.max()))
+                n_events += len(pdf)
+                p_last, run_min = float(p[-1]), float(rm[-1])
+                last_s = float(s[-1])
+            else:
+                last_s = 0.0
+            state.update((p_last, run_min, max_s, n_alarms, n_events))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_events": [n_events],
+                    "last_cusum": [last_s],
+                    "max_cusum": [max_s],
+                    "n_alarms": [n_alarms],
+                }
+            )
+
+        tracked = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                update,
+                outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        emitted = _run_available_now_append(tracked, "cusum_state")
+        # one emission per key per batch; n_events is monotone, so the
+        # final state row per key is the max-n_events one
+        final = emitted.groupBy("event_type").agg(
+            F.max(
+                F.struct("n_events", "last_cusum", "max_cusum", "n_alarms")
+            ).alias("s")
+        )
+        return final.select(
+            "event_type",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.last_cusum").alias("last_cusum"),
+            F.col("s.max_cusum").alias("max_cusum"),
+            F.col("s.n_alarms").alias("n_alarms"),
+        ).localCheckpoint(eager=True)

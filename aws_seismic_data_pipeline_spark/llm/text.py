@@ -1004,3 +1004,106 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BM25_TOP_DOCS)
         .select("doc_id", "n_hit", "bm25", F.col("rn").cast("long").alias("rank"))
     )
+
+
+@register(
+    "text_bigram_perplexity",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        pairs AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i])) AS w1,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i+1])) AS w2
+            FROM tok WHERE len(toks) >= 2
+        ),
+        c12 AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM pairs GROUP BY w1, w2
+        ),
+        c1 AS (
+            SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+        ),
+        v AS (
+            SELECT CAST(COUNT(DISTINCT tokk) AS DOUBLE) AS v
+            FROM (SELECT unnest(toks) AS tokk FROM tok)
+        ),
+        scored AS (
+            SELECT p.doc_id,
+                   -ln((b.c12 + 1.0) / (u.c1 + v.v)) AS surprisal
+            FROM pairs p
+            JOIN c12 b ON p.w1 = b.w1 AND p.w2 = b.w2
+            JOIN c1 u ON p.w1 = u.w1
+            CROSS JOIN v
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(surprisal), 6) AS bigram_cross_entropy
+        FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional LM cross-entropy per document — the proper
+    sequence model over ``text_lm_perplexity``'s unigram: surprisal of
+    each bigram is -ln P(w2|w1) under add-one smoothing over the
+    unigram vocabulary, ``(c(w1,w2)+1)/(c(w1,·)+V)``, averaged per
+    doc. Boilerplate repeats its transitions, so it scores LOW;
+    shuffled/garbled text has plausible unigrams but improbable
+    transitions, so it scores HIGH where the unigram LM is blind — the
+    two together are the CCNet-style quality pair.
+
+    Value parity: per-bigram surprisals are the same ln of the same
+    integer-derived doubles on both engines; only the per-doc AVG
+    accumulates in engine order, hence ROUND(6) on the aggregate
+    (text_lm_perplexity policy).
+
+    Scale shape: one tokenize pass; the (doc, w1, w2) pair explode is
+    localCheckpointed and feeds the bigram counts, the prefix counts
+    (derived FROM the bigram counts, not a second corpus pass), and
+    the final join-back; both count tables are vocabulary-sized;
+    V rides a 1-row broadcast. Hot-prefix skew (stopword w1) flattens
+    in the map-side partials exactly as in tfidf's df aggregate."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = F.split("text", " ")
+    pairs = (
+        docs.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1),"
+                    " i -> struct(element_at(split(text, ' '), i) AS w1,"
+                    " element_at(split(text, ' '), i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .localCheckpoint(eager=True)
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    v = (
+        docs.select(F.explode(toks).alias("tokk"))
+        .agg(F.countDistinct("tokk").cast("double").alias("v"))
+    )
+    scored = (
+        pairs.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            (-F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v")))).alias(
+                "surprisal"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("surprisal"), 6).alias("bigram_cross_entropy"),
+    )

@@ -622,3 +622,41 @@ def test_embedding_lsh_recall_of_true_pairs(spark):
     # blocking structurally CANNOT (cross-label near-dups) — measured
     # ~6x the label-blocked pair count at every fixture SF
     assert len(got_pairs - truth) > len(truth)
+
+
+def test_bigram_perplexity_separates_transitions(spark, monkeypatch):
+    """The bigram LM must rank a doc with REPEATED transitions below
+    (lower surprisal) a doc whose unigrams are identical but whose
+    transitions are unique — the case the unigram LM cannot separate —
+    and match the hand-computed add-one conditional model."""
+    import math
+
+    import aws_seismic_data_pipeline_spark.llm.text as Tm
+    from aws_seismic_data_pipeline_spark.registry import REGISTRY
+
+    # doc1 repeats the transition (a b); doc2 uses the same unigram
+    # bag {a,a,b,b,c} but never repeats a transition
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a a b b c")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(Tm, "load_table", lambda s, d, t: docs)
+    monkeypatch.setattr(Tm, "spread", lambda df, s: df)
+    out = {r.doc_id: r for r in
+           REGISTRY["text_bigram_perplexity"].builder(spark, "x").collect()}
+
+    # corpus bigrams: doc1 -> (a,b)(b,a)(a,b)(b,c), doc2 -> (a,a)(a,b)(b,b)(b,c)
+    c12 = {("a","b"): 3, ("b","a"): 1, ("b","c"): 2, ("a","a"): 1, ("b","b"): 1}
+    c1 = {"a": 4, "b": 4}
+    V = 3.0
+
+    def ce(text):
+        ts = text.split(" ")
+        ss = [-math.log((c12[(x, y)] + 1.0) / (c1[x] + V))
+              for x, y in zip(ts, ts[1:])]
+        return round(sum(ss) / len(ss), 6)
+
+    for doc_id, text in [(1, "a b a b c"), (2, "a a b b c")]:
+        assert abs(out[doc_id].bigram_cross_entropy - ce(text)) < 2e-6
+        assert out[doc_id].n_bigrams == 4
+    assert out[1].bigram_cross_entropy < out[2].bigram_cross_entropy

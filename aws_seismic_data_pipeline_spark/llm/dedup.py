@@ -1774,3 +1774,74 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(bucket_pairs, "vec_a long, vec_b long, cosine double")
         .distinct()
     )
+
+
+@register(
+    "dedup_embedding_canonical",
+    oracle=f"""
+        WITH RECURSIVE sig AS (
+            SELECT vec_id, embedding, {_SLSH_DUCK} AS bands
+            FROM embeddings
+        ),
+        exploded AS (
+            SELECT vec_id, embedding, j AS band, bands[j+1] AS bucket
+            FROM sig, unnest(generate_series(0, {_SLSH_BANDS - 1})) t(j)
+        ),
+        edges AS (
+            SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+            FROM exploded a
+            JOIN exploded b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+            WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.18
+        ),
+        und AS (
+            SELECT a, b FROM edges
+            UNION SELECT b, a FROM edges
+            UNION SELECT vec_id, vec_id FROM sig
+        ),
+        reach(src, dst) AS (
+            SELECT a, a FROM und
+            UNION
+            SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+        )
+        SELECT src AS vec_id,
+               CAST(MIN(dst) AS BIGINT) AS component_id,
+               MIN(dst) = src AS is_canonical
+        FROM reach GROUP BY src
+    """,
+    tags=("llm", "dedup", "lsh"),
+)
+def dedup_embedding_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup END TO END in embedding space:
+    sign-LSH candidate pairs (``dedup_embedding_lsh``) → exact-cosine
+    verification (inside that op) → connected components → one
+    CANONICAL representative (min vec_id) per semantic cluster, with
+    every vector labeled (singletons are their own canonical). The
+    embedding twin of the token-space ``dedup_cluster_canonical``:
+    same component machinery (``_min_label_components``, raise-on-
+    non-convergence), same recursive-CTE reachability oracle — the
+    whole LSH→verify→cluster→canonicalize pipeline is hash-checked,
+    not just its first stage.
+
+    Scale shape: edge generation is the banded-LSH shape (n² never
+    materialized); self-edges add |corpus| rows so singleton coverage
+    costs one union, not a join; label propagation shuffles the
+    (|nodes| + |edges|)-row frames per round with diameter-bounded
+    rounds — semantic-dup clusters are short-diameter in practice
+    (near-dups of a common source), the long-chain risk the raise
+    guards."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup_embedding_lsh(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    self_edges = emb.select(
+        F.col("vec_id").alias("doc_a"), F.col("vec_id").alias("doc_b")
+    )
+    labels = _min_label_components(pairs.unionByName(self_edges))
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("component_id").cast("long").alias("component_id"),
+        (F.col("component_id") == F.col("doc_id")).alias("is_canonical"),
+    )

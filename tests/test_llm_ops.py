@@ -660,3 +660,32 @@ def test_bigram_perplexity_separates_transitions(spark, monkeypatch):
         assert abs(out[doc_id].bigram_cross_entropy - ce(text)) < 2e-6
         assert out[doc_id].n_bigrams == 4
     assert out[1].bigram_cross_entropy < out[2].bigram_cross_entropy
+
+
+def test_embedding_canonical_covers_and_respects_edges(spark):
+    """Canonicalization invariants: every vector is labeled exactly
+    once, every LSH-verified pair lands in one component, each
+    component's canonical is its min member, and dropping
+    non-canonicals removes exactly n_vectors - n_components rows."""
+    import os
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.registry import REGISTRY
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    n_vecs = load_table(spark, sf, "embeddings").count()
+    labels = {r.vec_id: r for r in
+              REGISTRY["dedup_embedding_canonical"].builder(spark, sf).collect()}
+    assert len(labels) == n_vecs
+    comps: dict = {}
+    for r in labels.values():
+        comps.setdefault(r.component_id, []).append(r.vec_id)
+        assert r.is_canonical == (r.vec_id == r.component_id)
+    for cid, members in comps.items():
+        assert cid == min(members), (cid, min(members))
+    pairs = REGISTRY["dedup_embedding_lsh"].builder(spark, sf).collect()
+    assert pairs
+    for p in pairs:
+        assert labels[p.vec_a].component_id == labels[p.vec_b].component_id
+    n_canonical = sum(r.is_canonical for r in labels.values())
+    assert n_canonical == len(comps) < n_vecs

@@ -2237,3 +2237,110 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.element_at(parts, 3)).cast("long").alias("n_chars"),
         F.element_at(parts, 2).alias("lang"),
     )
+
+
+def manifest_incremental_scan(
+    spark: SparkSession, manifest_dir: str, from_snapshot: int, to_snapshot: int
+) -> DataFrame:
+    """INCREMENTAL read between snapshots — the CDC direction of the
+    manifest's time axis (``scan_manifest_asof`` answers "the world AS
+    OF N"; this answers "what ARRIVED in (from, to]"): list the files
+    whose ``add`` landed in the half-open snapshot interval and read
+    only them — the consumption contract an incremental downstream job
+    (index append, dedup promotion, aggregate maintenance) runs on,
+    Iceberg's incremental-append scan — and exactly like Iceberg's, it
+    consumes APPEND snapshots only: a snapshot that carries any
+    ``remove`` is a maintenance commit (compaction rewrite), whose
+    added file mixes moved rows with rows delivered by earlier
+    snapshots — delivering it would double-count the past, so its adds
+    are skipped wholesale (the moved rows were or will be consumed
+    under their original append snapshots; tests pin this with a
+    compaction inside the window). Pure metadata: the path list is
+    interval-sized."""
+    if to_snapshot < from_snapshot:
+        raise ValueError(
+            f"incremental scan: to={to_snapshot} < from={from_snapshot}"
+        )
+    m = spark.read.parquet(manifest_dir)
+    window_rows = m.filter(
+        (F.col("snapshot_id") > from_snapshot)
+        & (F.col("snapshot_id") <= to_snapshot)
+    )
+    maintenance = (
+        window_rows.filter(F.col("op") == "remove")
+        .select("snapshot_id")
+        .distinct()
+    )
+    added = (
+        window_rows.filter(F.col("op") == "add")
+        .join(maintenance, "snapshot_id", "left_anti")
+        .select("path")
+        .distinct()
+    )
+    paths = [r.path for r in added.collect()]
+    if not paths:
+        return spark.createDataFrame([], "doc_id long")
+    return spark.read.parquet(*paths)
+
+
+@register(
+    "scan_manifest_incremental",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE lang IN ('fr', 'zh')
+        GROUP BY lang
+    """,
+    tags=("scan", "manifest", "incremental"),
+)
+def scan_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest's CDC read: with the same 3-snapshot staging as
+    ``scan_manifest_asof`` (base de/en/es at snapshot 0, fr at 1, zh
+    at 2), an incremental scan of (0, 2] must deliver EXACTLY the fr+zh
+    arrivals — none of the base corpus, all of both increments. The
+    oracle recomputes that delta from the raw table, so the driver
+    hash-checks both interval edges. This is the consumption side of
+    every incremental artifact in the repo (index appends, corpus
+    promotion): downstream maintenance reads arrivals-since-N, never
+    the table."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "incr_docs")
+    mpath = scratch_path(spark, sf_dir, "incr_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        load_table(spark, sf_dir, "documents").repartition(
+            "lang"
+        ).write.partitionBy("lang").mode("overwrite").parquet(data_dir)
+
+        def lang_files(*langs: str) -> list[str]:
+            return sorted(
+                p
+                for lang in langs
+                for p in _glob.glob(
+                    os.path.join(data_dir, f"lang={lang}", "*.parquet")
+                )
+            )
+
+        write_stats_manifest(
+            spark, lang_files("de", "en", "es"), mpath, ("doc_id",)
+        )
+        append_stats_manifest(spark, lang_files("fr"), mpath, ("doc_id",))
+        append_stats_manifest(spark, lang_files("zh"), mpath, ("doc_id",))
+        delta = manifest_incremental_scan(spark, mpath, 0, 2)
+        lang = F.regexp_extract(F.input_file_name(), "lang=([^/]+)/", 1)
+        return (
+            delta.groupBy(lang.alias("lang"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )

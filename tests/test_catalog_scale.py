@@ -1332,3 +1332,46 @@ def test_seasonal_adjust_zeroes_pure_seasonality(spark):
     for r in out:
         assert r.baseline == pattern[r.hod], r
         assert r.residual == 0.0, r
+
+
+def test_incremental_scan_skips_compaction_snapshots(spark, tmp_path):
+    """The CDC contract under maintenance: base lands at snapshot 0, a
+    batch at 1, then a compaction rewrites base+batch at 2. An
+    incremental read of (0, 2] must deliver EXACTLY the batch rows —
+    not the compacted file (which would replay the base), not nothing.
+    And an as-of read at 2 must still see every row exactly once."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        append_stats_manifest,
+        commit_data_compaction,
+        manifest_incremental_scan,
+        manifest_pruned_scan,
+        write_stats_manifest,
+    )
+
+    data = str(tmp_path / "data")
+    m = str(tmp_path / "manifest")
+    base = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    batch = spark.range(100, 130).select(F.col("id").alias("doc_id"))
+    base.coalesce(1).write.parquet(data)
+    batch.coalesce(1).write.mode("append").parquet(data)
+    files = sorted(glob.glob(os.path.join(data, "part-*.parquet")))
+    import pyarrow.parquet as pq
+
+    base_f = [f for f in files
+              if pq.ParquetFile(f).metadata.num_rows == 100]
+    batch_f = [f for f in files if f not in base_f]
+    write_stats_manifest(spark, base_f, m, ("doc_id",))
+    append_stats_manifest(spark, batch_f, m, ("doc_id",))
+    commit_data_compaction(spark, m, base_f + batch_f, ("doc_id",))
+
+    delta = manifest_incremental_scan(spark, m, 0, 2)
+    got = sorted(r.doc_id for r in delta.collect())
+    assert got == list(range(100, 130)), (len(got), got[:5])
+
+    world = manifest_pruned_scan(spark, m, "doc_id", 0, 2**62, as_of=2)
+    assert sorted(r.doc_id for r in world.collect()) == list(range(130))

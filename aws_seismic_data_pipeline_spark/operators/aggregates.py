@@ -1177,3 +1177,162 @@ def agg_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sketch_size",
         "kmv_estimate_merged",
     )
+
+
+@register(
+    "agg_kmv_jaccard",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT DISTINCT o_orderpriority, o_custkey,
+                   CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                        AS BIGINT) / 1152921504606846976.0 AS u
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        ),
+        sk AS (
+            SELECT o_orderpriority, o_custkey, u FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                             ORDER BY u, o_custkey) AS rn
+                FROM hashed
+            ) WHERE rn <= {KMV_K}
+        ),
+        merged AS (
+            SELECT o_custkey, u FROM (
+                SELECT o_custkey, u,
+                       ROW_NUMBER() OVER (ORDER BY u, o_custkey) AS rn
+                FROM (SELECT DISTINCT o_custkey, u FROM sk)
+            ) WHERE rn <= {KMV_K}
+        ),
+        flags AS (
+            SELECT m.o_custkey, m.u,
+                   m.o_custkey IN (SELECT o_custkey FROM sk
+                                   WHERE o_orderpriority = '1-URGENT')
+                   AND
+                   m.o_custkey IN (SELECT o_custkey FROM sk
+                                   WHERE o_orderpriority = '2-HIGH')
+                       AS in_both
+            FROM merged m
+        ),
+        est AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+                   CAST(COUNT(*) FILTER (WHERE in_both) AS BIGINT) AS k_both,
+                   ({KMV_K} - 1.0) / MAX(u) AS union_est
+            FROM flags
+        ),
+        exact AS (
+            SELECT CAST(COUNT(DISTINCT CASE WHEN n_p = 2 THEN o_custkey END)
+                        AS BIGINT) AS n_intersection_exact,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_union_exact
+            FROM (
+                SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_p
+                FROM hashed GROUP BY o_custkey
+            ) t
+        )
+        SELECT e.k_used, e.k_both,
+               CAST(e.k_both AS DOUBLE) / e.k_used AS jaccard_est,
+               (CAST(e.k_both AS DOUBLE) / e.k_used) * e.union_est
+                   AS intersection_est,
+               x.n_intersection_exact, x.n_union_exact
+        FROM est e CROSS JOIN exact x
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV trilogy's third member — SET INTERSECTION from sketches
+    alone (Beyer et al. 2007): merge the two groups' K-minimum sketches
+    (``agg_kmv_merge``'s union), and within the merged K smallest
+    hashes the fraction present in BOTH input sketches estimates the
+    Jaccard similarity; × the union estimate gives the intersection
+    cardinality. HLL cannot do this (its registers union but never
+    intersect without inclusion-exclusion error blowup) — the reason
+    warehouses ship theta sketches next to HLL. Estimates are again
+    DETERMINISTIC functions of the portable hash, so the oracle is
+    exact, and the exact intersection/union ride along so the driver
+    hash also pins the error the estimate carries at this fixture.
+
+    Value parity: k_both/k_used is one division of identical
+    integer-derived doubles; the intersection estimate is one further
+    product of bit-identical doubles. Nothing rounds.
+
+    Scale shape: identical to agg_kmv_merge — group sketches are
+    K-sized partials, the merge touches only sketch rows, exact
+    baselines are one distinct-agg pass (dropped in production where
+    the whole point is not scanning for exactness)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    hashed = (
+        orders.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .withColumn(
+            "h",
+            F.expr(
+                "cast(conv(substring(md5(cast(o_custkey as string)), 1, 15),"
+                " 16, 10) as bigint)"
+            ),
+        )
+        .withColumn("u", F.col("h") / F.lit(1152921504606846976.0))
+        .drop("h")
+        .localCheckpoint(eager=True)
+    )
+    wg = Window.partitionBy("o_orderpriority").orderBy("u", "o_custkey")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= KMV_K)
+        .select("o_orderpriority", "o_custkey", "u")
+        .localCheckpoint(eager=True)
+    )
+    wm = Window.orderBy("u", "o_custkey")
+    merged = (
+        sk.select("o_custkey", "u")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    a_keys = sk.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b_keys = sk.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("bk")
+    )
+    flags = (
+        merged.join(
+            a_keys.withColumn("in_a", F.lit(True)), "o_custkey", "left"
+        )
+        .join(
+            b_keys.withColumn("in_b", F.lit(True)),
+            merged.o_custkey == b_keys.bk,
+            "left",
+        )
+        .select(
+            "u",
+            (
+                F.coalesce(F.col("in_a"), F.lit(False))
+                & F.coalesce(F.col("in_b"), F.lit(False))
+            ).alias("in_both"),
+        )
+    )
+    est = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.count(F.when(F.col("in_both"), 1)).cast("long").alias("k_both"),
+        (F.lit(KMV_K - 1.0) / F.max("u")).alias("union_est"),
+    )
+    exact = (
+        hashed.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderpriority").alias("n_p"))
+        .agg(
+            F.count(F.when(F.col("n_p") == 2, 1))
+            .cast("long")
+            .alias("n_intersection_exact"),
+            F.count(F.lit(1)).cast("long").alias("n_union_exact"),
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "k_used",
+        "k_both",
+        (F.col("k_both").cast("double") / F.col("k_used")).alias("jaccard_est"),
+        (
+            (F.col("k_both").cast("double") / F.col("k_used"))
+            * F.col("union_est")
+        ).alias("intersection_est"),
+        "n_intersection_exact",
+        "n_union_exact",
+    )

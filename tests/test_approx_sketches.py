@@ -226,3 +226,24 @@ def test_kmv_merge_equals_direct_global_sketch(spark):
     )
     assert merged.kmv_estimate_merged == direct.est
     assert merged.sketch_size == min(KMV_K, merged.n_exact_global)
+
+
+def test_kmv_jaccard_estimate_tracks_exact(spark):
+    """The merged-sketch Jaccard must land within the sketch's
+    resolution of the exact value: |J_est - J_exact| <= 4/sqrt(K)
+    (generous), and the intersection estimate within the induced band
+    of the exact intersection."""
+    import os
+
+    from aws_seismic_data_pipeline_spark.operators.aggregates import KMV_K
+    from aws_seismic_data_pipeline_spark.registry import REGISTRY
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    r = REGISTRY["agg_kmv_jaccard"].builder(spark, sf).collect()[0]
+    j_exact = r.n_intersection_exact / r.n_union_exact
+    band = 4.0 / (KMV_K ** 0.5)
+    assert abs(r.jaccard_est - j_exact) <= band, (r.jaccard_est, j_exact)
+    if r.n_intersection_exact:
+        rel = abs(r.intersection_est - r.n_intersection_exact) / r.n_intersection_exact
+        # jaccard and union errors compound: allow the doubled band
+        assert rel <= 2 * band + 4.0 / (KMV_K ** 0.5), (r, rel)

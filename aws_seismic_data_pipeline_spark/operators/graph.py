@@ -160,3 +160,126 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         F.round("rank", 9).alias("rank"),
     )
+
+
+#: personalization seed set: suppliers of nation 3 (node ids 2·suppkey)
+PPR_SEED_NATION = 3
+
+_PPR_ORACLE_ITER = """
+        r{i} AS (
+            SELECT node, SUM(val) AS rank FROM (
+                SELECT s.node, 0.15 / (SELECT n FROM ns) AS val FROM seeds s
+                UNION ALL
+                SELECT e.dst AS node, 0.85 * r.rank / d.deg AS val
+                FROM edges e
+                JOIN r{prev} r ON e.src = r.node
+                JOIN deg d ON e.src = d.node
+            ) GROUP BY node
+        )"""
+
+
+@register(
+    "graph_pagerank_personalized",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+        ),
+        edges AS (
+            SELECT CAST(2 * s AS BIGINT) AS src, CAST(2 * p + 1 AS BIGINT) AS dst
+            FROM pairs
+            UNION ALL
+            SELECT CAST(2 * p + 1 AS BIGINT), CAST(2 * s AS BIGINT) FROM pairs
+        ),
+        deg AS (
+            SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS deg
+            FROM edges GROUP BY src
+        ),
+        seeds AS (
+            SELECT DISTINCT CAST(2 * s.s_suppkey AS BIGINT) AS node
+            FROM supplier s
+            JOIN deg d ON CAST(2 * s.s_suppkey AS BIGINT) = d.node
+            WHERE s.s_nationkey = 3
+        ),
+        ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+        r0 AS (
+            SELECT node, 1.0 / (SELECT n FROM ns) AS rank FROM seeds
+        ),"""
+    + ",".join(
+        _PPR_ORACLE_ITER.format(i=i, prev=i - 1)
+        for i in range(1, PAGERANK_ITERS + 1)
+    )
+    + f"""
+        SELECT r.node,
+               CASE WHEN r.node % 2 = 0 THEN 'supplier' ELSE 'part' END
+                   AS node_type,
+               ROUND(r.rank, 9) AS rank
+        FROM r{PAGERANK_ITERS} r
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank: teleportation returns to a seed set (one
+    nation's suppliers) instead of everywhere, so rank measures
+    proximity TO THE SEEDS — the related-items/related-documents query
+    (recommend parts relevant to a nation's supply base; in corpus
+    terms, pages related to a trusted seed list, TrustRank). Same
+    damped sweeps as ``graph_pagerank``; each round is expressed as
+    one SUM over (teleport rows UNION ALL contribution rows), which
+    keeps the support frontier implicit — only reached nodes carry
+    rank, growing one hop per sweep, exactly what the unrolled oracle
+    computes. Value parity: per-edge terms are bit-identical; the
+    per-node SUM rounds at 9dp on output (graph_pagerank policy).
+
+    Scale shape: identical to graph_pagerank (checkpointed edge
+    partitioning reused per sweep), except the rank table starts
+    |seeds|-sized and grows with the frontier — a proximity query on a
+    100 TB graph touches only the seeds' neighborhood, not every
+    node."""
+    edges = _bipartite_edges(spark, sf_dir).repartition(
+        32, "src"
+    ).localCheckpoint(eager=True)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    seeds = (
+        supplier.filter(F.col("s_nationkey") == PPR_SEED_NATION)
+        .select((F.col("s_suppkey") * 2).cast("long").alias("node"))
+        .distinct()
+        .join(deg.select("node"), "node")  # seeds must exist in the graph
+        .localCheckpoint(eager=True)
+    )
+    ns = seeds.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = seeds.crossJoin(F.broadcast(ns)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    teleport = seeds.crossJoin(F.broadcast(ns)).select(
+        "node", (F.lit(0.15) / F.col("n")).alias("val")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(
+                deg.withColumnRenamed("node", "src_d"),
+                F.col("src") == F.col("src_d"),
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(0.85) * F.col("rank") / F.col("deg")).alias("val"),
+            )
+        )
+        ranks = (
+            teleport.unionByName(contrib)
+            .groupBy("node")
+            .agg(F.sum("val").alias("rank"))
+        )
+    return ranks.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("part"))
+        .alias("node_type"),
+        F.round("rank", 9).alias("rank"),
+    )

@@ -121,6 +121,11 @@ HEADLINE = [
     # gram kernels + candidate distinct) and diurnal seasonal adjust
     "dedup_embedding_lsh",
     "ts_seasonal_adjust",
+    # closing wave: the composed embedding dedup pipeline (LSH ->
+    # verify -> components -> canonical) and the sketch-intersection
+    # estimate (merged-KMV Jaccard, sketch-sized work after the scan)
+    "dedup_embedding_canonical",
+    "agg_kmv_jaccard",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

@@ -2344,3 +2344,104 @@ def scan_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+
+def rollback_manifest(
+    spark: SparkSession, manifest_dir: str, to_snapshot: int
+) -> int:
+    """ROLL BACK the table's CURRENT state to an earlier snapshot — as
+    a NEW commit, never by rewriting history (Iceberg's rollback
+    contract): every file visible now but not visible at
+    ``to_snapshot`` gets a remove tombstone at the next snapshot id.
+    Reads pinned to pre-rollback snapshots still reproduce exactly
+    (the registered query's pytest pins both directions), and the
+    rolled-back files become vacuum-reclaimable, not deleted. Pure
+    metadata; both path sets are |manifest|-scale.
+
+    Restriction, inherited from the manifest's unordered tombstone
+    semantics (see ``remove_from_manifest``): a file REMOVED between
+    the target and now (a compaction input) cannot be resurrected — a
+    rollback across such maintenance raises instead of silently
+    restoring a state with missing files."""
+    m = spark.read.parquet(manifest_dir)
+    target = {
+        r.path
+        for r in _visible_stats(m, to_snapshot).select("path").distinct().collect()
+    }
+    current = {
+        r.path
+        for r in _visible_stats(m, None).select("path").distinct().collect()
+    }
+    missing = sorted(target - current)
+    if missing:
+        raise ValueError(
+            "rollback would need to resurrect files removed since the "
+            f"target snapshot (unsupported): {missing[:3]}..."
+        )
+    to_hide = sorted(current - target)
+    if not to_hide:
+        return to_snapshot  # already at (or before) the target state
+    return remove_from_manifest(spark, manifest_dir, to_hide)
+
+
+@register(
+    "plan_manifest_rollback",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE lang <> 'zh'
+        GROUP BY lang
+    """,
+    tags=("plan", "manifest", "maintenance"),
+)
+def plan_manifest_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lifecycle's undo verb: with the standard 3-snapshot staging
+    (base de/en/es at 0, fr at 1, zh at 2), rolling back to snapshot 1
+    must make the CURRENT (unpinned) scan see the world as of 1 — fr
+    in, zh gone — via one tombstone commit at snapshot 3. The oracle
+    recomputes that world from the raw table; tests additionally pin
+    that a read pinned as-of 2 still sees zh AFTER the rollback
+    (history preserved — the property that keeps pre-rollback training
+    runs reproducible)."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "rb_docs")
+    mpath = scratch_path(spark, sf_dir, "rb_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        load_table(spark, sf_dir, "documents").repartition(
+            "lang"
+        ).write.partitionBy("lang").mode("overwrite").parquet(data_dir)
+
+        def lang_files(*langs: str) -> list[str]:
+            return sorted(
+                p
+                for lang in langs
+                for p in _glob.glob(
+                    os.path.join(data_dir, f"lang={lang}", "*.parquet")
+                )
+            )
+
+        write_stats_manifest(
+            spark, lang_files("de", "en", "es"), mpath, ("doc_id",)
+        )
+        v1 = append_stats_manifest(spark, lang_files("fr"), mpath, ("doc_id",))
+        append_stats_manifest(spark, lang_files("zh"), mpath, ("doc_id",))
+        rollback_manifest(spark, mpath, v1)
+        current = manifest_pruned_scan(spark, mpath, "doc_id", 0, 2**62)
+        lang = F.regexp_extract(F.input_file_name(), "lang=([^/]+)/", 1)
+        return (
+            current.groupBy(lang.alias("lang"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )

@@ -1375,3 +1375,49 @@ def test_incremental_scan_skips_compaction_snapshots(spark, tmp_path):
 
     world = manifest_pruned_scan(spark, m, "doc_id", 0, 2**62, as_of=2)
     assert sorted(r.doc_id for r in world.collect()) == list(range(130))
+
+
+def test_rollback_preserves_history_and_guards_resurrection(spark, tmp_path):
+    """Rollback contract: after rolling current back to snapshot 0, an
+    as-of-1 read still sees the rolled-back batch (history preserved),
+    the current read equals the snapshot-0 world, and a rollback that
+    would need to resurrect compaction-removed files raises."""
+    import glob
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        append_stats_manifest,
+        commit_data_compaction,
+        manifest_pruned_scan,
+        rollback_manifest,
+        write_stats_manifest,
+    )
+
+    data = str(tmp_path / "data")
+    m = str(tmp_path / "manifest")
+    spark.range(0, 50).select(F.col("id").alias("doc_id")).coalesce(1).write.parquet(data)
+    spark.range(50, 80).select(F.col("id").alias("doc_id")).coalesce(1).write.mode("append").parquet(data)
+    files = sorted(glob.glob(os.path.join(data, "part-*.parquet")))
+    import pyarrow.parquet as pq
+
+    base_f = [f for f in files if pq.ParquetFile(f).metadata.num_rows == 50]
+    batch_f = [f for f in files if f not in base_f]
+    write_stats_manifest(spark, base_f, m, ("doc_id",))
+    append_stats_manifest(spark, batch_f, m, ("doc_id",))
+
+    rollback_manifest(spark, m, 0)
+    cur = sorted(r.doc_id for r in
+                 manifest_pruned_scan(spark, m, "doc_id", 0, 2**62).collect())
+    assert cur == list(range(50))
+    pinned = sorted(r.doc_id for r in
+                    manifest_pruned_scan(spark, m, "doc_id", 0, 2**62, as_of=1).collect())
+    assert pinned == list(range(80))  # pre-rollback pin reproduces
+
+    # resurrection guard: compact what's visible, then try to roll back
+    # BELOW the compaction -> the inputs are tombstoned, must raise
+    commit_data_compaction(spark, m, base_f, ("doc_id",))
+    with _pytest.raises(ValueError, match="resurrect"):
+        rollback_manifest(spark, m, 0)

@@ -2445,3 +2445,50 @@ def plan_manifest_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+
+@register(
+    "scan_text_gzip",
+    oracle="""
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars, lang
+        FROM documents
+    """,
+    tags=("source", "compression"),
+)
+def scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-transparent text ingest — how web corpora actually arrive
+    (WET/WARC dumps, log shipping: ``.jsonl.gz``/``.txt.gz``): the
+    line corpus of ``scan_text_lines`` is written through Spark's
+    gzip output codec, and the read side does NOTHING special — the
+    text source detects the ``.gz`` extension and inflates per file.
+    The oracle proves the compressed round trip is lossless. The
+    scale caveat a 100 TB ingest must know rides in the plan itself:
+    gzip is NOT splittable, so each .gz file is one task — the
+    pytest pins exactly that (input partitions == number of archive
+    files, NOT bytes/maxPartitionBytes) — which is why production
+    landing zones shard into many medium archives (or use splittable
+    zstd-in-parquet once inside the lake, as every other scan here
+    does)."""
+    prepare(spark)
+    sink = _sink_path("documents_txt_gz", sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    # several archives: the unsplittable-codec parallelism unit is the
+    # FILE, so a real landing zone writes many — mirror that shape
+    (
+        docs.repartition(4)
+        .select(
+            F.concat_ws(
+                "\t", F.col("doc_id").cast("string"), "lang", "text"
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(sink)
+    )
+    back = spark.read.text(sink)
+    parts = F.split("value", "\t", 3)
+    return back.select(
+        F.element_at(parts, 1).cast("long").alias("doc_id"),
+        F.length(F.element_at(parts, 3)).cast("long").alias("n_chars"),
+        F.element_at(parts, 2).alias("lang"),
+    )

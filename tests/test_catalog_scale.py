@@ -1421,3 +1421,34 @@ def test_rollback_preserves_history_and_guards_resurrection(spark, tmp_path):
     commit_data_compaction(spark, m, base_f, ("doc_id",))
     with _pytest.raises(ValueError, match="resurrect"):
         rollback_manifest(spark, m, 0)
+
+
+def test_gzip_text_is_file_granular_and_compressed(spark, tmp_path):
+    """The unsplittable-codec contract: reading N .gz archives yields
+    exactly N input partitions regardless of maxPartitionBytes (each
+    archive is one task), the files really are gzip (magic bytes,
+    smaller than the raw text), and the content round-trips."""
+    import glob
+    import gzip
+    import os
+
+    from pyspark.sql import functions as F
+
+    sink = str(tmp_path / "gz")
+    docs = spark.range(0, 2000).select(
+        F.concat_ws("\t", F.col("id").cast("string"),
+                    F.lit("en"), F.repeat(F.lit("token "), 50)).alias("value")
+    )
+    docs.repartition(4).write.option("compression", "gzip").text(sink)
+    files = sorted(glob.glob(os.path.join(sink, "part-*.gz")))
+    assert len(files) == 4
+    raw_len = 0
+    for f in files:
+        with open(f, "rb") as fh:
+            assert fh.read(2) == b"\x1f\x8b"  # gzip magic
+        with gzip.open(f, "rt") as fh:
+            raw_len += len(fh.read())
+    assert sum(os.path.getsize(f) for f in files) < raw_len / 5
+    back = spark.read.text(sink)
+    assert back.rdd.getNumPartitions() == len(files)
+    assert back.count() == 2000

@@ -7,8 +7,10 @@ Arrow-batched Python stages. Two codec paths, one plumbing:
 - ``real_decode`` is a REAL stdlib codec for uncompressed RIFF/WAVE
   containers (header chunk walk + 16-bit PCM), 24-bit BMP, and —
   genuinely compressed — 8-bit truecolor PNG (CRC-verified chunk walk,
-  zlib inflate, all five inverse scanline filters); ``mm_decode_real``
-  / ``mm_decode_real_image`` / ``mm_decode_real_png`` run it end to
+  zlib inflate, all five inverse scanline filters) and indexed GIF
+  (real LZW: growing code widths, KwKwK case, dictionary resets);
+  ``mm_decode_real`` / ``mm_decode_real_image`` / ``mm_decode_real_png``
+  / ``mm_decode_real_gif`` run it end to
   end over generated-in-engine payloads with exact oracles. Formats
   whose codecs genuinely need external libraries (JPEG, H.264 —
   Pillow/ffmpeg, absent from this container) raise ValueError;
@@ -226,6 +228,140 @@ def _png_unfilter(dec: bytes, w: int, h: int, bpp: int) -> bytes:
     return bytes(out)
 
 
+def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW compression (clear/end codes, 9→12-bit growing
+    widths, dictionary reset at 4096) — the real algorithm, not the
+    'uncompressed GIF' literal-code trick, so the decoder's dictionary
+    reconstruction is load-bearing. Width bump: after assigning code
+    2^cs the NEXT emission needs cs+1 bits (giflib behavior)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out_bits: list[int] = []
+
+    def emit(code: int, cs: int) -> None:
+        for b in range(cs):
+            out_bits.append((code >> b) & 1)
+
+    table = {bytes([i]): i for i in range(1 << min_code_size)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    w = b""
+    for k in data:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(1 << min_code_size)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = bytes([k])
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        v = 0
+        for j, bit in enumerate(out_bits[i : i + 8]):
+            v |= bit << j
+        by.append(v)
+    return bytes(by)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW inflate: LSB-first growing-width codes,
+    the KwKwK self-reference case, dictionary reset on clear. The
+    width bump fires one ASSIGNMENT earlier than the encoder's — the
+    decoder performs assignment a_i while processing code e_{i+1},
+    whose bits were already read, so e_{i+1}'s width must come from
+    a_{i-1} (the classic off-by-one; the prototype's first run emitted
+    'invalid code 516' with symmetric conditions)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    pos, nbits = 0, len(data) * 8
+
+    def read(cs: int) -> int:
+        nonlocal pos
+        if pos + cs > nbits:
+            raise ValueError("malformed GIF: truncated LZW stream")
+        v = 0
+        for b in range(cs):
+            if data[(pos + b) // 8] >> ((pos + b) % 8) & 1:
+                v |= 1 << b
+        pos += cs
+        return v
+
+    out = bytearray()
+    table: dict[int, bytes] = {}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = read(code_size)
+        if code == clear:
+            table, next_code = {}, end + 1
+            code_size, prev = min_code_size + 1, None
+            continue
+        if code == end:
+            break
+        if code < clear:
+            entry = bytes([code])
+        elif code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"malformed GIF: invalid LZW code {code}")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out)
+
+
+def gif_payload(media_id: int) -> bytes:
+    """Deterministic REAL GIF87a payload: an 8-bit indexed image over a
+    256-entry grayscale global palette, pixel index j → (id·13 + j·7) %
+    256, REALLY LZW-compressed (fixture dimensions give 1.2–2.7k
+    pixels, so the code stream crosses at least one width bump).
+    The dictionary-coding sibling of ``png_payload``'s deflate."""
+    import struct
+
+    import numpy as np
+
+    w = 40 + media_id % 13
+    h = 30 + media_id % 7
+    idx = (
+        (media_id * 13 + np.arange(w * h, dtype=np.int64) * 7) % 256
+    ).astype(np.uint8).tobytes()
+    lzw = _lzw_encode(idx)
+    sub = b"".join(
+        bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    palette = bytes(c for i in range(256) for c in (i, i, i))
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        + palette
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([8])
+        + sub
+        + b"\x00"
+        + b"\x3b"
+    )
+
+
 def real_decode(payload: bytes) -> dict:
     """REAL codec: parse uncompressed RIFF/WAVE audio, 24-bit BMP, or
     8-bit truecolor PNG (a genuinely compressed format — chunk walk
@@ -238,6 +374,60 @@ def real_decode(payload: bytes) -> dict:
     import struct
     import zlib
 
+    if len(payload) >= 6 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 13:
+            raise ValueError("malformed GIF: truncated screen descriptor")
+        sw, sh, packed, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+        pos = 13
+        palette = b""
+        if packed & 0x80:
+            n_colors = 2 << (packed & 0x07)
+            palette = payload[pos : pos + 3 * n_colors]
+            if len(palette) < 3 * n_colors:
+                raise ValueError("malformed GIF: truncated color table")
+            pos += 3 * n_colors
+        while pos < len(payload):
+            block = payload[pos]
+            if block == 0x3B:  # trailer
+                raise ValueError("malformed GIF: no image descriptor")
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(payload) and payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                raise ValueError(f"malformed GIF: unknown block {block:#x}")
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            if ipacked & 0xC0:
+                raise ValueError(
+                    "real_decode parses non-interlaced global-palette GIF only"
+                )
+            pos += 10
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos]:
+                size = payload[pos]
+                chunk = payload[pos + 1 : pos + 1 + size]
+                if len(chunk) < size:
+                    raise ValueError("malformed GIF: truncated sub-block")
+                lzw += chunk
+                pos += 1 + size
+            idx = _lzw_decode(bytes(lzw), min_code)
+            if len(idx) != w * h:
+                raise ValueError(
+                    f"malformed GIF: decoded {len(idx)} pixels for {w}x{h}"
+                )
+            return {
+                "format": "gif",
+                "width": w,
+                "height": h,
+                "bits_per_pixel": 8,
+                "pixels": idx,
+                "palette": palette,
+            }
+        raise ValueError("malformed GIF: truncated block stream")
     if len(payload) >= 8 and payload[:8] == b"\x89PNG\r\n\x1a\n":
         pos, ihdr, idat, saw_end = 8, None, bytearray(), False
         while pos + 8 <= len(payload):
@@ -307,9 +497,9 @@ def real_decode(payload: bytes) -> dict:
         }
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError(
-            "real_decode parses uncompressed RIFF/WAVE, 24-bit BMP, and "
-            "8-bit RGB/RGBA PNG only; other compressed formats need an "
-            "external codec (use fake_decode for plumbing)"
+            "real_decode parses uncompressed RIFF/WAVE, 24-bit BMP, 8-bit "
+            "RGB/RGBA PNG, and non-interlaced GIF only; other compressed "
+            "formats need an external codec (use fake_decode for plumbing)"
         )
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
@@ -675,6 +865,85 @@ def mm_decode_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                         meta["width"],
                         meta["height"],
                         meta["bits_per_pixel"],
+                        meta["width"] * meta["height"],
+                        int(px.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "mm_decode_real_gif",
+    oracle="""
+        -- expected decode output recomputed from media_id alone: the
+        -- Spark path must LZW-compress the index stream into a real
+        -- GIF87a container and decode it back — the pixel sum only
+        -- matches if the growing-width dictionary decode reproduces
+        -- every index exactly
+        WITH dims AS (
+            SELECT doc_id AS media_id,
+                   40 + doc_id % 13 AS w,
+                   30 + doc_id % 7 AS h
+            FROM documents
+        )
+        SELECT media_id,
+               'gif' AS format,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST(list_sum(list_transform(
+                        range(0, w * h),
+                        j -> (media_id * 13 + j * 7) % 256
+                    )) AS BIGINT) AS sum_indices
+        FROM dims
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_real_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DICTIONARY-CODING sibling of ``mm_decode_real_png``: each
+    media_id renders into a real GIF87a — indexed pixels LZW-compressed
+    with growing 9→12-bit code widths (fixture dimensions are sized so
+    every payload crosses at least one width bump) — shipped as opaque
+    binary, then decoded back by the stdlib codec (header walk, global
+    palette, sub-block reassembly, LZW inflate incl. the KwKwK case)
+    in one fused mapInPandas pass. The oracle recomputes the expected
+    index sum from the generation arithmetic alone. With deflate (PNG)
+    and LZW (GIF) both real, the env-gated codec boundary is down to
+    transform-coding formats (JPEG/H.264) that genuinely need external
+    libraries."""
+    import numpy as np
+
+    docs = spread_dense(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, table="documents"
+    ).select(F.col("doc_id").alias("media_id"))
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("format", T.StringType(), False),
+            T.StructField("width", T.LongType(), False),
+            T.StructField("height", T.LongType(), False),
+            T.StructField("n_pixels", T.LongType(), False),
+            T.StructField("sum_indices", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid in pdf["media_id"]:
+                meta = real_decode(gif_payload(int(mid)))
+                px = np.frombuffer(meta["pixels"], dtype=np.uint8)
+                rows.append(
+                    (
+                        int(mid),
+                        meta["format"],
+                        meta["width"],
+                        meta["height"],
                         meta["width"] * meta["height"],
                         int(px.astype(np.int64).sum()),
                     )

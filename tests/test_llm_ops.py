@@ -689,3 +689,46 @@ def test_embedding_canonical_covers_and_respects_edges(spark):
         assert labels[p.vec_a].component_id == labels[p.vec_b].component_id
     n_canonical = sum(r.is_canonical for r in labels.values())
     assert n_canonical == len(comps) < n_vecs
+
+
+def test_gif_lzw_codec_round_trip_property():
+    """The GIF LZW pair must round-trip arbitrary ids (growing code
+    widths exercised by the fixture dimensions), survive the
+    dictionary-reset path on large high-entropy images (> 4096 codes),
+    handle the KwKwK self-reference and max-compression runs, and
+    reject truncated payloads."""
+    import numpy as np
+    import pytest as _pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_seismic_data_pipeline_spark.multimodal.media import (
+        _lzw_decode,
+        _lzw_encode,
+        gif_payload,
+        real_decode,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(0, 10**9))
+    def check(mid):
+        w, h = 40 + mid % 13, 30 + mid % 7
+        meta = real_decode(gif_payload(mid))
+        raw = ((mid * 13 + np.arange(w * h, dtype=np.int64) * 7) % 256).astype(
+            np.uint8
+        )
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert np.array_equal(np.frombuffer(meta["pixels"], np.uint8), raw)
+
+    check()
+
+    import random
+
+    rng = random.Random(11)
+    big = bytes(rng.randrange(256) for _ in range(12000))  # forces 4096 reset
+    assert _lzw_decode(_lzw_encode(big)) == big
+    assert _lzw_decode(_lzw_encode(b"\x07" * 6000)) == b"\x07" * 6000  # KwKwK runs
+    assert _lzw_decode(_lzw_encode(b"")) == b""
+
+    with _pytest.raises(ValueError, match="truncated"):
+        real_decode(gif_payload(9)[:-40])

@@ -235,11 +235,20 @@ def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
     reconstruction is load-bearing. Width bump: after assigning code
     2^cs the NEXT emission needs cs+1 bits (giflib behavior)."""
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
-    out_bits: list[int] = []
+    by = bytearray()
+    acc = 0
+    nacc = 0
 
+    # accumulator bit packing: O(1) amortized per CODE, not per bit —
+    # the per-bit list form cost ~7 s on the sf0.1 decode slot
     def emit(code: int, cs: int) -> None:
-        for b in range(cs):
-            out_bits.append((code >> b) & 1)
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += cs
+        while nacc >= 8:
+            by.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
 
     table = {bytes([i]): i for i in range(1 << min_code_size)}
     next_code = end + 1
@@ -266,12 +275,8 @@ def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
     if w:
         emit(table[w], code_size)
     emit(end, code_size)
-    by = bytearray()
-    for i in range(0, len(out_bits), 8):
-        v = 0
-        for j, bit in enumerate(out_bits[i : i + 8]):
-            v |= bit << j
-        by.append(v)
+    if nacc:
+        by.append(acc & 0xFF)
     return bytes(by)
 
 
@@ -284,17 +289,21 @@ def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
     a_{i-1} (the classic off-by-one; the prototype's first run emitted
     'invalid code 516' with symmetric conditions)."""
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
-    pos, nbits = 0, len(data) * 8
+    pos = 0
+    acc = 0
+    nacc = 0
 
     def read(cs: int) -> int:
-        nonlocal pos
-        if pos + cs > nbits:
-            raise ValueError("malformed GIF: truncated LZW stream")
-        v = 0
-        for b in range(cs):
-            if data[(pos + b) // 8] >> ((pos + b) % 8) & 1:
-                v |= 1 << b
-        pos += cs
+        nonlocal pos, acc, nacc
+        while nacc < cs:
+            if pos >= len(data):
+                raise ValueError("malformed GIF: truncated LZW stream")
+            acc |= data[pos] << nacc
+            pos += 1
+            nacc += 8
+        v = acc & ((1 << cs) - 1)
+        acc >>= cs
+        nacc -= cs
         return v
 
     out = bytearray()

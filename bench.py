@@ -126,6 +126,9 @@ HEADLINE = [
     # estimate (merged-KMV Jaccard, sketch-sized work after the scan)
     "dedup_embedding_canonical",
     "agg_kmv_jaccard",
+    # the LZW codec round trip (pure-Python dictionary coding is the
+    # cost — the accumulator bit I/O rewrite took the slot 7.3 -> 3.5 s)
+    "mm_decode_real_gif",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

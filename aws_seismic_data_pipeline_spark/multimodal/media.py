@@ -371,6 +371,111 @@ def gif_payload(media_id: int) -> bytes:
     )
 
 
+def gif_animation_payload(media_id: int) -> bytes:
+    """Deterministic REAL multi-frame GIF: 2 + id%4 frames in one
+    GIF87a container, frame f's pixel index j → (id·13 + f·31 + j·7) %
+    256, each frame independently LZW-compressed — the closest thing
+    to a VIDEO container stdlib can express (sequence of coded frames
+    sharing one header/palette), exercising the decoder's multi-block
+    walk rather than first-block-and-return."""
+    import struct
+
+    import numpy as np
+
+    w = 24 + media_id % 9
+    h = 18 + media_id % 5
+    n_frames = 2 + media_id % 4
+    palette = bytes(c for i in range(256) for c in (i, i, i))
+    out = bytearray(
+        b"GIF87a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0) + palette
+    )
+    for f in range(n_frames):
+        idx = (
+            (media_id * 13 + f * 31 + np.arange(w * h, dtype=np.int64) * 7)
+            % 256
+        ).astype(np.uint8).tobytes()
+        lzw = _lzw_encode(idx)
+        sub = b"".join(
+            bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
+            for i in range(0, len(lzw), 255)
+        )
+        out += (
+            b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([8])
+            + sub
+            + b"\x00"
+        )
+    out += b"\x3b"
+    return bytes(out)
+
+
+def real_decode_frames(payload: bytes) -> dict:
+    """Multi-frame GIF decode: walk EVERY image block (the animation
+    case ``real_decode`` truncates to its first frame), returning the
+    shared geometry and the per-frame index arrays. Raises on the same
+    malformations as the single-frame path."""
+    import struct
+
+    if len(payload) < 6 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("real_decode_frames parses GIF containers only")
+    if len(payload) < 13:
+        raise ValueError("malformed GIF: truncated screen descriptor")
+    sw, sh, packed, _, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if packed & 0x80:
+        n_colors = 2 << (packed & 0x07)
+        if len(payload) < pos + 3 * n_colors:
+            raise ValueError("malformed GIF: truncated color table")
+        pos += 3 * n_colors
+    frames: list[bytes] = []
+    w = h = None
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:
+            if not frames:
+                raise ValueError("malformed GIF: no image descriptor")
+            return {
+                "format": "gif",
+                "width": w,
+                "height": h,
+                "n_frames": len(frames),
+                "frames": frames,
+            }
+        if block == 0x21:
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"malformed GIF: unknown block {block:#x}")
+        _, _, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+        if ipacked & 0xC0:
+            raise ValueError(
+                "real_decode_frames parses non-interlaced global-palette GIF only"
+            )
+        pos += 10
+        min_code = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(payload) and payload[pos]:
+            size = payload[pos]
+            chunk = payload[pos + 1 : pos + 1 + size]
+            if len(chunk) < size:
+                raise ValueError("malformed GIF: truncated sub-block")
+            lzw += chunk
+            pos += 1 + size
+        pos += 1  # block terminator
+        idx = _lzw_decode(bytes(lzw), min_code)
+        if len(idx) != w * h:
+            raise ValueError(
+                f"malformed GIF: decoded {len(idx)} pixels for {w}x{h}"
+            )
+        frames.append(idx)
+    raise ValueError("malformed GIF: missing trailer")
+
+
 def real_decode(payload: bytes) -> dict:
     """REAL codec: parse uncompressed RIFF/WAVE audio, 24-bit BMP, or
     8-bit truecolor PNG (a genuinely compressed format — chunk walk
@@ -955,6 +1060,87 @@ def mm_decode_real_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
                         meta["height"],
                         meta["width"] * meta["height"],
                         int(px.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return docs.mapInPandas(run, schema)
+
+
+@register(
+    "mm_decode_real_video",
+    oracle="""
+        -- expected decode recomputed from media_id alone: the Spark
+        -- path must build a MULTI-FRAME GIF (one LZW stream per frame
+        -- in one container) and walk every image block back out — the
+        -- cross-frame sum only matches if all frames decode exactly
+        WITH dims AS (
+            SELECT doc_id AS media_id,
+                   24 + doc_id % 9 AS w,
+                   18 + doc_id % 5 AS h,
+                   2 + doc_id % 4 AS nf
+            FROM documents
+        )
+        SELECT media_id,
+               'gif' AS format,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(nf AS BIGINT) AS n_frames,
+               CAST(list_sum(list_transform(
+                        range(0, nf * w * h),
+                        j -> (media_id * 13 + (j // (w * h)) * 31
+                              + (j % (w * h)) * 7) % 256
+                    )) AS BIGINT) AS sum_indices
+        FROM dims
+    """,
+    tags=("multimodal",),
+)
+def mm_decode_real_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VIDEO-shaped decode: a real multi-frame container (animated
+    GIF87a — one shared header/palette, 2–5 independently LZW-coded
+    frames) built per media_id, shipped as opaque binary, and decoded
+    by walking EVERY image block (``real_decode_frames``) in one fused
+    mapInPandas pass — frame count and the cross-frame index sum prove
+    all frames round-trip, not just the first. This upgrades the video
+    family's frame-sampling plumbing (``mm_frame_sample``, fake codec)
+    with a real sequence-of-coded-frames decode; true inter-frame
+    codecs (H.264's motion compensation) remain honestly env-gated."""
+    import numpy as np
+
+    docs = spread_dense(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, table="documents"
+    ).select(F.col("doc_id").alias("media_id"))
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("format", T.StringType(), False),
+            T.StructField("width", T.LongType(), False),
+            T.StructField("height", T.LongType(), False),
+            T.StructField("n_frames", T.LongType(), False),
+            T.StructField("sum_indices", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid in pdf["media_id"]:
+                meta = real_decode_frames(gif_animation_payload(int(mid)))
+                total = sum(
+                    int(np.frombuffer(fr, np.uint8).astype(np.int64).sum())
+                    for fr in meta["frames"]
+                )
+                rows.append(
+                    (
+                        int(mid),
+                        meta["format"],
+                        meta["width"],
+                        meta["height"],
+                        meta["n_frames"],
+                        total,
                     )
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])

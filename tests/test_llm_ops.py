@@ -732,3 +732,41 @@ def test_gif_lzw_codec_round_trip_property():
 
     with _pytest.raises(ValueError, match="truncated"):
         real_decode(gif_payload(9)[:-40])
+
+
+def test_gif_animation_walks_all_frames():
+    """Multi-frame decode: every frame's indices must round-trip (not
+    just the first — the single-frame decoder returns early by
+    contract), frame counts follow the generator, and a stream whose
+    trailer is missing raises."""
+    import numpy as np
+    import pytest as _pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_seismic_data_pipeline_spark.multimodal.media import (
+        gif_animation_payload,
+        real_decode,
+        real_decode_frames,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(0, 10**9))
+    def check(mid):
+        w, h, nf = 24 + mid % 9, 18 + mid % 5, 2 + mid % 4
+        m = real_decode_frames(gif_animation_payload(mid))
+        assert (m["width"], m["height"], m["n_frames"]) == (w, h, nf)
+        for f, fr in enumerate(m["frames"]):
+            raw = (
+                (mid * 13 + f * 31 + np.arange(w * h, dtype=np.int64) * 7)
+                % 256
+            ).astype(np.uint8)
+            assert np.array_equal(np.frombuffer(fr, np.uint8), raw)
+        # the single-frame decoder sees the same container's FIRST frame
+        first = real_decode(gif_animation_payload(mid))
+        assert first["pixels"] == m["frames"][0]
+
+    check()
+
+    with _pytest.raises(ValueError, match="trailer|truncated"):
+        real_decode_frames(gif_animation_payload(3)[:-1])

@@ -525,86 +525,145 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-one step every production dedup pipeline runs after pairwise
     scoring.
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own and its neighbors' labels; converges in
-    graph-diameter rounds. Each round is ONE distributed join+agg on
-    the (tiny) label frame against the (checkpointed) edge list — the
-    alternating-join pattern GraphX/GraphFrames use, no driver-side
-    graph. Lineage is cut per round with an eager localCheckpoint:
-    without it round N re-executes all rounds < N (and the shingle
-    join) again. The DuckDB oracle computes the same fixpoint as a
-    recursive-CTE transitive closure — tractable because blocking
-    keeps the edge set tiny relative to the corpus."""
+    Iterative large-star/small-star contraction
+    (``_star_components``): O(log² n) rounds worst case, a handful in
+    practice — NOT diameter-bounded, so boilerplate chains can't blow
+    up the round count. Each round is groupBy+join over the current
+    edge set — no driver-side graph. Lineage is cut per round with an
+    eager localCheckpoint: without it round N re-executes all rounds
+    < N (and the shingle join) again. The DuckDB oracle computes the
+    same fixpoint as a recursive-CTE transitive closure — tractable
+    because blocking keeps the edge set tiny relative to the corpus."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     return _min_label_components(pairs)
 
 
 def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
-    """Min-label propagation over an undirected (doc_a, doc_b) edge
-    list → (doc_id, component_id). Shared by the Jaccard-edge clusters
-    above and the verified-LSH clusters (``dedup_cluster_canonical``).
-    Raises RuntimeError if the fixpoint isn't verified within
-    ``max_rounds`` (graph diameter bound) — wrong labels must never
-    return silently. Deliberately conservative: convergence counts as
-    verified only when a round observes n_changed == 0, so a graph
-    whose last change lands exactly on the final round still raises
-    (the caller should raise the bound, never trust unverified
-    labels)."""
+    """Connected components over an undirected (doc_a, doc_b) edge
+    list → (doc_id, component_id = component-minimum doc_id). Shared by
+    the Jaccard-edge clusters above and the verified-LSH clusters
+    (``dedup_cluster_canonical``). Raises RuntimeError if convergence
+    isn't VERIFIED within ``max_rounds`` — wrong labels must never
+    return silently."""
+    labels, _ = _star_components(pairs, max_rounds)
+    return labels
+
+
+def _star_components(
+    pairs: DataFrame, max_rounds: int = 200
+) -> tuple[DataFrame, int]:
+    """Large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) → ((doc_id,
+    component_id), rounds_used). Replaces the earlier min-label
+    propagation, whose round count was the GRAPH DIAMETER — the exact
+    failure mode its own docstring named (template/boilerplate near-dup
+    chains): at 100× corpus scale a 10k-link chain meant 10k Spark
+    jobs. Star contraction runs in O(log² n) rounds worst case (a few
+    rounds in practice; a length-n path collapses in ~log₂ n): each
+    round (a) LARGE-STAR hangs every strictly-larger neighbor of u off
+    min(N(u) ∪ {u}), halving tree depth like pointer doubling, then
+    (b) SMALL-STAR re-hangs each node and its smaller neighbors off
+    their collective minimum. Both are one groupBy + one join over the
+    current edge set — no driver-side graph, edges stay distributed.
+
+    Convergence contract (unchanged from the min-label version): the
+    alternation's only fixpoints are star states — every component's
+    edges point straight at its minimum node (Kiveris et al., Thm 2) —
+    so convergence is DETECTED by edge-set fixpoint: a (count, hash)
+    fingerprint match followed by an exact ``exceptAll`` verification
+    (count-equal + one-sided-empty ⇒ set-equal; the hash never decides
+    alone). Exhausting ``max_rounds`` without a verified fixpoint
+    raises — partial contractions must never be returned as labels.
+    Pinned against the recursive-CTE DuckDB oracle on every caller and
+    against a 256-node path graph with a round-count assertion
+    (tests/test_llm_ops.py)."""
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
-    edges = pairs.localCheckpoint(eager=True)
-    und = edges.union(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-    labels = (
-        und.select(F.col("doc_a").alias("doc_id"))
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
-        .withColumn("component_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    # Loop until the label frame reaches its fixpoint (n_changed == 0).
-    # Rounds needed = graph diameter; real-world template/boilerplate
-    # near-dup chains can have long diameters, so the bound is a large
-    # safety valve against a driver livelock, NOT the expected exit —
-    # hitting it with n_changed > 0 means the labels are WRONG (the
-    # recursive-CTE oracle computes the true fixpoint) and we raise
-    # rather than silently return a partial clustering.
-    n_changed = 0
-    for _ in range(max_rounds):
-        neigh = (
-            und.join(labels, und.doc_b == labels.doc_id)
-            .groupBy(F.col("doc_a").alias("nid"))
-            .agg(F.min("component_id").alias("neigh_min"))
+    # canonical storage: (a, b) with a > b, deduplicated; self-loops
+    # carry no connectivity (their nodes live in `nodes`)
+    edges = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.greatest("doc_a", "doc_b").alias("a"),
+            F.least("doc_a", "doc_b").alias("b"),
         )
-        # carry the previous label through the update so convergence is
-        # read off the SAME checkpointed frame — one action per round,
-        # not a second old-vs-new join
-        updated = (
-            labels.join(neigh, labels.doc_id == neigh.nid, "left")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _fingerprint(e: DataFrame):
+        # bit_xor, not sum: overflow-free under ANSI mode, order- and
+        # partitioning-insensitive; collision-safe because the hash
+        # never decides alone (exceptAll verifies below)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    fp = _fingerprint(edges)
+    converged = fp[0] == 0  # edgeless graph: all singletons, 0 rounds
+    rounds = 0
+    while not converged and rounds < max_rounds:
+        # LARGE-STAR: for each u, attach every neighbor v > u to
+        # m(u) = min(N(u) ∪ {u}); m ≤ u < v keeps orientation a > b
+        sym = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mn"))
             .select(
-                "doc_id",
-                F.col("component_id").alias("prev_id"),
-                F.least(
-                    F.col("component_id"),
-                    F.coalesce(F.col("neigh_min"), F.col("component_id")),
-                ).alias("component_id"),
+                F.col("a").alias("u"),
+                F.least(F.col("mn"), F.col("a")).alias("m"),
             )
+        )
+        large = (
+            sym.join(mins, sym.a == mins.u)
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # SMALL-STAR: edges are (a=v, b<v); re-hang each node and its
+        # smaller neighbors off their collective minimum
+        mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(mins2, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("a"), F.col("m").alias("b")))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        n_changed = updated.filter(
-            F.col("component_id") != F.col("prev_id")
-        ).count()
-        labels = updated.select("doc_id", "component_id")
-        if n_changed == 0:
-            break
-    if n_changed != 0:
+        rounds += 1
+        new_fp = _fingerprint(small)
+        if new_fp == fp and small.exceptAll(edges).isEmpty():
+            converged = True
+        fp = new_fp
+        edges = small
+    if not converged:
         raise RuntimeError(
-            f"min-label propagation did not converge within {max_rounds} "
-            f"rounds ({n_changed} labels still changing) — component ids "
-            "would be wrong; raise the bound or check for a pathological "
-            "edge set"
+            f"star contraction did not converge within {max_rounds} "
+            "rounds — component ids would be wrong; raise the bound or "
+            "check for a pathological edge set"
         )
-    return labels.select("doc_id", "component_id")
+    # star state: every non-minimum node has exactly one edge, straight
+    # to its component's minimum; minima (and isolated nodes) label
+    # themselves
+    roots = edges.select(
+        F.col("a").alias("doc_id"), F.col("b").alias("component_id")
+    )
+    labels = nodes.join(roots, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("component_id"),
+    )
+    return labels, rounds
 
 
 @register(

@@ -409,9 +409,9 @@ def test_lsh_verified_matches_exact_jaccard_witness(spark):
 
 def test_min_label_components_raises_on_exhausted_rounds(spark):
     """Non-convergence must raise, never silently return partial
-    labels: a 5-node chain has diameter 4, so min-label propagation
-    cannot reach its fixpoint in 1 round — and must say so. The same
-    chain converges (to one component) with the default bound."""
+    labels: star contraction cannot form + verify a star over a 6-node
+    path in 1 round — and must say so. The same chain converges (to one
+    component) with the default bound."""
     import pytest as _pytest
 
     from aws_seismic_data_pipeline_spark.llm.dedup import _min_label_components
@@ -425,6 +425,34 @@ def test_min_label_components_raises_on_exhausted_rounds(spark):
     labels = _min_label_components(chain).collect()
     assert {r.component_id for r in labels} == {0}
     assert len(labels) == 6
+
+
+def test_star_components_path_graph_logarithmic_rounds(spark):
+    """The round-count contract that motivated replacing min-label
+    propagation with large-star/small-star contraction: a 256-node
+    path has diameter 255, so min-label needed ~255 rounds — star
+    contraction must collapse it in O(log n) (≈8 doubling rounds plus
+    fixpoint-verification slack). Also pins correctness on a graph
+    with several components of different shapes: the path, a
+    triangle, an isolated self-loop node, and a 2-node edge — every
+    node labeled by its component minimum."""
+    from aws_seismic_data_pipeline_spark.llm.dedup import _star_components
+
+    edges = (
+        [(i, i + 1) for i in range(255)]  # 256-node path: 0..255
+        + [(300, 301), (301, 302), (302, 300)]  # triangle
+        + [(400, 400)]  # self-loop only: singleton component
+        + [(500, 501)]  # one edge
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    labels_df, rounds = _star_components(pairs)
+    assert rounds <= 16, f"expected O(log n) rounds, used {rounds}"
+    labels = {r.doc_id: r.component_id for r in labels_df.collect()}
+    assert len(labels) == 256 + 3 + 1 + 2
+    assert all(labels[i] == 0 for i in range(256))
+    assert all(labels[i] == 300 for i in (300, 301, 302))
+    assert labels[400] == 400
+    assert labels[500] == 500 and labels[501] == 500
 
 
 def test_classifier_score_matches_hand_logit(spark):

@@ -2492,3 +2492,233 @@ def scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.element_at(parts, 3)).cast("long").alias("n_chars"),
         F.element_at(parts, 2).alias("lang"),
     )
+
+def merge_through_manifest(
+    spark: SparkSession,
+    manifest_dir: str,
+    delta: DataFrame,
+    key: str,
+    cols: list[str],
+) -> tuple[int, int, int]:
+    """MERGE committed THROUGH the manifest — the copy-on-write shape
+    (Iceberg CoW, Delta MERGE): rewrite ONLY the data files whose
+    footer-stats key range intersects the delta's keys, tombstone them
+    and add the rewritten files (plus one insert file for unmatched
+    delta keys) at ONE snapshot id. As-of reads below that snapshot see
+    the pre-merge table unperturbed; current reads see exactly the
+    merged table. Seed: the reference's blind re-upload
+    (``/root/reference/app.py:461-488``) — last-writer-wins by S3 key
+    with no record of what changed; ``plan_merge_upsert`` made the row
+    action observable, and this closes the remaining gap: committing
+    the rewrite atomically in table metadata instead of clobbering
+    files in place.
+
+    Scale shape: candidacy is decided on the MANIFEST (per-file
+    min/max agg + a join against the distinct delta keys — only
+    intersecting paths are ever collected, never the full file list);
+    matched-vs-insert classification joins the delta against ONLY the
+    intersecting files' keys (a non-intersecting file provably
+    contains no delta key — that is what the stats mean; stats-less
+    files are included conservatively); the rewrite reads and writes
+    only intersecting bytes, preserved range-clustered via
+    ``repartitionByRange`` over the same key. Cost is
+    O(intersecting files + delta), independent of table size — the
+    property that makes daily MERGE affordable on a 100 TB table.
+    Data files must carry schema (key, *cols). Returns
+    (snapshot_id, n_files_intersecting, n_files_rewritten);
+    rewritten ≤ intersecting is pytest-pinned
+    (tests/test_catalog_scale.py)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    manifest = _visible_stats(spark.read.parquet(manifest_dir), None)
+    per_file = (
+        manifest.filter(F.col("column_name") == key)
+        .groupBy("path")
+        .agg(
+            F.min("min_val").alias("fmin"),
+            F.max("max_val").alias("fmax"),
+            F.sum(
+                F.when(F.col("min_val").isNull(), 1).otherwise(0)
+            ).alias("n_statless"),
+        )
+    )
+    d = delta.select(key, *cols).localCheckpoint(eager=True)
+    dkeys = d.select(F.col(key).cast("double").alias("_k")).distinct()
+    intersecting = sorted(
+        r.path
+        for r in per_file.join(
+            F.broadcast(dkeys),
+            (F.col("n_statless") > 0)
+            | ((F.col("_k") >= F.col("fmin")) & (F.col("_k") <= F.col("fmax"))),
+            "left_semi",
+        )
+        .select("path")
+        .collect()
+    )
+    snap = _next_snapshot(spark, manifest_dir)
+    new_paths: list[str] = []
+    n_rewritten = 0
+    if intersecting:
+        out_dir = os.path.dirname(intersecting[0])
+        touched = spark.read.parquet(*intersecting)
+        rewritten = (
+            touched.alias("b")
+            .join(d.alias("u"), F.col(f"b.{key}") == F.col(f"u.{key}"), "left")
+            .select(
+                F.col(f"b.{key}").alias(key),
+                *[
+                    F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+                    for c in cols
+                ],
+            )
+        )
+        tmp = os.path.join(out_dir, f".merge_{snap}_stage")
+        (
+            rewritten.repartitionByRange(len(intersecting), key)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        for i, part in enumerate(
+            sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
+        ):
+            dst = os.path.join(out_dir, f"merged-{snap}-{i:05d}.parquet")
+            _shutil.move(part, dst)
+            new_paths.append(dst)
+        _shutil.rmtree(tmp, ignore_errors=True)
+        n_rewritten = len(new_paths)
+        inserts = d.join(touched.select(key), key, "left_anti")
+    else:
+        # no file can contain any delta key: the whole delta inserts
+        any_path = manifest.select("path").limit(1).collect()
+        if not any_path:
+            raise ValueError(f"empty stats manifest at {manifest_dir}")
+        out_dir = os.path.dirname(any_path[0].path)
+        inserts = d
+    ins_path = os.path.join(out_dir, f"merged-{snap}-inserts.parquet")
+    tmp = os.path.join(out_dir, f".merge_{snap}_ins_stage")
+    inserts.coalesce(1).write.mode("overwrite").parquet(tmp)
+    parts = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+    # parquet writes a (schema-only) file even for an empty frame; an
+    # empty insert file would add a stats-less row the pruner must
+    # conservatively open forever — commit it only if it has rows
+    if parts and spark.read.parquet(parts[0]).limit(1).count() > 0:
+        _shutil.move(parts[0], ins_path)
+        new_paths.append(ins_path)
+    _shutil.rmtree(tmp, ignore_errors=True)
+    if not new_paths and not intersecting:
+        raise ValueError("merge_through_manifest: empty delta — nothing to do")
+    if new_paths:
+        append_stats_manifest(
+            spark, new_paths, manifest_dir, (key,), snapshot_id=snap
+        )
+    if intersecting:
+        remove_from_manifest(spark, manifest_dir, intersecting, snapshot_id=snap)
+    return snap, len(intersecting), n_rewritten
+
+
+@register(
+    "plan_manifest_merge",
+    oracle=f"""
+        WITH delta_upd AS (
+            SELECT o_orderkey,
+                   'R' AS o_orderstatus,
+                   o_totalprice + 1000.0 AS o_totalprice
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+              AND o_orderkey BETWEEN {_RG_PRUNE_RANGE[0]} AND {_RG_PRUNE_RANGE[1]}
+        ),
+        delta_ins AS (
+            SELECT o_orderkey + 100000000 AS o_orderkey,
+                   'N' AS o_orderstatus,
+                   o_totalprice
+            FROM orders WHERE o_orderkey % 997 = 7
+        ),
+        delta AS (SELECT * FROM delta_upd UNION ALL SELECT * FROM delta_ins),
+        base AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ),
+        merged AS (
+            SELECT COALESCE(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   COALESCE(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+                   COALESCE(d.o_totalprice, b.o_totalprice) AS o_totalprice
+            FROM base b FULL OUTER JOIN delta d
+              ON b.o_orderkey = d.o_orderkey
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM merged
+        GROUP BY o_orderstatus
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE through the manifest, end to end: orders
+    (projected to key/status/price) lands range-clustered across 16
+    files with a stats manifest; the daily delta re-prices urgent
+    orders in a narrow key band (UPDATE — only the few files whose
+    key range covers the band get rewritten) and lands brand-new keys
+    far beyond every file's range (INSERT — one new file, zero
+    rewrites). ``merge_through_manifest`` commits rewritten + insert
+    files and tombstones the originals at ONE snapshot. The query then
+    reads the WHOLE table through the manifest: per-status counts and
+    cent-exact sums must equal a relational MERGE of the same delta —
+    if a non-intersecting file was rewritten or a tombstone missed,
+    rows double or vanish and the driver hash catches it. Time travel
+    across the merge snapshot (both directions) and rewritten ≤
+    intersecting are pytest-pinned in tests/test_catalog_scale.py."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "merge_cow_orders")
+    mpath = scratch_path(spark, sf_dir, "merge_cow_manifest")
+    lo, hi = _RG_PRUNE_RANGE
+    with scratch_cleanup(data_dir, mpath):
+        full = load_table(spark, sf_dir, "orders")
+        orders = full.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        orders.repartitionByRange(16, "o_orderkey").write.mode(
+            "overwrite"
+        ).parquet(data_dir)
+        files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
+        write_stats_manifest(spark, files, mpath, ("o_orderkey",))
+        delta = (
+            full.filter(
+                (F.col("o_orderkey").between(lo, hi))
+                & (F.col("o_orderpriority") == "1-URGENT")
+            )
+            .select(
+                "o_orderkey",
+                F.lit("R").alias("o_orderstatus"),
+                (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            )
+            .unionByName(
+                orders.filter(F.col("o_orderkey") % 997 == 7).select(
+                    (F.col("o_orderkey") + F.lit(100000000)).alias(
+                        "o_orderkey"
+                    ),
+                    F.lit("N").alias("o_orderstatus"),
+                    "o_totalprice",
+                )
+            )
+        )
+        merge_through_manifest(
+            spark, mpath, delta, "o_orderkey", ["o_orderstatus", "o_totalprice"]
+        )
+        return (
+            manifest_pruned_scan(spark, mpath, "o_orderkey", 0, 2**62)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .cast("long")
+                .alias("total_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )

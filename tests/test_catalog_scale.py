@@ -1452,3 +1452,96 @@ def test_gzip_text_is_file_granular_and_compressed(spark, tmp_path):
     back = spark.read.text(sink)
     assert back.rdd.getNumPartitions() == len(files)
     assert back.count() == 2000
+
+
+def test_manifest_merge_cow_rewrites_only_intersecting_and_time_travels(
+    spark, tmp_path
+):
+    """The copy-on-write MERGE contract: (a) only files whose stats
+    range intersects the delta keys are rewritten (rewritten ≤
+    intersecting < total), (b) the current read equals a relational
+    MERGE of the same delta, (c) an as-of read below the merge snapshot
+    returns the pre-merge table byte-for-byte, (d) an insert-only delta
+    (keys beyond every file's range) rewrites NOTHING and lands one
+    insert file, and (e) an as-of pinned between the two merges sees
+    the first but not the second."""
+    import glob
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        manifest_pruned_scan,
+        merge_through_manifest,
+        write_stats_manifest,
+    )
+
+    from .conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    data_dir = str(tmp_path / "cow_orders")
+    orders.repartitionByRange(16, "o_orderkey").write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "cow_manifest")
+    write_stats_manifest(spark, files, mpath, ("o_orderkey",))
+
+    lo, hi = 200, 700
+    upd = orders.filter(F.col("o_orderkey").between(lo, hi)).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(500.0)).alias("o_totalprice"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 503 == 1).select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    assert upd.count() > 0 and ins.count() > 0
+    snap, n_int, n_rw = merge_through_manifest(
+        spark, mpath, upd.unionByName(ins), "o_orderkey",
+        ["o_orderstatus", "o_totalprice"],
+    )
+    # (a) partial rewrite: the band covers some but not all files
+    assert 0 < n_int < len(files), (n_int, len(files))
+    assert n_rw <= n_int
+
+    def _rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    full = lambda as_of=None: manifest_pruned_scan(
+        spark, mpath, "o_orderkey", -1, 2**62, as_of=as_of
+    )
+    # (b) current == relational MERGE (update applied, inserts appended)
+    expected = _rows(
+        orders.withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey").between(lo, hi), "X").otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey").between(lo, hi),
+                F.col("o_totalprice") + F.lit(500.0),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(ins)
+    )
+    assert _rows(full()) == expected
+    # (c) time travel below the merge: pre-merge table, unperturbed
+    assert _rows(full(as_of=snap - 1)) == _rows(orders)
+
+    # (d) insert-only second merge: nothing intersects, nothing rewritten
+    ins2 = orders.filter(F.col("o_orderkey") % 503 == 2).select(
+        (F.col("o_orderkey") + F.lit(20_000_000)).alias("o_orderkey"),
+        F.lit("Z").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    assert ins2.count() > 0
+    snap2, n_int2, n_rw2 = merge_through_manifest(
+        spark, mpath, ins2, "o_orderkey", ["o_orderstatus", "o_totalprice"]
+    )
+    assert snap2 > snap and n_int2 == 0 and n_rw2 == 0
+    # (e) pinned between the merges: first delta visible, second not
+    assert _rows(full(as_of=snap)) == expected
+    assert _rows(full()) == sorted(expected + _rows(ins2))

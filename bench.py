@@ -144,6 +144,7 @@ PHASED = {
     "text_decontaminate_indexed": "_bench_gram_index",
     "scan_manifest_bloom": "_bench_bloom_manifest",
     "sim_topk_pq": "_bench_pq",
+    "plan_manifest_merge": "_bench_manifest_lifecycle",
 }
 
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "5"))
@@ -427,6 +428,115 @@ def _bench_pq(spark, sf_dir: str) -> dict[str, float]:
     ).mode("overwrite").save()
     probe = time.perf_counter() - t0
     return {"pq_train_encode": build, "pq_probe_rerank": probe}
+
+
+def _bench_manifest_lifecycle(spark, sf_dir: str) -> dict[str, float]:
+    """The table-format metadata lifecycle, each verb timed separately
+    so a metadata-path regression is visible on its own slot instead of
+    hiding inside one opaque number: manifest build (footer-read 12
+    range-clustered files), incremental append (the per-ingest-batch
+    cost), stats-pruned read (the recurring query-path cost), the
+    copy-on-write MERGE commit, a data-compaction commit, the
+    equality-delete read (scan minus broadcast delete keys), and the
+    vacuum orphan report. The data-file write itself is NOT timed —
+    it's fixture staging, not a lifecycle verb."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        _visible_stats,
+        append_stats_manifest,
+        commit_data_compaction,
+        equality_delete,
+        manifest_pruned_scan,
+        merge_through_manifest,
+        read_with_deletes,
+        vacuum_orphans_report,
+        write_stats_manifest,
+    )
+
+    base = os.path.join(
+        "/tmp", f"manifest_bench_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    data_dir = os.path.join(base, "data")
+    mpath = os.path.join(base, "manifest")
+    full = load_table(spark, sf_dir, "orders")
+    orders = full.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    orders.repartitionByRange(16, "o_orderkey").write.parquet(data_dir)
+    files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+    out: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    write_stats_manifest(spark, files[:12], mpath, ("o_orderkey",))
+    out["manifest_build"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    append_stats_manifest(spark, files[12:], mpath, ("o_orderkey",))
+    out["manifest_append"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    manifest_pruned_scan(spark, mpath, "o_orderkey", 1000, 5000).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["manifest_pruned_read"] = time.perf_counter() - t0
+
+    delta = (
+        full.filter(
+            (F.col("o_orderkey").between(1000, 5000))
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select(
+            "o_orderkey",
+            F.lit("R").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 997 == 7).select(
+                (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    t0 = time.perf_counter()
+    merge_through_manifest(
+        spark, mpath, delta, "o_orderkey", ["o_orderstatus", "o_totalprice"]
+    )
+    out["manifest_merge_commit"] = time.perf_counter() - t0
+
+    # compact a handful of currently-visible fragments into one file
+    visible = sorted(
+        r.path
+        for r in _visible_stats(spark.read.parquet(mpath), None)
+        .select("path")
+        .distinct()
+        .collect()
+    )
+    t0 = time.perf_counter()
+    commit_data_compaction(spark, mpath, visible[:4], ("o_orderkey",))
+    out["manifest_compact_commit"] = time.perf_counter() - t0
+
+    equality_delete(
+        spark, mpath, "o_orderkey", [int(k) for k in range(1, 3000, 31)]
+    )
+    t0 = time.perf_counter()
+    read_with_deletes(spark, mpath, "o_orderkey").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["manifest_eqdelete_read"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    vacuum_orphans_report(spark, data_dir, mpath).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["manifest_vacuum_report"] = time.perf_counter() - t0
+
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def main() -> None:

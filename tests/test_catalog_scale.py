@@ -1545,3 +1545,89 @@ def test_manifest_merge_cow_rewrites_only_intersecting_and_time_travels(
     # (e) pinned between the merges: first delta visible, second not
     assert _rows(full(as_of=snap)) == expected
     assert _rows(full()) == sorted(expected + _rows(ins2))
+
+
+def test_bloom_fp_rate_matches_sizing_math_at_sf01(spark, tmp_path):
+    """The 100 TB sizing argument, MEASURED instead of asserted: build
+    the per-file bloom manifest at sf0.1 (the bench fixture — ~9.4k
+    rows/file under the k=5, bits_per_key=10, pow2-rounded sizing),
+    probe thousands of keys PROVABLY ABSENT from the table, and compare
+    the observed per-(file, probe) false-positive rate against the
+    analytic rate p = (1 - e^{-k*n/m})^k computed from each file's own
+    footer row count and persisted m_bits. Pinned two-sided: measured
+    within [0.25x, 2x] of analytic — the upper bound catches a hash
+    family gone clumpy (FP economics break and scans stop pruning),
+    the lower bound catches a filter that silently stopped setting bits
+    (which would also show as false negatives, pinned to ZERO below on
+    sampled present keys: absent bits can only prune, never lose
+    rows)."""
+    import glob
+    import math
+    from functools import reduce
+    from operator import and_ as AND
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        _BLOOM_A,
+        _bloom_pos_sql,
+        build_bloom_manifest,
+        read_footer_stats_multi,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    data_dir = str(tmp_path / "bloom_fp_orders")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(
+        16, "o_custkey"
+    ).write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    bpath = str(tmp_path / "bloom_fp_manifest")
+    build_bloom_manifest(spark, files, bpath, "o_orderkey")
+    man = spark.read.parquet(bpath)
+
+    # absent by construction: dense 0-based o_orderkey < n_rows << 10^9
+    n_probes = 4000
+    probes = spark.range(n_probes).select(
+        (F.lit(1_000_000_000) + F.col("id") * 7919).alias("probe_k")
+    )
+    hit = reduce(
+        AND,
+        (
+            F.expr(
+                f"(bloom[CAST({pos} DIV 64 AS INT)]"
+                f" & shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT)))"
+                " <> 0"
+            )
+            for pos in _bloom_pos_sql("probe_k", "m_bits")
+        ),
+    )
+    measured = man.crossJoin(probes).filter(hit).count()
+
+    k = len(_BLOOM_A)
+    per_file = {
+        r.path: r.n
+        for r in read_footer_stats_multi(spark, files, ("o_orderkey",))
+        .groupBy("path")
+        .agg(F.sum("n_rows").alias("n"))
+        .collect()
+    }
+    m_by_path = {r.path: r.m_bits for r in man.select("path", "m_bits").collect()}
+    expected = n_probes * sum(
+        (1.0 - math.exp(-k * n / m_by_path[p])) ** k
+        for p, n in per_file.items()
+    )
+    assert expected > 20, f"fixture too small to resolve FP rate: {expected}"
+    assert 0.25 * expected <= measured <= 2.0 * expected, (measured, expected)
+
+    # zero false negatives on sampled PRESENT keys: the bloom of the
+    # file that physically holds a key must always hit for that key
+    truth = (
+        spark.read.parquet(*files)
+        .select(
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias(
+                "path"
+            ),
+            F.col("o_orderkey").alias("probe_k"),
+        )
+        .filter(F.col("probe_k") % 1009 == 0)  # ~150 scattered keys
+    )
+    misses = truth.join(man, "path").filter(~hit).count()
+    assert misses == 0, f"{misses} false negatives — bloom lost rows"

@@ -1916,3 +1916,118 @@ def dedup_embedding_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component_id").cast("long").alias("component_id"),
         (F.col("component_id") == F.col("doc_id")).alias("is_canonical"),
     )
+
+
+#: exact-substring dedup shingle width (tokens). 8 balances precision
+#: (an 8-token verbatim match is rarely coincidence) against recall on
+#: the fixture's short documents; production corpora use 50 (Lee et
+#: al. 2022) — the plan is width-independent.
+_SPAN_K = 8
+
+
+@register(
+    "dedup_span_exact",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, i - 1 AS pos,
+                   CAST(('0x' || substring(md5(
+                       array_to_string(w[i:i+{_SPAN_K - 1}], ' ')
+                   ), 1, 15)) AS BIGINT) AS h
+            FROM toks, UNNEST(range(1, len(w) - {_SPAN_K} + 2)) AS t(i)
+        ),
+        dup AS (
+            SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup USING (h)),
+        brks AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > COALESCE(MAX(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), -{2 * _SPAN_K}) + {_SPAN_K} THEN 1 ELSE 0
+                   END AS brk
+            FROM hits
+        ),
+        grp AS (
+            SELECT doc_id, pos,
+                   SUM(brk) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                   ) AS island
+            FROM brks
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + {_SPAN_K - 1} AS BIGINT) AS span_end,
+               CAST(MAX(pos) + {_SPAN_K} - MIN(pos) AS BIGINT)
+                   AS span_tokens
+        FROM grp GROUP BY doc_id, island
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-SPAN detection — the substring-level dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), which removes verbatim repeated passages (licenses,
+    boilerplate headers, quoted templates) that document-level near-dup
+    scoring keeps because the surrounding text differs. Their suffix
+    array is a single-machine structure; the Spark-first equivalent:
+    position-carrying K-token shingles (one O(len) transform per doc,
+    the slice idiom shared with :func:`dedup_ngram_jaccard`), a
+    groupBy(hash) marking shingles seen in >= 2 DISTINCT docs, a
+    semi-join carrying only duplicated (doc, pos) rows onward, then a
+    gaps-and-islands window merge of overlapping-or-adjacent hits into
+    MAXIMAL spans per doc — (doc_id, span_start, span_end,
+    span_tokens), token-indexed, ready for a splice-out rewrite.
+
+    Scale shape: no pairwise join anywhere — duplication is decided by
+    a count-distinct AGGREGATE on the shingle hash (a boilerplate
+    shingle in d docs costs d rows, never d²); the window merge
+    partitions by doc_id (bounded by doc length). The 64-bit shingle
+    space holds to ~10^9 shingles (birthday bound); beyond that, widen
+    the hash — a false collision can only ADD a span, never lose data.
+    Seed: the reference re-downloads WHOLE chunks on overlap
+    (``/root/reference/app.py:461-488``); this is the sub-document
+    version of that overlap decision. Maximal-merge semantics (overlap,
+    adjacency, gap-separation, multi-doc independence) pytest-pinned in
+    tests/test_llm_ops.py."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    k = _SPAN_K
+    sh_arr = F.expr(
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {k - 1},"
+        " 0)),"
+        f" i -> cast(conv(substring(md5(concat_ws(' ',"
+        f" slice(split(text, ' '), i, {k}))), 1, 15), 16, 10) as bigint))"
+    )
+    shingled = docs.select(
+        "doc_id", F.posexplode(sh_arr).alias("pos", "h")
+    )
+    dup = (
+        shingled.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = shingled.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max("pos").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        F.col("pos") > F.coalesce(prev_max, F.lit(-2 * k)) + k, 1
+    ).otherwise(0)
+    spans = (
+        hits.withColumn("brk", brk)
+        .withColumn("island", F.sum("brk").over(w))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            (F.max("pos") + F.lit(k) - F.min("pos"))
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )
+    return spans.select("doc_id", "span_start", "span_end", "span_tokens")

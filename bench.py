@@ -129,6 +129,9 @@ HEADLINE = [
     # the LZW codec round trip (pure-Python dictionary coding is the
     # cost — the accumulator bit I/O rewrite took the slot 7.3 -> 3.5 s)
     "mm_decode_real_gif",
+    # round-9 additions: exact duplicated-span detection (shingle
+    # aggregate + islands window — the no-pairwise-join plan)
+    "dedup_span_exact",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

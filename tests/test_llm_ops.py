@@ -798,3 +798,41 @@ def test_gif_animation_walks_all_frames():
 
     with _pytest.raises(ValueError, match="trailer|truncated"):
         real_decode_frames(gif_animation_payload(3)[:-1])
+
+
+def test_dedup_span_exact_merges_maximal_spans(spark, tmp_path):
+    """The gaps-and-islands merge must produce MAXIMAL spans: two docs
+    share (a) a 10-token verbatim run — overlapping 8-gram hits that
+    must merge into ONE span of exactly 10 tokens — and (b) a second
+    8-token run separated by a unique gap — its own span, not merged
+    across the gap. A third doc shares nothing and must not appear."""
+    from aws_seismic_data_pipeline_spark.llm.dedup import dedup_span_exact
+
+    shared10 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    shared8 = "kilo lima mike november oscar papa quebec romeo"
+    docs = [
+        # doc 0: [shared10][2 unique][shared8][1 unique]
+        (0, f"{shared10} u0a u0b {shared8} u0c"),
+        # doc 1: [3 unique][shared10][4 unique][shared8]
+        (1, f"v1a v1b v1c {shared10} v1d v1e v1f v1g {shared8}"),
+        # doc 2: all unique
+        (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    rows = dedup_span_exact(spark, sf_dir).collect()
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in rows
+    }
+    assert got == {
+        # doc 0: tokens 0-9 (shared10), then 12-19 (shared8)
+        (0, 0, 9, 10),
+        (0, 12, 19, 8),
+        # doc 1: tokens 3-12 (shared10), then 17-24 (shared8)
+        (1, 3, 12, 10),
+        (1, 17, 24, 8),
+    }, got

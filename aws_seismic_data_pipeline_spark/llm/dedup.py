@@ -2031,3 +2031,121 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return spans.select("doc_id", "span_start", "span_end", "span_tokens")
+
+
+@register(
+    "dedup_span_strip",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, i - 1 AS pos,
+                   CAST(('0x' || substring(md5(
+                       array_to_string(w[i:i+{_SPAN_K - 1}], ' ')
+                   ), 1, 15)) AS BIGINT) AS h
+            FROM toks, UNNEST(range(1, len(w) - {_SPAN_K} + 2)) AS t(i)
+        ),
+        dup AS (
+            SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        covered AS (
+            SELECT DISTINCT s.doc_id, u.p AS pos
+            FROM sh s JOIN dup USING (h),
+                 UNNEST(range(s.pos, s.pos + {_SPAN_K})) AS u(p)
+        ),
+        all_toks AS (
+            SELECT doc_id, i - 1 AS pos, w[i] AS tok
+            FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)
+        ),
+        kept AS (
+            SELECT a.* FROM all_toks a
+            LEFT JOIN covered c ON a.doc_id = c.doc_id AND a.pos = c.pos
+            WHERE c.doc_id IS NULL
+        )
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT)
+                   AS n_tokens_before,
+               CAST(COALESCE(k.n_after, 0) AS BIGINT) AS n_tokens_after,
+               COALESCE(k.cleaned, '') AS cleaned_text
+        FROM documents d
+        LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n_after,
+                   string_agg(tok, ' ' ORDER BY pos) AS cleaned
+            FROM kept GROUP BY doc_id
+        ) k USING (doc_id)
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLICE-OUT of exact duplicated spans — the rewrite step that
+    turns :func:`dedup_span_exact`'s span report into a cleaned corpus
+    (Lee et al. 2022 remove EVERY occurrence of a duplicated substring;
+    so does this — the duplicated passage carries no new information in
+    any of its homes). Tokens covered by any duplicated K-shingle are
+    dropped; survivors are re-joined in position order; documents with
+    no duplicated spans pass through verbatim and a fully-duplicated
+    document becomes the empty string (kept as a row — dropping it is
+    the caller's quality-gate decision, not the rewriter's).
+
+    Scale shape: the span side re-derives duplicated positions with the
+    same aggregate plan as dedup_span_exact (no pairwise join), expands
+    them to covered token indexes (×K map-side), and the rewrite is one
+    left_anti join from the posexploded token stream to the covered set
+    — both shuffled by (doc_id, pos); no window over the whole corpus.
+    The reconstruction (sort_array of (pos, token) structs →
+    concat_ws) is per-doc bounded. Parity note: reconstruction must be
+    BYTE-identical cross-engine, so the surface re-joins with single
+    spaces — exactly the tokenizer's inverse."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    k = _SPAN_K
+    toks_arr = F.split(F.col("text"), " ")
+    sh_arr = F.expr(
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {k - 1},"
+        " 0)),"
+        f" i -> cast(conv(substring(md5(concat_ws(' ',"
+        f" slice(split(text, ' '), i, {k}))), 1, 15), 16, 10) as bigint))"
+    )
+    shingled = docs.select(
+        "doc_id", F.posexplode(sh_arr).alias("pos", "h")
+    )
+    dup = (
+        shingled.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    covered = (
+        shingled.join(dup, "h", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    all_toks = docs.select(
+        "doc_id", F.posexplode(toks_arr).alias("pos", "tok")
+    )
+    kept = all_toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens_after"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, tok))),"
+                " s -> s.tok)"
+            ),
+        ).alias("cleaned_text"),
+    )
+    return docs.select(
+        "doc_id", F.size(toks_arr).cast("long").alias("n_tokens_before")
+    ).join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens_before",
+        F.coalesce("n_tokens_after", F.lit(0).cast("long")).alias(
+            "n_tokens_after"
+        ),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )

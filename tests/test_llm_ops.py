@@ -836,3 +836,41 @@ def test_dedup_span_exact_merges_maximal_spans(spark, tmp_path):
         (1, 3, 12, 10),
         (1, 17, 24, 8),
     }, got
+
+
+def test_dedup_span_strip_rewrites_exactly(spark, tmp_path):
+    """Splice-out semantics: every occurrence of a duplicated span is
+    removed from every doc, survivors re-join in order, untouched docs
+    pass through verbatim, and token accounting agrees with the span
+    report (n_before - n_after == sum of the doc's span_tokens)."""
+    from aws_seismic_data_pipeline_spark.llm.dedup import (
+        dedup_span_exact,
+        dedup_span_strip,
+    )
+
+    shared10 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    shared8 = "kilo lima mike november oscar papa quebec romeo"
+    docs = [
+        (0, f"{shared10} u0a u0b {shared8} u0c"),
+        (1, f"v1a v1b v1c {shared10} v1d v1e v1f v1g {shared8}"),
+        (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),
+        (3, shared10),  # fully duplicated -> empty survivor
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {r.doc_id: r for r in dedup_span_strip(spark, sf_dir).collect()}
+    assert got[0].cleaned_text == "u0a u0b u0c"
+    assert got[1].cleaned_text == "v1a v1b v1c v1d v1e v1f v1g"
+    assert got[2].cleaned_text == docs[2][1]  # untouched, verbatim
+    assert got[3].cleaned_text == "" and got[3].n_tokens_after == 0
+
+    spans = dedup_span_exact(spark, sf_dir).collect()
+    removed = {}
+    for s in spans:
+        removed[s.doc_id] = removed.get(s.doc_id, 0) + s.span_tokens
+    for did, r in got.items():
+        assert r.n_tokens_before - r.n_tokens_after == removed.get(did, 0)

@@ -2510,6 +2510,7 @@ def merge_through_manifest(
     delta: DataFrame,
     key: str,
     cols: list[str],
+    insert_files: int = 1,
 ) -> tuple[int, int, int]:
     """MERGE committed THROUGH the manifest — the copy-on-write shape
     (Iceberg CoW, Delta MERGE): rewrite ONLY the data files whose
@@ -2606,16 +2607,28 @@ def merge_through_manifest(
             raise ValueError(f"empty stats manifest at {manifest_dir}")
         out_dir = os.path.dirname(any_path[0].path)
         inserts = d
-    ins_path = os.path.join(out_dir, f"merged-{snap}-inserts.parquet")
     tmp = os.path.join(out_dir, f".merge_{snap}_ins_stage")
-    inserts.coalesce(1).write.mode("overwrite").parquet(tmp)
-    parts = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+    # insert_files=1 suits the common daily-delta ≪ table case; a bulk
+    # backfill passes more and each becomes its own range-clustered,
+    # independently-pruned manifest row
+    ins = (
+        inserts.coalesce(1)
+        if insert_files <= 1
+        else inserts.repartitionByRange(insert_files, key)
+    )
+    ins.write.mode("overwrite").parquet(tmp)
     # parquet writes a (schema-only) file even for an empty frame; an
     # empty insert file would add a stats-less row the pruner must
-    # conservatively open forever — commit it only if it has rows
-    if parts and spark.read.parquet(parts[0]).limit(1).count() > 0:
-        _shutil.move(parts[0], ins_path)
-        new_paths.append(ins_path)
+    # conservatively open forever — commit only parts that have rows
+    for i, part in enumerate(
+        sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
+    ):
+        if spark.read.parquet(part).limit(1).count() > 0:
+            ins_path = os.path.join(
+                out_dir, f"merged-{snap}-inserts-{i:05d}.parquet"
+            )
+            _shutil.move(part, ins_path)
+            new_paths.append(ins_path)
     _shutil.rmtree(tmp, ignore_errors=True)
     if not new_paths and not intersecting:
         raise ValueError("merge_through_manifest: empty delta — nothing to do")

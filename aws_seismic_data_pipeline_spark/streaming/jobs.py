@@ -1260,3 +1260,180 @@ def stream_cusum_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.max_cusum").alias("max_cusum"),
             F.col("s.n_alarms").alias("n_alarms"),
         ).localCheckpoint(eager=True)
+
+
+#: CDC-merge demo bands: two disjoint urgent-reprice update batches
+#: plus an insert batch (disjoint keys => batches commute, so the
+#: final table is batch-order-independent and SQL-expressible)
+#: bands sit inside the dense 0-based o_orderkey space of the SMALLEST
+#: fixture (sf0.001 has ~1.5k keys), so every batch is non-empty at
+#: every SF
+_STREAM_MERGE_BANDS = ((200, 600, "R", 1000.0), (601, 1000, "S", 2000.0))
+
+
+def run_stream_merge(
+    spark: SparkSession,
+    sf_dir: str,
+    data_dir: str,
+    mpath: str,
+    delta_dir: str,
+    ckpt: str,
+) -> None:
+    """Stage the governed base table + manifest, land the three CDC
+    delta files, and drain them as per-file micro-batches, each
+    committing one copy-on-write MERGE snapshot. Shared by the
+    registered query (which reads the final state through the
+    manifest) and the pytest pin (which inspects the per-batch
+    snapshot boundaries the scratch-cleaned query can't expose)."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        merge_through_manifest,
+        write_stats_manifest,
+    )
+
+    full = load_table(spark, sf_dir, "orders")
+    orders = full.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    orders.repartitionByRange(16, "o_orderkey").write.mode(
+        "overwrite"
+    ).parquet(data_dir)
+    files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
+    write_stats_manifest(spark, files, mpath, ("o_orderkey",))
+
+    os.makedirs(delta_dir, exist_ok=True)
+    for i, (lo, hi, status, bump) in enumerate(_STREAM_MERGE_BANDS):
+        _write_single_parquet(
+            full.filter(
+                (F.col("o_orderkey").between(lo, hi))
+                & (F.col("o_orderpriority") == "1-URGENT")
+            ).select(
+                "o_orderkey",
+                F.lit(status).alias("o_orderstatus"),
+                (F.col("o_totalprice") + F.lit(bump)).alias("o_totalprice"),
+            ),
+            os.path.join(delta_dir, f"delta-{i}.parquet"),
+        )
+    _write_single_parquet(
+        orders.filter(F.col("o_orderkey") % 997 == 7).select(
+            (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+        ),
+        os.path.join(delta_dir, "delta-2.parquet"),
+    )
+
+    deltas = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(delta_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        merge_through_manifest(
+            spark,
+            mpath,
+            batch_df,
+            "o_orderkey",
+            ["o_orderstatus", "o_totalprice"],
+        )
+
+    q = (
+        deltas.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register(
+    "stream_manifest_merge",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ),
+        delta AS (
+            SELECT o_orderkey,
+                   '{_STREAM_MERGE_BANDS[0][2]}' AS o_orderstatus,
+                   o_totalprice + {_STREAM_MERGE_BANDS[0][3]} AS o_totalprice
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+              AND o_orderkey BETWEEN {_STREAM_MERGE_BANDS[0][0]}
+                                 AND {_STREAM_MERGE_BANDS[0][1]}
+            UNION ALL
+            SELECT o_orderkey,
+                   '{_STREAM_MERGE_BANDS[1][2]}' AS o_orderstatus,
+                   o_totalprice + {_STREAM_MERGE_BANDS[1][3]} AS o_totalprice
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+              AND o_orderkey BETWEEN {_STREAM_MERGE_BANDS[1][0]}
+                                 AND {_STREAM_MERGE_BANDS[1][1]}
+            UNION ALL
+            SELECT o_orderkey + 100000000 AS o_orderkey,
+                   'N' AS o_orderstatus,
+                   o_totalprice
+            FROM orders WHERE o_orderkey % 997 = 7
+        ),
+        merged AS (
+            SELECT COALESCE(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   COALESCE(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+                   COALESCE(d.o_totalprice, b.o_totalprice) AS o_totalprice
+            FROM base b FULL OUTER JOIN delta d
+              ON b.o_orderkey = d.o_orderkey
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM merged
+        GROUP BY o_orderstatus
+    """,
+    tags=("stream", "plan", "layout", "maintenance"),
+)
+def stream_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC apply through the manifest — Delta-style
+    `foreachBatch MERGE`, the production shape for continuously
+    arriving upserts against a governed table: the base table lands
+    range-clustered with a stats manifest; three delta files (two
+    disjoint urgent-reprice bands + far-key inserts) arrive as
+    SEPARATE micro-batches (``maxFilesPerTrigger=1`` under an
+    availableNow drain), and each batch commits one copy-on-write
+    MERGE snapshot (``merge_through_manifest`` — rewrite only the
+    files whose stats range covers that batch's keys). The final
+    whole-table read through the manifest must equal ONE relational
+    MERGE of all three deltas — valid because the deltas' key sets
+    are disjoint, so the per-batch commits commute and the oracle is
+    batch-order-independent. Per-batch snapshot boundaries (one
+    time-travelable snapshot per non-empty batch, base state at
+    as-of 0) are pytest-pinned in tests/test_streaming.py. Seed: the
+    reference's scheduler loop re-uploading overlapping chunks
+    per poll (``/root/reference/app.py:271-273,461-488``), here as
+    atomic metadata commits instead of blind S3 overwrites."""
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        manifest_pruned_scan,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "stream_merge_data")
+    mpath = scratch_path(spark, sf_dir, "stream_merge_manifest")
+    delta_dir = scratch_path(spark, sf_dir, "stream_merge_deltas")
+    ckpt = data_dir + "_ckpt"
+    with scratch_cleanup(data_dir, mpath, delta_dir, ckpt):
+        run_stream_merge(spark, sf_dir, data_dir, mpath, delta_dir, ckpt)
+        return (
+            manifest_pruned_scan(spark, mpath, "o_orderkey", 0, 2**62)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .cast("long")
+                .alias("total_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )

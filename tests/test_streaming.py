@@ -418,3 +418,89 @@ def test_stream_cusum_carries_order_sensitive_state(spark, tmp_path):
     assert r.last_cusum == round(s, 6), (r.last_cusum, s)
     assert r.max_cusum == round(max_s, 6)
     assert r.n_alarms == n_alarms and n_alarms >= 2
+
+
+def test_stream_merge_commits_one_snapshot_per_batch(spark, tmp_path):
+    """The streaming CDC-merge must commit exactly one time-travelable
+    snapshot per non-empty micro-batch: the base manifest lands at
+    snapshot 0, the three delta files drain as three batches ->
+    snapshots 1..3, as-of 0 reproduces the pre-merge table exactly,
+    and the final view equals the base with all three (disjoint,
+    hence commuting) deltas applied."""
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        manifest_pruned_scan,
+    )
+    from aws_seismic_data_pipeline_spark.streaming.jobs import (
+        _STREAM_MERGE_BANDS,
+        run_stream_merge,
+    )
+
+    from .conftest import SF_DIR
+
+    data_dir = str(tmp_path / "data")
+    mpath = str(tmp_path / "manifest")
+    delta_dir = str(tmp_path / "deltas")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_merge(spark, SF_DIR, data_dir, mpath, delta_dir, ckpt)
+
+    snaps = sorted(
+        r.snapshot_id
+        for r in spark.read.parquet(mpath)
+        .select("snapshot_id")
+        .distinct()
+        .collect()
+    )
+    assert snaps == [0, 1, 2, 3], snaps
+
+    def rows(as_of=None):
+        return sorted(
+            map(
+                tuple,
+                manifest_pruned_scan(
+                    spark, mpath, "o_orderkey", -1, 2**62, as_of=as_of
+                ).collect(),
+            )
+        )
+
+    full = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    orders = full.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    assert rows(as_of=0) == sorted(map(tuple, orders.collect()))
+
+    merged = orders
+    for lo, hi, status, bump in _STREAM_MERGE_BANDS:
+        urgent = (F.col("o_orderkey").between(lo, hi)) & (
+            F.col("o_orderkey").isin(
+                [
+                    r.o_orderkey
+                    for r in full.filter(
+                        F.col("o_orderpriority") == "1-URGENT"
+                    )
+                    .filter(F.col("o_orderkey").between(lo, hi))
+                    .collect()
+                ]
+            )
+        )
+        merged = merged.withColumn(
+            "o_totalprice",
+            F.when(urgent, F.col("o_totalprice") + F.lit(bump)).otherwise(
+                F.col("o_totalprice")
+            ),
+        ).withColumn(
+            "o_orderstatus",
+            F.when(urgent, status).otherwise(F.col("o_orderstatus")),
+        )
+    inserts = orders.filter(F.col("o_orderkey") % 997 == 7).select(
+        (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    expected = sorted(map(tuple, merged.unionByName(inserts).collect()))
+    assert rows() == expected
+    # intermediate pins: each snapshot's view is a superset-in-time —
+    # row count only grows at the insert batch, stays flat on updates
+    counts = [len(rows(as_of=s)) for s in snaps]
+    n_base, n_ins = counts[0], inserts.count()
+    assert sorted(counts) == [n_base, n_base, n_base, n_base + n_ins]
+    assert counts[3] == n_base + n_ins

@@ -2003,29 +2003,50 @@ def equality_delete(
     return int(snapshot_id)
 
 
+def _live_delete_records(
+    manifest: DataFrame, column: str, as_of: int | None
+) -> DataFrame:
+    """The equality-delete records STILL IN FORCE at ``as_of``:
+    'delete_eq' rows for ``column`` at snapshots <= the pin, minus
+    those retired by a later-or-equal 'delete_retire' record (whose
+    min_val carries the retired-through snapshot ceiling). Pinned
+    reads between a delete and its compaction still subtract; reads at
+    or above the compaction see the physically-rewritten files and an
+    empty live-delete set."""
+    if as_of is not None:
+        manifest = manifest.filter(F.col("snapshot_id") <= as_of)
+    scoped = manifest.filter(F.col("column_name") == column)
+    ceiling = (
+        scoped.filter(F.col("op") == "delete_retire")
+        .agg(F.max("min_val"))
+        .collect()[0][0]
+    )
+    dels = scoped.filter(F.col("op") == "delete_eq")
+    if ceiling is not None:
+        dels = dels.filter(F.col("snapshot_id") > int(ceiling))
+    return dels
+
+
 def read_with_deletes(
     spark: SparkSession,
     manifest_dir: str,
     column: str,
     as_of: int | None = None,
 ) -> DataFrame:
-    """The manifest-visible table MINUS its equality deletes: scan the
-    files visible at ``as_of`` (full key range through
+    """The manifest-visible table MINUS its live equality deletes: scan
+    the files visible at ``as_of`` (full key range through
     ``manifest_pruned_scan``), then anti-join the delete keys recorded
-    at or below the pin. The delete set is metadata-scale and
+    at or below the pin and not yet retired
+    (``_live_delete_records``). The delete set is metadata-scale and
     BROADCASTS — at 100 TB the subtraction costs one map-side hash
     probe per row, no shuffle of data. An as-of below the delete
-    snapshot resurrects the rows (history is never rewritten); a
-    compaction rewrite that physically drops the rows and retires the
-    delete records is the maintenance step that keeps the delete set
-    from growing unboundedly."""
+    snapshot resurrects the rows (history is never rewritten);
+    ``compact_equality_deletes`` is the maintenance step that
+    physically drops the rows, retires the records, and keeps the
+    delete set from growing unboundedly."""
     manifest = spark.read.parquet(manifest_dir)
-    if as_of is not None:
-        manifest = manifest.filter(F.col("snapshot_id") <= as_of)
     dels = (
-        manifest.filter(
-            (F.col("op") == "delete_eq") & (F.col("column_name") == column)
-        )
+        _live_delete_records(manifest, column, as_of)
         .select(F.col("min_val").alias("__del_key"))
         .distinct()
     )
@@ -2743,6 +2764,169 @@ def plan_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
                 .cast("long")
                 .alias("total_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+def compact_equality_deletes(
+    spark: SparkSession, manifest_dir: str, column: str
+) -> tuple[int, int, int, int]:
+    """MATERIALIZE the live equality deletes — the maintenance step
+    ``read_with_deletes`` names as what keeps the delete set from
+    growing unboundedly (Iceberg's rewrite_data_files +
+    rewrite_position_delete_files collapsed into one verb): find the
+    data files whose stats range can contain any live delete key (the
+    same manifest-side candidacy as ``merge_through_manifest`` — only
+    candidate paths are collected), rewrite them WITHOUT the deleted
+    rows, and commit add(rewritten) + remove(candidates) + ONE
+    'delete_retire' record (min_val = the retired-through snapshot
+    ceiling) at a single snapshot. After the commit, current reads
+    subtract nothing (the rows are physically gone and the records
+    retired); pinned reads between a delete and the compaction still
+    subtract via the records; pinned reads below the delete still see
+    the rows. Cost is O(candidate files + delete records), independent
+    of table size. Returns (snapshot_id, n_candidates, n_rewritten,
+    n_deletes_retired)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    manifest = spark.read.parquet(manifest_dir)
+    live = _live_delete_records(manifest, column, None).localCheckpoint(
+        eager=True
+    )
+    n_live = live.count()
+    if n_live == 0:
+        raise ValueError(
+            f"compact_equality_deletes: no live delete records for "
+            f"{column} in {manifest_dir}"
+        )
+    ceiling = live.agg(F.max("snapshot_id")).collect()[0][0]
+    dkeys = live.select(F.col("min_val").alias("_k")).distinct()
+
+    visible = _visible_stats(manifest, None)
+    per_file = (
+        visible.filter(F.col("column_name") == column)
+        .groupBy("path")
+        .agg(
+            F.min("min_val").alias("fmin"),
+            F.max("max_val").alias("fmax"),
+            F.sum(
+                F.when(F.col("min_val").isNull(), 1).otherwise(0)
+            ).alias("n_statless"),
+        )
+    )
+    candidates = sorted(
+        r.path
+        for r in per_file.join(
+            F.broadcast(dkeys),
+            (F.col("n_statless") > 0)
+            | ((F.col("_k") >= F.col("fmin")) & (F.col("_k") <= F.col("fmax"))),
+            "left_semi",
+        )
+        .select("path")
+        .collect()
+    )
+    snap = _next_snapshot(spark, manifest_dir)
+    new_paths: list[str] = []
+    if candidates:
+        out_dir = os.path.dirname(candidates[0])
+        touched = spark.read.parquet(*candidates)
+        kept = touched.join(
+            F.broadcast(dkeys),
+            touched[column].cast("double") == dkeys["_k"],
+            "left_anti",
+        )
+        tmp = os.path.join(out_dir, f".delcompact_{snap}_stage")
+        kept.repartitionByRange(len(candidates), column).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        for i, part in enumerate(
+            sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
+        ):
+            if spark.read.parquet(part).limit(1).count() == 0:
+                continue  # a fully-deleted range: no file, no stats row
+            dst = os.path.join(
+                out_dir, f"delcompact-{snap}-{i:05d}.parquet"
+            )
+            _shutil.move(part, dst)
+            new_paths.append(dst)
+        _shutil.rmtree(tmp, ignore_errors=True)
+        if new_paths:
+            append_stats_manifest(
+                spark, new_paths, manifest_dir, (column,), snapshot_id=snap
+            )
+        remove_from_manifest(spark, manifest_dir, candidates, snapshot_id=snap)
+    # retire the records THROUGH the ceiling at the same snapshot: a
+    # pinned read in (ceiling, snap) still subtracts; at >= snap the
+    # live set is empty and reads stop paying for history
+    schema = spark.read.parquet(manifest_dir).schema
+    fixed = {
+        "path": "",
+        "file_name": "",
+        "column_name": column,
+        "min_val": float(int(ceiling)),
+        "max_val": float(int(ceiling)),
+        "snapshot_id": int(snap),
+        "op": "delete_retire",
+    }
+    row = tuple(fixed.get(f.name) for f in schema)
+    spark.createDataFrame([row], schema).write.mode("append").parquet(
+        manifest_dir
+    )
+    return snap, len(candidates), len(new_paths), int(n_live)
+
+
+@register(
+    "plan_delete_compaction",
+    oracle=f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE doc_id NOT IN {_EQ_DELETE_IDS}
+        GROUP BY lang
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete COMPACTION end to end — ``plan_equality_delete``
+    is the logical half (records + read-time subtraction); this is the
+    physical half that pays off the debt: same scattered-key erasure,
+    then ``compact_equality_deletes`` rewrites only the candidate files
+    without the deleted rows, tombstones the originals, and retires the
+    delete records at one snapshot. The query reads the CURRENT table
+    through the plain stats-pruned scan — NO read-time subtraction —
+    and must still equal the NOT-IN oracle: if the rewrite missed a
+    file the deleted ids reappear, if it dropped extra rows the sums
+    shrink; the driver hash catches both. The four time-travel windows
+    (below the delete, between delete and compaction, at the
+    compaction, after it) and the emptied live-delete set are
+    pytest-pinned in tests/test_catalog_scale.py."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "delcompact_docs")
+    mpath = scratch_path(spark, sf_dir, "delcompact_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        load_table(spark, sf_dir, "documents").repartition(
+            8, "doc_id"
+        ).write.mode("overwrite").parquet(data_dir)
+        files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
+        write_stats_manifest(spark, files, mpath, ("doc_id",))
+        equality_delete(spark, mpath, "doc_id", list(_EQ_DELETE_IDS))
+        compact_equality_deletes(spark, mpath, "doc_id")
+        return (
+            manifest_pruned_scan(spark, mpath, "doc_id", 0, 2**62)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
             )
             .localCheckpoint(eager=True)
         )

@@ -1631,3 +1631,80 @@ def test_bloom_fp_rate_matches_sizing_math_at_sf01(spark, tmp_path):
     )
     misses = truth.join(man, "path").filter(~hit).count()
     assert misses == 0, f"{misses} false negatives — bloom lost rows"
+
+
+def test_delete_compaction_retires_records_and_preserves_history(
+    spark, tmp_path
+):
+    """The delete-compaction contract across all four time-travel
+    windows: (w0) below the delete snapshot every row is visible; (w1)
+    between delete and compaction the records subtract at read time;
+    (w2/w3) at and after the compaction the rows are PHYSICALLY gone
+    (plain pruned scan agrees, no subtraction), the live-delete set is
+    empty (reads stop paying for history), candidates were a strict
+    subset of files, and rewriting lost no surviving row."""
+    import glob
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        _live_delete_records,
+        compact_equality_deletes,
+        equality_delete,
+        manifest_pruned_scan,
+        read_with_deletes,
+        write_stats_manifest,
+    )
+
+    from .conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    data_dir = str(tmp_path / "docs")
+    docs.repartition(8, "doc_id").write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "manifest")
+    write_stats_manifest(spark, files, mpath, ("doc_id",))
+
+    dead = [3, 100, 203]
+    del_snap = equality_delete(spark, mpath, "doc_id", dead)
+
+    def ids(df):
+        return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+    all_ids = ids(docs)
+    live_ids = sorted(set(all_ids) - set(dead))
+
+    snap, n_cand, n_rw, n_retired = compact_equality_deletes(
+        spark, mpath, "doc_id"
+    )
+    assert n_retired == len(dead)  # one record per erased key
+    assert 0 < n_cand <= len(files) and n_rw <= n_cand
+
+    # w0: below the delete — everything visible, no subtraction applies
+    assert ids(read_with_deletes(spark, mpath, "doc_id", as_of=del_snap - 1)) == all_ids
+    # w1: between delete and compaction — records subtract at read time
+    assert ids(read_with_deletes(spark, mpath, "doc_id", as_of=del_snap)) == live_ids
+    # w2/w3: at/after compaction — physically gone, plain scan agrees
+    assert ids(manifest_pruned_scan(spark, mpath, "doc_id", -1, 2**62)) == live_ids
+    assert ids(read_with_deletes(spark, mpath, "doc_id")) == live_ids
+    # the live-delete set is EMPTY after retirement
+    assert (
+        _live_delete_records(
+            spark.read.parquet(mpath), "doc_id", None
+        ).count()
+        == 0
+    )
+    # and the dead keys are absent from the rewritten bytes themselves
+    current_files = sorted(
+        set(
+            r.path
+            for r in manifest_pruned_scan(spark, mpath, "doc_id", -1, 2**62)
+            .select(
+                F.regexp_replace(
+                    F.input_file_name(), "^file:/+", "/"
+                ).alias("path")
+            )
+            .distinct()
+            .collect()
+        )
+    )
+    raw = spark.read.parquet(*current_files)
+    assert raw.filter(F.col("doc_id").isin(dead)).count() == 0

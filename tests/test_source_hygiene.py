@@ -33,8 +33,10 @@ def _rel(p: str) -> str:
 #: files allowed to contain driver-side .collect() — every site audited
 #: bounded (query-vector sets of 10-50 rows, k x d k-means partials,
 #: 1-row coverage aggs and the 1-row count-min sketch blob, dim tables,
-#: metadata-scale manifest/path frames, per-token bucket lookups)
+#: metadata-scale manifest/path frames, per-token bucket lookups, the
+#: 2-value star-contraction round fingerprint in llm/dedup.py)
 COLLECT_ALLOWED = {
+    "llm/dedup.py",
     "llm/ivf.py",
     "llm/pq.py",
     "operators/aggregates.py",

@@ -453,6 +453,7 @@ def _bench_manifest_lifecycle(spark, sf_dir: str) -> dict[str, float]:
         _visible_stats,
         append_stats_manifest,
         commit_data_compaction,
+        compact_equality_deletes,
         equality_delete,
         manifest_pruned_scan,
         merge_through_manifest,
@@ -531,6 +532,10 @@ def _bench_manifest_lifecycle(spark, sf_dir: str) -> dict[str, float]:
         "overwrite"
     ).save()
     out["manifest_eqdelete_read"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    compact_equality_deletes(spark, mpath, "o_orderkey")
+    out["manifest_delcompact_commit"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     vacuum_orphans_report(spark, data_dir, mpath).write.format("noop").mode(

@@ -2578,15 +2578,18 @@ def merge_through_manifest(
     )
     d = delta.select(key, *cols).localCheckpoint(eager=True)
     dkeys = d.select(F.col(key).cast("double").alias("_k")).distinct()
+    # broadcast the PER-FILE STATS (metadata-scale: |files| rows, bounded
+    # ~10^5 even at 100 TB), never the delta keys — a bulk backfill's
+    # key set is data-scale and must stay distributed
     intersecting = sorted(
         r.path
-        for r in per_file.join(
-            F.broadcast(dkeys),
+        for r in dkeys.join(
+            F.broadcast(per_file),
             (F.col("n_statless") > 0)
             | ((F.col("_k") >= F.col("fmin")) & (F.col("_k") <= F.col("fmax"))),
-            "left_semi",
         )
         .select("path")
+        .distinct()
         .collect()
     )
     snap = _next_snapshot(spark, manifest_dir)
@@ -2816,15 +2819,17 @@ def compact_equality_deletes(
             ).alias("n_statless"),
         )
     )
+    # same broadcast orientation as merge_through_manifest: stats side
+    # (metadata-scale) broadcasts, the key set stays distributed
     candidates = sorted(
         r.path
-        for r in per_file.join(
-            F.broadcast(dkeys),
+        for r in dkeys.join(
+            F.broadcast(per_file),
             (F.col("n_statless") > 0)
             | ((F.col("_k") >= F.col("fmin")) & (F.col("_k") <= F.col("fmax"))),
-            "left_semi",
         )
         .select("path")
+        .distinct()
         .collect()
     )
     snap = _next_snapshot(spark, manifest_dir)

@@ -874,3 +874,96 @@ def test_dedup_span_strip_rewrites_exactly(spark, tmp_path):
         removed[s.doc_id] = removed.get(s.doc_id, 0) + s.span_tokens
     for did, r in got.items():
         assert r.n_tokens_before - r.n_tokens_after == removed.get(did, 0)
+
+
+def test_dedup_span_property_random_planted(spark, tmp_path):
+    """Property check against a pure-Python reference: random corpora
+    with planted shared runs (at doc starts, ends, interiors, and
+    multiple occurrences INSIDE one doc of a run shared with another)
+    must yield exactly the reference's maximal spans and exactly its
+    splice-out texts. Guards the window/island logic where hand-picked
+    cases can't: span-at-position-0, span-to-EOF, back-to-back spans
+    that must merge, within-doc repeats of a cross-doc shingle."""
+    import random
+
+    from aws_seismic_data_pipeline_spark.llm.dedup import (
+        _SPAN_K,
+        dedup_span_exact,
+        dedup_span_strip,
+    )
+
+    rng = random.Random(417)
+    k = _SPAN_K
+    shared_runs = [
+        [f"s{r}w{j}" for j in range(rng.randint(k, k + 6))] for r in range(4)
+    ]
+    docs = []
+    for i in range(10):
+        toks = []
+        # unique prefix for some docs, shared run at position 0 for others
+        if i % 3 != 0:
+            toks += [f"d{i}u{j}" for j in range(rng.randint(1, 6))]
+        for r, run in enumerate(shared_runs):
+            if (i + r) % 2 == 0:
+                toks += run
+                if i % 4 == 0:
+                    toks += run  # within-doc repeat (back-to-back: merges)
+                toks += [f"d{i}g{r}{j}" for j in range(rng.randint(2, 5))]
+        if i % 5 != 0:
+            toks += shared_runs[i % 4]  # span running to EOF
+        docs.append((i, " ".join(toks)))
+
+    def ref_spans(corpus):
+        from collections import defaultdict
+
+        owners = defaultdict(set)
+        sh = {}
+        for did, text in corpus:
+            w = text.split(" ")
+            sh[did] = [tuple(w[p:p + k]) for p in range(len(w) - k + 1)]
+            for g in sh[did]:
+                owners[g].add(did)
+        out = {}
+        for did, grams in sh.items():
+            covered = set()
+            for p, g in enumerate(grams):
+                if len(owners[g]) >= 2:
+                    covered.update(range(p, p + k))
+            spans, start, prev = [], None, None
+            for p in sorted(covered):
+                if start is None:
+                    start = prev = p
+                elif p == prev + 1:
+                    prev = p
+                else:
+                    spans.append((start, prev))
+                    start = prev = p
+            if start is not None:
+                spans.append((start, prev))
+            out[did] = spans
+        return out
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    want = ref_spans(docs)
+    got = {}
+    for r in dedup_span_exact(spark, sf_dir).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+        assert r.span_tokens == r.span_end - r.span_start + 1
+    for did, spans in want.items():
+        assert sorted(got.get(did, [])) == spans, (did, got.get(did), spans)
+
+    stripped = {
+        r.doc_id: r for r in dedup_span_strip(spark, sf_dir).collect()
+    }
+    for did, text in docs:
+        w = text.split(" ")
+        covered = {p for a, b in want[did] for p in range(a, b + 1)}
+        expect = " ".join(t for p, t in enumerate(w) if p not in covered)
+        assert stripped[did].cleaned_text == expect, did
+        assert stripped[did].n_tokens_before == len(w)
+        assert stripped[did].n_tokens_after == len(w) - len(covered)

@@ -2149,3 +2149,99 @@ def dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+        WITH urls AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END
+                   || CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                           ELSE source END
+                   || '.Example.COM'
+                   || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+                   || '/docs/' || CAST(doc_id % 140 AS VARCHAR)
+                   || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+                   || CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN '#sec1' ELSE '' END
+                   AS url
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(lower(url), '#.*$', ''),
+                         '\\?utm_[^#]*$', ''),
+                       ':443/', '/'),
+                     '/$', '') AS canonical_url
+            FROM urls
+        )
+        SELECT canonical_url,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+        FROM canon
+        GROUP BY canonical_url
+        HAVING COUNT(*) >= 2
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the cheapest and first dedup pass a
+    web corpus runs (RefinedWeb/C4 drop refetches of the same page
+    before touching content): scheme/host case-folding, default-port
+    (:443) removal, tracking-parameter (utm_*) stripping, fragment
+    removal, and trailing-slash normalization collapse cosmetic URL
+    variants onto one canonical key; groups with >= 2 docs are refetch
+    clusters, keep-lowest-doc_id the survivor rule. The fixture tables
+    carry no URL column, so the demo DERIVES a deterministic messy URL
+    per doc (case/port/slash/utm/fragment variants keyed off doc_id
+    residues, path collisions via doc_id % 140 — the lcm with the fixture's 20 sources keeps 3-4 real refetches per canonical key at every SF, with host-case and utm variants differing WITHIN a group so those rules are load-bearing) — both engines build
+    and canonicalize the same strings, so the oracle is exact.
+
+    Scale shape: pure JVM string expressions + one groupBy on the
+    canonical key — map-side combine, no join, no UDF; at 100 TB this
+    is strictly cheaper than any content hash because the key is
+    metadata. The regex set is deliberately RE2-safe (no lookarounds)
+    so Spark (Java regex) and DuckDB (RE2) agree byte-for-byte.
+    Seed: the reference's skip-existing S3-key check
+    (``/root/reference/app.py:441-447``) — identity-by-key dedup; a
+    canonicalized URL is that key for the open web."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "HTTPS://").otherwise("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 5 == 0, ":443").otherwise(""),
+        F.concat(F.lit("/docs/"), (F.col("doc_id") % 140).cast("string")),
+        F.when(F.col("doc_id") % 4 == 0, "/").otherwise(""),
+        F.when(F.col("doc_id") % 6 == 0, "?utm_source=feed").otherwise(""),
+        F.when(F.col("doc_id") % 7 == 0, "#sec1").otherwise(""),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), "#.*$", ""),
+                r"\?utm_[^#]*$",
+                "",
+            ),
+            ":443/",
+            "/",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        docs.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

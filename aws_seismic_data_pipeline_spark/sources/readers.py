@@ -1103,8 +1103,19 @@ def manifest_pruned_scan(
     absent from it are invisible, exactly like a table-format snapshot
     — and ``as_of=N`` TIME-TRAVELS the catalog, restricting visibility
     to files whose stats landed at snapshot ≤ N (a metadata filter;
-    the late files' data pages are simply never listed)."""
-    manifest = _visible_stats(spark.read.parquet(manifest_dir), as_of)
+    the late files' data pages are simply never listed). An as-of
+    below an ``expire_manifest_history`` floor RAISES — expired
+    history must fail loudly, never reconstruct partially."""
+    raw = spark.read.parquet(manifest_dir)
+    if as_of is not None:
+        floor = _history_floor(raw)
+        if floor is not None and as_of < floor:
+            raise ValueError(
+                f"as_of={as_of} is below the expire floor {floor} — "
+                f"history at {manifest_dir} was expired; pinned reads "
+                "below the floor cannot be reconstructed"
+            )
+    manifest = _visible_stats(raw, as_of)
     per_file = (
         manifest.filter(F.col("column_name") == column)
         .groupBy("path")
@@ -2929,6 +2940,159 @@ def plan_delete_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             manifest_pruned_scan(spark, mpath, "doc_id", 0, 2**62)
             .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+def expire_manifest_history(
+    spark: SparkSession, manifest_dir: str, expire_below: int
+) -> tuple[int, int]:
+    """EXPIRE manifest history below a snapshot floor — Iceberg's
+    expire_snapshots / Delta's log retention, the verb that stops the
+    manifest growing forever under continuous commits: rows that no
+    read at-or-above the floor can ever need are dropped and the
+    shrunken manifest is swapped in atomically. Kept: every row at
+    snapshot >= floor; 'add' rows of files still visible at the floor
+    (no tombstone below it); live equality-delete records; retire
+    markers (KB-scale, and their ceilings scope any kept records).
+    Dropped: add+remove pairs both below the floor (files whose whole
+    life predates it) and delete records already retired below it. A
+    persisted 'expire' marker records the floor; an as-of read BELOW
+    it now RAISES (``manifest_pruned_scan``) instead of silently
+    reconstructing partial history — the Delta "version not found"
+    contract rather than a wrong answer. Time travel at or above the
+    floor is bit-identical to pre-expire (pytest-pinned). Cost is one
+    read+rewrite of the MANIFEST (metadata-scale), never of data.
+    Returns (rows_before, rows_after)."""
+    import shutil as _shutil
+
+    e = int(expire_below)
+    man = spark.read.parquet(manifest_dir)
+    cur_max = man.agg(F.max("snapshot_id")).collect()[0][0]
+    if cur_max is None or e > cur_max:
+        raise ValueError(
+            f"expire_below={e} exceeds max snapshot {cur_max} — refusing "
+            "to expire the current state"
+        )
+    rows_before = man.count()
+    old = man.filter(F.col("snapshot_id") < e)
+    removed_below = (
+        old.filter(F.col("op") == "remove").select("path").distinct()
+    )
+    keep_old_adds = old.filter(F.col("op") == "add").join(
+        removed_below, "path", "left_anti"
+    )
+    ceiling = (
+        old.filter(F.col("op") == "delete_retire")
+        .agg(F.max("min_val"))
+        .collect()[0][0]
+    )
+    live_old_deletes = old.filter(F.col("op") == "delete_eq")
+    if ceiling is not None:
+        live_old_deletes = live_old_deletes.filter(
+            F.col("snapshot_id") > int(ceiling)
+        )
+    keep = (
+        man.filter(F.col("snapshot_id") >= e)
+        .unionByName(keep_old_adds)
+        .unionByName(live_old_deletes)
+        .unionByName(old.filter(F.col("op").isin("delete_retire", "expire")))
+    )
+    schema = man.schema
+    marker_fixed = {
+        "path": "",
+        "file_name": "",
+        "column_name": "__expire__",
+        "min_val": float(e),
+        "max_val": float(e),
+        "snapshot_id": int(e),
+        "op": "expire",
+    }
+    marker = spark.createDataFrame(
+        [tuple(marker_fixed.get(f.name) for f in schema)], schema
+    )
+    tmp = manifest_dir + ".expiring"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    keep.unionByName(marker).coalesce(1).write.parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+    aside = manifest_dir + ".expired_old"
+    _shutil.rmtree(aside, ignore_errors=True)
+    _shutil.move(manifest_dir, aside)
+    _shutil.move(tmp, manifest_dir)
+    _shutil.rmtree(aside, ignore_errors=True)
+    return rows_before, rows_after
+
+
+def _history_floor(manifest: DataFrame) -> int | None:
+    """The expire floor recorded in the manifest (None if history has
+    never been expired)."""
+    v = (
+        manifest.filter(F.col("op") == "expire")
+        .agg(F.max("min_val"))
+        .collect()[0][0]
+    )
+    return None if v is None else int(v)
+
+
+@register(
+    "plan_expire_snapshots",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-history EXPIRY end to end: documents land fragmented
+    with a manifest, the 'en' then 'de' partitions' fragments are
+    compacted (two commits), then history below the SECOND commit is
+    EXPIRED — the en fragments' whole life (add at snapshot 0,
+    tombstone at 1) predates the floor and vanishes from the manifest;
+    the de fragments' adds survive because their tombstones sit AT the
+    floor. The CURRENT whole-table read through the manifest must
+    still equal the raw table exactly (if expiry dropped a
+    still-visible file's stats row, a lang vanishes; if it resurrected
+    a tombstoned fragment, a lang double-counts — the driver hash
+    catches both). Row-count shrinkage, at-floor read equality, and
+    the raise-below-floor contract are pytest-pinned in
+    tests/test_catalog_scale.py."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "expire_docs")
+    mpath = scratch_path(spark, sf_dir, "expire_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        load_table(spark, sf_dir, "documents").repartition(4).write.partitionBy(
+            "lang"
+        ).mode("overwrite").parquet(data_dir)
+        all_files = sorted(
+            _glob.glob(os.path.join(data_dir, "lang=*", "*.parquet"))
+        )
+        write_stats_manifest(spark, all_files, mpath, ("doc_id",))
+        en_files = [p for p in all_files if "/lang=en/" in p]
+        commit_data_compaction(spark, mpath, en_files, ("doc_id",))
+        de_files = [p for p in all_files if "/lang=de/" in p]
+        _, snap2 = commit_data_compaction(spark, mpath, de_files, ("doc_id",))
+        # floor = the second commit: the en fragments' whole life (add at
+        # 0, tombstone at 1) predates it and is dropped; the de fragments'
+        # adds survive (their tombstones sit AT the floor)
+        expire_manifest_history(spark, mpath, snap2)
+        visible = manifest_pruned_scan(spark, mpath, "doc_id", 0, 2**62)
+        lang = F.regexp_extract(F.input_file_name(), "lang=([^/]+)/", 1)
+        return (
+            visible.groupBy(lang.alias("lang"))
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum("n_chars").cast("long").alias("sum_chars"),

@@ -1708,3 +1708,91 @@ def test_delete_compaction_retires_records_and_preserves_history(
     )
     raw = spark.read.parquet(*current_files)
     assert raw.filter(F.col("doc_id").isin(dead)).count() == 0
+
+
+def test_expire_manifest_history_preserves_floor_and_raises_below(
+    spark, tmp_path
+):
+    """Expiry contract: reads at/above the floor are bit-identical to
+    pre-expire, the manifest strictly shrinks (the dropped add+remove
+    pairs and retired delete records are gone), retired-delete
+    interplay holds, as-of below the floor raises, and expiring the
+    current state is refused."""
+    import glob
+
+    import pytest as _pytest
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        commit_data_compaction,
+        compact_equality_deletes,
+        equality_delete,
+        expire_manifest_history,
+        manifest_pruned_scan,
+        read_with_deletes,
+        write_stats_manifest,
+    )
+
+    from .conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    data_dir = str(tmp_path / "docs")
+    docs.repartition(6, "doc_id").write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "manifest")
+    write_stats_manifest(spark, files, mpath, ("doc_id",))
+
+    # mutate history: eq-delete (snap 1), materialize it (snap 2),
+    # compact two surviving files (snap 3)
+    dead = [3, 100]
+    equality_delete(spark, mpath, "doc_id", dead)
+    snap_dc, _, _, _ = compact_equality_deletes(spark, mpath, "doc_id")
+    vis = sorted(
+        set(
+            r.path
+            for r in manifest_pruned_scan(spark, mpath, "doc_id", -1, 2**62)
+            .select(
+                F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias(
+                    "path"
+                )
+            )
+            .distinct()
+            .collect()
+        )
+    )
+    _, snap_c = commit_data_compaction(spark, mpath, vis[:2], ("doc_id",))
+
+    def rows(as_of=None):
+        return sorted(
+            map(
+                tuple,
+                manifest_pruned_scan(
+                    spark, mpath, "doc_id", -1, 2**62, as_of=as_of
+                ).collect(),
+            )
+        )
+
+    pre_current = rows()
+    pre_at_floor = rows(as_of=snap_c)
+    n_rows_pre = spark.read.parquet(mpath).count()
+
+    with _pytest.raises(ValueError, match="refusing"):
+        expire_manifest_history(spark, mpath, snap_c + 1)
+
+    # floor ABOVE the tombstones/retirement: their add+remove pairs and
+    # the retired delete records are all droppable
+    before, after = expire_manifest_history(spark, mpath, snap_c)
+    assert before == n_rows_pre and after < before
+
+    # at the floor (== current here): bit-identical
+    assert rows() == pre_current
+    assert rows(as_of=snap_c) == pre_at_floor
+    # retired delete records below the floor are gone entirely
+    man = spark.read.parquet(mpath)
+    assert man.filter(F.col("op") == "delete_eq").count() == 0
+    # post-expire reads still subtract nothing and agree
+    assert sorted(
+        map(tuple, read_with_deletes(spark, mpath, "doc_id").collect())
+    ) == pre_current
+    # below the floor: loud failure, never partial history
+    with _pytest.raises(ValueError, match="expire floor"):
+        rows(as_of=snap_dc)

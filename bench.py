@@ -455,6 +455,7 @@ def _bench_manifest_lifecycle(spark, sf_dir: str) -> dict[str, float]:
         commit_data_compaction,
         compact_equality_deletes,
         equality_delete,
+        expire_manifest_history,
         manifest_pruned_scan,
         merge_through_manifest,
         read_with_deletes,
@@ -534,8 +535,12 @@ def _bench_manifest_lifecycle(spark, sf_dir: str) -> dict[str, float]:
     out["manifest_eqdelete_read"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    compact_equality_deletes(spark, mpath, "o_orderkey")
+    dc_snap, _, _, _ = compact_equality_deletes(spark, mpath, "o_orderkey")
     out["manifest_delcompact_commit"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    expire_manifest_history(spark, mpath, dc_snap)
+    out["manifest_expire"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     vacuum_orphans_report(spark, data_dir, mpath).write.format("noop").mode(

@@ -2972,24 +2972,30 @@ def expire_manifest_history(
 
     e = int(expire_below)
     man = spark.read.parquet(manifest_dir)
-    cur_max = man.agg(F.max("snapshot_id")).collect()[0][0]
+    # one conditional agg answers all three driver-side questions —
+    # separate actions each cost a full (tiny) job under load
+    stats = man.agg(
+        F.max("snapshot_id").alias("cur_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(
+            F.when(
+                (F.col("op") == "delete_retire") & (F.col("snapshot_id") < e),
+                F.col("min_val"),
+            )
+        ).alias("ceiling"),
+    ).collect()[0]
+    cur_max, rows_before, ceiling = stats.cur_max, stats.n_rows, stats.ceiling
     if cur_max is None or e > cur_max:
         raise ValueError(
             f"expire_below={e} exceeds max snapshot {cur_max} — refusing "
             "to expire the current state"
         )
-    rows_before = man.count()
     old = man.filter(F.col("snapshot_id") < e)
     removed_below = (
         old.filter(F.col("op") == "remove").select("path").distinct()
     )
     keep_old_adds = old.filter(F.col("op") == "add").join(
         removed_below, "path", "left_anti"
-    )
-    ceiling = (
-        old.filter(F.col("op") == "delete_retire")
-        .agg(F.max("min_val"))
-        .collect()[0][0]
     )
     live_old_deletes = old.filter(F.col("op") == "delete_eq")
     if ceiling is not None:

@@ -1,0 +1,78 @@
+"""End-to-end scenario over the GovernedTable facade: one object, the
+whole lifecycle — create, scan, merge, delete, compact, clone,
+rollback-safety, expire — with state checks after every verb. The
+individual verbs carry their own driver oracles and pins; this guards
+the BINDING (right function, right argument order, right key)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_seismic_data_pipeline_spark.sources.table import GovernedTable
+
+from .conftest import SF_DIR
+
+
+def test_governed_table_lifecycle(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = GovernedTable.create(
+        spark,
+        orders,
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "o_orderkey",
+    )
+    n0 = orders.count()
+    assert t.scan().count() == n0
+    assert len(t.visible_files()) == 16
+
+    # pruned scan opens fewer files than the table holds
+    band = t.scan(100, 300)
+    assert band.count() == orders.filter(
+        F.col("o_orderkey").between(100, 300)
+    ).count()
+
+    # CoW merge: reprice a band, insert far keys
+    delta = orders.filter(F.col("o_orderkey").between(100, 300)).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 400 == 1).select(
+            (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )
+    n_ins = orders.filter(F.col("o_orderkey") % 400 == 1).count()
+    snap_m, n_int, n_rw = t.merge(delta, ["o_orderstatus", "o_totalprice"])
+    assert 0 < n_int < 16 and n_rw <= n_int
+    assert t.scan().count() == n0 + n_ins
+    assert t.scan(as_of=snap_m - 1).count() == n0  # time travel intact
+
+    # row-level delete then physical compaction
+    t.delete_keys([5, 7])
+    assert t.scan_with_deletes().count() == n0 + n_ins - 2
+    snap_dc, _, _, _ = t.compact_deletes()
+    assert t.scan().count() == n0 + n_ins - 2  # plain scan agrees now
+
+    # clone diverges independently
+    c = t.clone(str(tmp_path / "clone_manifest"))
+    c.delete_keys([11])
+    assert c.scan_with_deletes().count() == t.scan().count() - 1
+    assert t.scan_with_deletes().count() == n0 + n_ins - 2  # source untouched
+
+    # vacuum sees the merge/compaction leftovers as reclaimable
+    orphans = t.vacuum_report()
+    assert orphans.count() > 0
+
+    # expire below the delete compaction, then pinned-below raises
+    import pytest as _pytest
+
+    before, after = t.expire(snap_dc)
+    assert after < before
+    assert t.scan().count() == n0 + n_ins - 2
+    with _pytest.raises(ValueError, match="expire floor"):
+        t.scan(as_of=snap_dc - 1).count()

@@ -135,6 +135,29 @@ class GovernedTable:
         """Drop history below ``below``; pinned reads under it raise."""
         return R.expire_manifest_history(self.spark, self.manifest_dir, below)
 
+    def history(self) -> DataFrame:
+        """The snapshot log: per snapshot, how many files were added /
+        tombstoned and how many delete records landed — the DESCRIBE
+        HISTORY analog, straight off the manifest (metadata-scale)."""
+        from pyspark.sql import functions as F
+
+        return (
+            self.spark.read.parquet(self.manifest_dir)
+            .groupBy("snapshot_id")
+            .agg(
+                F.count_distinct(
+                    F.when(F.col("op") == "add", F.col("path"))
+                ).alias("n_files_added"),
+                F.count_distinct(
+                    F.when(F.col("op") == "remove", F.col("path"))
+                ).alias("n_files_removed"),
+                F.sum(
+                    F.when(F.col("op") == "delete_eq", 1).otherwise(0)
+                ).alias("n_delete_records"),
+            )
+            .orderBy("snapshot_id")
+        )
+
     def visible_files(self, as_of: int | None = None) -> list[str]:
         """The file list a scan at ``as_of`` would consider."""
         return sorted(

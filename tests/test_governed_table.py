@@ -52,6 +52,12 @@ def test_governed_table_lifecycle(spark, tmp_path):
     assert t.scan().count() == n0 + n_ins
     assert t.scan(as_of=snap_m - 1).count() == n0  # time travel intact
 
+    # snapshot log reads straight off the manifest
+    h = {r.snapshot_id: r for r in t.history().collect()}
+    assert h[0].n_files_added == 16 and h[0].n_files_removed == 0
+    assert h[snap_m].n_files_removed == n_int
+    assert h[snap_m].n_files_added == n_rw + 1  # rewrites + insert file
+
     # row-level delete then physical compaction
     t.delete_keys([5, 7])
     assert t.scan_with_deletes().count() == n0 + n_ins - 2

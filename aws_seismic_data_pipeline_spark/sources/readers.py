@@ -3105,3 +3105,132 @@ def plan_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+
+
+def manifest_count_range(
+    spark: SparkSession,
+    manifest_dir: str,
+    column: str,
+    lo: float,
+    hi: float,
+    as_of: int | None = None,
+) -> tuple[int, int, int]:
+    """COUNT(key BETWEEN lo AND hi) answered mostly from METADATA —
+    the Iceberg/parquet metadata-only count: row groups whose stats
+    range sits WHOLLY inside [lo, hi] contribute their footer row
+    counts without touching a data page; only files owning a
+    PARTIALLY-overlapping row group are opened (the parquet reader
+    then re-prunes non-overlapping row groups inside them from the
+    same footer stats). On a 100 TB range-clustered table a count
+    query reads two boundary files instead of the table. Stats-less
+    row groups are conservatively counted by scan. Returns
+    (n_total, n_from_metadata, n_files_scanned)."""
+    manifest = _visible_stats(spark.read.parquet(manifest_dir), as_of).filter(
+        F.col("column_name") == column
+    )
+    rg = manifest.select(
+        "path",
+        "row_group",
+        "n_rows",
+        "min_val",
+        "max_val",
+        F.when(
+            F.col("min_val").isNull(), F.lit("statless")
+        )
+        .when(
+            (F.col("min_val") >= lo) & (F.col("max_val") <= hi),
+            F.lit("inside"),
+        )
+        .when(
+            (F.col("max_val") >= lo) & (F.col("min_val") <= hi),
+            F.lit("partial"),
+        )
+        .otherwise(F.lit("outside"))
+        .alias("cls"),
+    )
+    agg = rg.groupBy().pivot(
+        "cls", ["inside", "partial", "statless", "outside"]
+    ).sum("n_rows").collect()[0]
+    n_meta = int(agg["inside"] or 0)
+    scan_paths = sorted(
+        r.path
+        for r in rg.filter(F.col("cls").isin("partial", "statless"))
+        .select("path")
+        .distinct()
+        .collect()
+    )
+    n_scanned = 0
+    if scan_paths:
+        # exclude the wholly-inside row groups of scanned files: count
+        # only rows in the range but NOT in an inside-rowgroup... a row
+        # group is the unit, so instead count the file's in-range rows
+        # and subtract its inside-rowgroup metadata counts (already in
+        # n_meta) — equivalent and expressible without rowgroup access
+        per_file_inside = {
+            r.path: r.m
+            for r in rg.filter(
+                (F.col("cls") == "inside") & F.col("path").isin(scan_paths)
+            )
+            .groupBy("path")
+            .agg(F.sum("n_rows").alias("m"))
+            .collect()
+        }
+        in_range = (
+            spark.read.parquet(*scan_paths)
+            .filter(F.col(column).between(lo, hi))
+            .groupBy(
+                F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias(
+                    "path"
+                )
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        for r in in_range:
+            n_scanned += int(r.n) - int(per_file_inside.get(r.path, 0))
+    return n_meta + n_scanned, n_meta, len(scan_paths)
+
+
+@register(
+    "scan_manifest_count_only",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN o_orderkey BETWEEN {_RG_PRUNE_RANGE[0]}
+                                  AND {_RG_PRUNE_RANGE[1]}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_in_band
+        FROM orders
+    """,
+    tags=("source", "layout", "scan"),
+)
+def scan_manifest_count_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only counting through the manifest: land orders
+    range-clustered, then answer both COUNT(*) (every row group wholly
+    inside an unbounded range — zero data pages) and a band count
+    (interior row groups from metadata, the two boundary files scanned
+    with the residual predicate). The oracle recomputes both counts
+    from the raw table; metadata-dominance (n_from_metadata > 0,
+    files-scanned < files-total) is pytest-pinned in
+    tests/test_catalog_scale.py. This is why a governed 100 TB table
+    answers its row count without an exabyte of I/O."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    path = scratch_path(spark, sf_dir, "countonly_orders")
+    mpath = scratch_path(spark, sf_dir, "countonly_manifest")
+    lo, hi = _RG_PRUNE_RANGE
+    with scratch_cleanup(path, mpath):
+        rangekey_write(spark, sf_dir, path)
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        write_stats_manifest(spark, files, mpath, ("o_orderkey",))
+        total, _, _ = manifest_count_range(
+            spark, mpath, "o_orderkey", float("-inf"), float("inf")
+        )
+        band, _, _ = manifest_count_range(spark, mpath, "o_orderkey", lo, hi)
+        return spark.createDataFrame(
+            [(int(total), int(band))], "n_orders long, n_in_band long"
+        )

@@ -1796,3 +1796,46 @@ def test_expire_manifest_history_preserves_floor_and_raises_below(
     # below the floor: loud failure, never partial history
     with _pytest.raises(ValueError, match="expire floor"):
         rows(as_of=snap_dc)
+
+
+def test_manifest_count_is_metadata_dominated(spark, tmp_path):
+    """The metadata-only count contract: (a) both the unbounded and
+    band counts equal the exact twins; (b) the unbounded count touches
+    ZERO data files; (c) the band count scans strictly fewer files
+    than the table holds and derives >0 rows from metadata alone; (d)
+    an empty range scans nothing and returns 0."""
+    import glob
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        manifest_count_range,
+        rangekey_write,
+        write_stats_manifest,
+    )
+
+    from .conftest import SF_DIR
+
+    path = str(tmp_path / "rangekey")
+    rangekey_write(spark, SF_DIR, path)
+    files = sorted(glob.glob(path + "/*.parquet"))
+    mpath = str(tmp_path / "manifest")
+    write_stats_manifest(spark, files, mpath, ("o_orderkey",))
+    orders = spark.read.parquet(*files)
+
+    total, meta, scanned = manifest_count_range(
+        spark, mpath, "o_orderkey", float("-inf"), float("inf")
+    )
+    assert total == orders.count()
+    assert scanned == 0 and meta == total  # zero data pages
+
+    lo, hi = 200, 700
+    band, meta_b, scanned_b = manifest_count_range(
+        spark, mpath, "o_orderkey", lo, hi
+    )
+    assert band == orders.filter(F.col("o_orderkey").between(lo, hi)).count()
+    assert meta_b > 0, "no row group wholly inside the band"
+    assert 0 < scanned_b < len(files)
+
+    empty, meta_e, scanned_e = manifest_count_range(
+        spark, mpath, "o_orderkey", -50, -10
+    )
+    assert (empty, meta_e, scanned_e) == (0, 0, 0)

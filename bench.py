@@ -130,8 +130,14 @@ HEADLINE = [
     # cost — the accumulator bit I/O rewrite took the slot 7.3 -> 3.5 s)
     "mm_decode_real_gif",
     # round-9 additions: exact duplicated-span detection (shingle
-    # aggregate + islands window — the no-pairwise-join plan)
+    # aggregate + islands window — the no-pairwise-join plan), its
+    # splice-out rewrite (token anti-join + per-doc rebuild), the
+    # metadata-key URL dedup, and metadata-only range counting (timing
+    # includes the range-clustered write + manifest build)
     "dedup_span_exact",
+    "dedup_span_strip",
+    "dedup_url_canonical",
+    "scan_manifest_count_only",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

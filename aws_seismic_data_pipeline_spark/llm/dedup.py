@@ -1597,10 +1597,11 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the union of its parts — LSH candidate generation is
     linear, verification is candidate-bounded (semi-joined arrays),
-    label propagation is diameter-many joins of a near-dup-sized label
-    frame against the checkpointed verified edge list (near-dups are a
-    tiny fraction of the corpus). The DuckDB oracle computes the same
-    fixpoint via a recursive-CTE transitive closure."""
+    components are star contraction over the verified edge list —
+    O(log² n) rounds regardless of chain length, one job per round
+    (near-dups are a tiny fraction of the corpus). The DuckDB oracle
+    computes the same fixpoint via a recursive-CTE transitive
+    closure."""
     verified = dedup_lsh_verified(spark, sf_dir)
     edges = verified.filter(F.col("is_dup")).select("doc_a", "doc_b")
     comp = _min_label_components(edges)
@@ -1898,11 +1899,9 @@ def dedup_embedding_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: edge generation is the banded-LSH shape (n² never
     materialized); self-edges add |corpus| rows so singleton coverage
-    costs one union, not a join; label propagation shuffles the
-    (|nodes| + |edges|)-row frames per round with diameter-bounded
-    rounds — semantic-dup clusters are short-diameter in practice
-    (near-dups of a common source), the long-chain risk the raise
-    guards."""
+    costs one union, not a join; components are star contraction over
+    the edge frame — O(log² n) rounds regardless of how long a
+    boilerplate chain gets, unverified fixpoints still raise."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = dedup_embedding_lsh(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")

@@ -1107,3 +1107,118 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("surprisal"), 6).alias("bigram_cross_entropy"),
     )
+
+
+@register(
+    "text_kneser_ney",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        pairs AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i])) AS w1,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i+1])) AS w2
+            FROM tok WHERE len(toks) >= 2
+        ),
+        c12 AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM pairs GROUP BY w1, w2
+        ),
+        c1 AS (
+            SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS n1p
+            FROM c12 GROUP BY w1
+        ),
+        cont AS (
+            SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont
+            FROM c12 GROUP BY w2
+        ),
+        t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM c12),
+        scored AS (
+            SELECT p.doc_id,
+                   -ln(
+                     (GREATEST(b.c12 - 0.75, 0.0) / u.c1)
+                     + (0.75 * u.n1p / u.c1) * (k.ncont / t.t)
+                   ) AS surprisal
+            FROM pairs p
+            JOIN c12 b ON p.w1 = b.w1 AND p.w2 = b.w2
+            JOIN c1 u ON p.w1 = u.w1
+            JOIN cont k ON p.w2 = k.w2
+            CROSS JOIN t
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(surprisal), 6) AS kn_cross_entropy
+        FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram cross-entropy per document — the
+    smoothing KenLM ships and CCNet's quality scoring actually runs,
+    upgrading ``text_bigram_perplexity``'s add-one: the discounted
+    direct estimate max(c(w1,w2)-D, 0)/c(w1) is interpolated with the
+    CONTINUATION probability |{w1': c(w1',w2)>0}| / |bigram types| —
+    "how many contexts does w2 follow" rather than "how often does w2
+    occur" — weighted by the mass D·N1+(w1,·)/c(w1) the discount freed.
+    D = 0.75 (the standard Chen-Goodman fixed discount). Boilerplate's
+    repeated transitions score low; tokens that only ever follow one
+    context ("francisco") stop leaking unigram mass into improbable
+    positions — the failure add-one and Katz share.
+
+    Value parity: every factor is a quotient of integer-derived
+    doubles composed in the SAME association on both engines
+    (term1 + (D·n1p/c1)·(ncont/T)); only the per-doc AVG accumulates
+    in engine order, hence ROUND(6) (the text_lm_perplexity policy).
+
+    Scale shape: identical to the add-one sibling — one tokenize pass,
+    checkpointed pair explode, all model tables derived FROM the
+    bigram-count table (c1/N1+ by w1, continuation counts by w2, the
+    type total as a 1-row broadcast), join-back for scoring."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = F.split("text", " ")
+    pairs = (
+        docs.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1),"
+                    " i -> struct(element_at(split(text, ' '), i) AS w1,"
+                    " element_at(split(text, ' '), i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        .localCheckpoint(eager=True)
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p"),
+    )
+    cont = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("ncont")
+    )
+    t = c12.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    p_kn = (
+        F.greatest(F.col("c12") - F.lit(0.75), F.lit(0.0)) / F.col("c1")
+    ) + (F.lit(0.75) * F.col("n1p") / F.col("c1")) * (
+        F.col("ncont") / F.col("t")
+    )
+    scored = (
+        pairs.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(t))
+        .select("doc_id", (-F.log(p_kn)).alias("surprisal"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("surprisal"), 6).alias("kn_cross_entropy"),
+    )

@@ -3023,7 +3023,11 @@ def expire_manifest_history(
     )
     tmp = manifest_dir + ".expiring"
     _shutil.rmtree(tmp, ignore_errors=True)
-    keep.unionByName(marker).coalesce(1).write.parquet(tmp)
+    # the marker lands as its own appended file, NOT unioned into the
+    # rewrite plan: a LocalRelation branch under the coalesced union
+    # measured 4x the whole write (10.5 s vs 2.4 + 0.9 at sf0.1)
+    keep.coalesce(1).write.parquet(tmp)
+    marker.write.mode("append").parquet(tmp)
     rows_after = spark.read.parquet(tmp).count()
     aside = manifest_dir + ".expired_old"
     _shutil.rmtree(aside, ignore_errors=True)

@@ -138,6 +138,11 @@ HEADLINE = [
     "dedup_span_strip",
     "dedup_url_canonical",
     "scan_manifest_count_only",
+    # ...the two-sided interval-overlap join (bucket decomposition +
+    # pair distinct) and Kneser-Ney bigram scoring (three model tables
+    # off one pair explode + join-back)
+    "join_interval_overlap",
+    "text_kneser_ney",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

@@ -1562,3 +1562,65 @@ def analytics_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFr
     return supp.join(qualifying, supp.s_suppkey == F.col("l_suppkey")).select(
         "s_name", F.col("s_nationkey").cast("long").alias("s_nationkey")
     )
+
+
+@register(
+    "analytics_attribution",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                   LAG(event_type) OVER w AS prev_type,
+                   LAG(CAST(ts AS TIMESTAMP)) OVER w AS prev_ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT CASE
+                 WHEN prev_ts IS NULL
+                      OR prev_ts < ts - INTERVAL 30 MINUTE THEN 'organic'
+                 ELSE prev_type
+               END AS attributed_to,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases
+        FROM ordered
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    tags=("analytics", "window"),
+)
+def analytics_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution — which event type immediately preceded
+    each purchase for the same user, within a 30-minute window;
+    purchases with no prior touch inside it are 'organic'. The
+    as-of-join question answered as ONE window pass: lag(event_type) /
+    lag(ts) over (user, ts) — no join at all, because the candidate
+    set ('events of the same user before this one') is exactly what a
+    partitioned ordered window enumerates. At 100 TB this shuffles
+    once on user_id (bounded per-user history), versus the as-of
+    join's build-side sort per probe — the window form wins whenever
+    attributor and attributee ride the SAME stream. Ties broken by
+    event_id so both engines order identically. Seed: R11 (the
+    per-station chunk sequencing, as a business question)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    attributed = F.when(
+        F.col("prev_ts").isNull()
+        | (F.col("prev_ts") < F.col("ts") - F.expr("INTERVAL 30 MINUTES")),
+        F.lit("organic"),
+    ).otherwise(F.col("prev_type"))
+    return (
+        ordered.filter(F.col("event_type") == "purchase")
+        .groupBy(attributed.alias("attributed_to"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )

@@ -256,3 +256,54 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dot", 4).alias("cosine"),
         )
     )
+
+
+@register(
+    "sim_hard_negatives",
+    oracle="""
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6)
+                                DESC, c.vec_id
+                   ) AS BIGINT) AS rank
+            FROM embeddings q CROSS JOIN embeddings c
+            WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+              AND c.label <> q.label
+        ) WHERE rank <= 5
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining — the contrastive-training data op: for
+    each query vector, the top-5 most similar vectors whose LABEL
+    differs (near the query in embedding space but semantically wrong —
+    exactly the negatives that teach an embedding model its decision
+    boundary; random negatives are too easy to carry gradient). Same
+    vectorized partial-top-k kernel as ``sim_topk_bruteforce`` with the
+    exclusion mask inverted: same-label candidates masked to -inf
+    before the one-shot argpartition, so per-partition cost is
+    unchanged and no corpus shuffle appears. The oracle is the plain
+    cross-join form with the label-inequality predicate — exact at
+    fixture scale, while the kernel is the 100 TB path."""
+    from aws_seismic_data_pipeline_spark.llm.vector import rank_topk, topk_dots
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = [
+        (r["vec_id"], r["label"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", "label", "embedding")
+        .collect()
+    ]
+    corpus = spread_dense(emb, spark, sf_dir)
+    candidates = topk_dots(
+        corpus, queries, k=5, same_label_only=False, exclude_same_label=True
+    )
+    return rank_topk(candidates, 5).select(
+        "query_id",
+        "neighbor_id",
+        F.round("dot", 4).alias("cosine"),
+        "rank",
+    )

@@ -57,6 +57,7 @@ def topk_dots(
     queries: list[tuple[int, int | None, np.ndarray]],
     k: int,
     same_label_only: bool,
+    exclude_same_label: bool = False,
 ) -> DataFrame:
     """Partial top-k dot products of every query against the corpus.
 
@@ -92,6 +93,9 @@ def topk_dots(
             excluded = c_ids[None, :] == q_ids[:, None]
             if same_label_only:
                 excluded |= c_labels[None, :] != q_labels[:, None]
+            if exclude_same_label:
+                # hard-negative mining: only DIFFERENT-label neighbors
+                excluded |= c_labels[None, :] == q_labels[:, None]
             dots[excluded] = -np.inf
             n_q, n_c = dots.shape
             # keep a margin past k: the global rank orders on
@@ -113,7 +117,10 @@ def topk_dots(
                     }
                 )
 
-    cols = ["vec_id", "embedding"] + (["label"] if same_label_only else [])
+    if same_label_only and exclude_same_label:
+        raise ValueError("same_label_only and exclude_same_label conflict")
+    need_label = same_label_only or exclude_same_label
+    cols = ["vec_id", "embedding"] + (["label"] if need_label else [])
     return corpus.select(*cols).mapInPandas(score, _PAIR_SCHEMA)
 
 

@@ -44,6 +44,7 @@ COLLECT_ALLOWED = {
     "llm/similarity.py",
     "plans/validate.py",
     "sources/readers.py",
+    "sources/table.py",
     "streaming/jobs.py",
     "streaming/scheduled.py",
 }

@@ -1343,3 +1343,79 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("sample_rank"),
         )
     )
+
+
+@register(
+    "sample_balanced_labels",
+    oracle="""
+        WITH sized AS (
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM embeddings GROUP BY label
+        ),
+        floor_n AS (SELECT MIN(n) AS n_min FROM sized),
+        ranked AS (
+            SELECT vec_id, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY label
+                       ORDER BY CAST(('0x' || substring(md5(
+                                    CAST(vec_id AS VARCHAR)), 1, 15))
+                                AS BIGINT), vec_id
+                   ) AS rn
+            FROM embeddings
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(MIN(vec_id) AS BIGINT) AS first_kept,
+               CAST(SUM(vec_id) AS BIGINT) AS kept_id_sum
+        FROM ranked CROSS JOIN floor_n
+        WHERE rn <= n_min
+        GROUP BY label
+    """,
+    tags=("llm", "curation", "sample"),
+)
+def sample_balanced_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS-BALANCED downsampling — every label capped to the rarest
+    label's count, membership decided by a deterministic hash rank
+    (md5 of the id, ties by id), NOT by Spark's seeded samplers whose
+    draws are partition-layout-dependent: re-running on a re-shuffled
+    corpus keeps the SAME rows, the reproducibility contract every
+    dataset card needs. The per-class quota is the min class size (no
+    oversampling — duplication belongs to ``curate_mix_epochs``'s
+    epoch weights, not the sampler). Emits per-label audit columns
+    (count kept, id checksum) so the driver hash pins the exact
+    membership, not just the sizes.
+
+    Scale shape: one count aggregate (map-side combined) for the
+    floor, one window rank per label partition — bounded by class
+    size; hash ordering also load-balances the rank's sort keys. The
+    rarest-class broadcast is one row. Seed: the class imbalance every
+    crawl corpus has; the fixture's `label` column stands in for any
+    categorical stratum."""
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_min = emb.groupBy("label").count().agg(
+        F.min("count").alias("n_min")
+    )
+    w = W.partitionBy("label").orderBy(
+        F.expr(
+            "cast(conv(substring(md5(cast(vec_id as string)), 1, 15),"
+            " 16, 10) as bigint)"
+        ),
+        "vec_id",
+    )
+    ranked = emb.select(
+        "vec_id", "label", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_min))
+        .filter(F.col("rn") <= F.col("n_min"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.min("vec_id").cast("long").alias("first_kept"),
+            F.sum("vec_id").cast("long").alias("kept_id_sum"),
+        )
+    )

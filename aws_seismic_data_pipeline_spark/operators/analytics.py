@@ -1624,3 +1624,99 @@ def analytics_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(attributed.alias("attributed_to"))
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
+
+
+@register(
+    "analytics_rfm",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS last_d,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS monetary_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        anchor AS (SELECT MAX(last_d) AS max_d FROM per_cust),
+        rfm AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', last_d, max_d) AS BIGINT)
+                       AS recency_days,
+                   frequency, monetary_cents
+            FROM per_cust CROSS JOIN anchor
+        ),
+        scored AS (
+            SELECT o_custkey, recency_days, frequency, monetary_cents,
+                   CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey)
+                        AS BIGINT) AS r_score,
+                   CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey)
+                        AS BIGINT) AS f_score,
+                   CAST(NTILE(4) OVER (ORDER BY monetary_cents DESC,
+                                       o_custkey) AS BIGINT) AS m_score
+            FROM rfm
+        )
+        SELECT r_score, f_score, m_score,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents,
+               CAST(MIN(o_custkey) AS BIGINT) AS example_cust
+        FROM scored
+        GROUP BY r_score, f_score, m_score
+    """,
+    tags=("analytics", "window"),
+)
+def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid: per
+    customer, Recency (days since last order, anchored to the data's
+    own max date so the query is reproducible), Frequency (order
+    count) and Monetary (cents-exact lifetime value), each cut into
+    quartiles by NTILE(4); score 1 = best (most recent / most
+    frequent / highest value). Segments are reported with counts,
+    value, and an example member, the driver hash pinning the exact
+    quartile assignment. Cross-engine NTILE agrees only under
+    IDENTICAL total order — every window orders by (metric, custkey)
+    so ties are broken the same way on both engines, and monetary is
+    integer cents so no float sum order can flip a boundary.
+
+    Scale shape: one groupBy(custkey) pass (map-side combined), a
+    1-row anchor broadcast, three global NTILE windows — each a single
+    ORDER BY of the customer-level (not order-level) frame; at 100 TB
+    customer cardinality is the windows' input, and NTILE over a range
+    partitioner stays a sort, never a single-task collapse."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    anchor = per_cust.agg(F.max("last_d").alias("max_d"))
+    from pyspark.sql import Window as W
+
+    rfm = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("max_d", "last_d").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary_cents",
+        F.ntile(4)
+        .over(W.orderBy("recency_days", "o_custkey"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
+        .cast("long")
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("monetary_cents").cast("long").alias("segment_cents"),
+        F.min("o_custkey").cast("long").alias("example_cust"),
+    )

@@ -1720,3 +1720,69 @@ def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("monetary_cents").cast("long").alias("segment_cents"),
         F.min("o_custkey").cast("long").alias("example_cust"),
     )
+
+
+@register(
+    "analytics_period_growth",
+    oracle="""
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                        AS DATE) AS month,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT month, revenue_cents, n_orders,
+               CAST(LAG(revenue_cents) OVER (ORDER BY month) AS BIGINT)
+                   AS prev_cents,
+               CASE WHEN LAG(revenue_cents) OVER (ORDER BY month)
+                         IS NOT NULL
+                    THEN ROUND(
+                      (CAST(revenue_cents AS DOUBLE)
+                       - LAG(revenue_cents) OVER (ORDER BY month))
+                      / LAG(revenue_cents) OVER (ORDER BY month), 6)
+               END AS growth
+        FROM monthly
+    """,
+    tags=("analytics", "window"),
+)
+def analytics_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the period-comparison shape
+    every BI layer runs: orders bucketed to calendar months
+    (cents-exact revenue so no float sum order can flip a value), then
+    one ordered LAG window computes the previous period and the growth
+    ratio (ROUND 6 on the final quotient only — both engines divide
+    the same exact integers). First month's growth is NULL, not 0 —
+    absent history is not zero growth. Scale shape: one map-side-
+    combined month aggregate (12-ish rows per year), then a window
+    over the PERIOD frame, never the order-level data; at 100 TB the
+    window input is still tiny. Seed: R11 (the daily scheduler's
+    period bookkeeping, as the revenue question)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue_cents").over(w)
+    return monthly.select(
+        "month",
+        "revenue_cents",
+        "n_orders",
+        prev.cast("long").alias("prev_cents"),
+        F.when(
+            prev.isNotNull(),
+            F.round(
+                (F.col("revenue_cents").cast("double") - prev) / prev, 6
+            ),
+        ).alias("growth"),
+    )

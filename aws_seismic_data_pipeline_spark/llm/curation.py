@@ -1419,3 +1419,63 @@ def sample_balanced_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vec_id").cast("long").alias("kept_id_sum"),
         )
     )
+
+
+@register(
+    "curate_dataset_card",
+    oracle="""
+        WITH t AS (
+            SELECT lang, doc_id, n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                   md5(text) AS h
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(MIN(n_toks) AS BIGINT) AS min_tokens,
+               CAST(MAX(n_toks) AS BIGINT) AS max_tokens,
+               CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_unique_ids
+        FROM t GROUP BY lang
+    """,
+    tags=("llm", "curation"),
+)
+def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD rollup — the per-language summary table every
+    released corpus publishes (docs, token/char volume, length range,
+    within-language exact-duplicate count, id integrity), computed in
+    ONE pass: tokencount and content hash are derived per row
+    map-side, then a single groupBy(lang) carries every statistic
+    (count-distinct of the md5 rides the same shuffle). n_exact_dups
+    is rows minus distinct content hashes — the number the
+    dedup_rate_report explains and the card must state; n_unique_ids
+    == n_docs asserts the primary key held through whatever pipeline
+    produced the release. At 100 TB this is the cheapest full-corpus
+    statement there is: one scan, one lang-keyed shuffle of partial
+    aggregates. Seed: the reference's status dashboard counts
+    (``/root/reference/index.html:79-177``) — per-station object
+    totals as the operator's at-a-glance card."""
+    from aws_seismic_data_pipeline_spark.catalog import load_table, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = F.size(F.split("text", " ")).cast("long")
+    rows = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        toks.alias("n_toks"),
+        F.md5("text").alias("h"),
+    )
+    return rows.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("n_toks").cast("long").alias("min_tokens"),
+        F.max("n_toks").cast("long").alias("max_tokens"),
+        (F.count(F.lit(1)) - F.count_distinct("h"))
+        .cast("long")
+        .alias("n_exact_dups"),
+        F.count_distinct("doc_id").cast("long").alias("n_unique_ids"),
+    )

@@ -1786,3 +1786,66 @@ def analytics_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("growth"),
     )
+
+
+@register(
+    "analytics_new_vs_returning",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   MIN(CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                            AS DATE)) AS first_month
+            FROM orders GROUP BY o_custkey
+        ),
+        tagged AS (
+            SELECT CAST(date_trunc('month', CAST(o.o_orderdate AS DATE))
+                        AS DATE) AS month,
+                   CASE WHEN CAST(date_trunc('month',
+                                  CAST(o.o_orderdate AS DATE)) AS DATE)
+                             = f.first_month
+                        THEN 'new' ELSE 'returning' END AS cust_kind,
+                   o.o_custkey,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+        )
+        SELECT month, cust_kind,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM tagged GROUP BY month, cust_kind
+    """,
+    tags=("analytics", "window"),
+)
+def analytics_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW-vs-RETURNING customer mix per month — the acquisition/
+    retention split every growth dashboard leads with: a customer is
+    'new' in their first-order month and 'returning' after. Computed
+    as one per-customer MIN(month) aggregate broadcast back onto the
+    order stream (never a window over raw orders — the first-month
+    table is customer-cardinality, the cheap side), then a month×kind
+    rollup with cents-exact revenue. Seed: R11/R28 — the reference's
+    per-station 'first seen' bookkeeping, as the cohort question
+    ``analytics_cohort_retention`` generalizes."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("month"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min("month").alias("first_month")
+    )
+    tagged = orders.join(firsts, "o_custkey").select(
+        "month",
+        F.when(F.col("month") == F.col("first_month"), "new")
+        .otherwise("returning")
+        .alias("cust_kind"),
+        "o_custkey",
+        "cents",
+    )
+    return tagged.groupBy("month", "cust_kind").agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )

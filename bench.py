@@ -143,6 +143,11 @@ HEADLINE = [
     # off one pair explode + join-back)
     "join_interval_overlap",
     "text_kneser_ney",
+    # closing wave: last-touch attribution (one window pass), RFM
+    # (three customer-level NTILEs), and the one-scan dataset card
+    "analytics_attribution",
+    "analytics_rfm",
+    "curate_dataset_card",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

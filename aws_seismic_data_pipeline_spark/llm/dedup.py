@@ -617,36 +617,31 @@ def _star_components(
     fp = _fingerprint(edges)
     converged = fp[0] == 0  # edgeless graph: all singletons, 0 rounds
     rounds = 0
+    w_by_a = Window.partitionBy("a")
     while not converged and rounds < max_rounds:
         # LARGE-STAR: for each u, attach every neighbor v > u to
-        # m(u) = min(N(u) ∪ {u}); m ≤ u < v keeps orientation a > b
+        # m(u) = min(N(u) ∪ {u}); m ≤ u < v keeps orientation a > b.
+        # min-over-window instead of groupBy+join back: one shuffle and
+        # NO join stage per star step (duplicates are harmless — the
+        # next window ignores multiplicity and distinct dedupes the
+        # round's output)
         sym = edges.union(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        mins = (
-            sym.groupBy("a")
-            .agg(F.min("b").alias("mn"))
-            .select(
-                F.col("a").alias("u"),
-                F.least(F.col("mn"), F.col("a")).alias("m"),
-            )
-        )
-        # duplicates are harmless here (mins2's groupBy absorbs them and
-        # small's distinct dedupes the output), so no distinct: one
-        # fewer shuffle per round
         large = (
-            sym.join(mins, sym.a == mins.u)
+            sym.withColumn(
+                "m", F.least(F.min("b").over(w_by_a), F.col("a"))
+            )
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
         )
         # SMALL-STAR: edges are (a=v, b<v); re-hang each node and its
         # smaller neighbors off their collective minimum
-        mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        lw = large.withColumn("m", F.min("b").over(w_by_a))
         small = (
-            large.join(mins2, "a")
-            .filter(F.col("b") != F.col("m"))
+            lw.filter(F.col("b") != F.col("m"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .union(mins2.select(F.col("a"), F.col("m").alias("b")))
+            .union(lw.select("a", F.col("m").alias("b")))
             .distinct()
         )
         rounds += 1

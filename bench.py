@@ -696,6 +696,23 @@ def _normalized_regressions(
     return regressions, host_factor
 
 
+#: Deliberate plan changes reset a query's regression baseline: history
+#: entries with ts < the reset are ignored when computing its best
+#: prior. This records an ALGORITHM swap, not a tuning miss — comparing
+#: the new plan against the retired one's quiet-host best would flag a
+#: trade that was made on purpose. Entries:
+#: - r9 replaced min-label connected components (rounds = graph
+#:   diameter; best-prior 1.956/3.579 s came from shallow fixture
+#:   graphs it favors) with large-star/small-star contraction
+#:   (O(log² n) rounds — the 100 TB-safe bound; same-host A/B: star
+#:   3.2 s vs min-label 5.0 s on the chain-bearing Jaccard graph). The
+#:   two component queries re-baseline at the first star-era run.
+BASELINE_RESETS = {
+    "dedup_cluster_canonical": 1786770000.0,
+    "dedup_embedding_canonical": 1786770000.0,
+}
+
+
 def _best_prior(history_path: str, sf_val) -> dict[str, float]:
     best: dict[str, float] = {}
     try:
@@ -707,7 +724,10 @@ def _best_prior(history_path: str, sf_val) -> dict[str, float]:
                     continue
                 if rec.get("sf") != sf_val:
                     continue
+                ts = rec.get("ts", 0.0)
                 for name, t in rec.get("queries", {}).items():
+                    if ts < BASELINE_RESETS.get(name, 0.0):
+                        continue
                     if isinstance(t, (int, float)):
                         best[name] = min(best.get(name, float("inf")), float(t))
     except OSError:

@@ -24,7 +24,7 @@ import sys
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import _normalized_regressions  # noqa: E402
+from bench import BASELINE_RESETS, _normalized_regressions  # noqa: E402
 
 HISTORY = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "bench_history.jsonl")
@@ -55,6 +55,10 @@ def test_latest_bench_within_regression_budget():
     best = {}
     for e in prior:
         for name, t in e.get("queries", {}).items():
+            # deliberate plan changes re-baseline (see bench.py's
+            # BASELINE_RESETS rationale)
+            if e.get("ts", 0.0) < BASELINE_RESETS.get(name, 0.0):
+                continue
             if isinstance(t, (int, float)):
                 best[name] = min(best.get(name, float("inf")), float(t))
     # element-wise best of the last two runs: a regression must

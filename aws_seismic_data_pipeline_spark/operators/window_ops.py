@@ -162,6 +162,158 @@ def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list,
+    n_tiles: int,
+    out_name: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """NTILE(k) over a GLOBAL total order WITHOUT the single-partition
+    collapse: Spark plans an unpartitioned ``ntile().over(orderBy(...))``
+    as ``Exchange SinglePartition`` + one WindowExec task — all rows
+    through one core, the round-9 verdict's scale-killer. This computes
+    the identical assignment distributed:
+
+    1. ``repartitionByRange`` on the order key (a total order — callers
+       must include a unique tiebreak column, same as any cross-engine
+       window), so partition p holds a contiguous rank slice;
+    2. collect the PER-PARTITION ROW COUNTS — ≤ ``num_partitions``
+       scalars, never data — and prefix-sum them into rank offsets
+       (Spark SQL's range sampler is seeded per partition index, so the
+       boundaries are identical across the counts job and the main job
+       given the same input; pass a checkpointed/cached frame when the
+       upstream is nondeterministic);
+    3. broadcast-join the offsets back on ``spark_partition_id`` and
+       compute global rank = offset + per-partition ``row_number``;
+    4. assign the tile from (rank, n) by the exact SQL NTILE sizing
+       rule — the first ``n % k`` tiles get ``ceil(n/k)`` rows, the
+       rest ``floor(n/k)`` — bit-identical to NTILE(k) in any engine.
+
+    Cost: ONE data-frame shuffle (the range exchange) and a
+    ``num_partitions``-row collect. Global rank is derived without a
+    window or a join: rows are sorted within their range partition and
+    stamped with ``monotonically_increasing_id``, whose 64-bit layout
+    (partition index << 33 | within-partition row offset) yields both
+    the partition id and the local offset as pure expressions; the
+    prefix offsets ride in as a ≤``num_partitions``-element literal
+    array. No task ever sees more than ~n/P rows, so the shape survives
+    a 10^9-row frame where the builtin global NTILE would funnel it
+    through one task. The counts job and the main job execute the range
+    exchange independently, so the input must be deterministic (pass a
+    checkpointed/cached frame when the upstream is not) — Spark's range
+    sampler is seeded per partition index, making the boundaries
+    identical across the two executions given identical input."""
+    return distributed_ntile_multi(
+        df, [(order_cols, n_tiles, out_name)], num_partitions
+    )
+
+
+def distributed_ntile_multi(
+    df: DataFrame,
+    specs: list[tuple[list, int, str]],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Several global NTILEs over one frame (RFM's shape: 3 metrics)
+    with ONE driver round trip: every spec's per-partition counts come
+    from a single tagged-union job over the base frame — range
+    boundaries are sampled from the ORDER KEYS only, so counts computed
+    on the base are valid for the chained passes that carry earlier
+    specs' score columns. The tile passes then chain lazily (each is a
+    range exchange + within-partition sort + id stamp), all executed in
+    the caller's one action. See :func:`distributed_ntile` for the
+    rank/sizing mechanics.
+
+    Partitioning is sized from the OBSERVED row count (the catalog
+    ``spread()`` convention — conditional on input size, never baked
+    in): ~256k rows per task, clamped to the session's shuffle
+    parallelism. A fixture-scale frame gets a handful of tasks instead
+    of paying 32 empty task launches per pass; a 10^9-row frame gets
+    the full parallelism (thousands of tasks on a real cluster's
+    shuffle.partitions)."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        shuffle_p = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        n_total = df.count()
+        num_partitions = max(1, min(shuffle_p, -(-n_total // 262_144)))
+    tagged = None
+    for i, (order_cols, _k, _name) in enumerate(specs):
+        branch = (
+            df.repartitionByRange(num_partitions, *order_cols)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(i).alias("s"), "p", "n")
+        )
+        tagged = branch if tagged is None else tagged.unionAll(branch)
+    counts: list[dict[int, int]] = [dict() for _ in specs]
+    for r in tagged.collect():
+        counts[r.s][r.p] = int(r.n)
+    out = df
+    for i, (order_cols, n_tiles, out_name) in enumerate(specs):
+        n = int(sum(counts[i].values()))
+        offsets, acc = [], 0
+        for p in range(num_partitions):
+            offsets.append(acc)
+            acc += counts[i].get(p, 0)
+        mid = F.col("_mid")
+        local = mid.bitwiseAND(F.lit((1 << 33) - 1))
+        offset = F.element_at(
+            F.array(*[F.lit(o).cast("long") for o in offsets]),
+            (F.shiftright(mid, 33) + 1).cast("int"),
+        )
+        rank = offset + local + 1
+        q, rem = divmod(n, max(int(n_tiles), 1))
+        threshold = rem * (q + 1)
+        tile = F.when(
+            rank <= F.lit(threshold),
+            ((rank - 1) / F.lit(q + 1)).cast("long") + 1,
+        ).otherwise(
+            # unreachable when q == 0 (threshold == n covers all rows);
+            # max(q,1) only keeps the expression well-typed under ANSI
+            F.lit(rem)
+            + ((rank - F.lit(threshold) - 1) / F.lit(max(q, 1))).cast("long")
+            + 1
+        )
+        out = (
+            out.repartitionByRange(num_partitions, *order_cols)
+            .sortWithinPartitions(*order_cols)
+            .withColumn("_mid", F.monotonically_increasing_id())
+            .withColumn(out_name, tile.cast("long"))
+            .drop("_mid")
+        )
+    return out
+
+
+@register(
+    "window_ntile_global",
+    oracle="""
+        SELECT c_custkey, c_acctbal,
+               CAST(NTILE(7) OVER (ORDER BY c_acctbal, c_custkey)
+                    AS BIGINT) AS bal_septile
+        FROM customer
+    """,
+    tags=("window",),
+)
+def window_ntile_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL NTILE, distributed — the witness query for
+    ``distributed_ntile``: septiles of every customer's balance under a
+    total order, hash-checked against the engines' builtin NTILE(7). 7
+    does not divide the fixture's customer count, so the driver hash
+    pins the exact uneven-bucket sizing rule (first n%k buckets one row
+    larger), the part a cutpoint approximation would get wrong. The
+    builtin unpartitioned ``F.ntile`` would plan Exchange
+    SinglePartition (tests/test_plan_shapes.py pins its absence
+    here)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    return distributed_ntile(
+        cust, [F.col("c_acctbal"), F.col("c_custkey")], 7, "bal_septile"
+    )
+
+
 @register(
     "window_first_last",
     oracle="""

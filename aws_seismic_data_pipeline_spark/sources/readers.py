@@ -25,6 +25,18 @@ from aws_seismic_data_pipeline_spark.registry import register
 _TMP_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "_tmp")
 
 
+def _decode_input_file() -> F.Column:
+    """``input_file_name()`` as a canonical local path: strip the
+    ``file:`` scheme and decode the URI's %-escapes JVM-side, so paths
+    containing spaces or other reserved characters compare equal to the
+    plain filesystem paths a manifest records. ``url_decode`` follows
+    ``URLDecoder`` in turning '+' into a space — file URIs never encode
+    space that way — so a literal '+' is pre-escaped to '%2B' first,
+    making the result exactly ``urllib.parse.unquote`` of the URI path."""
+    uri = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+    return F.url_decode(F.regexp_replace(uri, r"\+", "%2B"))
+
+
 def _sink_path(name: str, sf_dir: str) -> str:
     """Sink path keyed by the sf fixture tag so interleaved runs at
     different scale factors never clobber each other between a query's
@@ -938,11 +950,32 @@ def read_footer_stats_multi(
     return files.mapInPandas(read_footers, out_schema)
 
 
+def _partition_values_col(partition_by: tuple[str, ...]) -> F.Column:
+    """The manifest's ``partition_values`` map for a stats row: each
+    requested partition column's value parsed from the row's Hive-style
+    path segment (``lang=en/``) — the reference's ``YYYYMMDD/`` prefix
+    layout (``/root/reference/app.py:449-456``) generalized to named
+    key=value dirs. Entries exist ONLY where the segment is present, so
+    a file not laid out by a requested column carries no entry and every
+    partition filter treats it conservatively (scanned, never silently
+    dropped). NULL map when the table is unpartitioned."""
+    if not partition_by:
+        return F.lit(None).cast("map<string,string>")
+    pairs = []
+    for pcol in partition_by:
+        pairs.append(F.lit(pcol))
+        pairs.append(
+            F.regexp_extract(F.col("path"), f"(?:^|/){pcol}=([^/]+)/", 1)
+        )
+    return F.map_filter(F.create_map(*pairs), lambda _k, v: v != "")
+
+
 def write_stats_manifest(
     spark: SparkSession,
     paths: list[str],
     manifest_dir: str,
     columns: tuple[str, ...] = _MANIFEST_COLS,
+    partition_by: tuple[str, ...] = (),
 ) -> None:
     """Materialize the footer-stats manifest as a parquet TABLE beside
     the data — the artifact a table format keeps so planning never
@@ -956,12 +989,14 @@ def write_stats_manifest(
     ``catalog.compact_parquet_dir`` can restore offline if thousands
     of appends ever accumulate). Every row carries ``snapshot_id`` = 0;
     appends stamp successive ids, giving the manifest a version axis
-    (``manifest_pruned_scan(as_of=...)`` time-travels on it)."""
+    (``manifest_pruned_scan(as_of=...)`` time-travels on it).
+    ``partition_by`` records Hive-style partition values per row (see
+    ``_partition_values_col``) for combined partition+stats pruning."""
     read_footer_stats_multi(spark, paths, columns).withColumn(
         "snapshot_id", F.lit(0).cast("int")
-    ).withColumn("op", F.lit("add")).write.mode("overwrite").parquet(
-        manifest_dir
-    )
+    ).withColumn("op", F.lit("add")).withColumn(
+        "partition_values", _partition_values_col(partition_by)
+    ).write.mode("overwrite").parquet(manifest_dir)
 
 
 def append_stats_manifest(
@@ -970,6 +1005,7 @@ def append_stats_manifest(
     manifest_dir: str,
     columns: tuple[str, ...] = _MANIFEST_COLS,
     snapshot_id: int | None = None,
+    partition_by: tuple[str, ...] = (),
 ) -> int:
     """Incremental manifest maintenance: when new data files land
     (ingest batch, compaction output), footer-read ONLY them and append
@@ -994,16 +1030,16 @@ def append_stats_manifest(
             snapshot_id = 0
     read_footer_stats_multi(spark, new_paths, columns).withColumn(
         "snapshot_id", F.lit(int(snapshot_id)).cast("int")
-    ).withColumn("op", F.lit("add")).write.mode("append").parquet(
-        manifest_dir
-    )
+    ).withColumn("op", F.lit("add")).withColumn(
+        "partition_values", _partition_values_col(partition_by)
+    ).write.mode("append").parquet(manifest_dir)
     return int(snapshot_id)
 
 
 _MANIFEST_SCHEMA = (
     "path string, file_name string, row_group long, column_name string,"
     " n_rows long, min_val double, max_val double, snapshot_id int,"
-    " op string"
+    " op string, partition_values map<string,string>"
 )
 
 
@@ -1091,6 +1127,7 @@ def manifest_pruned_scan(
     lo: float,
     hi: float,
     as_of: int | None = None,
+    partition_filter: dict[str, str] | None = None,
 ) -> DataFrame:
     """Answer a key-range query through the PERSISTED manifest: an
     agg+filter over the stats table computes which files can overlap
@@ -1105,7 +1142,15 @@ def manifest_pruned_scan(
     to files whose stats landed at snapshot ≤ N (a metadata filter;
     the late files' data pages are simply never listed). An as-of
     below an ``expire_manifest_history`` floor RAISES — expired
-    history must fail loudly, never reconstruct partially."""
+    history must fail loudly, never reconstruct partially.
+
+    ``partition_filter`` ({col: value}) COMBINES partition pruning with
+    stats pruning in the same metadata pass — a file survives only if
+    every requested partition value matches its recorded
+    ``partition_values`` entry AND its key stats overlap [lo, hi].
+    Files with no recorded entry for a filtered column are kept
+    conservatively (scanned, never silently dropped), so the filter is
+    always sound over mixed/legacy manifests."""
     raw = spark.read.parquet(manifest_dir)
     if as_of is not None:
         floor = _history_floor(raw)
@@ -1116,6 +1161,15 @@ def manifest_pruned_scan(
                 "below the floor cannot be reconstructed"
             )
     manifest = _visible_stats(raw, as_of)
+    if partition_filter:
+        if "partition_values" not in manifest.columns:
+            raise ValueError(
+                f"manifest at {manifest_dir} records no partition values "
+                "— rebuild it with write_stats_manifest(partition_by=...)"
+            )
+        for k, v in partition_filter.items():
+            entry = F.col("partition_values").getItem(k)
+            manifest = manifest.filter(entry.isNull() | (entry == str(v)))
     per_file = (
         manifest.filter(F.col("column_name") == column)
         .groupBy("path")
@@ -1308,6 +1362,83 @@ def scan_manifest_pruned_double(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
                 .cast("long")
                 .alias("total_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+#: doc_id band for the partition+stats combined-pruning demo (spans a
+#: minority of range clusters at every fixture SF)
+_PART_PRUNE_RANGE = (50, 199)
+
+
+@register(
+    "scan_manifest_partitioned",
+    oracle=f"""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE lang = 'en'
+          AND doc_id BETWEEN {_PART_PRUNE_RANGE[0]} AND {_PART_PRUNE_RANGE[1]}
+        GROUP BY source
+    """,
+    tags=("source", "layout", "scan"),
+)
+def scan_manifest_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-AWARE manifest pruning — Iceberg's partition-tuple +
+    column-stats skipping in one metadata pass: documents land
+    Hive-partitioned by lang AND range-clustered by doc_id inside each
+    partition, the manifest records each file's partition values
+    (parsed from its path — the reference's ``YYYYMMDD/`` prefix layout,
+    ``/root/reference/app.py:449-456``, generalized to named key=value
+    dirs) beside its footer stats, and a lang+key-band aggregate prunes
+    on BOTH axes: non-en partitions vanish on the partition filter, and
+    en files outside the doc_id band vanish on stats — each axis alone
+    would scan strictly more files (pytest-pinned numFiles drops,
+    tests/test_catalog_scale.py). At 100 TB this is the difference
+    between touching one partition's boundary files and touching every
+    partition's boundary files. The leaf files drop the partition
+    column (Hive layout), which the combined filter makes irrelevant:
+    every surviving row is lang='en' by construction."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    path = scratch_path(spark, sf_dir, "part_manifest_data")
+    mpath = scratch_path(spark, sf_dir, "part_manifest")
+    lo, hi = _PART_PRUNE_RANGE
+    with scratch_cleanup(path, mpath):
+        (
+            load_table(spark, sf_dir, "documents")
+            .repartitionByRange(6, "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(path)
+        )
+        files = sorted(
+            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        write_stats_manifest(
+            spark, files, mpath, ("doc_id",), partition_by=("lang",)
+        )
+        return (
+            manifest_pruned_scan(
+                spark,
+                mpath,
+                "doc_id",
+                lo,
+                hi,
+                partition_filter={"lang": "en"},
+            )
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
             )
             .localCheckpoint(eager=True)
         )
@@ -1747,9 +1878,7 @@ def build_bloom_manifest(
     rows = (
         spark.read.parquet(*paths)
         .select(
-            F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias(
-                "path"
-            ),
+            _decode_input_file().alias("path"),
             F.col(column).alias("k"),
         )
         .filter(F.col("k").isNotNull())
@@ -2006,6 +2135,7 @@ def equality_delete(
             "max_val": [float(v) for v in sorted(values)],
             "snapshot_id": int(snapshot_id),
             "op": "delete_eq",
+            "partition_values": None,
         }
     )
     spark.createDataFrame(pdf, _MANIFEST_SCHEMA).write.mode("append").parquet(
@@ -2576,6 +2706,16 @@ def merge_through_manifest(
     import shutil as _shutil
 
     manifest = _visible_stats(spark.read.parquet(manifest_dir), None)
+    # preserve every tracked stats column present in the rewritten
+    # schema (key, *cols) — appending key-only stats would hide the
+    # rewrites from scans probing the other tracked columns
+    tracked = tuple(
+        sorted(
+            r.column_name
+            for r in manifest.select("column_name").distinct().collect()
+            if r.column_name in {key, *cols}
+        )
+    ) or (key,)
     per_file = (
         manifest.filter(F.col("column_name") == key)
         .groupBy("path")
@@ -2588,6 +2728,21 @@ def merge_through_manifest(
         )
     )
     d = delta.select(key, *cols).localCheckpoint(eager=True)
+    # Delta/Iceberg MERGE raises when multiple source rows match one
+    # target row; a duplicate delta key here would silently multiply
+    # matched base rows through the left join below (row-count inflation
+    # written into the rewritten files) — fail fast instead. One tiny
+    # agg over the (checkpointed, delta-sized) frame.
+    kc = d.agg(
+        F.count(key).alias("n"),
+        F.countDistinct(key).alias("nd"),
+    ).collect()[0]
+    if kc.n != kc.nd:
+        raise ValueError(
+            f"merge_through_manifest: delta has {kc.n - kc.nd} duplicate "
+            f"{key!r} rows — MERGE requires at most one source row per "
+            "key (dedup the delta first)"
+        )
     dkeys = d.select(F.col(key).cast("double").alias("_k")).distinct()
     # broadcast the PER-FILE STATS (metadata-scale: |files| rows, bounded
     # ~10^5 even at 100 TB), never the delta keys — a bulk backfill's
@@ -2669,7 +2824,7 @@ def merge_through_manifest(
         raise ValueError("merge_through_manifest: empty delta — nothing to do")
     if new_paths:
         append_stats_manifest(
-            spark, new_paths, manifest_dir, (key,), snapshot_id=snap
+            spark, new_paths, manifest_dir, tracked, snapshot_id=snap
         )
     if intersecting:
         remove_from_manifest(spark, manifest_dir, intersecting, snapshot_id=snap)
@@ -2819,6 +2974,16 @@ def compact_equality_deletes(
     dkeys = live.select(F.col("min_val").alias("_k")).distinct()
 
     visible = _visible_stats(manifest, None)
+    # rewritten files must keep the TABLE's full tracked-stats column
+    # set, not just the delete column — appending (column,) alone would
+    # leave the rewrites invisible to scans probing any other tracked
+    # column (manifest_pruned_scan lists a file only via its stats rows)
+    tracked = tuple(
+        sorted(
+            r.column_name
+            for r in visible.select("column_name").distinct().collect()
+        )
+    )
     per_file = (
         visible.filter(F.col("column_name") == column)
         .groupBy("path")
@@ -2870,7 +3035,7 @@ def compact_equality_deletes(
         _shutil.rmtree(tmp, ignore_errors=True)
         if new_paths:
             append_stats_manifest(
-                spark, new_paths, manifest_dir, (column,), snapshot_id=snap
+                spark, new_paths, manifest_dir, tracked, snapshot_id=snap
             )
         remove_from_manifest(spark, manifest_dir, candidates, snapshot_id=snap)
     # retire the records THROUGH the ceiling at the same snapshot: a
@@ -2972,19 +3137,13 @@ def expire_manifest_history(
 
     e = int(expire_below)
     man = spark.read.parquet(manifest_dir)
-    # one conditional agg answers all three driver-side questions —
-    # separate actions each cost a full (tiny) job under load
+    # one agg answers both driver-side questions — separate actions
+    # each cost a full (tiny) job under load
     stats = man.agg(
         F.max("snapshot_id").alias("cur_max"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.max(
-            F.when(
-                (F.col("op") == "delete_retire") & (F.col("snapshot_id") < e),
-                F.col("min_val"),
-            )
-        ).alias("ceiling"),
     ).collect()[0]
-    cur_max, rows_before, ceiling = stats.cur_max, stats.n_rows, stats.ceiling
+    cur_max, rows_before = stats.cur_max, stats.n_rows
     if cur_max is None or e > cur_max:
         raise ValueError(
             f"expire_below={e} exceeds max snapshot {cur_max} — refusing "
@@ -2997,11 +3156,24 @@ def expire_manifest_history(
     keep_old_adds = old.filter(F.col("op") == "add").join(
         removed_below, "path", "left_anti"
     )
-    live_old_deletes = old.filter(F.col("op") == "delete_eq")
-    if ceiling is not None:
-        live_old_deletes = live_old_deletes.filter(
-            F.col("snapshot_id") > int(ceiling)
+    # retire ceilings are PER COLUMN, mirroring _live_delete_records'
+    # scoping: a retire marker for column A must never expire column
+    # B's still-live delete records (that would silently resurrect
+    # B's deleted rows on every post-expire read)
+    ceilings = (
+        old.filter(F.col("op") == "delete_retire")
+        .groupBy("column_name")
+        .agg(F.max("min_val").alias("__ceiling"))
+    )
+    live_old_deletes = (
+        old.filter(F.col("op") == "delete_eq")
+        .join(F.broadcast(ceilings), "column_name", "left")
+        .filter(
+            F.col("__ceiling").isNull()
+            | (F.col("snapshot_id") > F.col("__ceiling"))
         )
+        .drop("__ceiling")
+    )
     keep = (
         man.filter(F.col("snapshot_id") >= e)
         .unionByName(keep_old_adds)
@@ -3182,15 +3354,21 @@ def manifest_count_range(
         in_range = (
             spark.read.parquet(*scan_paths)
             .filter(F.col(column).between(lo, hi))
-            .groupBy(
-                F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias(
-                    "path"
-                )
-            )
+            .groupBy(_decode_input_file().alias("path"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        # input_file_name() returns a percent-encoded URI; a data dir
+        # containing spaces/%-chars would miss the manifest path map and
+        # double-count inside-rowgroups — decode, and refuse to return a
+        # silently-wrong count if any scanned path still fails to resolve
+        known = set(scan_paths)
         for r in in_range:
+            if r.path not in known:
+                raise ValueError(
+                    f"manifest_count_range: scanned file {r.path!r} did "
+                    "not resolve to a manifest path — count would be wrong"
+                )
             n_scanned += int(r.n) - int(per_file_inside.get(r.path, 0))
     return n_meta + n_scanned, n_meta, len(scan_paths)
 

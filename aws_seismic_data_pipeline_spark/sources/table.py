@@ -35,11 +35,13 @@ class GovernedTable:
         data_dir: str,
         manifest_dir: str,
         key: str,
+        partition_by: tuple[str, ...] = (),
     ) -> None:
         self.spark = spark
         self.data_dir = data_dir
         self.manifest_dir = manifest_dir
         self.key = key
+        self.partition_by = tuple(partition_by)
 
     @classmethod
     def create(
@@ -50,15 +52,24 @@ class GovernedTable:
         manifest_dir: str,
         key: str,
         n_files: int = 16,
+        partition_by: tuple[str, ...] = (),
     ) -> "GovernedTable":
         """Land ``df`` range-clustered on ``key`` across ``n_files``
-        files and build the stats manifest over them (snapshot 0)."""
-        df.repartitionByRange(n_files, key).write.mode("overwrite").parquet(
-            data_dir
+        files and build the stats manifest over them (snapshot 0).
+        ``partition_by`` lands Hive-partitioned dirs whose values the
+        manifest records for combined partition+stats pruning
+        (:func:`readers.manifest_pruned_scan` ``partition_filter``)."""
+        writer = df.repartitionByRange(n_files, key).write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        files = sorted(
+            glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
         )
-        files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
-        R.write_stats_manifest(spark, files, manifest_dir, (key,))
-        return cls(spark, data_dir, manifest_dir, key)
+        R.write_stats_manifest(
+            spark, files, manifest_dir, (key,), partition_by=partition_by
+        )
+        return cls(spark, data_dir, manifest_dir, key, partition_by)
 
     # ---- read side -----------------------------------------------------
     def scan(
@@ -66,10 +77,19 @@ class GovernedTable:
         lo: float = float("-inf"),
         hi: float = float("inf"),
         as_of: int | None = None,
+        partition_filter: dict[str, str] | None = None,
     ) -> DataFrame:
-        """Stats-pruned key-range scan; ``as_of`` time-travels."""
+        """Stats-pruned key-range scan; ``as_of`` time-travels;
+        ``partition_filter`` combines partition pruning with stats
+        pruning in the same metadata pass."""
         return R.manifest_pruned_scan(
-            self.spark, self.manifest_dir, self.key, lo, hi, as_of=as_of
+            self.spark,
+            self.manifest_dir,
+            self.key,
+            lo,
+            hi,
+            as_of=as_of,
+            partition_filter=partition_filter,
         )
 
     def scan_with_deletes(self, as_of: int | None = None) -> DataFrame:
@@ -88,7 +108,11 @@ class GovernedTable:
     def append(self, new_paths: list[str]) -> int:
         """Register already-landed files at the next snapshot."""
         return R.append_stats_manifest(
-            self.spark, new_paths, self.manifest_dir, (self.key,)
+            self.spark,
+            new_paths,
+            self.manifest_dir,
+            (self.key,),
+            partition_by=self.partition_by,
         )
 
     def merge(self, delta: DataFrame, cols: list[str], insert_files: int = 1):

@@ -707,9 +707,19 @@ def _normalized_regressions(
 #:   (O(log² n) rounds — the 100 TB-safe bound; same-host A/B: star
 #:   3.2 s vs min-label 5.0 s on the chain-bearing Jaccard graph). The
 #:   two component queries re-baseline at the first star-era run.
+#: - r10 replaced analytics_rfm's three UNPARTITIONED NTILE windows
+#:   (planned as Exchange SinglePartition + one-task WindowExec — the
+#:   whole customer frame through one core, the r9 verdict's
+#:   scale-killer; its 0.464 s best-prior is the price of NOT
+#:   distributing 15 k rows) with distributed_ntile_multi (range
+#:   exchange + fused per-partition counts + offset ranks; same-host
+#:   A/B: 1.3 s distributed vs 0.46 s single-task at sf0.1 — the swap
+#:   buys the 10^8-row frame the old plan cannot survive;
+#:   tests/test_plan_shapes.py pins the SinglePartition ban).
 BASELINE_RESETS = {
     "dedup_cluster_canonical": 1786770000.0,
     "dedup_embedding_canonical": 1786770000.0,
+    "analytics_rfm": 1786793500.0,
 }
 
 

@@ -1839,3 +1839,210 @@ def test_manifest_count_is_metadata_dominated(spark, tmp_path):
         spark, mpath, "o_orderkey", -50, -10
     )
     assert (empty, meta_e, scanned_e) == (0, 0, 0)
+
+
+def test_expire_scopes_retire_ceilings_per_column(spark, tmp_path):
+    """Round-9 advice (medium): a retire marker for column A must never
+    expire column B's still-live equality-delete records. History:
+    delete on n_chars (snap 1), delete on doc_id (snap 2), compact
+    doc_id (snap 3 — retires doc_id through ceiling 2), a later benign
+    commit (snap 4), expire below 4. The old global ceiling (2) dropped
+    the n_chars delete at snap 1; post-expire reads then silently
+    resurrected its rows."""
+    import glob
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        compact_equality_deletes,
+        equality_delete,
+        expire_manifest_history,
+        read_with_deletes,
+        write_stats_manifest,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    data_dir = str(tmp_path / "docs")
+    docs.repartition(6, "doc_id").write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "manifest")
+    write_stats_manifest(spark, files, mpath, ("doc_id", "n_chars"))
+
+    v = docs.agg(F.min("n_chars")).collect()[0][0]
+    equality_delete(spark, mpath, "n_chars", [int(v)])  # snap 1
+    equality_delete(spark, mpath, "doc_id", [3, 100])  # snap 2
+    snap_c, _, n_rw, _ = compact_equality_deletes(spark, mpath, "doc_id")
+    # the rewrite keeps BOTH tracked stats columns (a key-only append
+    # would hide the rewrites from n_chars scans entirely)
+    man = spark.read.parquet(mpath)
+    rewrit = man.filter(
+        (F.col("op") == "add") & (F.col("snapshot_id") == snap_c)
+    )
+    assert n_rw > 0
+    assert sorted(
+        r.column_name
+        for r in rewrit.select("column_name").distinct().collect()
+    ) == ["doc_id", "n_chars"]
+
+    floor = equality_delete(spark, mpath, "doc_id", [10**9])  # snap 4
+
+    def by_chars():
+        return sorted(
+            r.doc_id
+            for r in read_with_deletes(spark, mpath, "n_chars")
+            .select("doc_id")
+            .collect()
+        )
+
+    # the doc_id compaction physically removed 3 and 100 from the
+    # rewritten files, so every current read excludes them too
+    expect = sorted(
+        r.doc_id
+        for r in docs.filter(
+            (F.col("n_chars") != v) & ~F.col("doc_id").isin(3, 100)
+        ).collect()
+    )
+    assert by_chars() == expect  # pre-expire baseline
+    expire_manifest_history(spark, mpath, floor)
+    # the n_chars delete record (snap 1, never retired) must survive
+    assert by_chars() == expect
+    kept = spark.read.parquet(mpath).filter(F.col("op") == "delete_eq")
+    assert (
+        kept.filter(F.col("column_name") == "n_chars").count() == 1
+    ), "expiry dropped a live delete record scoped to another column"
+
+
+def test_merge_rejects_duplicate_delta_keys(spark, tmp_path):
+    """MERGE must fail fast on a non-unique delta key (Delta/Iceberg
+    raise; silently multiplying matched base rows corrupts the table)."""
+    import glob
+
+    import pytest as _pytest
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        merge_through_manifest,
+        write_stats_manifest,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    data_dir = str(tmp_path / "docs")
+    docs.select("doc_id", "lang").repartition(4, "doc_id").write.parquet(
+        data_dir
+    )
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "manifest")
+    write_stats_manifest(spark, files, mpath, ("doc_id",))
+
+    dup = spark.createDataFrame(
+        [(3, "xx"), (3, "yy"), (4, "zz")], "doc_id long, lang string"
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        merge_through_manifest(spark, mpath, dup, "doc_id", ["lang"])
+
+
+def test_manifest_paths_survive_special_char_dirs(spark, tmp_path):
+    """input_file_name() returns a percent-encoded URI; a data directory
+    with a space must still resolve against plain manifest paths in the
+    metadata-only count AND yield one (dense, merged) bloom row per file
+    rather than forked encoded/decoded groups."""
+    import glob
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        bloom_pruned_scan,
+        build_bloom_manifest,
+        manifest_count_range,
+        write_stats_manifest,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    data_dir = str(tmp_path / "docs with space+plus")
+    docs.repartition(4, "doc_id").write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "manifest")
+    write_stats_manifest(spark, files, mpath, ("doc_id",))
+
+    lo, hi = 10, 250
+    total, meta, scanned = manifest_count_range(
+        spark, mpath, "doc_id", lo, hi
+    )
+    assert total == docs.filter(F.col("doc_id").between(lo, hi)).count()
+
+    bdir = str(tmp_path / "bloom")
+    build_bloom_manifest(spark, files, bdir, "doc_id")
+    bl = spark.read.parquet(bdir)
+    # one row per file, path matching the plain filesystem path
+    assert sorted(r.path for r in bl.select("path").collect()) == files
+    got = sorted(
+        r.doc_id
+        for r in bloom_pruned_scan(spark, bdir, "doc_id", [3, 100])
+        .select("doc_id")
+        .collect()
+    )
+    assert got == [3, 100]
+
+
+def test_partition_plus_stats_pruning_compound(spark, tmp_path):
+    """scan_manifest_partitioned's contract: the combined lang+key-band
+    scan opens strictly fewer files than EITHER axis alone, each axis
+    alone opens strictly fewer than the table holds, and the surviving
+    rows equal the raw twin. Files without a recorded partition entry
+    are kept conservatively."""
+    import glob
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        manifest_pruned_scan,
+        write_stats_manifest,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    data_dir = str(tmp_path / "docs")
+    (
+        docs.repartitionByRange(6, "doc_id")
+        .write.partitionBy("lang")
+        .parquet(data_dir)
+    )
+    files = sorted(
+        glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    )
+    mpath = str(tmp_path / "manifest")
+    write_stats_manifest(spark, files, mpath, ("doc_id",), ("lang",))
+
+    INF = float("inf")
+    lo, hi = 50, 199
+
+    def nfiles(df):
+        return len(df.inputFiles())
+
+    full = manifest_pruned_scan(spark, mpath, "doc_id", -INF, INF)
+    stats_only = manifest_pruned_scan(spark, mpath, "doc_id", lo, hi)
+    part_only = manifest_pruned_scan(
+        spark, mpath, "doc_id", -INF, INF, partition_filter={"lang": "en"}
+    )
+    combined = manifest_pruned_scan(
+        spark, mpath, "doc_id", lo, hi, partition_filter={"lang": "en"}
+    )
+    assert nfiles(combined) < nfiles(stats_only) < nfiles(full)
+    assert nfiles(combined) < nfiles(part_only) < nfiles(full)
+    # value parity with the raw table (leaf files drop lang; the
+    # partition filter guarantees every surviving row is en)
+    want = sorted(
+        r.doc_id
+        for r in docs.filter(
+            (F.col("lang") == "en") & F.col("doc_id").between(lo, hi)
+        ).collect()
+    )
+    got = sorted(r.doc_id for r in combined.select("doc_id").collect())
+    assert got == want
+
+    # conservative inclusion: a manifest with NO partition entries keeps
+    # every file under any partition filter
+    flat_dir = str(tmp_path / "flat")
+    docs.repartition(4, "doc_id").write.parquet(flat_dir)
+    flat_files = sorted(glob.glob(flat_dir + "/*.parquet"))
+    fpath = str(tmp_path / "flat_manifest")
+    write_stats_manifest(spark, flat_files, fpath, ("doc_id",))
+    kept = manifest_pruned_scan(
+        spark, fpath, "doc_id", -INF, INF, partition_filter={"lang": "en"}
+    )
+    kept_paths = sorted(
+        "/" + f.split(":", 1)[1].lstrip("/") for f in kept.inputFiles()
+    )
+    assert kept_paths == flat_files

@@ -23,14 +23,18 @@ inside them with the same partial-top-k kernel as brute force
 per query batch; the corpus is scanned pre-assigned (one extra int
 column), never shuffled.
 
-No SQL oracle — iterative training isn't SQL-expressible; the driver
-records a rows-only check. ``tests/test_ivf.py`` asserts the strong
-IVF property (result == exact top-k restricted to probed cells) on the
-fixture, recall ≥ 0.9 on planted clustered data, and end-to-end
-determinism. (The fixture embeddings are isotropic — labels carry no
-geometric signal — so full-corpus recall there is ~nprobe/n_cells for
-ANY cell-probing index; that is a property of the data, not the
-index.)
+Oracle (round 10 — was rows-only through r9): iterative training has
+no SQL form, but its CONTRACT does, so the registered queries emit
+VERIFIED-PROPERTY surfaces (``llm/vector.py: topk_property_surface``)
+hash-checked against literal oracle verdicts — per query k results /
+self excluded / monotone scores, plus AGGREGATE recall >= 0.3 vs exact
+brute force. The floor is meaningful, not decorative: the fixture
+embeddings are isotropic (labels carry no geometric signal), so ANY
+cell-probing index's expected recall there is ~nprobe/n_cells = 0.2;
+the measured 0.45+ clears the random floor by 2x and the pinned bound
+by 1.5x. ``tests/test_ivf.py`` keeps the strong properties on raw
+rows: result == exact top-k restricted to probed cells, recall >= 0.9
+on planted clustered data, end-to-end determinism.
 """
 
 from __future__ import annotations
@@ -299,15 +303,42 @@ def build_and_search(
     )
 
 
-@register("sim_topk_ivf", tags=("llm", "similarity", "no-oracle"))
+@register(
+    "sim_topk_ivf",
+    oracle="""
+        SELECT CAST(vec_id AS BIGINT) AS query_id,
+               CAST(5 AS BIGINT) AS n_results,
+               TRUE AS self_excluded,
+               TRUE AS cosine_monotone,
+               TRUE AS agg_recall_ok
+        FROM embeddings WHERE vec_id < 50
+    """,
+    tags=("llm", "similarity", "approx"),
+)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer: spherical k-means
     (deterministic md5-order init, 3 iterations), corpus assigned to
     cells in one closure-broadcast pass, then top-5 search probing the
-    2 nearest cells per query. Rows-only check (iterative training has
-    no SQL form); recall vs exact brute force and rerun-determinism are
-    pytest-asserted in tests/test_ivf.py."""
-    return build_and_search(spark, sf_dir)
+    2 nearest cells per query. The registered surface is the
+    VERIFIED-PROPERTY form (round-10: was rows-only since r5 —
+    iterative training has no SQL form, but its CONTRACT does): per
+    query, exactly k results, self excluded, scores monotone down the
+    ranks, and aggregate recall >= 0.3 vs the exact brute-force top-5
+    (measured 0.45+ at every fixture SF on this weakly-clustered
+    corpus; per-query recall is NOT a sound pin — a query's true
+    neighbors can all sit outside its 2 probed cells), all computed
+    in-engine against ``exact_topk`` and hash-checked against the
+    oracle's literal verdicts. Planted-cluster recall and
+    rerun-determinism pins stay on the raw neighbor rows in
+    tests/test_ivf.py."""
+    from aws_seismic_data_pipeline_spark.llm.similarity import exact_topk
+    from aws_seismic_data_pipeline_spark.llm.vector import (
+        topk_property_surface,
+    )
+
+    approx = build_and_search(spark, sf_dir)
+    exact = exact_topk(spark, sf_dir, n_queries=50, k=5)
+    return topk_property_surface(approx, exact, min_aggregate_recall=0.3)
 
 
 def index_path(spark: SparkSession, sf_dir: str) -> str:
@@ -461,19 +492,37 @@ def probe_persisted_index(
     )
 
 
-@register("sim_topk_ivf_persisted", tags=("llm", "similarity", "no-oracle"))
+@register(
+    "sim_topk_ivf_persisted",
+    oracle="""
+        SELECT CAST(vec_id AS BIGINT) AS query_id,
+               CAST(5 AS BIGINT) AS n_results,
+               TRUE AS self_excluded,
+               TRUE AS cosine_monotone,
+               TRUE AS agg_recall_ok
+        FROM embeddings WHERE vec_id < 50
+    """,
+    tags=("llm", "similarity", "approx"),
+)
 def sim_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN through the PERSISTED index: write the cell-partitioned
     index table once, then answer the query set with a partition-pruned
     scan of only the probed cells — the deployment path where the index
     outlives the job and probes never rescan or re-shuffle the corpus.
-    Rows-only check (iterative training, filesystem state);
-    tests/test_ivf.py asserts result equality with the in-memory
-    ``sim_topk_ivf`` path and scan-level cell pruning. The probe
-    deliberately does NOT pass the just-trained centroids: it reloads
-    the quantizer from inside the index (``load_centroids``), so the
-    driver-checked path exercises the self-contained artifact end to
-    end."""
+    The probe deliberately does NOT pass the just-trained centroids: it
+    reloads the quantizer from inside the index (``load_centroids``),
+    so the driver-checked path exercises the self-contained artifact
+    end to end. Registered surface is the VERIFIED-PROPERTY form
+    (round-10, see ``sim_topk_ivf``): per query, k results / self
+    excluded / monotone scores, plus aggregate recall >= 0.3 vs the
+    exact top-5, hash-checked against literal verdicts;
+    persisted==in-memory equality and cell pruning stay pinned on the
+    raw rows in tests/test_ivf.py."""
+    from aws_seismic_data_pipeline_spark.llm.similarity import exact_topk
+    from aws_seismic_data_pipeline_spark.llm.vector import (
+        topk_property_surface,
+    )
+
     path = index_path(spark, sf_dir)
     write_index(spark, sf_dir, path)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -484,7 +533,10 @@ def sim_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     out = probe_persisted_index(spark, path, queries, centroids=None, k=5)
-    result = out.localCheckpoint(eager=True)  # materialize before cleanup
+    exact = exact_topk(spark, sf_dir, n_queries=50, k=5)
+    result = topk_property_surface(
+        out, exact, min_aggregate_recall=0.3
+    ).localCheckpoint(eager=True)  # materialize before cleanup
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)  # app-id-keyed dir: no reuse

@@ -52,18 +52,28 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus emitting per-partition candidates, then a tiny global
     re-rank — no corpus shuffle, ~100× the interpreted
     aggregate(zip_with(...)) throughput."""
+    return exact_topk(spark, sf_dir, n_queries=10, k=5)
+
+
+def exact_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int, k: int
+) -> DataFrame:
+    """Exact brute-force top-k for queries ``vec_id < n_queries`` —
+    the correctness baseline itself, and the in-engine ground truth the
+    approximate indexes' verified-property surfaces compare against
+    (``llm/vector.py: topk_property_surface``)."""
     from aws_seismic_data_pipeline_spark.llm.vector import rank_topk, topk_dots
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = [
         (r["vec_id"], None, r["embedding"])
-        for r in emb.filter(F.col("vec_id") < 10)
+        for r in emb.filter(F.col("vec_id") < n_queries)
         .select("vec_id", "embedding")
         .collect()
     ]
     corpus = spread_dense(emb, spark, sf_dir)
-    candidates = topk_dots(corpus, queries, k=5, same_label_only=False)
-    return rank_topk(candidates, 5).select(
+    candidates = topk_dots(corpus, queries, k=k, same_label_only=False)
+    return rank_topk(candidates, k).select(
         "query_id",
         "neighbor_id",
         F.round("dot", 4).alias("cosine"),

@@ -1222,3 +1222,182 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("surprisal"), 6).alias("kn_cross_entropy"),
     )
+
+
+@register(
+    "text_kneser_ney_trigram",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        triples AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - 1),
+                                         i -> toks[i])) AS w1,
+                   unnest(list_transform(range(1, len(toks) - 1),
+                                         i -> toks[i+1])) AS w2,
+                   unnest(list_transform(range(1, len(toks) - 1),
+                                         i -> toks[i+2])) AS w3
+            FROM tok WHERE len(toks) >= 3
+        ),
+        pairs AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i])) AS w1,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i+1])) AS w2
+            FROM tok WHERE len(toks) >= 2
+        ),
+        c12b AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM pairs GROUP BY w1, w2
+        ),
+        cont AS (
+            SELECT w2 AS w3, CAST(COUNT(*) AS BIGINT) AS ncont
+            FROM c12b GROUP BY w2
+        ),
+        t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM c12b),
+        tri AS (
+            SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+            FROM triples GROUP BY w1, w2, w3
+        ),
+        ctx12 AS (
+            SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS cctx,
+                   CAST(COUNT(*) AS BIGINT) AS n1p12
+            FROM tri GROUP BY w1, w2
+        ),
+        mid23 AS (
+            SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS n1p23
+            FROM tri GROUP BY w2, w3
+        ),
+        mid2 AS (
+            SELECT w2, CAST(SUM(n1p23) AS BIGINT) AS nctx2,
+                   CAST(COUNT(*) AS BIGINT) AS ntypes2
+            FROM mid23 GROUP BY w2
+        ),
+        scored AS (
+            SELECT p.doc_id,
+                   -ln(
+                     (GREATEST(b.c123 - 0.75, 0.0) / x.cctx)
+                     + (0.75 * x.n1p12 / x.cctx) * (
+                         (GREATEST(m.n1p23 - 0.75, 0.0) / g.nctx2)
+                         + (0.75 * g.ntypes2 / g.nctx2) * (k.ncont / t.t)
+                       )
+                   ) AS surprisal
+            FROM triples p
+            JOIN tri b ON p.w1 = b.w1 AND p.w2 = b.w2 AND p.w3 = b.w3
+            JOIN ctx12 x ON p.w1 = x.w1 AND p.w2 = x.w2
+            JOIN mid23 m ON p.w2 = m.w2 AND p.w3 = m.w3
+            JOIN mid2 g ON p.w2 = g.w2
+            JOIN cont k ON p.w3 = k.w3
+            CROSS JOIN t
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+               ROUND(AVG(surprisal), 6) AS kn3_cross_entropy
+        FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney at TRIGRAM order with recursive backoff
+    — the construction KenLM/CCNet actually run at order 5, proved here
+    one recursion deeper than ``text_kneser_ney``'s bigram core:
+
+        P3(w3|w1w2) = max(c123-D,0)/c(w1w2)
+                      + D·N1+(w1w2·)/c(w1w2) · P2(w3|w2)
+        P2(w3|w2)   = max(N1+(·w2w3)-D,0)/N1+(·w2·)
+                      + D·N1+(w2·)/N1+(·w2·) · P1(w3)
+        P1(w3)      = N1+(·w3)/|bigram types|
+
+    with Chen-Goodman fixed discount D=0.75 and CONTINUATION counts at
+    every lower order (the mid level asks "how many left contexts does
+    (w2,w3) follow", never raw frequency). The unigram base SHARES the
+    bigram model's tables (c12/cont/T — the same frames
+    ``text_kneser_ney`` builds), so a deployment keeps one artifact per
+    order, each derived from the next-higher count table.
+
+    Value parity: every factor is a quotient of integer-derived doubles
+    composed in the SAME association on both engines
+    (term3 + lam3·(term2 + lam2·(ncont/t))); only the per-doc AVG
+    accumulates in engine order, hence ROUND(6).
+
+    Scale shape: one tokenize pass, checkpointed triple explode, ALL
+    model tables derived from the trigram-count table by groupBy (plus
+    the shared bigram tables), five join-backs on (wᵢ...) keys — the
+    same join-back shape as the bigram model, shuffling model tables
+    (vocab-sized) never the corpus twice."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = "split(text, ' ')"
+    triples = (
+        docs.filter(F.expr(f"size({toks})") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({toks}) - 2),"
+                    f" i -> struct(element_at({toks}, i) AS w1,"
+                    f" element_at({toks}, i + 1) AS w2,"
+                    f" element_at({toks}, i + 2) AS w3))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2", "p.w3")
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        docs.filter(F.expr(f"size({toks})") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({toks}) - 1),"
+                    f" i -> struct(element_at({toks}, i) AS w1,"
+                    f" element_at({toks}, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("p.w1", "p.w2")
+    )
+    c12b = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    cont = c12b.groupBy(F.col("w2").alias("w3")).agg(
+        F.count(F.lit(1)).cast("long").alias("ncont")
+    )
+    t = c12b.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    tri = triples.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("c123")
+    )
+    ctx12 = tri.groupBy("w1", "w2").agg(
+        F.sum("c123").cast("long").alias("cctx"),
+        F.count(F.lit(1)).cast("long").alias("n1p12"),
+    )
+    mid23 = tri.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p23")
+    )
+    mid2 = mid23.groupBy("w2").agg(
+        F.sum("n1p23").cast("long").alias("nctx2"),
+        F.count(F.lit(1)).cast("long").alias("ntypes2"),
+    )
+    d = F.lit(0.75)
+    p1 = F.col("ncont") / F.col("t")
+    p2 = (
+        F.greatest(F.col("n1p23") - d, F.lit(0.0)) / F.col("nctx2")
+    ) + (d * F.col("ntypes2") / F.col("nctx2")) * p1
+    p3 = (
+        F.greatest(F.col("c123") - d, F.lit(0.0)) / F.col("cctx")
+    ) + (d * F.col("n1p12") / F.col("cctx")) * p2
+    scored = (
+        triples.join(tri, ["w1", "w2", "w3"])
+        .join(ctx12, ["w1", "w2"])
+        .join(mid23, ["w2", "w3"])
+        .join(mid2, "w2")
+        .join(cont, "w3")
+        .crossJoin(F.broadcast(t))
+        .select("doc_id", (-F.log(p3)).alias("surprisal"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.round(F.avg("surprisal"), 6).alias("kn3_cross_entropy"),
+    )

@@ -185,3 +185,70 @@ def range_dots(
                 )
 
     return corpus.select("vec_id", "embedding").mapInPandas(score, _PAIR_SCHEMA)
+
+
+def topk_property_surface(
+    approx: DataFrame, exact: DataFrame, min_aggregate_recall: float
+) -> DataFrame:
+    """The VERIFIED-PROPERTY surface for an approximate top-k result —
+    the ``agg_approx_sketches`` trick applied to ANN (round-9 verdict
+    item 4): raw neighbor lists of an approximate index are
+    implementation details (k-means iteration order, shortlist size)
+    that a legal refactor may change, so the registered surface emits
+    per-query VERDICTS the DuckDB oracle can state as literals instead:
+
+    - ``n_results``: exactly k rows came back (oracle: the literal k);
+    - ``self_excluded``: the query vector never ranks itself;
+    - ``cosine_monotone``: scores are non-increasing down the ranks;
+    - ``agg_recall_ok``: the AGGREGATE recall vs the EXACT brute-force
+      top-k (computed in-engine) clears the caller's floor — aggregate,
+      not per-query, because on weakly-clustered data a single query's
+      true neighbors can all sit outside the probed cells (measured:
+      fixture per-query hits range 0-4/5 while aggregates hold 0.45+
+      for IVF and 0.6+ for PQ across SFs); the floor is set with >=1.3x
+      margin under the measured worst SF.
+
+    Both inputs carry (query_id, neighbor_id, cosine, rank). The exact
+    side is |queries| x k rows — broadcast-joined, no corpus shuffle;
+    the verdict agg is one |queries|-group pass plus a 1-row recall
+    anchor broadcast back. Aggregate-recall-on-planted-clusters and
+    append==rebuild pins stay in pytest (tests/test_ivf.py,
+    tests/test_pq.py), which see the raw neighbor rows."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy("rank")
+    a = approx.withColumn("_prev", F.lag("cosine").over(w))
+    hits = exact.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    per_q = (
+        a.join(F.broadcast(hits), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max(
+                F.when(F.col("neighbor_id") == F.col("query_id"), 1).otherwise(0)
+            ).alias("_self"),
+            F.min(
+                F.when(
+                    F.col("_prev").isNull()
+                    | (F.col("cosine") <= F.col("_prev")),
+                    1,
+                ).otherwise(0)
+            ).alias("_mono"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_hits"),
+        )
+    )
+    recall = per_q.agg(
+        (F.sum("_hits") / F.sum("_n")).alias("_agg_recall")
+    )
+    return (
+        per_q.crossJoin(F.broadcast(recall))
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("_n").cast("long").alias("n_results"),
+            (F.col("_self") == 0).alias("self_excluded"),
+            (F.col("_mono") == 1).alias("cosine_monotone"),
+            (
+                F.col("_agg_recall") >= F.lit(float(min_aggregate_recall))
+            ).alias("agg_recall_ok"),
+        )
+    )

@@ -150,7 +150,16 @@ def window_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution analytics per segment: quartile bucketing and rank
     ratios (percent_rank/cume_dist are exact rational values — int
-    counts divided identically in both engines, so no rounding)."""
+    counts divided identically in both engines, so no rounding).
+
+    This is the API witness for the BUILTIN window functions,
+    partitioned by market segment — each task still sees
+    |customers|/|segments| rows, so at production scale a low-
+    cardinality partition key makes this the same funnel in milder
+    form. The scale path for global/coarse-key NTILE is
+    :func:`distributed_ntile` (witnessed by ``window_ntile_global``);
+    keep this form only where the partition key's cardinality is a
+    real fan-out."""
     cust = load_table(spark, sf_dir, "customer")
     w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return cust.select(
@@ -177,33 +186,28 @@ def distributed_ntile(
 
     1. ``repartitionByRange`` on the order key (a total order — callers
        must include a unique tiebreak column, same as any cross-engine
-       window), so partition p holds a contiguous rank slice;
+       window), sort within partitions, stamp
+       ``monotonically_increasing_id``, and MATERIALIZE
+       (localCheckpoint) — Spark resamples range boundaries with a
+       fresh seed per execution, so the counts pass and the rank
+       expressions must read one pinned layout, never two executions
+       of the same exchange;
     2. collect the PER-PARTITION ROW COUNTS — ≤ ``num_partitions``
-       scalars, never data — and prefix-sum them into rank offsets
-       (Spark SQL's range sampler is seeded per partition index, so the
-       boundaries are identical across the counts job and the main job
-       given the same input; pass a checkpointed/cached frame when the
-       upstream is nondeterministic);
-    3. broadcast-join the offsets back on ``spark_partition_id`` and
-       compute global rank = offset + per-partition ``row_number``;
+       scalars, never data — and prefix-sum them into rank offsets;
+    3. global rank = offset + local position, both decoded from the
+       id's 64-bit layout (partition index << 33 | row offset) as pure
+       expressions, the offsets riding in as a literal array — no
+       window, no join;
     4. assign the tile from (rank, n) by the exact SQL NTILE sizing
        rule — the first ``n % k`` tiles get ``ceil(n/k)`` rows, the
        rest ``floor(n/k)`` — bit-identical to NTILE(k) in any engine.
 
-    Cost: ONE data-frame shuffle (the range exchange) and a
-    ``num_partitions``-row collect. Global rank is derived without a
-    window or a join: rows are sorted within their range partition and
-    stamped with ``monotonically_increasing_id``, whose 64-bit layout
-    (partition index << 33 | within-partition row offset) yields both
-    the partition id and the local offset as pure expressions; the
-    prefix offsets ride in as a ≤``num_partitions``-element literal
-    array. No task ever sees more than ~n/P rows, so the shape survives
-    a 10^9-row frame where the builtin global NTILE would funnel it
-    through one task. The counts job and the main job execute the range
-    exchange independently, so the input must be deterministic (pass a
-    checkpointed/cached frame when the upstream is not) — Spark's range
-    sampler is seeded per partition index, making the boundaries
-    identical across the two executions given identical input."""
+    Cost: ONE data-frame shuffle (the range exchange), one
+    materialization of the frame, and a ``num_partitions``-row collect.
+    No task ever sees more than ~n/P rows, so the shape survives a
+    10^9-row frame where the builtin global NTILE would funnel it
+    through one task (at that scale swap the localCheckpoint for
+    persist(DISK_ONLY) and unpersist after the action)."""
     return distributed_ntile_multi(
         df, [(order_cols, n_tiles, out_name)], num_partitions
     )
@@ -220,8 +224,12 @@ def distributed_ntile_multi(
     boundaries are sampled from the ORDER KEYS only, so counts computed
     on the base are valid for the chained passes that carry earlier
     specs' score columns. The tile passes then chain lazily (each is a
-    range exchange + within-partition sort + id stamp), all executed in
-    the caller's one action. See :func:`distributed_ntile` for the
+    range exchange + within-partition sort + id stamp, MATERIALIZED via
+    localCheckpoint so the per-partition counts and the rank expressions
+    read the identical layout — Spark samples range boundaries with a
+    fresh seed per execution, so two executions of one exchange are NOT
+    guaranteed the same partition sizes; measured 760/740 vs 783/717 on
+    the same 1500-row frame). See :func:`distributed_ntile` for the
     rank/sizing mechanics.
 
     Partitioning is sized from the OBSERVED row count (the catalog
@@ -236,32 +244,40 @@ def distributed_ntile_multi(
         shuffle_p = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
+        # floor of 2: a 1-partition range exchange plans as Exchange
+        # SinglePartition — the exact shape this operator exists to
+        # avoid; two near-empty tasks cost nothing at fixture scale and
+        # keep the distributed mechanics (offsets, sizing rule) hot
         n_total = df.count()
-        num_partitions = max(1, min(shuffle_p, -(-n_total // 262_144)))
-    tagged = None
-    for i, (order_cols, _k, _name) in enumerate(specs):
-        branch = (
-            df.repartitionByRange(num_partitions, *order_cols)
-            .groupBy(F.spark_partition_id().alias("p"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(F.lit(i).alias("s"), "p", "n")
-        )
-        tagged = branch if tagged is None else tagged.unionAll(branch)
-    counts: list[dict[int, int]] = [dict() for _ in specs]
-    for r in tagged.collect():
-        counts[r.s][r.p] = int(r.n)
+        num_partitions = max(2, min(shuffle_p, -(-n_total // 262_144)))
     out = df
-    for i, (order_cols, n_tiles, out_name) in enumerate(specs):
-        n = int(sum(counts[i].values()))
+    for order_cols, n_tiles, out_name in specs:
+        # ONE materialization pins the physical layout: counts and rank
+        # expressions below must see the same partition boundaries, and
+        # re-executing the exchange resamples them
+        ranged = (
+            out.repartitionByRange(num_partitions, *order_cols)
+            .sortWithinPartitions(*order_cols)
+            .withColumn("_mid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
+        mid = F.col("_mid")
+        pid = F.shiftright(mid, 33)
+        counts = {
+            r.p: int(r.n)
+            for r in ranged.groupBy(pid.alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n = int(sum(counts.values()))
         offsets, acc = [], 0
         for p in range(num_partitions):
             offsets.append(acc)
-            acc += counts[i].get(p, 0)
-        mid = F.col("_mid")
+            acc += counts.get(p, 0)
         local = mid.bitwiseAND(F.lit((1 << 33) - 1))
         offset = F.element_at(
             F.array(*[F.lit(o).cast("long") for o in offsets]),
-            (F.shiftright(mid, 33) + 1).cast("int"),
+            (pid + 1).cast("int"),
         )
         rank = offset + local + 1
         q, rem = divmod(n, max(int(n_tiles), 1))
@@ -276,13 +292,7 @@ def distributed_ntile_multi(
             + ((rank - F.lit(threshold) - 1) / F.lit(max(q, 1))).cast("long")
             + 1
         )
-        out = (
-            out.repartitionByRange(num_partitions, *order_cols)
-            .sortWithinPartitions(*order_cols)
-            .withColumn("_mid", F.monotonically_increasing_id())
-            .withColumn(out_name, tile.cast("long"))
-            .drop("_mid")
-        )
+        out = ranged.withColumn(out_name, tile.cast("long")).drop("_mid")
     return out
 
 

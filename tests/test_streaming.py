@@ -264,7 +264,10 @@ def test_stream_index_ingest_equals_batch_append(spark, tmp_path):
     """The streamed IVF ingest must be a pure delivery mechanism: the
     index it leaves behind answers every probe exactly like one whose
     late vectors were appended by a single batch call — same stored
-    quantizer, same cells, same top-k."""
+    quantizer, same cells, same top-k. The registered query now emits
+    the verified-property surface, so this test re-runs the streaming
+    ingest itself for the raw-row comparison and separately pins the
+    registered verdicts all-true."""
     from pyspark.sql import functions as F
 
     from aws_seismic_data_pipeline_spark.catalog import spread_dense
@@ -277,14 +280,55 @@ def test_stream_index_ingest_equals_batch_append(spark, tmp_path):
 
     from .conftest import SF_DIR
 
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    # raw streamed ingest, replicated from the registered builder
+    stream_dir = str(tmp_path / "ivf_streamed")
+    src = str(tmp_path / "ivf_src")
+    ckpt = str(tmp_path / "ivf_ckpt")
+    base_s = spread_dense(
+        emb.filter(F.col("vec_id") % 5 != 0), spark, SF_DIR
+    ).localCheckpoint(eager=True)
+    build_index_from(base_s, stream_dir)
+    emb.filter(F.col("vec_id") % 5 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = (
+        spark.readStream.schema(emb.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            lambda batch_df, batch_id: append_to_index(stream_dir, batch_df)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    s_queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 20)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
     streamed = sorted(
         map(
             tuple,
-            load_all()["stream_index_ingest"].builder(spark, SF_DIR).collect(),
+            probe_persisted_index(spark, stream_dir, s_queries, k=5).collect(),
         )
     )
 
-    emb = load_table(spark, SF_DIR, "embeddings")
+    # the registered verified-property surface must be all-true verdicts
+    verdicts = (
+        load_all()["stream_index_ingest"].builder(spark, SF_DIR).collect()
+    )
+    assert verdicts and all(
+        r.n_results == 5
+        and r.self_excluded
+        and r.cosine_monotone
+        and r.agg_recall_ok
+        and r.index_complete
+        for r in verdicts
+    )
     base = spread_dense(
         emb.filter(F.col("vec_id") % 5 != 0), spark, SF_DIR
     ).localCheckpoint(eager=True)

@@ -1734,6 +1734,61 @@ def vacuum_orphans_report(
     return spark.read.option("basePath", data_dir).parquet(*orphans)
 
 
+def vacuum_orphans(
+    spark: SparkSession,
+    data_dir: str,
+    manifest_dir: str,
+    older_than_seconds: float = 7 * 24 * 3600,
+) -> tuple[int, int]:
+    """EXECUTE the vacuum ``vacuum_orphans_report`` only plans — Delta's
+    VACUUM semantics: delete files on disk that no CURRENT manifest row
+    tracks (failed-write leftovers, tombstoned compaction inputs,
+    retention-deleted partitions) and that are older than the retention
+    window. The window is the time-travel horizon: a tombstoned file
+    still serves as-of reads below its tombstone, so deleting it
+    intentionally forfeits pinned reads older than the retention —
+    exactly Delta's documented trade (default 7 days there and here).
+    Pair with ``expire_manifest_history``, which retires the METADATA
+    for the same horizon so expired pins fail loudly at the manifest
+    instead of at a missing file. Only the orphan list is ever
+    collected (metadata-scale); deletion is per-file unlink. Returns
+    (n_deleted, bytes_reclaimed)."""
+    import glob as _glob
+    import time as _time
+
+    all_files = sorted(
+        _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    )
+    if not all_files:
+        raise ValueError(f"vacuum_orphans: no files under {data_dir}")
+    import pandas as _pd
+
+    listing = spark.createDataFrame(
+        _pd.DataFrame({"path": all_files}), "path string"
+    )
+    tracked = (
+        _visible_stats(spark.read.parquet(manifest_dir), None)
+        .select("path")
+        .distinct()
+    )
+    orphans = [
+        r.path for r in listing.join(tracked, "path", "left_anti").collect()
+    ]
+    cutoff = _time.time() - float(older_than_seconds)
+    n_deleted = 0
+    reclaimed = 0
+    for path in orphans:
+        try:
+            st = os.stat(path)
+        except FileNotFoundError:
+            continue
+        if st.st_mtime <= cutoff:
+            os.remove(path)
+            n_deleted += 1
+            reclaimed += st.st_size
+    return n_deleted, reclaimed
+
+
 @register(
     "plan_vacuum_orphans",
     oracle="""

@@ -170,6 +170,17 @@ class GovernedTable:
         """Files on disk but untracked — reclaimable storage."""
         return R.vacuum_orphans_report(self.spark, self.data_dir, self.manifest_dir)
 
+    def vacuum(self, older_than_seconds: float = 7 * 24 * 3600):
+        """Delete untracked files older than the retention window
+        (forfeits as-of reads older than it — Delta's VACUUM trade).
+        Returns (n_deleted, bytes_reclaimed)."""
+        return R.vacuum_orphans(
+            self.spark,
+            self.data_dir,
+            self.manifest_dir,
+            older_than_seconds=older_than_seconds,
+        )
+
     def clone(self, dst_manifest: str) -> "GovernedTable":
         """Zero-copy shallow clone sharing this table's data files."""
         R.clone_manifest(self.spark, self.manifest_dir, dst_manifest)

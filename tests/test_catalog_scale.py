@@ -494,7 +494,7 @@ def test_manifest_pruned_scan_equals_direct_and_prunes(spark, tmp_path):
     key = ["path", "row_group", "column_name"]
     got = (
         spark.read.parquet(m_appended)
-        .drop("snapshot_id", "op")
+        .drop("snapshot_id", "op", "partition_values")
         .orderBy(*key)
         .collect()
     )
@@ -2157,3 +2157,55 @@ def test_schema_evolution_time_travels(spark, tmp_path):
     assert at_add.filter(F.col("quality").isNotNull()).count() == 0
     with _pytest.raises(ValueError, match="already declared"):
         evolve_schema_add(spark, mpath, "quality", "double")
+
+
+def test_vacuum_executes_with_retention(spark, tmp_path):
+    """VACUUM execution semantics: nothing younger than the retention
+    window is deleted; with retention 0 the tombstoned fragments and
+    untracked leftovers are unlinked and their bytes reported; the
+    CURRENT read is bit-identical before and after; an as-of read below
+    the tombstone now fails (the documented Delta trade), while the
+    manifest-side expire keeps failing loudly at metadata."""
+    import glob
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        commit_data_compaction,
+        manifest_pruned_scan,
+        vacuum_orphans,
+        write_stats_manifest,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    data_dir = str(tmp_path / "docs")
+    docs.repartition(5, "doc_id").write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "manifest")
+    write_stats_manifest(spark, files, mpath, ("doc_id",))
+    _, snap_c = commit_data_compaction(spark, mpath, files[:3], ("doc_id",))
+
+    def current():
+        return sorted(
+            r.doc_id
+            for r in manifest_pruned_scan(spark, mpath, "doc_id", -1, 2**62)
+            .select("doc_id")
+            .collect()
+        )
+
+    before = current()
+    # default retention: tombstoned fragments survive (too young)
+    n, b = vacuum_orphans(spark, data_dir, mpath)
+    assert (n, b) == (0, 0)
+    assert sorted(glob.glob(data_dir + "/*.parquet")) != []
+    # retention 0: the 3 compacted fragments are reclaimed
+    n, b = vacuum_orphans(spark, data_dir, mpath, older_than_seconds=0)
+    assert n == 3 and b > 0
+    for p in files[:3]:
+        assert not os.path.exists(p)
+    assert current() == before  # current read untouched
+    # pinned read below the tombstone now fails at the missing files
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        manifest_pruned_scan(
+            spark, mpath, "doc_id", -1, 2**62, as_of=snap_c - 1
+        ).count()

@@ -1,8 +1,9 @@
 """End-to-end scenario over the GovernedTable facade: one object, the
 whole lifecycle — create, scan, merge, delete, compact, clone,
-rollback-safety, expire — with state checks after every verb. The
-individual verbs carry their own driver oracles and pins; this guards
-the BINDING (right function, right argument order, right key)."""
+rollback-safety, expire, schema evolution, concurrent merge, vacuum —
+with state checks after every verb. The individual verbs carry their
+own driver oracles and pins; this guards the BINDING (right function,
+right argument order, right key)."""
 
 from __future__ import annotations
 
@@ -82,3 +83,62 @@ def test_governed_table_lifecycle(spark, tmp_path):
     assert t.scan().count() == n0 + n_ins - 2
     with _pytest.raises(ValueError, match="expire floor"):
         t.scan(as_of=snap_dc - 1).count()
+
+    # r10 verbs through the same facade: schema evolution commits as
+    # metadata, concurrent merge CAS-claims its snapshot, vacuum
+    # reclaims the expired fragments with retention 0
+    snap_sch = t.add_column("discount", "double")
+    evolved = t.scan_evolved()
+    assert "discount" in evolved.columns
+    assert evolved.filter(F.col("discount").isNotNull()).count() == 0
+    snap_cc, _, _, retries = t.merge_concurrent(
+        spark.createDataFrame(
+            [(20_000_001, "C", 1.0)],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        ),
+        ["o_orderstatus", "o_totalprice"],
+    )
+    assert snap_cc == snap_sch + 1 and retries == 0
+    assert t.scan().count() == n0 + n_ins - 2 + 1
+    n_vac, bytes_vac = t.vacuum(older_than_seconds=0)
+    assert n_vac > 0 and bytes_vac > 0
+    assert t.scan().count() == n0 + n_ins - 2 + 1  # current read intact
+
+
+def test_governed_table_partitioned(spark, tmp_path):
+    """Partition-aware binding: create(partition_by=) lands Hive dirs
+    whose values the manifest records; scan(partition_filter=) combines
+    partition pruning with stats pruning; appends through the facade
+    keep recording partition values."""
+    import glob
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t = GovernedTable.create(
+        spark,
+        docs.filter(F.col("lang") != "zh"),
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "doc_id",
+        n_files=4,
+        partition_by=("lang",),
+    )
+    want = docs.filter(F.col("lang") == "en").count()
+    en = t.scan(partition_filter={"lang": "en"})
+    assert en.count() == want
+    assert len(en.inputFiles()) < len(t.visible_files())
+
+    # append a late partition through the facade: values recorded
+    (
+        docs.filter(F.col("lang") == "zh")
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(str(tmp_path / "late"))
+    )
+    late_files = sorted(
+        glob.glob(str(tmp_path / "late") + "/**/*.parquet", recursive=True)
+    )
+    t.append(late_files)
+    zh = t.scan(partition_filter={"lang": "zh"})
+    assert zh.count() == docs.filter(F.col("lang") == "zh").count()
+    assert len(zh.inputFiles()) == len(late_files)

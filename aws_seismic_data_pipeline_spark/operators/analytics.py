@@ -1858,3 +1858,79 @@ def analytics_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+@register(
+    "analytics_pareto_coverage",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY o_custkey
+        ),
+        tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS total FROM per_cust),
+        run AS (
+            SELECT o_custkey, rev,
+                   CAST(SUM(rev) OVER (ORDER BY rev DESC, o_custkey)
+                        AS BIGINT) AS running
+            FROM per_cust
+        ),
+        th AS (SELECT UNNEST([50, 80, 95]) AS threshold)
+        SELECT CAST(th.threshold AS BIGINT) AS threshold,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(r.rev) AS BIGINT) AS covered_cents
+        FROM th
+        JOIN run r ON (r.running - r.rev) * 100 < th.threshold * (SELECT total FROM tot)
+        GROUP BY th.threshold
+    """,
+    tags=("analytics", "window"),
+)
+def analytics_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO / revenue-concentration analysis — "how many customers
+    cover 50/80/95% of revenue", the whale-curve question every
+    revenue team asks: customers ranked by cents-exact lifetime value
+    (ties broken by custkey so both engines rank identically), the
+    GLOBAL running sum computed by ``distributed_running_sum``
+    (operators/window_ops.py) — range exchange + per-partition sum
+    offsets, never the ``Exchange SinglePartition`` an unpartitioned
+    SUM-OVER-ORDER-BY window plans — and a customer belongs to
+    threshold t exactly when the revenue accumulated BEFORE it is
+    under t% of the total (the minimal covering prefix). The inclusion
+    predicate is pure integer math ((running - rev) * 100 <
+    t * total): no double ever enters, so the driver hash pins exact
+    membership at every threshold. Scale shape: one map-side-combined
+    groupBy(custkey), one range shuffle + one pid-local window over
+    the customer frame, a 1-row total broadcast, and a 3-row threshold
+    explode — at 10^9 customers no task sees more than ~n/P rows."""
+    from aws_seismic_data_pipeline_spark.operators.window_ops import (
+        distributed_running_sum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    run = distributed_running_sum(
+        per_cust,
+        [F.col("rev").desc(), F.col("o_custkey")],
+        "rev",
+        "running",
+    )
+    total = per_cust.agg(F.sum("rev").cast("long").alias("total"))
+    thresholds = F.explode(F.array(*[F.lit(t) for t in (50, 80, 95)]))
+    return (
+        run.crossJoin(F.broadcast(total))
+        .select("o_custkey", "rev", "running", "total", thresholds.alias("threshold"))
+        .filter(
+            (F.col("running") - F.col("rev")) * 100
+            < F.col("threshold") * F.col("total")
+        )
+        .groupBy(F.col("threshold").cast("long").alias("threshold"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev").cast("long").alias("covered_cents"),
+        )
+    )

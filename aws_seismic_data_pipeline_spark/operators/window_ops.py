@@ -296,6 +296,60 @@ def distributed_ntile_multi(
     return out
 
 
+def distributed_running_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_name: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running SUM under a total order WITHOUT the
+    single-partition window Spark plans for an unpartitioned
+    ``sum().over(orderBy(...))`` — the same pinned-layout machinery as
+    :func:`distributed_ntile` (range exchange + within-partition sort +
+    id stamp + localCheckpoint so the offsets pass and the value pass
+    read one layout), with per-partition SUM scalars collected instead
+    of counts and prefix-summed into value offsets. The
+    within-partition running sum is a window partitioned by the range
+    partition id (one hash exchange; every task still sees ~n/P rows),
+    plus the partition's broadcast literal offset. Exactness contract:
+    ``value_col`` must be integer-typed (cents-style) — long offsets
+    and long window sums make the result bit-identical to any engine's
+    ``SUM OVER ORDER BY`` under the same (unique) total order."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        shuffle_p = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        n_total = df.count()
+        num_partitions = max(2, min(shuffle_p, -(-n_total // 262_144)))
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    pid = F.shiftright(F.col("_mid"), 33)
+    sums = {
+        r.p: int(r.s)
+        for r in ranged.groupBy(pid.alias("p"))
+        .agg(F.sum(value_col).cast("long").alias("s"))
+        .collect()
+        if r.s is not None
+    }
+    offsets, acc = [], 0
+    for p in range(num_partitions):
+        offsets.append(acc)
+        acc += sums.get(p, 0)
+    offset = F.element_at(
+        F.array(*[F.lit(o).cast("long") for o in offsets]),
+        (pid + 1).cast("int"),
+    )
+    w = W.partitionBy(pid).orderBy(*order_cols)
+    running = offset + F.sum(F.col(value_col).cast("long")).over(w)
+    return ranged.withColumn(out_name, running.cast("long")).drop("_mid")
+
+
 @register(
     "window_ntile_global",
     oracle="""

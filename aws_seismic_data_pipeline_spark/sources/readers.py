@@ -1688,6 +1688,101 @@ def scan_manifest_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+@register(
+    "scan_manifest_partition_evolution",
+    oracle="""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE lang = 'en'
+        GROUP BY source
+    """,
+    tags=("source", "layout", "scan"),
+)
+def scan_manifest_partition_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION without rewriting a byte — Iceberg's
+    signature trick, which falls out of the manifest design rather than
+    being bolted on: the table's FIRST generation lands flat (no
+    partition dirs, manifest rows carry no partition entries), the
+    spec then changes, and the SECOND generation lands Hive-partitioned
+    by lang with recorded values. A lang-filtered scan prunes the NEW
+    generation to exactly its matching partition dirs while including
+    every OLD-generation file conservatively (no recorded entry →
+    cannot be skipped) — correct by construction, and strictly better
+    than either rewriting history to the new spec or losing pruning on
+    new data. The driver hash pins exactness across the mixed
+    generations; the numFiles split (old all-in, new pruned) is
+    pytest-pinned. Seed: the reference changed its S3 key scheme
+    mid-life exactly this way (``/root/reference/app.py:449-463``'s
+    date-prefix layout vs the fallback bare-name branch at
+    ``app.py:457-459``)."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    old_dir = scratch_path(spark, sf_dir, "pspec_old")
+    new_dir = scratch_path(spark, sf_dir, "pspec_new")
+    mpath = scratch_path(spark, sf_dir, "pspec_manifest")
+    with scratch_cleanup(old_dir, new_dir, mpath):
+        docs = load_table(spark, sf_dir, "documents")
+        # generation 1: the old flat spec (doc_id % 2 == 0 cohort);
+        # lang kept IN-FILE because the layout does not encode it
+        docs.filter(F.col("doc_id") % 2 == 0).repartition(
+            3, "doc_id"
+        ).write.mode("overwrite").parquet(old_dir)
+        old_files = sorted(_glob.glob(os.path.join(old_dir, "*.parquet")))
+        write_stats_manifest(spark, old_files, mpath, ("doc_id",))
+        # spec change: generation 2 lands lang-partitioned
+        (
+            docs.filter(F.col("doc_id") % 2 == 1)
+            .repartition(2, "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(new_dir)
+        )
+        new_files = sorted(
+            _glob.glob(
+                os.path.join(new_dir, "**", "*.parquet"), recursive=True
+            )
+        )
+        append_stats_manifest(
+            spark, new_files, mpath, ("doc_id",), partition_by=("lang",)
+        )
+        scanned = manifest_pruned_scan(
+            spark,
+            mpath,
+            "doc_id",
+            -1,
+            2**62,
+            partition_filter={"lang": "en"},
+            merge_schema=True,
+        )
+        # old-generation leaf files carry lang in-file; new-generation
+        # files dropped it into the dir name and are already en-only —
+        # recover it from either source and apply the residual filter
+        lang = F.coalesce(
+            F.col("lang"),
+            F.regexp_extract(F.input_file_name(), "lang=([^/]+)/", 1),
+        )
+        return (
+            scanned.withColumn("_lang", lang)
+            .filter(F.col("_lang") == "en")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
 def vacuum_orphans_report(
     spark: SparkSession, data_dir: str, manifest_dir: str
 ) -> DataFrame:

@@ -1314,7 +1314,7 @@ def run_stream_merge(
     import glob as _glob
 
     from aws_seismic_data_pipeline_spark.sources.readers import (
-        merge_through_manifest,
+        merge_with_conflict_retry,
         write_stats_manifest,
     )
 
@@ -1357,7 +1357,11 @@ def run_stream_merge(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.limit(1).count() == 0:
             return
-        merge_through_manifest(
+        # CAS-claimed commit (r10): a streaming writer shares the
+        # snapshot axis with any concurrent maintenance job, so each
+        # batch claims its snapshot and re-plans on a lost race instead
+        # of blind-appending at a stale id
+        merge_with_conflict_retry(
             spark,
             mpath,
             batch_df,
@@ -1426,8 +1430,10 @@ def stream_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjoint urgent-reprice bands + far-key inserts) arrive as
     SEPARATE micro-batches (``maxFilesPerTrigger=1`` under an
     availableNow drain), and each batch commits one copy-on-write
-    MERGE snapshot (``merge_through_manifest`` — rewrite only the
-    files whose stats range covers that batch's keys). The final
+    MERGE snapshot under optimistic concurrency
+    (``merge_with_conflict_retry`` — CAS-claimed snapshot id, rewrite
+    only the files whose stats range covers that batch's keys,
+    re-planned on a lost race with any concurrent maintenance job). The final
     whole-table read through the manifest must equal ONE relational
     MERGE of all three deltas — valid because the deltas' key sets
     are disjoint, so the per-batch commits commute and the oracle is

@@ -155,6 +155,10 @@ HEADLINE = [
     "scan_manifest_partitioned",
     "plan_schema_evolve",
     "text_kneser_ney_trigram",
+    # ...the distributed global running sum (whale curve) and the
+    # mixed-generation partition-spec-evolution scan
+    "analytics_pareto_coverage",
+    "scan_manifest_partition_evolution",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

@@ -2209,3 +2209,49 @@ def test_vacuum_executes_with_retention(spark, tmp_path):
         manifest_pruned_scan(
             spark, mpath, "doc_id", -1, 2**62, as_of=snap_c - 1
         ).count()
+
+
+def test_partition_evolution_prunes_only_new_generation(spark, tmp_path):
+    """Partition-spec evolution contract: under a partition filter the
+    OLD flat generation is included conservatively in full, the NEW
+    partitioned generation opens only its matching dirs, and the union
+    is exact."""
+    import glob
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        append_stats_manifest,
+        manifest_pruned_scan,
+        write_stats_manifest,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    old_dir, new_dir = str(tmp_path / "old"), str(tmp_path / "new")
+    docs.filter(F.col("doc_id") % 2 == 0).repartition(3, "doc_id").write.parquet(old_dir)
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .repartition(2, "doc_id")
+        .write.partitionBy("lang")
+        .parquet(new_dir)
+    )
+    old_files = sorted(glob.glob(old_dir + "/*.parquet"))
+    new_files = sorted(glob.glob(new_dir + "/**/*.parquet", recursive=True))
+    new_en = [p for p in new_files if "/lang=en/" in p]
+    mpath = str(tmp_path / "manifest")
+    write_stats_manifest(spark, old_files, mpath, ("doc_id",))
+    append_stats_manifest(spark, new_files, mpath, ("doc_id",), partition_by=("lang",))
+
+    scanned = manifest_pruned_scan(
+        spark, mpath, "doc_id", -1, 2**62,
+        partition_filter={"lang": "en"}, merge_schema=True,
+    )
+    opened = sorted(
+        "/" + f.split(":", 1)[1].lstrip("/") for f in scanned.inputFiles()
+    )
+    assert opened == sorted(old_files + new_en)
+    # exactness of the mixed-generation en count
+    lang = F.coalesce(
+        F.col("lang"),
+        F.regexp_extract(F.input_file_name(), "lang=([^/]+)/", 1),
+    )
+    got = scanned.withColumn("_l", lang).filter(F.col("_l") == "en").count()
+    assert got == docs.filter(F.col("lang") == "en").count()

@@ -95,6 +95,7 @@ def single_partition_windows(df) -> list[str]:
 # operate on data-scale frames.
 _NO_GLOBAL_WINDOW = [
     "analytics_rfm",
+    "analytics_pareto_coverage",
     "analytics_attribution",
     "analytics_new_vs_returning",
     "analytics_cohort_retention",

@@ -1829,6 +1829,168 @@ def vacuum_orphans_report(
     return spark.read.option("basePath", data_dir).parquet(*orphans)
 
 
+#: KMV sketch size for the per-file NDV manifest (matches the
+#: aggregate family's KMV_K so estimates are comparable)
+_SKETCH_K = 64
+
+#: 2^60 as a DOUBLE literal — division must run in double, not decimal
+#: (see operators/aggregates.py agg_kmv_distinct)
+_SKETCH_SCALE = 1152921504606846976.0
+
+
+def write_kmv_sketch_manifest(
+    spark: SparkSession,
+    paths: list[str],
+    sketch_dir: str,
+    column: str,
+    k: int = _SKETCH_K,
+) -> None:
+    """Per-FILE KMV distinct sketches persisted as a manifest table —
+    Iceberg's Puffin NDV blobs, built Spark-first: one pass over the
+    files keeps each file's K smallest portable hashes of ``column``
+    (md5→60-bit→(0,1), the ``agg_kmv_distinct`` hash, so every estimate
+    is a deterministic function of the data and DuckDB can recompute it
+    exactly). Rows are (path, file_name, key, u) — K rows per file, KBs
+    per thousand files. The payoff is :func:`sketch_merged_ndv`:
+    because the global K smallest hashes are each among their own
+    file's K smallest, merging ANY file subset's sketches
+    (union-distinct + trim to K) yields EXACTLY the sketch a direct
+    pass over those files would build — approximate NDV for the
+    optimizer / dashboards from pure metadata, no data scan, over any
+    pruned file selection."""
+    from pyspark.sql import Window as W
+
+    if not paths:
+        raise ValueError("write_kmv_sketch_manifest: empty path list")
+    hashed = (
+        spark.read.parquet(*paths)
+        .select(
+            _decode_input_file().alias("path"),
+            F.col(column).cast("long").alias("key"),
+        )
+        .distinct()
+        .withColumn(
+            "u",
+            F.expr(
+                "cast(conv(substring(md5(cast(key as string)), 1, 15),"
+                " 16, 10) as bigint)"
+            )
+            / F.lit(_SKETCH_SCALE),
+        )
+    )
+    w = W.partitionBy("path").orderBy("u", "key")
+    (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "path",
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.lit(column).alias("column_name"),
+            "key",
+            "u",
+        )
+        .write.mode("overwrite")
+        .parquet(sketch_dir)
+    )
+
+
+def sketch_merged_ndv(
+    spark: SparkSession,
+    sketch_dir: str,
+    paths: list[str] | None = None,
+    k: int = _SKETCH_K,
+) -> DataFrame:
+    """Merge the (optionally path-restricted) per-file KMV sketches and
+    estimate distinct count: union-distinct the kept keys, take the K
+    smallest hashes (a global top-K — ``TakeOrdered``, never a
+    single-partition window), estimate (K-1)/u_K, or the exact kept
+    count when fewer than K survive. Returns a 1-row frame
+    (sketch_size, kmv_estimate). Metadata-scale end to end: the input
+    is ≤ K×|files| sketch rows."""
+    rows = spark.read.parquet(sketch_dir)
+    if paths is not None:
+        rows = rows.filter(F.col("path").isin(list(paths)))
+    merged = (
+        rows.select("key", "u").distinct().orderBy("u", "key").limit(int(k))
+    )
+    return merged.agg(
+        F.count(F.lit(1)).cast("long").alias("sketch_size"),
+        F.when(
+            F.count(F.lit(1)) < int(k),
+            F.count(F.lit(1)).cast("double"),
+        )
+        .otherwise(F.lit(float(k) - 1.0) / F.max("u"))
+        .alias("kmv_estimate"),
+    )
+
+
+@register(
+    "scan_manifest_sketch_ndv",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT DISTINCT o_custkey,
+                   CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                        AS BIGINT) / 1152921504606846976.0 AS u
+            FROM orders
+        ),
+        merged AS (
+            SELECT u FROM (
+                SELECT u, ROW_NUMBER() OVER (ORDER BY u, o_custkey) AS rn
+                FROM hashed
+            ) WHERE rn <= {_SKETCH_K}
+        )
+        SELECT (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+                   AS n_exact,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM merged) AS sketch_size,
+               CASE WHEN (SELECT COUNT(*) FROM merged) < {_SKETCH_K}
+                    THEN (SELECT CAST(COUNT(*) AS DOUBLE) FROM merged)
+                    ELSE ({_SKETCH_K} - 1.0) / (SELECT MAX(u) FROM merged)
+               END AS kmv_estimate
+    """,
+    tags=("source", "layout", "sketch"),
+)
+def scan_manifest_sketch_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDV statistics FROM METADATA — the Puffin-sketch lifecycle end
+    to end: orders land range-clustered, a per-file KMV sketch manifest
+    is built beside the stats manifest, and the table's approximate
+    distinct-customer count is answered by MERGING the per-file
+    sketches — no data page is read at estimate time (the number a
+    CBO's ndv() consults, kept fresh per file exactly like min/max
+    stats). The portable md5 hash makes the merged estimate a
+    deterministic function of the data, so the DuckDB oracle recomputes
+    it EXACTLY — no tolerance band; the driver hash also pins that
+    merging per-file sketches equals the direct whole-table sketch (the
+    k-min subset property). Band-scoped merges (estimate NDV over just
+    the stats-pruned file subset) are pytest-pinned merged==direct in
+    tests/test_catalog_scale.py. Seed: the reference's only statistic
+    is an object COUNT on a prefix listing
+    (``/root/reference/upload_to_rfs.py:16-35``); a governed table
+    keeps mergeable per-file sketches instead."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    path = scratch_path(spark, sf_dir, "sketch_ndv_data")
+    sdir = scratch_path(spark, sf_dir, "sketch_ndv_manifest")
+    with scratch_cleanup(path, sdir):
+        rangekey_write(spark, sf_dir, path)
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        write_kmv_sketch_manifest(spark, files, sdir, "o_custkey")
+        est = sketch_merged_ndv(spark, sdir)
+        exact = load_table(spark, sf_dir, "orders").agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_exact")
+        )
+        return (
+            exact.crossJoin(F.broadcast(est))
+            .select("n_exact", "sketch_size", "kmv_estimate")
+            .localCheckpoint(eager=True)
+        )
+
+
 def vacuum_orphans(
     spark: SparkSession,
     data_dir: str,

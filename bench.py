@@ -159,6 +159,9 @@ HEADLINE = [
     # mixed-generation partition-spec-evolution scan
     "analytics_pareto_coverage",
     "scan_manifest_partition_evolution",
+    # ...triangle counting and the Puffin-style per-file NDV sketches
+    "graph_triangle_count",
+    "scan_manifest_sketch_ndv",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

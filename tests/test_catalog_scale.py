@@ -2255,3 +2255,75 @@ def test_partition_evolution_prunes_only_new_generation(spark, tmp_path):
     )
     got = scanned.withColumn("_l", lang).filter(F.col("_l") == "en").count()
     assert got == docs.filter(F.col("lang") == "en").count()
+
+
+def test_sketch_manifest_band_merge_equals_direct(spark, tmp_path):
+    """The k-min subset property that makes per-file NDV sketches
+    USEFUL: merging a pruned file subset's sketches equals the sketch a
+    direct pass over exactly those files' rows would build — so a
+    band-scoped approximate NDV costs zero data pages. Also: the
+    whole-table merge equals the direct whole-table sketch."""
+    import glob
+
+    from pyspark.sql import Window as W
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        _SKETCH_K,
+        _SKETCH_SCALE,
+        manifest_pruned_scan,
+        rangekey_write,
+        sketch_merged_ndv,
+        write_kmv_sketch_manifest,
+        write_stats_manifest,
+    )
+
+    path = str(tmp_path / "rangekey")
+    rangekey_write(spark, SF_DIR, path)
+    files = sorted(glob.glob(path + "/*.parquet"))
+    mpath = str(tmp_path / "stats")
+    sdir = str(tmp_path / "sketch")
+    write_stats_manifest(spark, files, mpath, ("o_orderkey",))
+    write_kmv_sketch_manifest(spark, files, sdir, "o_custkey")
+
+    def direct(df):
+        hashed = (
+            df.select(F.col("o_custkey").cast("long").alias("key"))
+            .distinct()
+            .withColumn(
+                "u",
+                F.expr(
+                    "cast(conv(substring(md5(cast(key as string)), 1, 15),"
+                    " 16, 10) as bigint)"
+                )
+                / F.lit(_SKETCH_SCALE),
+            )
+        )
+        top = hashed.orderBy("u", "key").limit(_SKETCH_K)
+        r = top.agg(
+            F.count(F.lit(1)).alias("n"), F.max("u").alias("u_k")
+        ).collect()[0]
+        return (r.n, r.u_k)
+
+    # band-scoped: the stats-pruned file subset, sketch-merged, equals
+    # the direct sketch over those files' rows
+    lo, hi = 200, 700
+    band_scan = manifest_pruned_scan(spark, mpath, "o_orderkey", lo, hi)
+    band_files = sorted(
+        "/" + f.split(":", 1)[1].lstrip("/") for f in band_scan.inputFiles()
+    )
+    assert 0 < len(band_files) < len(files)
+    merged = sketch_merged_ndv(spark, sdir, paths=band_files).collect()[0]
+    # direct twin over the same files' FULL rows (the sketch covers the
+    # files, not the residual band — that is the metadata contract)
+    n_d, u_d = direct(spark.read.parquet(*band_files))
+    assert merged.sketch_size == n_d
+    if n_d >= _SKETCH_K:
+        assert merged.kmv_estimate == (_SKETCH_K - 1.0) / u_d
+    else:
+        assert merged.kmv_estimate == float(n_d)
+
+    # whole-table merge == direct whole-table sketch
+    all_merged = sketch_merged_ndv(spark, sdir).collect()[0]
+    n_a, u_a = direct(spark.read.parquet(*files))
+    assert all_merged.sketch_size == n_a
+    assert all_merged.kmv_estimate == (_SKETCH_K - 1.0) / u_a

@@ -296,6 +296,54 @@ def distributed_ntile_multi(
     return out
 
 
+def distributed_rank(
+    df: DataFrame,
+    order_cols: list,
+    out_name: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based rank (row_number) under a total order without a
+    single-partition window — the base primitive of the distributed
+    global-order family (:func:`distributed_ntile`,
+    :func:`distributed_running_sum` build on the same pinned-layout
+    machinery): range exchange + within-partition sort + id stamp +
+    localCheckpoint, per-partition COUNT scalars prefix-summed into
+    rank offsets, rank decoded as a pure expression. Callers get exact
+    global rank / percent_rank / cume_dist / top-rank selection (the
+    distributed k-th-element problem) from the returned column."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        shuffle_p = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        n_total = df.count()
+        num_partitions = max(2, min(shuffle_p, -(-n_total // 262_144)))
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    mid = F.col("_mid")
+    pid = F.shiftright(mid, 33)
+    counts = {
+        r.p: int(r.n)
+        for r in ranged.groupBy(pid.alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for p in range(num_partitions):
+        offsets.append(acc)
+        acc += counts.get(p, 0)
+    offset = F.element_at(
+        F.array(*[F.lit(o).cast("long") for o in offsets]),
+        (pid + 1).cast("int"),
+    )
+    rank = offset + mid.bitwiseAND(F.lit((1 << 33) - 1)) + 1
+    return ranged.withColumn(out_name, rank.cast("long")).drop("_mid")
+
+
 def distributed_running_sum(
     df: DataFrame,
     order_cols: list,
@@ -1650,4 +1698,83 @@ def ts_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         hod.alias("hod"),
         baseline.alias("baseline"),
         F.round(F.col("value") - baseline, 6).alias("residual"),
+    )
+
+
+@register(
+    "window_rank_global",
+    oracle="""
+        WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM customer)
+        SELECT c_custkey, c_acctbal,
+               CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey)
+                    AS BIGINT) AS bal_rank,
+               (ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) - 1.0)
+                   / (n.n - 1.0) AS bal_pct_rank,
+               ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) / n.n
+                   AS bal_cume_dist
+        FROM customer, n
+    """,
+    tags=("window",),
+)
+def window_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL rank / percent_rank / cume_dist, distributed — the
+    ``distributed_rank`` witness: every customer's exact position under
+    a total order plus the two normalized forms, hash-equal to the
+    builtin unpartitioned window functions (which would plan Exchange
+    SinglePartition — banned by tests/test_plan_shapes.py). Under a
+    UNIQUE total order row_number == rank and cume_dist == rank/n, so
+    the quotients (rank-1)/(n-1) and rank/n are single divisions of
+    identical integer-derived doubles on both engines — no rounding."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    ranked = distributed_rank(
+        cust, [F.col("c_acctbal"), F.col("c_custkey")], "bal_rank"
+    )
+    total = cust.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "c_custkey",
+        "c_acctbal",
+        "bal_rank",
+        ((F.col("bal_rank") - F.lit(1.0)) / (F.col("n") - F.lit(1.0))).alias(
+            "bal_pct_rank"
+        ),
+        (F.col("bal_rank") / F.col("n")).alias("bal_cume_dist"),
+    )
+
+
+@register(
+    "agg_median_distributed",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               MEDIAN(o_totalprice) AS median_price
+        FROM orders
+    """,
+    tags=("agg", "window"),
+)
+def agg_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median by DISTRIBUTED SELECTION — the k-th-element
+    problem solved with ``distributed_rank``: rank every order's price
+    under a (price, orderkey) total order, select the middle rank(s)
+    with a metadata-cheap filter on the rank expression, and average
+    them (one row when n is odd, the two middle rows when even — the
+    SQL MEDIAN interpolation). Contrast ``agg_percentile``'s builtin
+    exact ``percentile``, which buffers the whole group per aggregation
+    state: at 10^9 rows a single-group exact percentile OOMs one task,
+    while this shape never puts more than ~n/P rows in any task and
+    moves exactly two rows to the final 1-row aggregate. (The
+    production default at scale remains approx_percentile — this is
+    the exact path when the answer must be exact.)"""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    n = orders.count()
+    k1, k2 = (n + 1) // 2, (n + 2) // 2
+    ranked = distributed_rank(
+        orders, [F.col("o_totalprice"), F.col("o_orderkey")], "r"
+    )
+    mid = ranked.filter(F.col("r").isin(int(k1), int(k2)))
+    return mid.agg(
+        F.lit(int(n)).cast("long").alias("n_orders"),
+        F.avg("o_totalprice").alias("median_price"),
     )

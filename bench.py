@@ -162,6 +162,10 @@ HEADLINE = [
     # ...triangle counting and the Puffin-style per-file NDV sketches
     "graph_triangle_count",
     "scan_manifest_sketch_ndv",
+    # ...and the rest of the distributed global-order family: exact
+    # rank/percent_rank/cume_dist and median-by-selection
+    "window_rank_global",
+    "agg_median_distributed",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

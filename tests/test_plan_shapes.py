@@ -102,6 +102,8 @@ _NO_GLOBAL_WINDOW = [
     "analytics_event_funnel",
     "analytics_shipping_priority",
     "window_ntile_global",
+    "window_rank_global",
+    "agg_median_distributed",
     "window_rank",
     "window_lag_lead",
     "window_frame_agg",

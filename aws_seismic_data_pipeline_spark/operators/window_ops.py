@@ -269,6 +269,7 @@ def distributed_ntile_multi(
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        _check_mid_capacity(counts)
         n = int(sum(counts.values()))
         offsets, acc = [], 0
         for p in range(num_partitions):
@@ -294,6 +295,23 @@ def distributed_ntile_multi(
         )
         out = ranged.withColumn(out_name, tile.cast("long")).drop("_mid")
     return out
+
+
+def _check_mid_capacity(counts: dict[int, int]) -> None:
+    """The pinned-layout primitives decode (partition, local offset)
+    from monotonically_increasing_id's 64-bit layout, which reserves 33
+    bits for the within-partition offset. A partition holding >= 2^33
+    rows (~8.6e9 — only reachable when the partition-count clamp binds
+    on an enormous frame) would silently bleed into the partition bits
+    and corrupt ranks; fail loudly and tell the caller to raise the
+    parallelism instead."""
+    if counts and max(counts.values()) >= (1 << 33):
+        raise ValueError(
+            "distributed global-order primitive: a range partition holds "
+            ">= 2^33 rows, beyond monotonically_increasing_id's "
+            "per-partition offset capacity - raise num_partitions / "
+            "spark.sql.shuffle.partitions"
+        )
 
 
 def distributed_rank(
@@ -332,6 +350,7 @@ def distributed_rank(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    _check_mid_capacity(counts)
     offsets, acc = [], 0
     for p in range(num_partitions):
         offsets.append(acc)
@@ -378,13 +397,12 @@ def distributed_running_sum(
         .localCheckpoint(eager=True)
     )
     pid = F.shiftright(F.col("_mid"), 33)
-    sums = {
-        r.p: int(r.s)
-        for r in ranged.groupBy(pid.alias("p"))
-        .agg(F.sum(value_col).cast("long").alias("s"))
-        .collect()
-        if r.s is not None
-    }
+    part_rows = ranged.groupBy(pid.alias("p")).agg(
+        F.sum(value_col).cast("long").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    _check_mid_capacity({r.p: int(r.n) for r in part_rows})
+    sums = {r.p: int(r.s) for r in part_rows if r.s is not None}
     offsets, acc = [], 0
     for p in range(num_partitions):
         offsets.append(acc)

@@ -285,6 +285,32 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonically-oriented (a < b), deduplicated, checkpointed edge
+    list of the supplier co-supply graph — shared by the triangle and
+    clustering-coefficient queries. Per-order pair fan-out is bounded
+    by lineitems/order (TPC-H ~4-7), never a hot-key cartesian."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = pairs.alias("a"), pairs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").cast("long").alias("a"),
+            F.col("b.l_suppkey").cast("long").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 @register(
     "graph_triangle_count",
     oracle="""
@@ -332,25 +358,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounding wedge fan-out by sqrt(|E|) per node — Suri & Vassilvitskii
     2011); the a<b orientation keeps the oracle identical here, and the
     total count is orientation-invariant either way."""
-    pairs = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    a, b = pairs.alias("a"), pairs.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").cast("long").alias("a"),
-            F.col("b.l_suppkey").cast("long").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _cosupply_edges(spark, sf_dir)
     nodes = (
         edges.select(F.col("a").alias("n"))
         .unionAll(edges.select(F.col("b").alias("n")))
@@ -372,4 +380,77 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes.crossJoin(F.broadcast(n_edges))
         .crossJoin(F.broadcast(tris))
         .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        ),
+        edges AS (
+            SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+            FROM pairs a JOIN pairs b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        ),
+        deg AS (
+            SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT a AS n FROM edges UNION ALL SELECT b FROM edges
+            ) GROUP BY n
+        ),
+        wedges AS (
+            SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+        ),
+        tris AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM edges e1
+            JOIN edges e2 ON e1.b = e2.a
+            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT n_wedges, n_triangles,
+               (3.0 * n_triangles) / n_wedges AS global_clustering
+        FROM wedges, tris
+    """,
+    tags=("graph",),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL CLUSTERING COEFFICIENT (transitivity) of the supplier
+    co-supply graph: 3·triangles / wedges, where a wedge is an
+    unordered path of length two — deg·(deg−1)/2 summed over nodes.
+    Completes the triangle query into the statistic people actually
+    quote; the single division of two exact integers is bit-identical
+    on both engines, no rounding. Scale shape: the degree table is one
+    groupBy over the (checkpointed) edge list, wedge count is a 1-row
+    aggregate of it, and the triangle join is the same wedge-close as
+    ``graph_triangle_count`` — nothing here exceeds edge-table scale."""
+    edges = _cosupply_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        wedges.crossJoin(F.broadcast(tris))
+        .select(
+            "n_wedges",
+            "n_triangles",
+            ((F.lit(3.0) * F.col("n_triangles")) / F.col("n_wedges")).alias(
+                "global_clustering"
+            ),
+        )
     )

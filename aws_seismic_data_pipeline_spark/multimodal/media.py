@@ -1581,3 +1581,120 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     return docs.mapInPandas(run, schema)
+
+
+@register(
+    "mm_image_phash",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 13 AS w,
+                   3 + doc_id % 7 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT media_id, w, h, unnest(range(0, w*h)) AS p FROM m
+        ),
+        g AS (
+            SELECT media_id, w, h, p,
+                   ((media_id*7 + (p*3+0)*5) % 256)
+                   + ((media_id*7 + (p*3+1)*5) % 256)
+                   + ((media_id*7 + (p*3+2)*5) % 256) AS gray,
+                   ((p % w) * 4) // w AS bx,
+                   ((p // w) * 4) // h AS by
+            FROM px
+        ),
+        blocks AS (
+            SELECT media_id, w, h, by*4 + bx AS b,
+                   SUM(gray) AS bsum, COUNT(*) AS bcnt
+            FROM g GROUP BY media_id, w, h, by*4 + bx
+        ),
+        tot AS (
+            SELECT media_id, SUM(bsum) AS tsum, SUM(bcnt) AS tcnt
+            FROM blocks GROUP BY media_id
+        ),
+        hashed AS (
+            SELECT b.media_id,
+                   CAST(MAX(b.w) AS BIGINT) AS width,
+                   CAST(MAX(b.h) AS BIGINT) AS height,
+                   CAST(SUM(CASE WHEN b.bsum * t.tcnt > t.tsum * b.bcnt
+                                 THEN 1 << (15 - CAST(b.b AS INT))
+                                 ELSE 0 END) AS BIGINT) AS phash
+            FROM blocks b JOIN tot t USING (media_id)
+            GROUP BY b.media_id
+        )
+        SELECT media_id, width, height, phash,
+               CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT)
+                   AS n_same_hash
+        FROM hashed
+    """,
+    tags=("multimodal", "dedup"),
+)
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL IMAGE HASH on really-decoded pixels — the image-dedup
+    primitive (aHash family): each 24-bit BMP is decoded
+    (``real_decode``), grayscale-reduced (integer channel sum — no
+    luma weights, no floats), block-averaged onto a fixed 4×4 grid
+    (nearest-block assignment, correct for images smaller than the
+    grid), and each block contributes one bit — is its mean above the
+    image mean — compared by INTEGER CROSS-MULTIPLICATION
+    (bsum·tcnt > tsum·bcnt), so no division ever happens and the
+    16-bit hash is an exact integer both engines derive identically:
+    the oracle recomputes it from the generation arithmetic, meaning
+    any decoder stride/padding slip shifts a block sum and flips a
+    hash bit. ``n_same_hash`` is the duplicate-cluster size — images
+    sharing a hash are the near-dup candidates an image-corpus
+    pipeline routes to exact verification, precisely the
+    ``dedup_minhash_banded`` -> ``dedup_lsh_verified`` shape with
+    pixels for shingles. Scale: one fused mapInPandas decode pass, one
+    |images|-row groupBy on the hash."""
+    import numpy as np
+
+    docs = spread_dense(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir, table="documents"
+    ).select(F.col("doc_id").alias("media_id"))
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.LongType(), False),
+            T.StructField("height", T.LongType(), False),
+            T.StructField("phash", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid in pdf["media_id"]:
+                img = real_decode(bmp_payload(int(mid)))
+                w, h = img["width"], img["height"]
+                px = np.frombuffer(img["pixels"], dtype=np.uint8).astype(
+                    np.int64
+                )
+                gray = px[0::3] + px[1::3] + px[2::3]
+                p = np.arange(w * h, dtype=np.int64)
+                b = ((p // w) * 4 // h) * 4 + ((p % w) * 4 // w)
+                bsum = np.bincount(b, weights=gray, minlength=16).astype(
+                    np.int64
+                )
+                bcnt = np.bincount(b, minlength=16).astype(np.int64)
+                tsum, tcnt = int(gray.sum()), int(w * h)
+                bits = bsum * tcnt > tsum * bcnt
+                phash = int(
+                    sum(1 << (15 - i) for i in range(16) if bits[i])
+                )
+                rows.append((int(mid), int(w), int(h), phash))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    hashed = docs.mapInPandas(run, schema)
+    from pyspark.sql import Window as W
+
+    return hashed.withColumn(
+        "n_same_hash",
+        F.count(F.lit(1)).over(W.partitionBy("phash")).cast("long"),
+    )

@@ -166,6 +166,8 @@ HEADLINE = [
     # rank/percent_rank/cume_dist and median-by-selection
     "window_rank_global",
     "agg_median_distributed",
+    # ...and the perceptual image hash (decode pass + hash-keyed window)
+    "mm_image_phash",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

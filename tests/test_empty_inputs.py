@@ -89,3 +89,33 @@ def test_runs_on_empty_tables(spark, empty_sf_dir, name):
         assert all(r.n_users == 0 for r in rows)
     else:
         assert rows == []
+
+
+def test_global_order_primitives_on_empty_frames(spark):
+    """The r10 distributed global-order primitives must survive n=0:
+    empty counts, zero offsets, no rows out, no division-by-zero in the
+    (unreachable) tile branch."""
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.operators.window_ops import (
+        distributed_ntile,
+        distributed_rank,
+        distributed_running_sum,
+    )
+
+    empty = spark.range(0).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    assert (
+        distributed_ntile(empty, [F.col("v"), F.col("k")], 4, "q").collect()
+        == []
+    )
+    assert (
+        distributed_rank(empty, [F.col("v"), F.col("k")], "r").collect() == []
+    )
+    assert (
+        distributed_running_sum(
+            empty, [F.col("v"), F.col("k")], "v", "rs"
+        ).collect()
+        == []
+    )

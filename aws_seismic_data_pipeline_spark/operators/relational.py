@@ -417,3 +417,40 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.scripting.enabled", old)
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        WHERE o_totalprice > 100000.0
+        GROUP BY o_orderpriority
+    """,
+    tags=("sql",),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL PIPE syntax (`|>`) — the linear query form the SQL
+    standard committee is converging on (and the shape dbt/Malloy users
+    expect): each stage reads top-to-bottom instead of inside-out, and
+    Catalyst compiles it to the SAME logical plan as the nested
+    equivalent — the oracle runs the classic form, this runs the piped
+    form, and the driver hash proves they agree bit-for-bit. Another
+    face of the one-IR property ``sql_text_interface`` pins for
+    classic SQL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_pipe_v"
+    )
+    return spark.sql(
+        """
+        FROM orders_pipe_v
+        |> WHERE o_totalprice > 100000.0
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS total_cents
+           GROUP BY o_orderpriority
+        """
+    )

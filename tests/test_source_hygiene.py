@@ -70,6 +70,8 @@ CROSSJOIN_ALLOWED = {
     "llm/text.py",
     "llm/similarity.py",
     "llm/vector.py",  # 1-row aggregate-recall anchor (property surface)
+    "operators/window_ops.py",  # 1-row global-total anchor (rank_global)
+    "sources/readers.py",  # 1-row exact/estimate anchors (sketch NDV)
     "sources/http_fetch.py",
 }
 

@@ -3977,3 +3977,76 @@ def scan_manifest_count_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [(int(total), int(band))], "n_orders long, n_in_band long"
         )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(CASE WHEN source = 'REPLACED' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_replaced
+        FROM (
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE lang <> 'en'
+            UNION ALL
+            SELECT doc_id, lang, 'REPLACED' AS source, n_chars + 1
+            FROM documents WHERE lang = 'en'
+        )
+        GROUP BY lang
+    """,
+    tags=("sink", "layout"),
+)
+def sink_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC partition overwrite — the daily partition-replace idiom
+    (``INSERT OVERWRITE ... PARTITION`` with dynamic resolution): the
+    full table lands Hive-partitioned by lang, then a corrected batch
+    containing ONLY en rows overwrites in
+    ``partitionOverwriteMode=dynamic`` — Spark replaces exactly the
+    partitions PRESENT IN THE BATCH and leaves every other partition's
+    files untouched (static mode would wipe the whole table first: the
+    classic data-loss foot-gun this mode exists to fix). The read-back
+    must show non-en partitions byte-identical and the en partition
+    fully replaced (marked source + shifted n_chars) — which is exactly
+    what the oracle reconstructs. The conf is set per-write via
+    ``option("partitionOverwriteMode", "dynamic")``, not session-wide.
+    Seed: the reference re-uploads one day's prefix wholesale
+    (``/root/reference/app.py:449-488``) — dynamic overwrite is that
+    verb done transactionally per partition."""
+    prepare(spark)
+    sink = _sink_path("sink_dyn_overwrite", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    (
+        docs.repartition(2)
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(sink)
+    )
+    corrected = docs.filter(F.col("lang") == "en").select(
+        "doc_id",
+        "lang",
+        F.lit("REPLACED").alias("source"),
+        (F.col("n_chars") + 1).alias("n_chars"),
+    )
+    (
+        corrected.repartition(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang")
+        .parquet(sink)
+    )
+    back = spark.read.parquet(sink)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(
+            F.when(F.col("source") == "REPLACED", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_replaced"),
+    )

@@ -285,14 +285,22 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonically-oriented (a < b), deduplicated, checkpointed edge
-    list of the supplier co-supply graph — shared by the triangle and
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonically-oriented (a < b), support-thresholded, checkpointed
+    edge list of the part CO-PURCHASE graph (parts adjacent when they
+    appear in >= 2 common orders) — shared by the triangle and
     clustering-coefficient queries. Per-order pair fan-out is bounded
-    by lineitems/order (TPC-H ~4-7), never a hot-key cartesian."""
+    by lineitems/order (TPC-H ~4-7), never a hot-key cartesian, and the
+    support-2 threshold keeps the graph SPARSE at every scale (the
+    first landing used the supplier co-supply graph, whose tiny node
+    set makes it near-COMPLETE — its wedge join exploded n³/6-wise,
+    measured 16.5 s at sf0.1; thresholded part pairs stay ~3-4k edges
+    across three orders of magnitude of SF). This is also the honest
+    shape: association mining thresholds support for exactly this
+    reason."""
     pairs = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
+        .select("l_orderkey", "l_partkey")
         .distinct()
     )
     a, b = pairs.alias("a"), pairs.alias("b")
@@ -300,13 +308,15 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .select(
-            F.col("a.l_suppkey").cast("long").alias("a"),
-            F.col("b.l_suppkey").cast("long").alias("b"),
+        .groupBy(
+            F.col("a.l_partkey").cast("long").alias("a"),
+            F.col("b.l_partkey").cast("long").alias("b"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
         .localCheckpoint(eager=True)
     )
 
@@ -315,12 +325,13 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_triangle_count",
     oracle="""
         WITH pairs AS (
-            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         ),
         edges AS (
-            SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+            SELECT a.l_partkey AS a, b.l_partkey AS b
             FROM pairs a JOIN pairs b
-              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
         ),
         nodes AS (
             SELECT COUNT(DISTINCT n) AS n_nodes FROM (
@@ -341,8 +352,8 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph",),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRIANGLE COUNTING over the supplier co-supply graph (suppliers
-    are adjacent when they supply the same order) — the canonical
+    """TRIANGLE COUNTING over the part co-purchase graph (parts
+    adjacent when bought together in >= 2 orders) — the canonical
     clustering-coefficient substrate and the third graph-family witness
     beside PageRank and connected components. Edges are canonically
     oriented a < b, so each triangle is counted exactly once as the
@@ -351,14 +362,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows, no iteration.
 
     Scale shape: per-order pair generation is bounded by the per-order
-    supplier count (TPC-H ≈ 4-7 lineitems/order — never a hot-key
-    cartesian); the wedge join shuffles the EDGE table on its
-    endpoints. At web scale the standard refinement is degree
+    part count (TPC-H ≈ 4-7 lineitems/order — never a hot-key
+    cartesian); the support-2 threshold keeps the graph sparse (see
+    ``_copurchase_edges`` — the dense supplier graph's wedge join was
+    this query's own first scale-killer); the wedge join shuffles the
+    EDGE table on its endpoints. At web scale the standard refinement is degree
     orientation (direct each edge toward the higher-degree endpoint,
     bounding wedge fan-out by sqrt(|E|) per node — Suri & Vassilvitskii
     2011); the a<b orientation keeps the oracle identical here, and the
     total count is orientation-invariant either way."""
-    edges = _cosupply_edges(spark, sf_dir)
+    edges = _copurchase_edges(spark, sf_dir)
     nodes = (
         edges.select(F.col("a").alias("n"))
         .unionAll(edges.select(F.col("b").alias("n")))
@@ -387,12 +400,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_clustering_coefficient",
     oracle="""
         WITH pairs AS (
-            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         ),
         edges AS (
-            SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+            SELECT a.l_partkey AS a, b.l_partkey AS b
             FROM pairs a JOIN pairs b
-              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
         ),
         deg AS (
             SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
@@ -415,8 +429,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph",),
 )
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GLOBAL CLUSTERING COEFFICIENT (transitivity) of the supplier
-    co-supply graph: 3·triangles / wedges, where a wedge is an
+    """GLOBAL CLUSTERING COEFFICIENT (transitivity) of the part
+    co-purchase graph: 3·triangles / wedges, where a wedge is an
     unordered path of length two — deg·(deg−1)/2 summed over nodes.
     Completes the triangle query into the statistic people actually
     quote; the single division of two exact integers is bit-identical
@@ -424,7 +438,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy over the (checkpointed) edge list, wedge count is a 1-row
     aggregate of it, and the triangle join is the same wedge-close as
     ``graph_triangle_count`` — nothing here exceeds edge-table scale."""
-    edges = _cosupply_edges(spark, sf_dir)
+    edges = _copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("a").alias("n"))
         .unionAll(edges.select(F.col("b").alias("n")))

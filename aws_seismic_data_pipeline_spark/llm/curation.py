@@ -1479,3 +1479,101 @@ def curate_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_exact_dups"),
         F.count_distinct("doc_id").cast("long").alias("n_unique_ids"),
     )
+
+
+@register(
+    "curate_multimodal_manifest",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   4 + doc_id % 13 AS w,
+                   3 + doc_id % 7 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT media_id, w, h, unnest(range(0, w*h)) AS p FROM m
+        ),
+        g AS (
+            SELECT media_id, w, h, p,
+                   ((media_id*7 + (p*3+0)*5) % 256)
+                   + ((media_id*7 + (p*3+1)*5) % 256)
+                   + ((media_id*7 + (p*3+2)*5) % 256) AS gray,
+                   ((p % w) * 4) // w AS bx,
+                   ((p // w) * 4) // h AS by
+            FROM px
+        ),
+        blocks AS (
+            SELECT media_id, by*4 + bx AS b,
+                   SUM(gray) AS bsum, COUNT(*) AS bcnt
+            FROM g GROUP BY media_id, by*4 + bx
+        ),
+        tot AS (
+            SELECT media_id, SUM(bsum) AS tsum, SUM(bcnt) AS tcnt
+            FROM blocks GROUP BY media_id
+        ),
+        hashed AS (
+            SELECT b.media_id AS doc_id,
+                   CAST(SUM(CASE WHEN b.bsum * t.tcnt > t.tsum * b.bcnt
+                                 THEN 1 << (15 - CAST(b.b AS INT))
+                                 ELSE 0 END) AS BIGINT) AS phash
+            FROM blocks b JOIN tot t USING (media_id)
+            GROUP BY b.media_id
+        ),
+        canonical AS (
+            SELECT phash, MIN(doc_id) AS doc_id FROM hashed GROUP BY phash
+        ),
+        kept AS (
+            SELECT d.doc_id, d.n_chars,
+                   CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),
+                                           1, 15)) AS BIGINT)
+                       % {N_SHARDS} AS shard_id
+            FROM canonical c
+            JOIN documents d ON d.doc_id = c.doc_id
+            WHERE d.n_chars >= 100
+        )
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS example_doc
+        FROM kept
+        GROUP BY shard_id
+    """,
+    tags=("llm", "curation", "multimodal"),
+)
+def curate_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL curation manifest — the image-corpus twin of
+    ``curate_pretrain_manifest``, composing round 10's perceptual hash
+    with the curation machinery: decode+hash every document's image
+    (``multimodal.media.image_phashes``), elect one canonical document
+    per hash cluster (MIN doc_id — image near-dup dedup, the aHash
+    production shape), gate on a minimum caption/text length, and
+    hash-shard the survivors into the manifest a training job consumes
+    (per shard: doc count, char budget, example member). Every stage is
+    exactly recomputable by the oracle — the integer phash, the MIN
+    election, the gate, the md5 shard — so the driver hash pins the
+    whole composition, not just its pieces. Scale: one fused decode
+    pass, one |images|-row groupBy for the election, a broadcast-size
+    join back to documents, one shard groupBy."""
+    from aws_seismic_data_pipeline_spark.multimodal.media import (
+        image_phashes,
+    )
+
+    hashes = image_phashes(spark, sf_dir).select(
+        F.col("media_id").alias("doc_id"), "phash"
+    )
+    canonical = hashes.groupBy("phash").agg(F.min("doc_id").alias("doc_id"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    kept = (
+        canonical.join(docs, "doc_id")
+        .filter(F.col("n_chars") >= 100)
+        .select(
+            "doc_id",
+            "n_chars",
+            _md5_bucket("doc_id", N_SHARDS).alias("shard_id"),
+        )
+    )
+    return kept.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").cast("long").alias("example_doc"),
+    )

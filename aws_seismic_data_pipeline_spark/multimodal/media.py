@@ -1648,6 +1648,18 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_minhash_banded`` -> ``dedup_lsh_verified`` shape with
     pixels for shingles. Scale: one fused mapInPandas decode pass, one
     |images|-row groupBy on the hash."""
+    from pyspark.sql import Window as W
+
+    return image_phashes(spark, sf_dir).withColumn(
+        "n_same_hash",
+        F.count(F.lit(1)).over(W.partitionBy("phash")).cast("long"),
+    )
+
+
+def image_phashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, width, height, phash) for every document's image —
+    the decode+hash pass ``mm_image_phash`` registers, exposed for
+    composition (``curate_multimodal_manifest``)."""
     import numpy as np
 
     docs = spread_dense(
@@ -1691,10 +1703,4 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=[f.name for f in schema.fields]
             )
 
-    hashed = docs.mapInPandas(run, schema)
-    from pyspark.sql import Window as W
-
-    return hashed.withColumn(
-        "n_same_hash",
-        F.count(F.lit(1)).over(W.partitionBy("phash")).cast("long"),
-    )
+    return docs.mapInPandas(run, schema)

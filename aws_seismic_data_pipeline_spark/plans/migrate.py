@@ -95,3 +95,100 @@ def migrate_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(done, "c_custkey", "left_anti").select(
         F.col("c_custkey").alias("key")
     )
+
+
+#: Mersenne prime 2^61-1: the checksum's modulus — sums stay exact in
+#: DECIMAL(38,0) on both engines before the reduction, and the final
+#: residue fits a BIGINT
+_CKSUM_P = (1 << 61) - 1
+
+
+def table_checksum(df: DataFrame, cols: list[str]) -> F.Column:
+    """Order-independent CONTENT checksum of a frame: per row, the
+    portable 60-bit md5 hash of the '|'-joined column values (NULL
+    spelled out so it can't collide with the string 'None'); summed
+    exactly in DECIMAL(38,0) — Spark 4's ANSI mode would raise on a
+    BIGINT overflow, and decimal keeps both engines exact — then
+    reduced mod 2^61-1. Commutative and associative, so the digest is
+    independent of row order, partitioning, and file layout: equal
+    bytes ⇒ equal digest on any engine that can md5."""
+    row = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in cols]
+    )
+    h = (
+        F.conv(F.substring(F.md5(row), 1, 15), 16, 10)
+        .cast("decimal(38,0)")
+    )
+    return (
+        F.sum(h) % F.lit(_CKSUM_P).cast("decimal(38,0)")
+    ).cast("long")
+
+
+@register(
+    "migrate_checksum_verify",
+    oracle=f"""
+        WITH rows_src AS (
+            SELECT CAST(('0x' || substring(md5(
+                       concat_ws('|',
+                           COALESCE(CAST(o_orderkey AS VARCHAR), '\\N'),
+                           COALESCE(CAST(o_orderstatus AS VARCHAR), '\\N'),
+                           COALESCE(CAST(o_orderpriority AS VARCHAR), '\\N'))
+                   ), 1, 15)) AS BIGINT) AS h
+            FROM orders
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT)
+                    % {_CKSUM_P} AS BIGINT) AS src_checksum,
+               CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT)
+                    % {_CKSUM_P} AS BIGINT) AS dst_checksum,
+               TRUE AS checksums_match
+        FROM rows_src
+    """,
+    tags=("plan", "migration"),
+)
+def migrate_checksum_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY-VERIFY by CONTENT, not size — the integrity upgrade to the
+    reference's migration check (``/root/reference/upload_to_rfs.py:
+    65-77`` verifies only ``exists() and st_size > 0``; a truncated-
+    then-padded or bit-flipped copy passes it): compute an
+    order-independent table checksum (portable md5 row hash, exact
+    decimal sum, mod 2^61-1) on the SOURCE, run the copy (a real
+    repartitioned write+read round trip, so file layout and row order
+    genuinely change), recompute on the DESTINATION, and emit both
+    digests plus the match verdict. Row-order independence is the
+    load-bearing property — a distributed copy never preserves order —
+    and the oracle recomputes the digest from the raw table, so the
+    driver hash pins the checksum algebra itself. At 100 TB this is
+    one map-side hash + one 1-row aggregate per side."""
+    import shutil as _shutil
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    src = load_table(spark, sf_dir, "orders").select(*cols)
+    dst_path = scratch_path(spark, sf_dir, "migrate_cksum_dst")
+    with scratch_cleanup(dst_path):
+        # the copy: different partitioning => different file layout and
+        # row order than the source
+        src.repartition(7).write.mode("overwrite").parquet(dst_path)
+        dst = spark.read.parquet(dst_path)
+        s = src.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            table_checksum(src, cols).alias("src_checksum"),
+        )
+        d = dst.agg(table_checksum(dst, cols).alias("dst_checksum"))
+        return (
+            s.crossJoin(F.broadcast(d))
+            .select(
+                "n_rows",
+                "src_checksum",
+                "dst_checksum",
+                (F.col("src_checksum") == F.col("dst_checksum")).alias(
+                    "checksums_match"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )

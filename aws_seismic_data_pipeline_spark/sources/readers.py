@@ -3979,6 +3979,51 @@ def scan_manifest_count_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+def optimize_table(
+    spark: SparkSession,
+    manifest_dir: str,
+    target_bytes: int,
+    columns: tuple[str, ...] = _MANIFEST_COLS,
+) -> tuple[int, int, int]:
+    """OPTIMIZE — the composed small-file maintenance verb (Delta
+    OPTIMIZE / Iceberg rewrite_data_files): bin-pack the table's
+    VISIBLE files to the target size with the same streaming first-fit
+    rule as ``plan_compaction_bins`` (exclusive running sum over name
+    order — stable across reruns, a bin overflows by at most one
+    file), then commit every multi-file bin through
+    ``commit_data_compaction`` — add(compacted) + remove(fragments) at
+    one snapshot per bin, so readers pinned below an OPTIMIZE still
+    see the fragments and current readers never see both. Sizes come
+    from driver-side stat of the visible path list (metadata-scale);
+    at millions of files the binning keys on (table, partition) so no
+    single pass serializes. Returns (n_bins_compacted,
+    n_files_before, n_files_after)."""
+    visible = sorted(
+        r.path
+        for r in _visible_stats(spark.read.parquet(manifest_dir), None)
+        .select("path")
+        .distinct()
+        .collect()
+    )
+    n_before = len(visible)
+    bins: list[list[str]] = []
+    acc = 0
+    for path in visible:
+        size = os.path.getsize(path)
+        if not bins or acc >= target_bytes:
+            bins.append([])
+            acc = 0
+        bins[-1].append(path)
+        acc += size
+    compacted = 0
+    for group in bins:
+        if len(group) > 1:
+            commit_data_compaction(spark, manifest_dir, group, columns)
+            compacted += 1
+    n_after = n_before - sum(len(g) - 1 for g in bins if len(g) > 1)
+    return compacted, n_before, n_after
+
+
 @register(
     "sink_dynamic_partition_overwrite",
     oracle="""

@@ -166,6 +166,14 @@ class GovernedTable:
             self.spark, self.manifest_dir, paths, (self.key,)
         )
 
+    def optimize(self, target_bytes: int = 128 * 1024 * 1024):
+        """Bin-pack every visible file to the target size and commit
+        each multi-file bin (Delta OPTIMIZE). Returns
+        (n_bins_compacted, n_files_before, n_files_after)."""
+        return R.optimize_table(
+            self.spark, self.manifest_dir, target_bytes, (self.key,)
+        )
+
     def vacuum_report(self) -> DataFrame:
         """Files on disk but untracked — reclaimable storage."""
         return R.vacuum_orphans_report(self.spark, self.data_dir, self.manifest_dir)

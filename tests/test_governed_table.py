@@ -142,3 +142,34 @@ def test_governed_table_partitioned(spark, tmp_path):
     zh = t.scan(partition_filter={"lang": "zh"})
     assert zh.count() == docs.filter(F.col("lang") == "zh").count()
     assert len(zh.inputFiles()) == len(late_files)
+
+
+def test_governed_table_optimize(spark, tmp_path):
+    """OPTIMIZE contract: fragment count drops to the bin count,
+    current reads are bit-identical before and after, pinned reads
+    below the optimize still see the fragments, and a second optimize
+    at the same target is a no-op (already packed)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "doc_id",
+        n_files=12,
+    )
+    before_rows = sorted(map(tuple, t.scan().collect()))
+    n0 = len(t.visible_files())
+    assert n0 == 12
+    # huge target -> everything packs into one bin
+    n_bins, n_before, n_after = t.optimize(target_bytes=10**12)
+    assert (n_bins, n_before) == (1, 12) and n_after == 1
+    assert len(t.visible_files()) == 1
+    assert sorted(map(tuple, t.scan().collect())) == before_rows
+    # history intact: pinned read below the optimize sees 12 files
+    assert len(t.visible_files(as_of=0)) == 12
+    # idempotent: a single file has nothing to pack
+    n_bins2, nb2, na2 = t.optimize(target_bytes=10**12)
+    assert (n_bins2, nb2, na2) == (0, 1, 1)

@@ -104,6 +104,27 @@ class GovernedTable:
             self.spark, self.manifest_dir, from_snapshot, to_snapshot
         )
 
+    def count_range(self, lo: float, hi: float, as_of: int | None = None):
+        """COUNT(key BETWEEN lo AND hi) answered mostly from metadata.
+        Returns (n_total, n_from_metadata, n_files_scanned)."""
+        return R.manifest_count_range(
+            self.spark, self.manifest_dir, self.key, lo, hi, as_of=as_of
+        )
+
+    def build_ndv_sketch(self, sketch_dir: str, column: str) -> None:
+        """Persist per-file KMV NDV sketches for ``column`` (Puffin
+        blobs); estimate with :meth:`ndv_estimate`."""
+        R.write_kmv_sketch_manifest(
+            self.spark, self.visible_files(), sketch_dir, column
+        )
+
+    def ndv_estimate(
+        self, sketch_dir: str, paths: list[str] | None = None
+    ) -> DataFrame:
+        """Approximate distinct count from merged per-file sketches —
+        zero data pages, over any pruned file subset."""
+        return R.sketch_merged_ndv(self.spark, sketch_dir, paths=paths)
+
     # ---- write side ----------------------------------------------------
     def append(self, new_paths: list[str]) -> int:
         """Register already-landed files at the next snapshot."""

@@ -173,3 +173,29 @@ def test_governed_table_optimize(spark, tmp_path):
     # idempotent: a single file has nothing to pack
     n_bins2, nb2, na2 = t.optimize(target_bytes=10**12)
     assert (n_bins2, nb2, na2) == (0, 1, 1)
+
+
+def test_governed_table_metadata_stats(spark, tmp_path):
+    """The metadata-statistics bindings: count_range answers from
+    footer counts (zero scans on an unbounded range) and the NDV
+    sketch estimates distincts without touching data pages."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "doc_id",
+        n_files=6,
+    )
+    total, meta, scanned = t.count_range(float("-inf"), float("inf"))
+    assert total == docs.count() and scanned == 0 and meta == total
+    sdir = str(tmp_path / "ndv")
+    t.build_ndv_sketch(sdir, "doc_id")
+    est = t.ndv_estimate(sdir).collect()[0]
+    n = docs.count()
+    # doc_id is unique, so NDV == n; KMV at K=64 is within ~25% here
+    assert est.sketch_size == 64
+    assert abs(est.kmv_estimate - n) < 0.35 * n

@@ -168,6 +168,10 @@ HEADLINE = [
     "agg_median_distributed",
     # ...and the perceptual image hash (decode pass + hash-keyed window)
     "mm_image_phash",
+    # closing wave: the composed multimodal curation manifest and
+    # content-checksum copy verification
+    "curate_multimodal_manifest",
+    "migrate_checksum_verify",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

@@ -72,6 +72,7 @@ CROSSJOIN_ALLOWED = {
     "llm/vector.py",  # 1-row aggregate-recall anchor (property surface)
     "operators/window_ops.py",  # 1-row global-total anchor (rank_global)
     "sources/readers.py",  # 1-row exact/estimate anchors (sketch NDV)
+    "plans/migrate.py",  # 1-row destination-checksum anchor
     "sources/http_fetch.py",
 }
 

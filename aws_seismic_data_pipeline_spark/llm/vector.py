@@ -236,6 +236,10 @@ def topk_property_surface(
             ).alias("_mono"),
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_hits"),
         )
+        # |queries| rows; materialize so the recall anchor below does
+        # not re-execute the index search AND the exact brute-force
+        # subtrees a second time inside the crossJoin
+        .localCheckpoint(eager=True)
     )
     recall = per_q.agg(
         (F.sum("_hits") / F.sum("_n")).alias("_agg_recall")

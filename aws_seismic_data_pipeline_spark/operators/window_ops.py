@@ -224,13 +224,11 @@ def distributed_ntile_multi(
     boundaries are sampled from the ORDER KEYS only, so counts computed
     on the base are valid for the chained passes that carry earlier
     specs' score columns. The tile passes then chain lazily (each is a
-    range exchange + within-partition sort + id stamp, MATERIALIZED via
-    localCheckpoint so the per-partition counts and the rank expressions
-    read the identical layout — Spark samples range boundaries with a
-    fresh seed per execution, so two executions of one exchange are NOT
-    guaranteed the same partition sizes; measured 760/740 vs 783/717 on
-    the same 1500-row frame). See :func:`distributed_ntile` for the
-    rank/sizing mechanics.
+    pinned-layout pass — range exchange + within-partition sort + id
+    stamp + localCheckpoint (``_pinned_layout``) — whose per-partition
+    counts feed the exact NTILE sizing expression; one driver collect
+    of ≤ ``num_partitions`` count scalars per spec. See
+    :func:`distributed_ntile` for the rank/sizing mechanics.
 
     Partitioning is sized from the OBSERVED row count (the catalog
     ``spread()`` convention — conditional on input size, never baked
@@ -239,48 +237,16 @@ def distributed_ntile_multi(
     of paying 32 empty task launches per pass; a 10^9-row frame gets
     the full parallelism (thousands of tasks on a real cluster's
     shuffle.partitions)."""
-    spark = df.sparkSession
-    if num_partitions is None:
-        shuffle_p = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-        # floor of 2: a 1-partition range exchange plans as Exchange
-        # SinglePartition — the exact shape this operator exists to
-        # avoid; two near-empty tasks cost nothing at fixture scale and
-        # keep the distributed mechanics (offsets, sizing rule) hot
-        n_total = df.count()
-        num_partitions = max(2, min(shuffle_p, -(-n_total // 262_144)))
+    num_partitions = _auto_partitions(df, num_partitions)
     out = df
     for order_cols, n_tiles, out_name in specs:
-        # ONE materialization pins the physical layout: counts and rank
-        # expressions below must see the same partition boundaries, and
-        # re-executing the exchange resamples them
-        ranged = (
-            out.repartitionByRange(num_partitions, *order_cols)
-            .sortWithinPartitions(*order_cols)
-            .withColumn("_mid", F.monotonically_increasing_id())
-            .localCheckpoint(eager=True)
-        )
-        mid = F.col("_mid")
-        pid = F.shiftright(mid, 33)
-        counts = {
-            r.p: int(r.n)
-            for r in ranged.groupBy(pid.alias("p"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        _check_mid_capacity(counts)
+        ranged, counts = _pinned_layout(out, order_cols, num_partitions)
         n = int(sum(counts.values()))
-        offsets, acc = [], 0
-        for p in range(num_partitions):
-            offsets.append(acc)
-            acc += counts.get(p, 0)
-        local = mid.bitwiseAND(F.lit((1 << 33) - 1))
-        offset = F.element_at(
-            F.array(*[F.lit(o).cast("long") for o in offsets]),
-            (pid + 1).cast("int"),
+        rank = (
+            _offset_expr(counts, num_partitions)
+            + F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+            + 1
         )
-        rank = offset + local + 1
         q, rem = divmod(n, max(int(n_tiles), 1))
         threshold = rem * (q + 1)
         tile = F.when(
@@ -295,6 +261,64 @@ def distributed_ntile_multi(
         )
         out = ranged.withColumn(out_name, tile.cast("long")).drop("_mid")
     return out
+
+
+def _auto_partitions(df: DataFrame, num_partitions: int | None) -> int:
+    """Partition count for the pinned-layout primitives, sized from the
+    OBSERVED row count (the catalog ``spread()`` convention): ~256k rows
+    per task, clamped to the session's shuffle parallelism, floor 2 (a
+    1-partition range exchange plans as Exchange SinglePartition — the
+    exact shape these primitives exist to avoid)."""
+    if num_partitions is not None:
+        return int(num_partitions)
+    spark = df.sparkSession
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_total = df.count()
+    return max(2, min(shuffle_p, -(-n_total // 262_144)))
+
+
+def _pinned_layout(
+    df: DataFrame, order_cols: list, num_partitions: int
+) -> tuple[DataFrame, dict[int, int]]:
+    """The shared machinery of the distributed global-order family:
+    range-exchange on the (unique-tiebreak) order key, sort within
+    partitions, stamp ``monotonically_increasing_id``, and MATERIALIZE
+    via localCheckpoint — Spark resamples range boundaries with a fresh
+    seed per execution, so the per-partition counts and every rank
+    expression must read ONE pinned layout, never two executions of the
+    same exchange (measured 760/740 vs 783/717 splits on identical
+    input). Returns (the materialized frame with ``_mid``, the
+    per-partition row counts — ≤ ``num_partitions`` scalars), after the
+    2^33 per-partition offset-capacity guard."""
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r.p: int(r.n)
+        for r in ranged.groupBy(
+            F.shiftright(F.col("_mid"), 33).alias("p")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    _check_mid_capacity(counts)
+    return ranged, counts
+
+
+def _offset_expr(counts: dict[int, int], num_partitions: int) -> F.Column:
+    """Prefix-sum rank offsets as a literal array indexed by the
+    partition id decoded from ``_mid``."""
+    offsets, acc = [], 0
+    for p in range(num_partitions):
+        offsets.append(acc)
+        acc += counts.get(p, 0)
+    return F.element_at(
+        F.array(*[F.lit(o).cast("long") for o in offsets]),
+        (F.shiftright(F.col("_mid"), 33) + 1).cast("int"),
+    )
 
 
 def _check_mid_capacity(counts: dict[int, int]) -> None:
@@ -329,37 +353,13 @@ def distributed_rank(
     rank offsets, rank decoded as a pure expression. Callers get exact
     global rank / percent_rank / cume_dist / top-rank selection (the
     distributed k-th-element problem) from the returned column."""
-    spark = df.sparkSession
-    if num_partitions is None:
-        shuffle_p = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-        n_total = df.count()
-        num_partitions = max(2, min(shuffle_p, -(-n_total // 262_144)))
-    ranged = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_mid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
+    num_partitions = _auto_partitions(df, num_partitions)
+    ranged, counts = _pinned_layout(df, order_cols, num_partitions)
+    rank = (
+        _offset_expr(counts, num_partitions)
+        + F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+        + 1
     )
-    mid = F.col("_mid")
-    pid = F.shiftright(mid, 33)
-    counts = {
-        r.p: int(r.n)
-        for r in ranged.groupBy(pid.alias("p"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    _check_mid_capacity(counts)
-    offsets, acc = [], 0
-    for p in range(num_partitions):
-        offsets.append(acc)
-        acc += counts.get(p, 0)
-    offset = F.element_at(
-        F.array(*[F.lit(o).cast("long") for o in offsets]),
-        (pid + 1).cast("int"),
-    )
-    rank = offset + mid.bitwiseAND(F.lit((1 << 33) - 1)) + 1
     return ranged.withColumn(out_name, rank.cast("long")).drop("_mid")
 
 
@@ -383,34 +383,17 @@ def distributed_running_sum(
     ``value_col`` must be integer-typed (cents-style) — long offsets
     and long window sums make the result bit-identical to any engine's
     ``SUM OVER ORDER BY`` under the same (unique) total order."""
-    spark = df.sparkSession
-    if num_partitions is None:
-        shuffle_p = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-        n_total = df.count()
-        num_partitions = max(2, min(shuffle_p, -(-n_total // 262_144)))
-    ranged = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_mid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
-    )
+    num_partitions = _auto_partitions(df, num_partitions)
+    ranged, _counts = _pinned_layout(df, order_cols, num_partitions)
     pid = F.shiftright(F.col("_mid"), 33)
-    part_rows = ranged.groupBy(pid.alias("p")).agg(
-        F.sum(value_col).cast("long").alias("s"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()
-    _check_mid_capacity({r.p: int(r.n) for r in part_rows})
-    sums = {r.p: int(r.s) for r in part_rows if r.s is not None}
-    offsets, acc = [], 0
-    for p in range(num_partitions):
-        offsets.append(acc)
-        acc += sums.get(p, 0)
-    offset = F.element_at(
-        F.array(*[F.lit(o).cast("long") for o in offsets]),
-        (pid + 1).cast("int"),
-    )
+    sums = {
+        r.p: int(r.s)
+        for r in ranged.groupBy(pid.alias("p"))
+        .agg(F.sum(value_col).cast("long").alias("s"))
+        .collect()
+        if r.s is not None
+    }
+    offset = _offset_expr(sums, num_partitions)
     w = W.partitionBy(pid).orderBy(*order_cols)
     running = offset + F.sum(F.col(value_col).cast("long")).over(w)
     return ranged.withColumn(out_name, running.cast("long")).drop("_mid")

@@ -103,7 +103,7 @@ def migrate_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CKSUM_P = (1 << 61) - 1
 
 
-def table_checksum(df: DataFrame, cols: list[str]) -> F.Column:
+def table_checksum(cols: list[str]) -> F.Column:
     """Order-independent CONTENT checksum of a frame: per row, the
     portable 60-bit md5 hash of the '|'-joined column values (NULL
     spelled out so it can't collide with the string 'None'); summed
@@ -111,7 +111,9 @@ def table_checksum(df: DataFrame, cols: list[str]) -> F.Column:
     BIGINT overflow, and decimal keeps both engines exact — then
     reduced mod 2^61-1. Commutative and associative, so the digest is
     independent of row order, partitioning, and file layout: equal
-    bytes ⇒ equal digest on any engine that can md5."""
+    bytes ⇒ equal digest on any engine that can md5. Returns a pure
+    aggregate Column — it binds to whichever frame's ``agg`` it is
+    placed in (which is why it takes no frame parameter)."""
     row = F.concat_ws(
         "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in cols]
     )
@@ -177,9 +179,9 @@ def migrate_checksum_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         dst = spark.read.parquet(dst_path)
         s = src.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            table_checksum(src, cols).alias("src_checksum"),
+            table_checksum(cols).alias("src_checksum"),
         )
-        d = dst.agg(table_checksum(dst, cols).alias("dst_checksum"))
+        d = dst.agg(table_checksum(cols).alias("dst_checksum"))
         return (
             s.crossJoin(F.broadcast(d))
             .select(

@@ -1019,15 +1019,7 @@ def append_stats_manifest(
     exactly the files visible at snapshot N, the table-format
     time-travel contract. Returns the id written."""
     if snapshot_id is None:
-        try:
-            cur = (
-                spark.read.parquet(manifest_dir)
-                .agg(F.max("snapshot_id"))
-                .collect()[0][0]
-            )
-            snapshot_id = (cur if cur is not None else -1) + 1
-        except Exception:  # first append creates the manifest at v0
-            snapshot_id = 0
+        snapshot_id = _claimed_next_snapshot(spark, manifest_dir)
     read_footer_stats_multi(spark, new_paths, columns).withColumn(
         "snapshot_id", F.lit(int(snapshot_id)).cast("int")
     ).withColumn("op", F.lit("add")).withColumn(
@@ -1064,7 +1056,12 @@ class ConcurrentCommitError(RuntimeError):
     blind-append (its candidacy/rewrite set may be stale)."""
 
 
-def claim_commit(spark: SparkSession, manifest_dir: str, parent: int) -> int:
+def claim_commit(
+    spark: SparkSession,
+    manifest_dir: str,
+    parent: int,
+    stale_after: float = 300.0,
+) -> int:
     """Optimistic-concurrency COMPARE-AND-SWAP on the snapshot axis:
     atomically claim snapshot ``parent + 1`` by creating the commit
     token directory ``<manifest>/_commits/<id>`` — POSIX ``mkdir`` is
@@ -1076,18 +1073,60 @@ def claim_commit(spark: SparkSession, manifest_dir: str, parent: int) -> int:
     table, re-validate candidacy, and claim the NEXT id. The leading
     underscore keeps the token tree invisible to Spark's parquet
     listing of the manifest itself."""
+    import time as _time
+
     token_root = os.path.join(manifest_dir, "_commits")
     os.makedirs(token_root, exist_ok=True)
     snap = int(parent) + 1
-    try:
-        os.mkdir(os.path.join(token_root, str(snap)))
-    except FileExistsError:
-        raise ConcurrentCommitError(
-            f"snapshot {snap} at {manifest_dir} was claimed by a "
-            "concurrent writer — re-validate against the current table "
-            "state and retry"
-        ) from None
-    return snap
+    token = os.path.join(token_root, str(snap))
+    for attempt in (0, 1):
+        try:
+            os.mkdir(token)
+            return snap
+        except FileExistsError:
+            committed_max = _next_snapshot(spark, manifest_dir) - 1
+            if snap <= committed_max:
+                raise ConcurrentCommitError(
+                    f"snapshot {snap} at {manifest_dir} was committed by "
+                    "a concurrent writer — re-validate against the "
+                    "current table state and retry"
+                ) from None
+            # claimed but not (yet) committed: in-flight, or abandoned
+            # by a crashed claimant. A token older than stale_after with
+            # no committed rows is taken over (removed and re-claimed) —
+            # the lease-timeout recovery object-store log stores use;
+            # a young token means a live writer: fail loudly, the
+            # caller backs off and retries.
+            try:
+                age = _time.time() - os.stat(token).st_mtime
+            except FileNotFoundError:
+                continue  # winner vanished between mkdir and stat: retry
+            if attempt == 0 and age > float(stale_after):
+                try:
+                    os.rmdir(token)
+                except OSError:
+                    pass
+                continue
+            raise ConcurrentCommitError(
+                f"snapshot {snap} at {manifest_dir} is claimed by an "
+                f"in-flight commit (token age {age:.1f}s) — back off and "
+                "retry; if the claimant crashed, the token becomes "
+                f"stale after {stale_after}s and is taken over"
+            ) from None
+    raise ConcurrentCommitError(  # pragma: no cover - loop always exits
+        f"could not claim snapshot {snap} at {manifest_dir}"
+    )
+
+
+def _claimed_next_snapshot(spark: SparkSession, manifest_dir: str) -> int:
+    """Allocate AND reserve the next snapshot id: every committing verb
+    routes through this instead of a bare max()+1, so two writers can
+    never stamp rows with the SAME id — the id-collision half of the
+    optimistic-concurrency contract (the other half, re-planning after
+    a lost race, is the caller's job: plain verbs fail loudly with
+    ConcurrentCommitError; ``merge_with_conflict_retry`` re-plans)."""
+    parent = _next_snapshot(spark, manifest_dir) - 1
+    return claim_commit(spark, manifest_dir, parent)
 
 
 def merge_with_conflict_retry(
@@ -1115,6 +1154,12 @@ def merge_with_conflict_retry(
         except ConcurrentCommitError:
             if attempt == max_retries:
                 raise
+            import time as _time
+
+            # back off before re-planning: a lost race against a LIVE
+            # writer needs its rows to land before the re-plan can see
+            # them; spinning would exhaust retries in microseconds
+            _time.sleep(min(0.05 * (2 ** attempt), 1.0))
             continue  # table advanced: loop re-reads and re-plans
         s, n_int, n_rw = merge_through_manifest(
             spark,
@@ -1154,7 +1199,7 @@ def evolve_schema_add(
         raise ValueError(
             f"column {column!r} is already declared at {manifest_dir}"
         )
-    snap = _next_snapshot(spark, manifest_dir)
+    snap = _claimed_next_snapshot(spark, manifest_dir)
     schema = man.schema
     fixed = {
         "path": "",
@@ -1321,7 +1366,7 @@ def remove_from_manifest(
     if not paths:
         raise ValueError("remove_from_manifest: empty path list")
     if snapshot_id is None:
-        snapshot_id = _next_snapshot(spark, manifest_dir)
+        snapshot_id = _claimed_next_snapshot(spark, manifest_dir)
     schema = spark.read.parquet(manifest_dir).schema
     fixed = {
         "path": lambda p: p,
@@ -2178,7 +2223,8 @@ def commit_data_compaction(
     spark: SparkSession,
     manifest_dir: str,
     paths: list[str],
-    columns: tuple[str, ...] = _MANIFEST_COLS,
+    columns: tuple[str, ...] | None = None,
+    partition_by: tuple[str, ...] = (),
 ) -> tuple[str, int]:
     """DATA-file compaction committed THROUGH the manifest — the
     missing half of ``catalog.compact_parquet_dir`` for
@@ -2191,22 +2237,44 @@ def commit_data_compaction(
     compacted file (never both — the double-count is the failure mode
     the registered query's oracle hash-checks); the fragments become
     vacuum-reclaimable. Cost is fragment-sized: one read+write of the
-    compacted bytes plus two metadata appends. Returns (new_path,
-    snapshot_id)."""
+    compacted bytes plus two metadata appends. With ``columns=None``
+    (the default) the compacted file's stats carry the tracked column
+    set the FRAGMENTS had in the manifest — a narrower append would
+    hide the compacted file from scans probing the other tracked
+    columns (the merge/delete-compaction fix, applied here too);
+    ``partition_by`` re-records Hive partition values. Returns
+    (new_path, snapshot_id)."""
     import glob as _glob
     import shutil as _shutil
 
     if not paths:
         raise ValueError("commit_data_compaction: empty path list")
+    if columns is None:
+        tracked = sorted(
+            r.column_name
+            for r in spark.read.parquet(manifest_dir)
+            .filter((F.col("op") == "add") & F.col("path").isin(list(paths)))
+            .select("column_name")
+            .distinct()
+            .collect()
+        )
+        columns = tuple(tracked) or _MANIFEST_COLS
     out_dir = os.path.dirname(sorted(paths)[0])
-    snap = _next_snapshot(spark, manifest_dir)
+    snap = _claimed_next_snapshot(spark, manifest_dir)
     tmp = os.path.join(out_dir, f".compact_{snap}_stage")
     spark.read.parquet(*paths).coalesce(1).write.mode("overwrite").parquet(tmp)
     part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
     new_path = os.path.join(out_dir, f"compacted-{snap}.parquet")
     _shutil.move(part, new_path)
     _shutil.rmtree(tmp, ignore_errors=True)
-    append_stats_manifest(spark, [new_path], manifest_dir, columns, snapshot_id=snap)
+    append_stats_manifest(
+        spark,
+        [new_path],
+        manifest_dir,
+        columns,
+        snapshot_id=snap,
+        partition_by=partition_by,
+    )
     remove_from_manifest(spark, manifest_dir, paths, snapshot_id=snap)
     return new_path, snap
 
@@ -2515,7 +2583,7 @@ def append_bloom_manifest(
     time travel via the shared snapshot axis both apply unchanged.
     Returns the snapshot id written."""
     if snapshot_id is None:
-        snapshot_id = _next_snapshot(spark, bloom_dir)
+        snapshot_id = _claimed_next_snapshot(spark, bloom_dir)
     build_bloom_manifest(
         spark,
         new_paths,
@@ -2679,7 +2747,7 @@ def equality_delete(
     if not values:
         raise ValueError("equality_delete: empty value list")
     if snapshot_id is None:
-        snapshot_id = _next_snapshot(spark, manifest_dir)
+        snapshot_id = _claimed_next_snapshot(spark, manifest_dir)
     pdf = _pd.DataFrame(
         {
             "path": "",
@@ -3318,7 +3386,7 @@ def merge_through_manifest(
     snap = (
         int(snapshot_id)
         if snapshot_id is not None
-        else _next_snapshot(spark, manifest_dir)
+        else _claimed_next_snapshot(spark, manifest_dir)
     )
     new_paths: list[str] = []
     n_rewritten = 0
@@ -3569,7 +3637,7 @@ def compact_equality_deletes(
         .distinct()
         .collect()
     )
-    snap = _next_snapshot(spark, manifest_dir)
+    snap = _claimed_next_snapshot(spark, manifest_dir)
     new_paths: list[str] = []
     if candidates:
         out_dir = os.path.dirname(candidates[0])
@@ -3684,7 +3752,9 @@ def expire_manifest_history(
     shrunken manifest is swapped in atomically. Kept: every row at
     snapshot >= floor; 'add' rows of files still visible at the floor
     (no tombstone below it); live equality-delete records; retire
-    markers (KB-scale, and their ceilings scope any kept records).
+    markers (KB-scale, and their ceilings scope any kept records);
+    schema_add declarations (the table's committed schema outlives any
+    history expiry).
     Dropped: add+remove pairs both below the floor (files whose whole
     life predates it) and delete records already retired below it. A
     persisted 'expire' marker records the floor; an as-of read BELOW
@@ -3739,7 +3809,14 @@ def expire_manifest_history(
         man.filter(F.col("snapshot_id") >= e)
         .unionByName(keep_old_adds)
         .unionByName(live_old_deletes)
-        .unionByName(old.filter(F.col("op").isin("delete_retire", "expire")))
+        # schema_add rows are the table's DECLARED SCHEMA — a committed
+        # ADD COLUMN must survive any expiry or post-expire reads lose
+        # the NULL-backfill (and a re-declaration stops raising)
+        .unionByName(
+            old.filter(
+                F.col("op").isin("delete_retire", "expire", "schema_add")
+            )
+        )
     )
     schema = man.schema
     marker_fixed = {
@@ -3983,7 +4060,7 @@ def optimize_table(
     spark: SparkSession,
     manifest_dir: str,
     target_bytes: int,
-    columns: tuple[str, ...] = _MANIFEST_COLS,
+    partition_by: tuple[str, ...] = (),
 ) -> tuple[int, int, int]:
     """OPTIMIZE — the composed small-file maintenance verb (Delta
     OPTIMIZE / Iceberg rewrite_data_files): bin-pack the table's
@@ -3993,11 +4070,22 @@ def optimize_table(
     file), then commit every multi-file bin through
     ``commit_data_compaction`` — add(compacted) + remove(fragments) at
     one snapshot per bin, so readers pinned below an OPTIMIZE still
-    see the fragments and current readers never see both. Sizes come
-    from driver-side stat of the visible path list (metadata-scale);
-    at millions of files the binning keys on (table, partition) so no
-    single pass serializes. Returns (n_bins_compacted,
-    n_files_before, n_files_after)."""
+    see the fragments and current readers never see both.
+
+    Partition identity is preserved: files are binned WITHIN their
+    directory (the Hive partition dir — a cross-partition bin would
+    merge rows whose partition value lives only in the path and write
+    the result into ONE partition's dir, silently corrupting every
+    partition-filtered scan), and the compacted files' stats rows
+    re-record the partition values when ``partition_by`` names them.
+    The compacted stats carry the manifest's FULL tracked column set,
+    derived like ``merge_through_manifest``'s — a key-only append
+    would hide compacted files from scans probing other columns.
+    Sizes come from driver-side stat of the visible path list
+    (metadata-scale). Returns (n_bins_compacted, n_files_before,
+    n_files_after)."""
+    import itertools as _it
+
     visible = sorted(
         r.path
         for r in _visible_stats(spark.read.parquet(manifest_dir), None)
@@ -4007,18 +4095,26 @@ def optimize_table(
     )
     n_before = len(visible)
     bins: list[list[str]] = []
-    acc = 0
-    for path in visible:
-        size = os.path.getsize(path)
-        if not bins or acc >= target_bytes:
-            bins.append([])
-            acc = 0
-        bins[-1].append(path)
-        acc += size
+    for _dirname, group_iter in _it.groupby(visible, key=os.path.dirname):
+        acc = 0
+        first_in_dir = True
+        for path in group_iter:
+            size = os.path.getsize(path)
+            if first_in_dir or acc >= target_bytes:
+                bins.append([])
+                acc = 0
+                first_in_dir = False
+            bins[-1].append(path)
+            acc += size
     compacted = 0
     for group in bins:
         if len(group) > 1:
-            commit_data_compaction(spark, manifest_dir, group, columns)
+            commit_data_compaction(
+                spark,
+                manifest_dir,
+                group,
+                partition_by=partition_by,
+            )
             compacted += 1
     n_after = n_before - sum(len(g) - 1 for g in bins if len(g) > 1)
     return compacted, n_before, n_after

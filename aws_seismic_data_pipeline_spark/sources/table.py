@@ -188,11 +188,14 @@ class GovernedTable:
         )
 
     def optimize(self, target_bytes: int = 128 * 1024 * 1024):
-        """Bin-pack every visible file to the target size and commit
-        each multi-file bin (Delta OPTIMIZE). Returns
-        (n_bins_compacted, n_files_before, n_files_after)."""
+        """Bin-pack every visible file to the target size WITHIN its
+        partition dir and commit each multi-file bin (Delta OPTIMIZE).
+        Returns (n_bins_compacted, n_files_before, n_files_after)."""
         return R.optimize_table(
-            self.spark, self.manifest_dir, target_bytes, (self.key,)
+            self.spark,
+            self.manifest_dir,
+            target_bytes,
+            partition_by=self.partition_by,
         )
 
     def vacuum_report(self) -> DataFrame:

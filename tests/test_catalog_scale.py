@@ -2158,6 +2158,22 @@ def test_schema_evolution_time_travels(spark, tmp_path):
     with _pytest.raises(ValueError, match="already declared"):
         evolve_schema_add(spark, mpath, "quality", "double")
 
+    # the committed schema survives history expiry (round-10 review
+    # finding: expire dropped 'schema_add' rows below the floor,
+    # silently un-declaring the column)
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        equality_delete,
+        expire_manifest_history,
+    )
+
+    floor = equality_delete(spark, mpath, "doc_id", [10**9])
+    expire_manifest_history(spark, mpath, floor)
+    cur2 = read_evolved(spark, mpath, "doc_id")
+    assert "quality" in cur2.columns
+    assert cur2.filter(F.col("quality").isNotNull()).count() == n_late
+    with _pytest.raises(ValueError, match="already declared"):
+        evolve_schema_add(spark, mpath, "quality", "double")
+
 
 def test_vacuum_executes_with_retention(spark, tmp_path):
     """VACUUM execution semantics: nothing younger than the retention

@@ -143,6 +143,18 @@ def test_governed_table_partitioned(spark, tmp_path):
     assert zh.count() == docs.filter(F.col("lang") == "zh").count()
     assert len(zh.inputFiles()) == len(late_files)
 
+    # OPTIMIZE on a partitioned table must bin WITHIN partition dirs
+    # (round-10 review finding: a cross-partition bin would merge rows
+    # whose partition value lives only in the path) and keep
+    # partition-filtered scans exact afterwards
+    want_en = t.scan(partition_filter={"lang": "en"}).count()
+    n_bins, n_before, n_after = t.optimize(target_bytes=10**12)
+    assert n_after < n_before
+    en2 = t.scan(partition_filter={"lang": "en"})
+    assert en2.count() == want_en
+    # every opened file still lives under the en partition dir
+    assert all("/lang=en/" in f for f in en2.inputFiles())
+
 
 def test_governed_table_optimize(spark, tmp_path):
     """OPTIMIZE contract: fragment count drops to the bin count,

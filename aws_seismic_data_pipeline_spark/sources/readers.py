@@ -1013,8 +1013,9 @@ def append_stats_manifest(
     ``llm/ivf.py: append_to_index`` / ``llm/dedup.py:
     promote_to_corpus``. Appended == rebuilt is pytest-pinned in
     tests/test_catalog_scale.py. Each append is stamped with the next
-    ``snapshot_id`` (one KB-scale max() over the stats table unless the
-    caller passes one), so the manifest keeps its whole version
+    ``snapshot_id`` — CAS-RESERVED via ``_claimed_next_snapshot``
+    unless the caller passes one, so concurrent writers can never
+    stamp the same id — and the manifest keeps its whole version
     history — an as-of read (``manifest_pruned_scan(as_of=N)``) sees
     exactly the files visible at snapshot N, the table-format
     time-travel contract. Returns the id written."""

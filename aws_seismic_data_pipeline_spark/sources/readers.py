@@ -1080,6 +1080,16 @@ def claim_commit(
     os.makedirs(token_root, exist_ok=True)
     snap = int(parent) + 1
     token = os.path.join(token_root, str(snap))
+    # an id at or below the committed tip is NEVER claimable, token or
+    # no token (tokens don't survive expire's manifest swap; without
+    # this check a stale writer could stamp new rows onto an id that
+    # already has committed history)
+    if snap <= _next_snapshot(spark, manifest_dir) - 1:
+        raise ConcurrentCommitError(
+            f"snapshot {snap} at {manifest_dir} was committed by a "
+            "concurrent writer — re-validate against the current table "
+            "state and retry"
+        )
     for attempt in (0, 1):
         try:
             os.mkdir(token)

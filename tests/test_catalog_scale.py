@@ -2343,3 +2343,44 @@ def test_sketch_manifest_band_merge_equals_direct(spark, tmp_path):
     n_a, u_a = direct(spark.read.parquet(*files))
     assert all_merged.sketch_size == n_a
     assert all_merged.kmv_estimate == (_SKETCH_K - 1.0) / u_a
+
+
+def test_claim_commit_stale_token_takeover(spark, tmp_path):
+    """claim_commit's liveness contract: a token with COMMITTED rows at
+    its id raises the re-validate error; a claimed-but-uncommitted
+    token from a live writer raises the in-flight error (no takeover);
+    a STALE abandoned token (older than the lease) is taken over so a
+    crashed claimant cannot wedge the table forever."""
+    import glob
+    import time
+
+    import pytest as _pytest
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        ConcurrentCommitError,
+        claim_commit,
+        write_stats_manifest,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    data_dir = str(tmp_path / "docs")
+    docs.repartition(2, "doc_id").write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "manifest")
+    write_stats_manifest(spark, files, mpath, ("doc_id",))
+
+    # normal claim succeeds and reserves id 1
+    assert claim_commit(spark, mpath, 0) == 1
+    # a second claimant of the same parent: id 1 is claimed but has no
+    # committed rows -> the IN-FLIGHT error, token NOT taken over
+    with _pytest.raises(ConcurrentCommitError, match="in-flight"):
+        claim_commit(spark, mpath, 0, stale_after=3600.0)
+    token = os.path.join(mpath, "_commits", "1")
+    assert os.path.isdir(token)
+    # age the token past the lease: the claim TAKES OVER
+    old = time.time() - 1000
+    os.utime(token, (old, old))
+    assert claim_commit(spark, mpath, 0, stale_after=300.0) == 1
+    # committed ids raise the re-validate error, never takeover
+    with _pytest.raises(ConcurrentCommitError, match="committed"):
+        claim_commit(spark, mpath, -1)  # snapshot 0 has committed rows

@@ -958,15 +958,32 @@ def _partition_values_col(partition_by: tuple[str, ...]) -> F.Column:
     key=value dirs. Entries exist ONLY where the segment is present, so
     a file not laid out by a requested column carries no entry and every
     partition filter treats it conservatively (scanned, never silently
-    dropped). NULL map when the table is unpartitioned."""
+    dropped). NULL map when the table is unpartitioned.
+
+    Spark percent-escapes reserved characters ('%', '=', ':', ...) in
+    Hive partition dir names, so the captured segment is DECODED before
+    it is stored — a partition filter compares LOGICAL values, and
+    ``{'col': 'a=b'}`` must match the on-disk ``col=a%3Db`` segment.
+    Decode mirrors ``_decode_input_file`` ('+' pre-escaped so
+    ``url_decode`` never turns it into a space); a segment that is not
+    valid percent-encoding (hand-made dir with a bare '%') falls back
+    to its raw form instead of failing the scan. The column name is
+    regex-escaped so a name containing metacharacters cannot corrupt
+    the pattern."""
+    import re as _re
+
     if not partition_by:
         return F.lit(None).cast("map<string,string>")
     pairs = []
     for pcol in partition_by:
-        pairs.append(F.lit(pcol))
-        pairs.append(
-            F.regexp_extract(F.col("path"), f"(?:^|/){pcol}=([^/]+)/", 1)
+        seg = F.regexp_extract(
+            F.col("path"), f"(?:^|/){_re.escape(pcol)}=([^/]+)/", 1
         )
+        decoded = F.coalesce(
+            F.try_url_decode(F.regexp_replace(seg, r"\+", "%2B")), seg
+        )
+        pairs.append(F.lit(pcol))
+        pairs.append(decoded)
     return F.map_filter(F.create_map(*pairs), lambda _k, v: v != "")
 
 
@@ -1021,12 +1038,48 @@ def append_stats_manifest(
     time-travel contract. Returns the id written."""
     if snapshot_id is None:
         snapshot_id = _claimed_next_snapshot(spark, manifest_dir)
-    read_footer_stats_multi(spark, new_paths, columns).withColumn(
-        "snapshot_id", F.lit(int(snapshot_id)).cast("int")
-    ).withColumn("op", F.lit("add")).withColumn(
-        "partition_values", _partition_values_col(partition_by)
+    verify_claim(manifest_dir, int(snapshot_id))
+    _stats_add_rows(
+        spark, new_paths, columns, int(snapshot_id), partition_by
     ).write.mode("append").parquet(manifest_dir)
     return int(snapshot_id)
+
+
+def _stats_add_rows(
+    spark: SparkSession,
+    new_paths: list[str],
+    columns: tuple[str, ...],
+    snapshot_id: int,
+    partition_by: tuple[str, ...] = (),
+) -> DataFrame:
+    """The 'add' stats rows for new data files as an UNCOMMITTED frame —
+    compound verbs (merge, compaction) union these with their tombstones
+    and commit everything in ONE append, so a concurrent re-planner can
+    never observe adds without the matching removes (half a commit)."""
+    return (
+        read_footer_stats_multi(spark, new_paths, columns)
+        .withColumn("snapshot_id", F.lit(int(snapshot_id)).cast("int"))
+        .withColumn("op", F.lit("add"))
+        .withColumn("partition_values", _partition_values_col(partition_by))
+    )
+
+
+def commit_manifest_rows(
+    spark: SparkSession, manifest_dir: str, frames: list[DataFrame]
+) -> None:
+    """Commit several metadata row groups (adds + tombstones + markers)
+    as ONE Spark write job — the atomicity half of the optimistic-
+    concurrency contract. Two separate appends leave a window where a
+    concurrent ``merge_with_conflict_retry`` loser re-plans against the
+    adds WITHOUT the removes (or vice versa), double-counting the
+    rewritten rows and baking the duplication into its own rewrite;
+    one job commits all files in a single FileOutputCommitter commit.
+    Frames are aligned by name (missing columns NULL-filled) and cast
+    to the target manifest's schema so the append never forks it."""
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf, allowMissingColumns=True)
+    out.write.mode("append").parquet(manifest_dir)
 
 
 _MANIFEST_SCHEMA = (
@@ -1073,8 +1126,18 @@ def claim_commit(
     the loser gets :class:`ConcurrentCommitError` and must re-read the
     table, re-validate candidacy, and claim the NEXT id. The leading
     underscore keeps the token tree invisible to Spark's parquet
-    listing of the manifest itself."""
+    listing of the manifest itself.
+
+    Each claim writes an ``owner`` file (a fresh uuid) inside its token
+    dir. A stale takeover (token older than ``stale_after`` with no
+    committed rows) renames the token ASIDE atomically — only one
+    takeover-er can win the rename — and claims fresh, so the original
+    claimant's ownership is revoked rather than silently shared: if
+    that claimant was merely SLOW (a >5-min compaction, not a crash),
+    its commit-time :func:`verify_claim` check fails loudly instead of
+    interleaving two writers' rows under one snapshot id."""
     import time as _time
+    import uuid as _uuid
 
     token_root = os.path.join(manifest_dir, "_commits")
     os.makedirs(token_root, exist_ok=True)
@@ -1090,10 +1153,10 @@ def claim_commit(
             "concurrent writer — re-validate against the current table "
             "state and retry"
         )
+    owner = _uuid.uuid4().hex
     for attempt in (0, 1):
         try:
             os.mkdir(token)
-            return snap
         except FileExistsError:
             committed_max = _next_snapshot(spark, manifest_dir) - 1
             if snap <= committed_max:
@@ -1104,19 +1167,21 @@ def claim_commit(
                 ) from None
             # claimed but not (yet) committed: in-flight, or abandoned
             # by a crashed claimant. A token older than stale_after with
-            # no committed rows is taken over (removed and re-claimed) —
-            # the lease-timeout recovery object-store log stores use;
-            # a young token means a live writer: fail loudly, the
-            # caller backs off and retries.
+            # no committed rows is taken over — the lease-timeout
+            # recovery object-store log stores use; a young token means
+            # a live writer: fail loudly, the caller backs off and
+            # retries. Takeover renames the token aside (atomic: one
+            # winner) instead of rmdir'ing it, revoking the old owner
+            # file with it.
             try:
                 age = _time.time() - os.stat(token).st_mtime
             except FileNotFoundError:
                 continue  # winner vanished between mkdir and stat: retry
             if attempt == 0 and age > float(stale_after):
                 try:
-                    os.rmdir(token)
+                    os.rename(token, f"{token}.stale-{owner}")
                 except OSError:
-                    pass
+                    pass  # another takeover-er won the rename: retry
                 continue
             raise ConcurrentCommitError(
                 f"snapshot {snap} at {manifest_dir} is claimed by an "
@@ -1124,9 +1189,50 @@ def claim_commit(
                 "retry; if the claimant crashed, the token becomes "
                 f"stale after {stale_after}s and is taken over"
             ) from None
+        with open(os.path.join(token, "owner"), "w") as fh:
+            fh.write(owner)
+        _CLAIM_OWNERS[(os.path.abspath(manifest_dir), snap)] = owner
+        return snap
     raise ConcurrentCommitError(  # pragma: no cover - loop always exits
         f"could not claim snapshot {snap} at {manifest_dir}"
     )
+
+
+#: this process's live claims: (abs manifest dir, snapshot id) -> owner
+#: uuid written into the token dir. verify_claim compares the on-disk
+#: owner file against this registry at commit time.
+_CLAIM_OWNERS: dict[tuple[str, int], str] = {}
+
+
+def verify_claim(manifest_dir: str, snapshot_id: int) -> None:
+    """Re-validate token ownership IMMEDIATELY before committing rows at
+    ``snapshot_id`` — the commit-time half of the lease protocol. A slow
+    writer whose token was taken over (``claim_commit`` stale recovery)
+    finds someone else's uuid — or no token — where its own used to be,
+    and must raise rather than commit: without this check two writers'
+    rows silently interleave under one snapshot id. A snapshot this
+    process never claimed (explicit ``snapshot_id=`` passthrough from a
+    caller that claimed in another process, or pre-claim-era tests
+    stamping id 0 fixtures) is not re-validated — the registry only
+    knows this process's leases."""
+    ours = _CLAIM_OWNERS.get((os.path.abspath(manifest_dir), int(snapshot_id)))
+    if ours is None:
+        return
+    owner_file = os.path.join(
+        manifest_dir, "_commits", str(int(snapshot_id)), "owner"
+    )
+    try:
+        with open(owner_file) as fh:
+            on_disk = fh.read().strip()
+    except OSError:
+        on_disk = None
+    if on_disk != ours:
+        raise ConcurrentCommitError(
+            f"snapshot {snapshot_id} at {manifest_dir}: this writer's "
+            "claim was revoked (token taken over as stale while the "
+            "commit was in flight) — re-validate against the current "
+            "table state and retry with a fresh claim"
+        )
 
 
 def _claimed_next_snapshot(spark: SparkSession, manifest_dir: str) -> int:
@@ -1371,14 +1477,37 @@ def remove_from_manifest(
     path/file_name/snapshot_id/op filled, every other field NULL — so
     the same delete works against the stats manifest AND the bloom
     manifest (whose rows carry m_bits/bloom instead of min/max stats)
-    without the appended file forking the directory's schema."""
-    import os as _os
-
+    without the appended file forking the directory's schema. On stats
+    manifests the otherwise-unused min_val/max_val slots carry the
+    TOMBSTONE WALL-CLOCK (epoch seconds) — the retention axis Delta
+    keeps in its log timestamps: ``vacuum_orphans`` measures the
+    retention window from when the file became unreferenced, not from
+    when it was created."""
     if not paths:
         raise ValueError("remove_from_manifest: empty path list")
     if snapshot_id is None:
         snapshot_id = _claimed_next_snapshot(spark, manifest_dir)
+    verify_claim(manifest_dir, int(snapshot_id))
+    _tombstone_rows(spark, manifest_dir, paths, int(snapshot_id)).write.mode(
+        "append"
+    ).parquet(manifest_dir)
+    return int(snapshot_id)
+
+
+def _tombstone_rows(
+    spark: SparkSession,
+    manifest_dir: str,
+    paths: list[str],
+    snapshot_id: int,
+) -> DataFrame:
+    """REMOVE tombstone rows (see :func:`remove_from_manifest`) as an
+    UNCOMMITTED frame, for single-append compound commits."""
+    import os as _os
+    import time as _time
+
     schema = spark.read.parquet(manifest_dir).schema
+    now = float(_time.time())
+    has_stats_slots = {"min_val", "max_val"} <= {f.name for f in schema}
     fixed = {
         "path": lambda p: p,
         "file_name": lambda p: _os.path.basename(p),
@@ -1386,16 +1515,16 @@ def remove_from_manifest(
         "snapshot_id": lambda p: int(snapshot_id),
         "op": lambda p: "remove",
     }
+    if has_stats_slots:
+        fixed["min_val"] = lambda p: now
+        fixed["max_val"] = lambda p: now
     rows = [
         tuple(
             fixed[f.name](p) if f.name in fixed else None for f in schema
         )
         for p in sorted(paths)
     ]
-    spark.createDataFrame(rows, schema).write.mode("append").parquet(
-        manifest_dir
-    )
-    return int(snapshot_id)
+    return spark.createDataFrame(rows, schema)
 
 
 def _visible_stats(manifest: DataFrame, as_of: int | None) -> DataFrame:
@@ -2065,7 +2194,16 @@ def vacuum_orphans(
     for the same horizon so expired pins fail loudly at the manifest
     instead of at a missing file. Only the orphan list is ever
     collected (metadata-scale); deletion is per-file unlink. Returns
-    (n_deleted, bytes_reclaimed)."""
+    (n_deleted, bytes_reclaimed).
+
+    Retention is measured from when the file became UNREFERENCED, not
+    from when it was created — Delta's VACUUM semantics: a file written
+    a month ago but tombstoned a minute ago still serves as-of reads
+    inside the window and must survive. The gate is therefore
+    ``max(file mtime, tombstone wall-clock) <= cutoff``; tombstone
+    times come from the remove rows' min_val slot
+    (:func:`remove_from_manifest`), and a tombstone written before that
+    slot existed (NULL) falls back to the mtime-only gate."""
     import glob as _glob
     import time as _time
 
@@ -2079,14 +2217,19 @@ def vacuum_orphans(
     listing = spark.createDataFrame(
         _pd.DataFrame({"path": all_files}), "path string"
     )
-    tracked = (
-        _visible_stats(spark.read.parquet(manifest_dir), None)
-        .select("path")
-        .distinct()
-    )
+    manifest = spark.read.parquet(manifest_dir)
+    tracked = _visible_stats(manifest, None).select("path").distinct()
     orphans = [
         r.path for r in listing.join(tracked, "path", "left_anti").collect()
     ]
+    tombstoned_at = {
+        r.path: r.t
+        for r in manifest.filter(F.col("op") == "remove")
+        .groupBy("path")
+        .agg(F.max("min_val").alias("t"))
+        .collect()
+        if r.t is not None
+    }
     cutoff = _time.time() - float(older_than_seconds)
     n_deleted = 0
     reclaimed = 0
@@ -2095,7 +2238,8 @@ def vacuum_orphans(
             st = os.stat(path)
         except FileNotFoundError:
             continue
-        if st.st_mtime <= cutoff:
+        unreferenced_at = max(st.st_mtime, tombstoned_at.get(path, 0.0))
+        if unreferenced_at <= cutoff:
             os.remove(path)
             n_deleted += 1
             reclaimed += st.st_size
@@ -2278,15 +2422,17 @@ def commit_data_compaction(
     new_path = os.path.join(out_dir, f"compacted-{snap}.parquet")
     _shutil.move(part, new_path)
     _shutil.rmtree(tmp, ignore_errors=True)
-    append_stats_manifest(
+    # add(compacted) + remove(fragments) commit as ONE append — a reader
+    # between two appends would double-count (or lose) the fragment rows
+    verify_claim(manifest_dir, snap)
+    commit_manifest_rows(
         spark,
-        [new_path],
         manifest_dir,
-        columns,
-        snapshot_id=snap,
-        partition_by=partition_by,
+        [
+            _stats_add_rows(spark, [new_path], columns, snap, partition_by),
+            _tombstone_rows(spark, manifest_dir, paths, snap),
+        ],
     )
-    remove_from_manifest(spark, manifest_dir, paths, snapshot_id=snap)
     return new_path, snap
 
 
@@ -3462,12 +3608,16 @@ def merge_through_manifest(
     _shutil.rmtree(tmp, ignore_errors=True)
     if not new_paths and not intersecting:
         raise ValueError("merge_through_manifest: empty delta — nothing to do")
+    # adds + removes land in ONE append (commit_manifest_rows): a
+    # concurrent loser re-planning mid-commit must never see the
+    # rewritten files alongside the still-untombstoned originals
+    frames = []
     if new_paths:
-        append_stats_manifest(
-            spark, new_paths, manifest_dir, tracked, snapshot_id=snap
-        )
+        frames.append(_stats_add_rows(spark, new_paths, tracked, snap))
     if intersecting:
-        remove_from_manifest(spark, manifest_dir, intersecting, snapshot_id=snap)
+        frames.append(_tombstone_rows(spark, manifest_dir, intersecting, snap))
+    verify_claim(manifest_dir, snap)
+    commit_manifest_rows(spark, manifest_dir, frames)
     return snap, len(intersecting), n_rewritten
 
 
@@ -3673,11 +3823,15 @@ def compact_equality_deletes(
             _shutil.move(part, dst)
             new_paths.append(dst)
         _shutil.rmtree(tmp, ignore_errors=True)
-        if new_paths:
-            append_stats_manifest(
-                spark, new_paths, manifest_dir, tracked, snapshot_id=snap
-            )
-        remove_from_manifest(spark, manifest_dir, candidates, snapshot_id=snap)
+    # add(rewritten) + remove(candidates) + the retire marker commit as
+    # ONE append: the retire record in particular must never become
+    # visible before the rewrites (reads would stop subtracting while
+    # the deleted rows are still on disk)
+    frames = []
+    if new_paths:
+        frames.append(_stats_add_rows(spark, new_paths, tracked, snap))
+    if candidates:
+        frames.append(_tombstone_rows(spark, manifest_dir, candidates, snap))
     # retire the records THROUGH the ceiling at the same snapshot: a
     # pinned read in (ceiling, snap) still subtracts; at >= snap the
     # live set is empty and reads stop paying for history
@@ -3692,9 +3846,9 @@ def compact_equality_deletes(
         "op": "delete_retire",
     }
     row = tuple(fixed.get(f.name) for f in schema)
-    spark.createDataFrame([row], schema).write.mode("append").parquet(
-        manifest_dir
-    )
+    frames.append(spark.createDataFrame([row], schema))
+    verify_claim(manifest_dir, snap)
+    commit_manifest_rows(spark, manifest_dir, frames)
     return snap, len(candidates), len(new_paths), int(n_live)
 
 
@@ -3854,6 +4008,26 @@ def expire_manifest_history(
     _shutil.rmtree(aside, ignore_errors=True)
     _shutil.move(manifest_dir, aside)
     _shutil.move(tmp, manifest_dir)
+    # commit tokens SURVIVE the expire swap: an in-flight writer that
+    # claimed a snapshot above the committed tip must keep its lease
+    # (losing it would let a second writer re-claim the same id — the
+    # at-or-below-tip guard only covers committed ids). Tokens at or
+    # below the tip, and stale-takeover asides, are pruned here so the
+    # token tree does not grow forever.
+    old_commits = os.path.join(aside, "_commits")
+    if os.path.isdir(old_commits):
+        new_commits = os.path.join(manifest_dir, "_commits")
+        os.makedirs(new_commits, exist_ok=True)
+        for name in os.listdir(old_commits):
+            try:
+                live = int(name) > int(cur_max)
+            except ValueError:
+                live = False  # 'N.stale-<uuid>' asides: prune
+            if live:
+                _shutil.move(
+                    os.path.join(old_commits, name),
+                    os.path.join(new_commits, name),
+                )
     _shutil.rmtree(aside, ignore_errors=True)
     return rows_before, rows_after
 

@@ -2384,3 +2384,202 @@ def test_claim_commit_stale_token_takeover(spark, tmp_path):
     # committed ids raise the re-validate error, never takeover
     with _pytest.raises(ConcurrentCommitError, match="committed"):
         claim_commit(spark, mpath, -1)  # snapshot 0 has committed rows
+
+
+def test_vacuum_retention_measured_from_tombstone_time(spark, tmp_path):
+    """Delta VACUUM semantics: retention runs from when a file became
+    UNREFERENCED (its tombstone), not from its creation mtime. A file
+    created long ago but tombstoned seconds ago still serves as-of
+    reads inside the window and must survive; with retention 0 it is
+    reclaimed."""
+    import glob
+    import time
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        remove_from_manifest,
+        vacuum_orphans,
+        write_stats_manifest,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    data_dir = str(tmp_path / "docs")
+    docs.repartition(3, "doc_id").write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "manifest")
+    write_stats_manifest(spark, files, mpath, ("doc_id",))
+    victim = files[0]
+    # the file is OLD on disk...
+    old = time.time() - 30 * 24 * 3600
+    os.utime(victim, (old, old))
+    # ...but tombstoned NOW
+    remove_from_manifest(spark, mpath, [victim])
+    n, _ = vacuum_orphans(spark, data_dir, mpath, older_than_seconds=3600)
+    assert n == 0 and os.path.exists(victim), (
+        "tombstoned-inside-the-window file must survive vacuum even "
+        "though its mtime is ancient"
+    )
+    n, b = vacuum_orphans(spark, data_dir, mpath, older_than_seconds=0)
+    assert n == 1 and b > 0 and not os.path.exists(victim)
+
+
+def test_partition_values_decode_hive_escapes(spark, tmp_path):
+    """Spark percent-escapes reserved chars in partition dir names
+    (lang=a=b:c -> lang=a%3Db%3Ac on disk); the manifest must record
+    the LOGICAL value so partition_filter compares logical-to-logical."""
+    import glob
+
+    from aws_seismic_data_pipeline_spark.sources.readers import (
+        manifest_pruned_scan,
+        write_stats_manifest,
+    )
+
+    tricky = "a=b:c d%e"
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 40, F.lit(tricky)).otherwise("plain").alias("lang"),
+    )
+    data_dir = str(tmp_path / "docs")
+    df.repartition(1).write.partitionBy("lang").parquet(data_dir)
+    files = sorted(
+        glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    )
+    # the escaped form really is on disk — the precondition of the bug
+    assert any("%3D" in p for p in files), files
+    mpath = str(tmp_path / "manifest")
+    write_stats_manifest(
+        spark, files, mpath, ("doc_id",), partition_by=("lang",)
+    )
+    recorded = {
+        r.v
+        for r in spark.read.parquet(mpath)
+        .select(F.col("partition_values").getItem("lang").alias("v"))
+        .distinct()
+        .collect()
+    }
+    assert tricky in recorded and "plain" in recorded, recorded
+    got = manifest_pruned_scan(
+        spark, mpath, "doc_id", 0, 1000, partition_filter={"lang": tricky}
+    )
+    assert got.count() == 40
+    assert (
+        len(got.inputFiles()) < len(files)
+    ), "logical-value filter must actually prune the other partition"
+
+
+def test_revoked_claim_refuses_to_commit(spark, tmp_path):
+    """Lease revocation: a SLOW writer (not crashed) whose token was
+    taken over as stale must fail loudly at commit time instead of
+    interleaving its rows with the takeover-er's under one snapshot id."""
+    import glob
+    import time
+
+    import pytest as _pytest
+
+    from aws_seismic_data_pipeline_spark.sources import readers as R
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    data_dir = str(tmp_path / "docs")
+    docs.repartition(2, "doc_id").write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "manifest")
+    R.write_stats_manifest(spark, files[:1], mpath, ("doc_id",))
+    # writer A claims snapshot 1 and stalls mid-commit
+    assert R.claim_commit(spark, mpath, 0) == 1
+    owner_a = R._CLAIM_OWNERS[(os.path.abspath(mpath), 1)]
+    token = os.path.join(mpath, "_commits", "1")
+    old = time.time() - 1000
+    os.utime(token, (old, old))
+    # writer B (another process in production; simulated here) takes
+    # over the stale token and holds the fresh claim
+    assert R.claim_commit(spark, mpath, 0, stale_after=300.0) == 1
+    # restore A's process-local lease record: A still BELIEVES it owns 1
+    R._CLAIM_OWNERS[(os.path.abspath(mpath), 1)] = owner_a
+    with _pytest.raises(R.ConcurrentCommitError, match="revoked"):
+        R.append_stats_manifest(
+            spark, files[1:], mpath, ("doc_id",), snapshot_id=1
+        )
+    # the aside dir left by the takeover is prunable metadata, not a claim
+    asides = [
+        n
+        for n in os.listdir(os.path.join(mpath, "_commits"))
+        if ".stale-" in n
+    ]
+    assert asides, "takeover must rename the old token aside, not rmdir it"
+
+
+def test_expire_preserves_inflight_tokens_prunes_committed(spark, tmp_path):
+    """expire_manifest_history's directory swap must carry live commit
+    tokens across: an in-flight writer above the committed tip keeps
+    its lease (else a second writer could re-claim the same id), while
+    committed-id tokens and stale asides are pruned so the token tree
+    stays bounded."""
+    import glob
+
+    import pytest as _pytest
+
+    from aws_seismic_data_pipeline_spark.sources import readers as R
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    data_dir = str(tmp_path / "docs")
+    docs.repartition(4, "doc_id").write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "manifest")
+    R.write_stats_manifest(spark, files[:2], mpath, ("doc_id",))
+    R.append_stats_manifest(spark, files[2:3], mpath, ("doc_id",))  # snap 1
+    R.append_stats_manifest(spark, files[3:4], mpath, ("doc_id",))  # snap 2
+    # an in-flight claim ABOVE the tip (parent = tip 2 -> claims 3)
+    assert R.claim_commit(spark, mpath, 2) == 3
+    R.expire_manifest_history(spark, mpath, expire_below=2)
+    commits = os.path.join(mpath, "_commits")
+    assert os.path.isdir(os.path.join(commits, "3")), (
+        "in-flight token must survive the expire swap"
+    )
+    assert not os.path.isdir(os.path.join(commits, "1")), (
+        "committed-id tokens must be pruned at expiry"
+    )
+    assert not os.path.isdir(os.path.join(commits, "2"))
+    # the surviving lease still guards id 3 against a second claimant
+    with _pytest.raises(R.ConcurrentCommitError, match="in-flight"):
+        R.claim_commit(spark, mpath, 2, stale_after=3600.0)
+
+
+def test_compound_commit_is_one_write_job(spark, tmp_path):
+    """commit_data_compaction's add(new)+remove(fragments) rows must
+    land through ONE Spark write (one FileOutputCommitter commit):
+    every manifest file the commit adds shares a single write-job uuid.
+    Two separate appends would leave a window where a concurrent
+    re-planner sees the compacted file AND the untombstoned fragments,
+    double-counting their rows."""
+    import glob
+    import re
+
+    from aws_seismic_data_pipeline_spark.sources import readers as R
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    data_dir = str(tmp_path / "docs")
+    docs.repartition(4, "doc_id").write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "manifest")
+    R.write_stats_manifest(spark, files, mpath, ("doc_id",))
+    before = set(glob.glob(os.path.join(mpath, "part-*.parquet")))
+    new_path, snap = R.commit_data_compaction(spark, mpath, files[:3])
+    added = sorted(set(glob.glob(os.path.join(mpath, "part-*.parquet"))) - before)
+    assert added, "the commit must append manifest files"
+    job_ids = {
+        re.match(r"part-\d+-([0-9a-f-]{36})", os.path.basename(p)).group(1)
+        for p in added
+    }
+    assert len(job_ids) == 1, (
+        f"adds and removes landed via {len(job_ids)} write jobs — "
+        f"the commit is not atomic: {added}"
+    )
+    # and the committed snapshot carries BOTH row kinds
+    snap_rows = (
+        spark.read.parquet(mpath)
+        .filter(F.col("snapshot_id") == snap)
+        .groupBy("op")
+        .count()
+        .collect()
+    )
+    ops = {r.op: r["count"] for r in snap_rows}
+    assert ops.get("remove") == 3 and ops.get("add", 0) >= 1, ops

@@ -1908,10 +1908,18 @@ def analytics_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = load_table(spark, sf_dir, "orders")
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
-        .cast("long")
-        .alias("rev")
+    # lazy checkpoint: the sizing count() materializes the aggregated
+    # customer frame ONCE; the range exchange and the total broadcast
+    # then read the materialized blocks instead of re-running the
+    # orders groupBy (two extra full lineage executions at 100 TB)
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=False)
     )
     run = distributed_running_sum(
         per_cust,

@@ -177,6 +177,7 @@ def distributed_ntile(
     n_tiles: int,
     out_name: str,
     num_partitions: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """NTILE(k) over a GLOBAL total order WITHOUT the single-partition
     collapse: Spark plans an unpartitioned ``ntile().over(orderBy(...))``
@@ -209,7 +210,7 @@ def distributed_ntile(
     through one task (at that scale swap the localCheckpoint for
     persist(DISK_ONLY) and unpersist after the action)."""
     return distributed_ntile_multi(
-        df, [(order_cols, n_tiles, out_name)], num_partitions
+        df, [(order_cols, n_tiles, out_name)], num_partitions, n_rows=n_rows
     )
 
 
@@ -217,6 +218,7 @@ def distributed_ntile_multi(
     df: DataFrame,
     specs: list[tuple[list, int, str]],
     num_partitions: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Several global NTILEs over one frame (RFM's shape: 3 metrics)
     with ONE driver round trip: every spec's per-partition counts come
@@ -236,8 +238,10 @@ def distributed_ntile_multi(
     parallelism. A fixture-scale frame gets a handful of tasks instead
     of paying 32 empty task launches per pass; a 10^9-row frame gets
     the full parallelism (thousands of tasks on a real cluster's
-    shuffle.partitions)."""
-    num_partitions = _auto_partitions(df, num_partitions)
+    shuffle.partitions). ``n_rows`` supplies the count from metadata
+    (manifest/catalog stats) so sizing never re-scans the lineage —
+    see :func:`_auto_partitions`."""
+    num_partitions = _auto_partitions(df, num_partitions, n_rows)
     out = df
     for order_cols, n_tiles, out_name in specs:
         ranged, counts = _pinned_layout(out, order_cols, num_partitions)
@@ -263,17 +267,29 @@ def distributed_ntile_multi(
     return out
 
 
-def _auto_partitions(df: DataFrame, num_partitions: int | None) -> int:
+def _auto_partitions(
+    df: DataFrame, num_partitions: int | None, n_rows: int | None = None
+) -> int:
     """Partition count for the pinned-layout primitives, sized from the
     OBSERVED row count (the catalog ``spread()`` convention): ~256k rows
     per task, clamped to the session's shuffle parallelism, floor 2 (a
     1-partition range exchange plans as Exchange SinglePartition — the
-    exact shape these primitives exist to avoid)."""
+    exact shape these primitives exist to avoid).
+
+    ``n_rows`` lets the caller supply the count from METADATA — a
+    governed scan answers it from the stats manifest
+    (``GovernedTable.row_count()``, summed from footer stats with zero
+    data pages), a catalog table from ANALYZE stats — so the sizing
+    pass never re-scans the frame's lineage. Only when neither hint is
+    given does this fall back to ``df.count()``; the count only changes
+    the answer at SMALL scale (above ~256k x shuffle.partitions rows
+    the clamp binds and the answer is the session parallelism), so an
+    approximate hint is safe."""
     if num_partitions is not None:
         return int(num_partitions)
     spark = df.sparkSession
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    n_total = df.count()
+    n_total = int(n_rows) if n_rows is not None else df.count()
     return max(2, min(shuffle_p, -(-n_total // 262_144)))
 
 
@@ -343,6 +359,7 @@ def distributed_rank(
     order_cols: list,
     out_name: str,
     num_partitions: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Global 1-based rank (row_number) under a total order without a
     single-partition window — the base primitive of the distributed
@@ -352,8 +369,9 @@ def distributed_rank(
     localCheckpoint, per-partition COUNT scalars prefix-summed into
     rank offsets, rank decoded as a pure expression. Callers get exact
     global rank / percent_rank / cume_dist / top-rank selection (the
-    distributed k-th-element problem) from the returned column."""
-    num_partitions = _auto_partitions(df, num_partitions)
+    distributed k-th-element problem) from the returned column.
+    ``n_rows``: metadata row-count hint, see :func:`_auto_partitions`."""
+    num_partitions = _auto_partitions(df, num_partitions, n_rows)
     ranged, counts = _pinned_layout(df, order_cols, num_partitions)
     rank = (
         _offset_expr(counts, num_partitions)
@@ -369,6 +387,7 @@ def distributed_running_sum(
     value_col: str,
     out_name: str,
     num_partitions: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Global running SUM under a total order WITHOUT the
     single-partition window Spark plans for an unpartitioned
@@ -382,8 +401,9 @@ def distributed_running_sum(
     plus the partition's broadcast literal offset. Exactness contract:
     ``value_col`` must be integer-typed (cents-style) — long offsets
     and long window sums make the result bit-identical to any engine's
-    ``SUM OVER ORDER BY`` under the same (unique) total order."""
-    num_partitions = _auto_partitions(df, num_partitions)
+    ``SUM OVER ORDER BY`` under the same (unique) total order.
+    ``n_rows``: metadata row-count hint, see :func:`_auto_partitions`."""
+    num_partitions = _auto_partitions(df, num_partitions, n_rows)
     ranged, _counts = _pinned_layout(df, order_cols, num_partitions)
     pid = F.shiftright(F.col("_mid"), 33)
     sums = {
@@ -1771,8 +1791,10 @@ def agg_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = orders.count()
     k1, k2 = (n + 1) // 2, (n + 2) // 2
+    # n is already known for k — feed it to the sizing so the rank pass
+    # never re-counts the frame
     ranked = distributed_rank(
-        orders, [F.col("o_totalprice"), F.col("o_orderkey")], "r"
+        orders, [F.col("o_totalprice"), F.col("o_orderkey")], "r", n_rows=n
     )
     mid = ranked.filter(F.col("r").isin(int(k1), int(k2)))
     return mid.agg(

@@ -1542,6 +1542,31 @@ def _visible_stats(manifest: DataFrame, as_of: int | None) -> DataFrame:
     )
 
 
+def manifest_row_count(
+    spark: SparkSession, manifest_dir: str, as_of: int | None = None
+) -> int:
+    """The governed table's visible row count answered ENTIRELY from
+    the stats manifest — zero data pages: each (path, row_group)'s
+    ``n_rows`` (repeated across its per-column stats rows, so reduced
+    with max) summed over the files visible at ``as_of``. This is the
+    metadata feed for the distributed global-order primitives'
+    partition sizing (``operators/window_ops._auto_partitions``):
+    a ranked/NTILE'd governed scan sizes its range exchange without a
+    second pass over the fact table. Seed: the reference treats its
+    paginated listing as the statistic itself
+    (``/root/reference/upload_to_rfs.py:16-35``); the manifest keeps
+    the same answer one metadata agg away."""
+    visible = _visible_stats(spark.read.parquet(manifest_dir), as_of)
+    n = (
+        visible.groupBy("path", "row_group")
+        .agg(F.max("n_rows").alias("n"))
+        .agg(F.sum("n").alias("total"))
+        .collect()[0]
+        .total
+    )
+    return int(n) if n is not None else 0
+
+
 def manifest_pruned_scan(
     spark: SparkSession,
     manifest_dir: str,

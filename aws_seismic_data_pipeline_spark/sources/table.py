@@ -104,6 +104,13 @@ class GovernedTable:
             self.spark, self.manifest_dir, from_snapshot, to_snapshot
         )
 
+    def row_count(self, as_of: int | None = None) -> int:
+        """Visible row count from the manifest alone (zero data pages)
+        — feed it to the distributed global-order primitives' ``n_rows``
+        so ranking/NTILE over a governed scan never pays a sizing
+        count() pass over the fact table."""
+        return R.manifest_row_count(self.spark, self.manifest_dir, as_of=as_of)
+
     def count_range(self, lo: float, hi: float, as_of: int | None = None):
         """COUNT(key BETWEEN lo AND hi) answered mostly from metadata.
         Returns (n_total, n_from_metadata, n_files_scanned)."""

@@ -211,3 +211,52 @@ def test_governed_table_metadata_stats(spark, tmp_path):
     # doc_id is unique, so NDV == n; KMV at K=64 is within ~25% here
     assert est.sketch_size == 64
     assert abs(est.kmv_estimate - n) < 0.35 * n
+
+
+def test_rank_over_governed_scan_sizes_from_metadata(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r10 top-next: the distributed global-order primitives'
+    partition sizing must come from the stats manifest when the input
+    is a governed scan — ZERO extra pass over the fact table (the old
+    _auto_partitions ran df.count() per call). Pins (a) row_count()
+    answers from metadata and equals the real count, (b) a ranked
+    governed scan with the hint never invokes DataFrame.count on any
+    frame, (c) the ranks are still exact."""
+    from pyspark.sql import DataFrame
+
+    from aws_seismic_data_pipeline_spark.operators.window_ops import (
+        distributed_rank,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "doc_id",
+        n_files=4,
+    )
+    n_real = docs.count()
+    assert t.row_count() == n_real
+
+    counted = []
+    orig_count = DataFrame.count
+    monkeypatch.setattr(
+        DataFrame,
+        "count",
+        lambda self: (counted.append(1), orig_count(self))[1],
+    )
+    hint = t.row_count()  # metadata agg: collect, not count
+    ranked = distributed_rank(
+        t.scan(), [F.col("doc_id")], "r", n_rows=hint
+    ).collect()
+    assert not counted, (
+        "manifest-fed sizing must not re-scan the fact table via count()"
+    )
+    got = sorted((r.doc_id, r.r) for r in ranked)
+    assert [r for _, r in got] == list(range(1, n_real + 1))
+    assert [d for d, _ in got] == sorted(d for d, _ in got)

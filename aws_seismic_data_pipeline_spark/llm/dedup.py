@@ -193,43 +193,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh", tags=("llm", "dedup", "no-oracle"))
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs (shingle → minhash → band →
-    bucket join), via Spark ML's MinHashLSH with a fixed seed.
-
-    This is the 100 TB-scale path: candidate generation is linear in
-    corpus size (each doc lands in numHashTables buckets), versus the
-    shared-shingle join whose fan-out grows with shingle frequency. No
-    SQL oracle — library hash seeds aren't reproducible in DuckDB —
-    so the driver records a rows-only check; determinism is pinned by
-    seed=42 and verified in tests."""
-    from pyspark.ml.feature import CountVectorizer, MinHashLSH
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
-    )
-    cv = CountVectorizer(
-        inputCol="tokens", outputCol="features", binary=True, minDF=1.0
-    )
-    model = cv.fit(toks)
-    feats = model.transform(toks)
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
-    )
-    lsh_model = lsh.fit(feats)
-    pairs = lsh_model.approxSimilarityJoin(feats, feats, 0.9, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_sim"),
-        )
-    )
-
-
 # --- portable banded MinHash (dedup_minhash_banded) -------------------
 # 12 signature components in 4 bands of 3. Universal hashing
 # h_j(x) = (a_j * (x mod P) + b_j) mod P with P = 2^31 - 1 (prime):
@@ -418,6 +381,105 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             "n_shared_bands",
             (agree / F.lit(12.0)).alias("est_jaccard"),
+        )
+    )
+
+
+def _minhash_library_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML's MinHashLSH candidate pairs (seed=42, 8 hash tables,
+    distance threshold 0.9 over binary distinct-token vectors),
+    returned as (doc_a, doc_b, lib_sim) with lib_sim the library's
+    EXACT Jaccard similarity on the candidate pair (approxSimilarityJoin
+    computes true distance on candidates — only candidacy is
+    approximate)."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    )
+    cv = CountVectorizer(
+        inputCol="tokens", outputCol="features", binary=True, minDF=1.0
+    )
+    feats = cv.fit(toks).transform(toks)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    )
+    pairs = lsh.fit(feats).approxSimilarityJoin(
+        feats, feats, 0.9, distCol="jaccard_dist"
+    )
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (1 - F.col("jaccard_dist")).alias("lib_sim"),
+        )
+    )
+
+
+_MINHASH_LSH_PROPERTY_ORACLE = f"""
+    SELECT doc_a, doc_b, n_shared_bands, est_jaccard,
+           TRUE AS lib_candidate, TRUE AS lib_sim_exact
+    FROM ({_MINHASH_BANDED_ORACLE})
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_LSH_PROPERTY_ORACLE,
+    tags=("llm", "dedup", "approx"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates via Spark ML's MinHashLSH
+    (seed=42, 8 tables) — registered as a VERIFIED-PROPERTY surface
+    (round-11: was the registry's last rows-only query; library hash
+    seeds aren't reproducible in DuckDB, but the library's CONTRACT
+    is). The pair axis is the PORTABLE banded candidate set
+    (``dedup_minhash_banded`` — fully SQL-reproducible), and the
+    library's behavior is checked in-engine per pair:
+
+    - ``lib_candidate``: the library found the pair too. The banded
+      4-bands×3-rows scheme over word-3-gram shingles is strictly MORE
+      selective than the library's 8×1 scheme over distinct tokens at
+      its 0.9-distance threshold (s-curve 1-(1-s³)⁴ vs 1-(1-s)⁸, and
+      shingle similarity lower-bounds token similarity), so library ⊇
+      banded on these fixtures — a miss hash-fails the driver check.
+    - ``lib_sim_exact``: the library's candidate-pair distance equals
+      the true distinct-token Jaccard recomputed portably in-engine
+      (|A∩B|/|A∪B| over token arrays) to 1e-6 — a THEOREM about
+      approxSimilarityJoin (only candidacy is approximate; the
+      distance is exact), pinned per pair.
+
+    Scale shape of the library path: candidate generation is linear in
+    corpus size (each doc lands in numHashTables buckets) versus the
+    shared-shingle join whose fan-out grows with shingle frequency;
+    the verification join is candidate-set-sized, never corpus².
+    Determinism remains pinned by seed=42 in tests."""
+    banded = dedup_minhash_banded(spark, sf_dir)
+    lib = _minhash_library_pairs(spark, sf_dir)
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("tok_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("tok_b"))
+    token_jac = F.size(F.array_intersect("tok_a", "tok_b")) / F.size(
+        F.array_union("tok_a", "tok_b")
+    )
+    return (
+        banded.join(lib, ["doc_a", "doc_b"], "left")
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            "est_jaccard",
+            F.col("lib_sim").isNotNull().alias("lib_candidate"),
+            (
+                F.col("lib_sim").isNotNull()
+                & (F.abs(F.col("lib_sim") - token_jac) <= F.lit(1e-6))
+            ).alias("lib_sim_exact"),
         )
     )
 

@@ -967,3 +967,23 @@ def test_dedup_span_property_random_planted(spark, tmp_path):
         assert stripped[did].cleaned_text == expect, did
         assert stripped[did].n_tokens_before == len(w)
         assert stripped[did].n_tokens_after == len(w) - len(covered)
+
+
+def test_minhash_lsh_property_surface_verifies_library(spark):
+    """The dedup_minhash_lsh verified-property surface (round 11): the
+    pair axis is the portable banded candidate set; per pair the
+    library must (a) also be a candidate — library 8x1 over tokens is
+    laxer than banded 4x3 over shingles — and (b) report a distance
+    equal to the true distinct-token Jaccard (approxSimilarityJoin's
+    exact-distance contract). Rerun gives identical rows (seed=42)."""
+    rows1 = {
+        (r.doc_a, r.doc_b, r.lib_candidate, r.lib_sim_exact)
+        for r in REGISTRY["dedup_minhash_lsh"].builder(spark, SF_DIR).collect()
+    }
+    assert rows1, "banded candidate set must be non-empty at fixture SF"
+    assert all(c and e for _, _, c, e in rows1)
+    rows2 = {
+        (r.doc_a, r.doc_b, r.lib_candidate, r.lib_sim_exact)
+        for r in REGISTRY["dedup_minhash_lsh"].builder(spark, SF_DIR).collect()
+    }
+    assert rows1 == rows2

@@ -1,0 +1,171 @@
+"""Optimistic-concurrency commit primitives for the manifest-governed
+table: snapshot allocation, CAS claim tokens, lease verification.
+Split out of ``sources/readers.py`` in round 11.
+
+Seed: the reference's two manual triggers can race with no guard
+(``/root/reference/app.py:641-653``); this is the missing protocol.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _next_snapshot(spark: SparkSession, manifest_dir: str) -> int:
+    """Next snapshot id: one KB-scale max() over the stats table (0 if
+    the manifest does not exist yet)."""
+    try:
+        cur = (
+            spark.read.parquet(manifest_dir)
+            .agg(F.max("snapshot_id"))
+            .collect()[0][0]
+        )
+        return (cur if cur is not None else -1) + 1
+    except Exception:
+        return 0
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed at the snapshot this writer planned
+    against — Delta's ConcurrentModificationException: the loser must
+    RE-VALIDATE its plan against the new table state and retry, never
+    blind-append (its candidacy/rewrite set may be stale)."""
+
+
+def claim_commit(
+    spark: SparkSession,
+    manifest_dir: str,
+    parent: int,
+    stale_after: float = 300.0,
+) -> int:
+    """Optimistic-concurrency COMPARE-AND-SWAP on the snapshot axis:
+    atomically claim snapshot ``parent + 1`` by creating the commit
+    token directory ``<manifest>/_commits/<id>`` — POSIX ``mkdir`` is
+    atomic, exactly the primitive Delta's log store builds on (create
+    ``N.json`` if absent; an object-store deployment swaps in a
+    conditional PUT). Two writers that both planned against ``parent``
+    race for one token: the winner returns the claimed id and commits;
+    the loser gets :class:`ConcurrentCommitError` and must re-read the
+    table, re-validate candidacy, and claim the NEXT id. The leading
+    underscore keeps the token tree invisible to Spark's parquet
+    listing of the manifest itself.
+
+    Each claim writes an ``owner`` file (a fresh uuid) inside its token
+    dir. A stale takeover (token older than ``stale_after`` with no
+    committed rows) renames the token ASIDE atomically — only one
+    takeover-er can win the rename — and claims fresh, so the original
+    claimant's ownership is revoked rather than silently shared: if
+    that claimant was merely SLOW (a >5-min compaction, not a crash),
+    its commit-time :func:`verify_claim` check fails loudly instead of
+    interleaving two writers' rows under one snapshot id."""
+    import time as _time
+    import uuid as _uuid
+
+    token_root = os.path.join(manifest_dir, "_commits")
+    os.makedirs(token_root, exist_ok=True)
+    snap = int(parent) + 1
+    token = os.path.join(token_root, str(snap))
+    # an id at or below the committed tip is NEVER claimable, token or
+    # no token (tokens don't survive expire's manifest swap; without
+    # this check a stale writer could stamp new rows onto an id that
+    # already has committed history)
+    if snap <= _next_snapshot(spark, manifest_dir) - 1:
+        raise ConcurrentCommitError(
+            f"snapshot {snap} at {manifest_dir} was committed by a "
+            "concurrent writer — re-validate against the current table "
+            "state and retry"
+        )
+    owner = _uuid.uuid4().hex
+    for attempt in (0, 1):
+        try:
+            os.mkdir(token)
+        except FileExistsError:
+            committed_max = _next_snapshot(spark, manifest_dir) - 1
+            if snap <= committed_max:
+                raise ConcurrentCommitError(
+                    f"snapshot {snap} at {manifest_dir} was committed by "
+                    "a concurrent writer — re-validate against the "
+                    "current table state and retry"
+                ) from None
+            # claimed but not (yet) committed: in-flight, or abandoned
+            # by a crashed claimant. A token older than stale_after with
+            # no committed rows is taken over — the lease-timeout
+            # recovery object-store log stores use; a young token means
+            # a live writer: fail loudly, the caller backs off and
+            # retries. Takeover renames the token aside (atomic: one
+            # winner) instead of rmdir'ing it, revoking the old owner
+            # file with it.
+            try:
+                age = _time.time() - os.stat(token).st_mtime
+            except FileNotFoundError:
+                continue  # winner vanished between mkdir and stat: retry
+            if attempt == 0 and age > float(stale_after):
+                try:
+                    os.rename(token, f"{token}.stale-{owner}")
+                except OSError:
+                    pass  # another takeover-er won the rename: retry
+                continue
+            raise ConcurrentCommitError(
+                f"snapshot {snap} at {manifest_dir} is claimed by an "
+                f"in-flight commit (token age {age:.1f}s) — back off and "
+                "retry; if the claimant crashed, the token becomes "
+                f"stale after {stale_after}s and is taken over"
+            ) from None
+        with open(os.path.join(token, "owner"), "w") as fh:
+            fh.write(owner)
+        _CLAIM_OWNERS[(os.path.abspath(manifest_dir), snap)] = owner
+        return snap
+    raise ConcurrentCommitError(  # pragma: no cover - loop always exits
+        f"could not claim snapshot {snap} at {manifest_dir}"
+    )
+
+
+#: this process's live claims: (abs manifest dir, snapshot id) -> owner
+#: uuid written into the token dir. verify_claim compares the on-disk
+#: owner file against this registry at commit time.
+_CLAIM_OWNERS: dict[tuple[str, int], str] = {}
+
+
+def verify_claim(manifest_dir: str, snapshot_id: int) -> None:
+    """Re-validate token ownership IMMEDIATELY before committing rows at
+    ``snapshot_id`` — the commit-time half of the lease protocol. A slow
+    writer whose token was taken over (``claim_commit`` stale recovery)
+    finds someone else's uuid — or no token — where its own used to be,
+    and must raise rather than commit: without this check two writers'
+    rows silently interleave under one snapshot id. A snapshot this
+    process never claimed (explicit ``snapshot_id=`` passthrough from a
+    caller that claimed in another process, or pre-claim-era tests
+    stamping id 0 fixtures) is not re-validated — the registry only
+    knows this process's leases."""
+    ours = _CLAIM_OWNERS.get((os.path.abspath(manifest_dir), int(snapshot_id)))
+    if ours is None:
+        return
+    owner_file = os.path.join(
+        manifest_dir, "_commits", str(int(snapshot_id)), "owner"
+    )
+    try:
+        with open(owner_file) as fh:
+            on_disk = fh.read().strip()
+    except OSError:
+        on_disk = None
+    if on_disk != ours:
+        raise ConcurrentCommitError(
+            f"snapshot {snapshot_id} at {manifest_dir}: this writer's "
+            "claim was revoked (token taken over as stale while the "
+            "commit was in flight) — re-validate against the current "
+            "table state and retry with a fresh claim"
+        )
+
+
+def _claimed_next_snapshot(spark: SparkSession, manifest_dir: str) -> int:
+    """Allocate AND reserve the next snapshot id: every committing verb
+    routes through this instead of a bare max()+1, so two writers can
+    never stamp rows with the SAME id — the id-collision half of the
+    optimistic-concurrency contract (the other half, re-planning after
+    a lost race, is the caller's job: plain verbs fail loudly with
+    ConcurrentCommitError; ``merge_with_conflict_retry`` re-plans)."""
+    parent = _next_snapshot(spark, manifest_dir) - 1
+    return claim_commit(spark, manifest_dir, parent)

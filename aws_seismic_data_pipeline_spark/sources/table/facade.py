@@ -20,7 +20,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from aws_seismic_data_pipeline_spark.sources import readers as R
+from aws_seismic_data_pipeline_spark.sources.table import _verbs as R
 
 
 class GovernedTable:

@@ -1,0 +1,1086 @@
+"""Table maintenance verbs committed THROUGH the manifest: CoW merge,
+data compaction, vacuum, history expiry, shallow clone, rollback, and
+OPTIMIZE. Split out of ``sources/readers.py`` in round 11. Seed:
+move/commit semantics and blind re-upload in the reference
+(``/root/reference/app.py:461-488``, ``upload_to_rfs.py:154-223``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_seismic_data_pipeline_spark.catalog import load_table, prepare
+from aws_seismic_data_pipeline_spark.registry import register
+from aws_seismic_data_pipeline_spark.sources.footers import _RG_PRUNE_RANGE
+from aws_seismic_data_pipeline_spark.sources.table.commit import (
+    ConcurrentCommitError,
+    _claimed_next_snapshot,
+    _next_snapshot,
+    claim_commit,
+    verify_claim,
+)
+from aws_seismic_data_pipeline_spark.sources.table.deletes import (
+    _live_delete_records,
+)
+from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+    _MANIFEST_COLS,
+    _stats_add_rows,
+    _tombstone_rows,
+    _visible_stats,
+    append_stats_manifest,
+    commit_manifest_rows,
+    manifest_pruned_scan,
+    remove_from_manifest,
+    write_stats_manifest,
+)
+
+
+def merge_with_conflict_retry(
+    spark: SparkSession,
+    manifest_dir: str,
+    delta: DataFrame,
+    key: str,
+    cols: list[str],
+    insert_files: int = 1,
+    max_retries: int = 3,
+) -> tuple[int, int, int, int]:
+    """MERGE under optimistic concurrency: plan against the current
+    snapshot, CAS-claim the next id (:func:`claim_commit`), and commit;
+    on a lost race, RE-PLAN from scratch — candidacy, the rewrite set,
+    and matched-vs-insert classification are all recomputed against the
+    winner's committed state, so the outcome is the SERIAL order of the
+    commits (what Delta calls write serializability), never a lost
+    update. Bounded retries: livelock under pathological contention
+    fails loudly rather than spinning. Returns
+    (snapshot_id, n_intersecting, n_rewritten, n_retries)."""
+    for attempt in range(int(max_retries) + 1):
+        parent = _next_snapshot(spark, manifest_dir) - 1
+        try:
+            snap = claim_commit(spark, manifest_dir, parent)
+        except ConcurrentCommitError:
+            if attempt == max_retries:
+                raise
+            import time as _time
+
+            # back off before re-planning: a lost race against a LIVE
+            # writer needs its rows to land before the re-plan can see
+            # them; spinning would exhaust retries in microseconds
+            _time.sleep(min(0.05 * (2 ** attempt), 1.0))
+            continue  # table advanced: loop re-reads and re-plans
+        s, n_int, n_rw = merge_through_manifest(
+            spark,
+            manifest_dir,
+            delta,
+            key,
+            cols,
+            insert_files=insert_files,
+            snapshot_id=snap,
+        )
+        return s, n_int, n_rw, attempt
+    raise ConcurrentCommitError(  # pragma: no cover - loop always returns
+        f"merge at {manifest_dir} lost {max_retries + 1} commit races"
+    )
+
+
+def vacuum_orphans_report(
+    spark: SparkSession, data_dir: str, manifest_dir: str
+) -> DataFrame:
+    """Orphan-file GC report — the maintenance twin of the manifest
+    being the catalog: files on disk but ABSENT from the stats manifest
+    are unreachable by ``manifest_pruned_scan`` (failed-write leftovers,
+    superseded compaction inputs, files landed without
+    ``append_stats_manifest``) and hold reclaimable storage. The
+    listing side is |files|-rows of metadata anti-joined against the
+    manifest's distinct paths; only the ORPHAN list is collected and
+    only orphan files are re-opened (with ``basePath`` so their
+    partition values survive) to size the reclaim. This is what a
+    table format's VACUUM computes before deleting; the report is
+    returned rather than acted on so the caller owns the destructive
+    step."""
+    import glob as _glob
+
+    import pandas as _pd
+
+    all_files = sorted(
+        _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    )
+    if not all_files:
+        raise ValueError(f"vacuum_orphans_report: no files under {data_dir}")
+    listing = spark.createDataFrame(
+        _pd.DataFrame({"path": all_files}), "path string"
+    )
+    # VISIBLE paths only: a tombstoned file (compaction input, retention
+    # delete) is exactly what vacuum exists to reclaim
+    tracked = (
+        _visible_stats(spark.read.parquet(manifest_dir), None)
+        .select("path")
+        .distinct()
+    )
+    orphans = [
+        r.path for r in listing.join(tracked, "path", "left_anti").collect()
+    ]
+    if not orphans:
+        return (
+            spark.read.option("basePath", data_dir)
+            .parquet(data_dir)
+            .filter(F.lit(False))
+        )
+    return spark.read.option("basePath", data_dir).parquet(*orphans)
+
+
+def vacuum_orphans(
+    spark: SparkSession,
+    data_dir: str,
+    manifest_dir: str,
+    older_than_seconds: float = 7 * 24 * 3600,
+) -> tuple[int, int]:
+    """EXECUTE the vacuum ``vacuum_orphans_report`` only plans — Delta's
+    VACUUM semantics: delete files on disk that no CURRENT manifest row
+    tracks (failed-write leftovers, tombstoned compaction inputs,
+    retention-deleted partitions) and that are older than the retention
+    window. The window is the time-travel horizon: a tombstoned file
+    still serves as-of reads below its tombstone, so deleting it
+    intentionally forfeits pinned reads older than the retention —
+    exactly Delta's documented trade (default 7 days there and here).
+    Pair with ``expire_manifest_history``, which retires the METADATA
+    for the same horizon so expired pins fail loudly at the manifest
+    instead of at a missing file. Only the orphan list is ever
+    collected (metadata-scale); deletion is per-file unlink. Returns
+    (n_deleted, bytes_reclaimed).
+
+    Retention is measured from when the file became UNREFERENCED, not
+    from when it was created — Delta's VACUUM semantics: a file written
+    a month ago but tombstoned a minute ago still serves as-of reads
+    inside the window and must survive. The gate is therefore
+    ``max(file mtime, tombstone wall-clock) <= cutoff``; tombstone
+    times come from the remove rows' min_val slot
+    (:func:`remove_from_manifest`), and a tombstone written before that
+    slot existed (NULL) falls back to the mtime-only gate."""
+    import glob as _glob
+    import time as _time
+
+    all_files = sorted(
+        _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    )
+    if not all_files:
+        raise ValueError(f"vacuum_orphans: no files under {data_dir}")
+    import pandas as _pd
+
+    listing = spark.createDataFrame(
+        _pd.DataFrame({"path": all_files}), "path string"
+    )
+    manifest = spark.read.parquet(manifest_dir)
+    tracked = _visible_stats(manifest, None).select("path").distinct()
+    orphans = [
+        r.path for r in listing.join(tracked, "path", "left_anti").collect()
+    ]
+    tombstoned_at = {
+        r.path: r.t
+        for r in manifest.filter(F.col("op") == "remove")
+        .groupBy("path")
+        .agg(F.max("min_val").alias("t"))
+        .collect()
+        if r.t is not None
+    }
+    cutoff = _time.time() - float(older_than_seconds)
+    n_deleted = 0
+    reclaimed = 0
+    for path in orphans:
+        try:
+            st = os.stat(path)
+        except FileNotFoundError:
+            continue
+        unreferenced_at = max(st.st_mtime, tombstoned_at.get(path, 0.0))
+        if unreferenced_at <= cutoff:
+            os.remove(path)
+            n_deleted += 1
+            reclaimed += st.st_size
+    return n_deleted, reclaimed
+
+
+@register(
+    "plan_vacuum_orphans",
+    oracle="""
+        SELECT lang,
+               CAST(1 AS BIGINT) AS n_files,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM documents
+        WHERE lang IN ('fr', 'zh')
+        GROUP BY lang
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM planning over the manifest-as-catalog: documents land
+    partitioned by lang (one file per partition — deterministic
+    content), the manifest is built for only the de/en/es partitions,
+    and the report must surface exactly the fr/zh files as orphans with
+    their reclaimable row counts — the dirs a table-format VACUUM would
+    delete. The oracle recomputes the orphan partitions' shapes from
+    the raw table, so the driver hash-checks that the anti-join finds
+    precisely the untracked files, no more (tracked partitions must NOT
+    appear) and no less. Seed: the reference's date-prefixed layout
+    (``/root/reference/app.py:449-463``), where a failed upload leaves
+    exactly this kind of unreferenced object behind."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "vacuum_docs")
+    mpath = scratch_path(spark, sf_dir, "vacuum_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        load_table(spark, sf_dir, "documents").repartition(
+            "lang"
+        ).write.partitionBy("lang").mode("overwrite").parquet(data_dir)
+        tracked_files = sorted(
+            p
+            for lang in ("de", "en", "es")
+            for p in _glob.glob(
+                os.path.join(data_dir, f"lang={lang}", "*.parquet")
+            )
+        )
+        write_stats_manifest(spark, tracked_files, mpath, ("doc_id",))
+        orphans = vacuum_orphans_report(spark, data_dir, mpath).withColumn(
+            "_file", F.input_file_name()
+        )
+        return (
+            orphans.groupBy("lang")
+            .agg(
+                F.count_distinct("_file").cast("long").alias("n_files"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+def commit_data_compaction(
+    spark: SparkSession,
+    manifest_dir: str,
+    paths: list[str],
+    columns: tuple[str, ...] | None = None,
+    partition_by: tuple[str, ...] = (),
+) -> tuple[str, int]:
+    """DATA-file compaction committed THROUGH the manifest — the
+    missing half of ``catalog.compact_parquet_dir`` for
+    manifest-governed tables (that helper rewrites a whole directory
+    in place; a governed table instead swaps files ATOMICALLY in
+    metadata): read the fragment files, rewrite them as ONE file
+    beside them, then commit ``add``(new) + ``remove``(fragments) at a
+    single snapshot id. Readers pinned below that snapshot still see
+    the fragments (reproducibility); current readers see only the
+    compacted file (never both — the double-count is the failure mode
+    the registered query's oracle hash-checks); the fragments become
+    vacuum-reclaimable. Cost is fragment-sized: one read+write of the
+    compacted bytes plus two metadata appends. With ``columns=None``
+    (the default) the compacted file's stats carry the tracked column
+    set the FRAGMENTS had in the manifest — a narrower append would
+    hide the compacted file from scans probing the other tracked
+    columns (the merge/delete-compaction fix, applied here too);
+    ``partition_by`` re-records Hive partition values. Returns
+    (new_path, snapshot_id)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    if not paths:
+        raise ValueError("commit_data_compaction: empty path list")
+    if columns is None:
+        tracked = sorted(
+            r.column_name
+            for r in spark.read.parquet(manifest_dir)
+            .filter((F.col("op") == "add") & F.col("path").isin(list(paths)))
+            .select("column_name")
+            .distinct()
+            .collect()
+        )
+        columns = tuple(tracked) or _MANIFEST_COLS
+    out_dir = os.path.dirname(sorted(paths)[0])
+    snap = _claimed_next_snapshot(spark, manifest_dir)
+    tmp = os.path.join(out_dir, f".compact_{snap}_stage")
+    spark.read.parquet(*paths).coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    new_path = os.path.join(out_dir, f"compacted-{snap}.parquet")
+    _shutil.move(part, new_path)
+    _shutil.rmtree(tmp, ignore_errors=True)
+    # add(compacted) + remove(fragments) commit as ONE append — a reader
+    # between two appends would double-count (or lose) the fragment rows
+    verify_claim(manifest_dir, snap)
+    commit_manifest_rows(
+        spark,
+        manifest_dir,
+        [
+            _stats_add_rows(spark, [new_path], columns, snap, partition_by),
+            _tombstone_rows(spark, manifest_dir, paths, snap),
+        ],
+    )
+    return new_path, snap
+
+
+@register(
+    "plan_manifest_compact_commit",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_manifest_compact_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction COMMIT protocol end to end: documents land
+    fragmented (4 write tasks × lang partitions => several small files
+    per lang dir), the manifest tracks all of them, then the 'en'
+    partition's fragments are compacted and committed
+    (``commit_data_compaction`` — add the merged file and tombstone the
+    fragments at ONE snapshot). The query then reads the WHOLE table
+    through the manifest: per-lang counts and char sums must equal the
+    raw table exactly — if the tombstones failed, 'en' double-counts
+    (old + compacted files both visible); if the add failed, 'en'
+    vanishes; either way the driver hash catches it. Time travel
+    across the commit and vacuum reclaim of the fragments are
+    pytest-pinned in tests/test_catalog_scale.py."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "compact_commit_docs")
+    mpath = scratch_path(spark, sf_dir, "compact_commit_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        load_table(spark, sf_dir, "documents").repartition(4).write.partitionBy(
+            "lang"
+        ).mode("overwrite").parquet(data_dir)
+        all_files = sorted(
+            _glob.glob(os.path.join(data_dir, "lang=*", "*.parquet"))
+        )
+        write_stats_manifest(spark, all_files, mpath, ("doc_id",))
+        en_files = [p for p in all_files if "/lang=en/" in p]
+        assert len(en_files) > 1, "fixture should fragment the en partition"
+        commit_data_compaction(spark, mpath, en_files, ("doc_id",))
+        visible = manifest_pruned_scan(spark, mpath, "doc_id", 0, 2**62)
+        lang = F.regexp_extract(F.input_file_name(), "lang=([^/]+)/", 1)
+        return (
+            visible.groupBy(lang.alias("lang"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+def clone_manifest(
+    spark: SparkSession, src_manifest: str, dst_manifest: str
+) -> None:
+    """ZERO-COPY shallow clone: a new manifest referencing the SAME
+    data files — cloning a 100 TB table costs one metadata-table copy
+    (KBs), no data bytes move. From that instant the two catalogs
+    evolve independently: deletes/appends/compactions committed to one
+    are invisible to the other, while both keep reading the shared
+    files (vacuum safety therefore requires the union of live
+    manifests — noted in ``vacuum_orphans_report``'s contract). This
+    is the dev/staging-against-production-data workflow every table
+    format ships (Delta SHALLOW CLONE, Iceberg snapshot refs)."""
+    df = spark.read.parquet(src_manifest)
+    df.coalesce(1).write.mode("overwrite").parquet(dst_manifest)
+
+
+@register(
+    "plan_shallow_clone",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE lang <> 'zh'
+        GROUP BY lang
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow-clone ISOLATION end to end: clone the documents table's
+    manifest (zero data copied), retire the 'zh' partition IN THE CLONE
+    ONLY (metadata tombstones), and read the clone — the oracle
+    recomputes the post-delete world, so the driver hash-checks that
+    the clone both sees the shared data files and carries its own
+    delete. The pytest twin asserts the other direction: the SOURCE
+    manifest still sees zh untouched — two catalogs, one set of bytes.
+    Seed: R19's copy-verify-delete migration
+    (``/root/reference/upload_to_rfs.py``) — the copy leg made free."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "clone_docs")
+    src_m = scratch_path(spark, sf_dir, "clone_src_manifest")
+    dst_m = scratch_path(spark, sf_dir, "clone_dst_manifest")
+    with scratch_cleanup(data_dir, src_m, dst_m):
+        load_table(spark, sf_dir, "documents").repartition(
+            "lang"
+        ).write.partitionBy("lang").mode("overwrite").parquet(data_dir)
+        all_files = sorted(
+            _glob.glob(os.path.join(data_dir, "lang=*", "*.parquet"))
+        )
+        write_stats_manifest(spark, all_files, src_m, ("doc_id",))
+        clone_manifest(spark, src_m, dst_m)
+        retired = [p for p in all_files if "/lang=zh/" in p]
+        assert retired, "fixture must contain the partition being retired"
+        remove_from_manifest(spark, dst_m, retired)  # clone only
+        visible = manifest_pruned_scan(spark, dst_m, "doc_id", 0, 2**62)
+        lang = F.regexp_extract(F.input_file_name(), "lang=([^/]+)/", 1)
+        return (
+            visible.groupBy(lang.alias("lang"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+def rollback_manifest(
+    spark: SparkSession, manifest_dir: str, to_snapshot: int
+) -> int:
+    """ROLL BACK the table's CURRENT state to an earlier snapshot — as
+    a NEW commit, never by rewriting history (Iceberg's rollback
+    contract): every file visible now but not visible at
+    ``to_snapshot`` gets a remove tombstone at the next snapshot id.
+    Reads pinned to pre-rollback snapshots still reproduce exactly
+    (the registered query's pytest pins both directions), and the
+    rolled-back files become vacuum-reclaimable, not deleted. Pure
+    metadata; both path sets are |manifest|-scale.
+
+    Restriction, inherited from the manifest's unordered tombstone
+    semantics (see ``remove_from_manifest``): a file REMOVED between
+    the target and now (a compaction input) cannot be resurrected — a
+    rollback across such maintenance raises instead of silently
+    restoring a state with missing files."""
+    m = spark.read.parquet(manifest_dir)
+    target = {
+        r.path
+        for r in _visible_stats(m, to_snapshot).select("path").distinct().collect()
+    }
+    current = {
+        r.path
+        for r in _visible_stats(m, None).select("path").distinct().collect()
+    }
+    missing = sorted(target - current)
+    if missing:
+        raise ValueError(
+            "rollback would need to resurrect files removed since the "
+            f"target snapshot (unsupported): {missing[:3]}..."
+        )
+    to_hide = sorted(current - target)
+    if not to_hide:
+        return to_snapshot  # already at (or before) the target state
+    return remove_from_manifest(spark, manifest_dir, to_hide)
+
+
+@register(
+    "plan_manifest_rollback",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE lang <> 'zh'
+        GROUP BY lang
+    """,
+    tags=("plan", "manifest", "maintenance"),
+)
+def plan_manifest_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lifecycle's undo verb: with the standard 3-snapshot staging
+    (base de/en/es at 0, fr at 1, zh at 2), rolling back to snapshot 1
+    must make the CURRENT (unpinned) scan see the world as of 1 — fr
+    in, zh gone — via one tombstone commit at snapshot 3. The oracle
+    recomputes that world from the raw table; tests additionally pin
+    that a read pinned as-of 2 still sees zh AFTER the rollback
+    (history preserved — the property that keeps pre-rollback training
+    runs reproducible)."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "rb_docs")
+    mpath = scratch_path(spark, sf_dir, "rb_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        load_table(spark, sf_dir, "documents").repartition(
+            "lang"
+        ).write.partitionBy("lang").mode("overwrite").parquet(data_dir)
+
+        def lang_files(*langs: str) -> list[str]:
+            return sorted(
+                p
+                for lang in langs
+                for p in _glob.glob(
+                    os.path.join(data_dir, f"lang={lang}", "*.parquet")
+                )
+            )
+
+        write_stats_manifest(
+            spark, lang_files("de", "en", "es"), mpath, ("doc_id",)
+        )
+        v1 = append_stats_manifest(spark, lang_files("fr"), mpath, ("doc_id",))
+        append_stats_manifest(spark, lang_files("zh"), mpath, ("doc_id",))
+        rollback_manifest(spark, mpath, v1)
+        current = manifest_pruned_scan(spark, mpath, "doc_id", 0, 2**62)
+        lang = F.regexp_extract(F.input_file_name(), "lang=([^/]+)/", 1)
+        return (
+            current.groupBy(lang.alias("lang"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+def merge_through_manifest(
+    spark: SparkSession,
+    manifest_dir: str,
+    delta: DataFrame,
+    key: str,
+    cols: list[str],
+    insert_files: int = 1,
+    snapshot_id: int | None = None,
+) -> tuple[int, int, int]:
+    """MERGE committed THROUGH the manifest — the copy-on-write shape
+    (Iceberg CoW, Delta MERGE): rewrite ONLY the data files whose
+    footer-stats key range intersects the delta's keys, tombstone them
+    and add the rewritten files (plus one insert file for unmatched
+    delta keys) at ONE snapshot id. As-of reads below that snapshot see
+    the pre-merge table unperturbed; current reads see exactly the
+    merged table. Seed: the reference's blind re-upload
+    (``/root/reference/app.py:461-488``) — last-writer-wins by S3 key
+    with no record of what changed; ``plan_merge_upsert`` made the row
+    action observable, and this closes the remaining gap: committing
+    the rewrite atomically in table metadata instead of clobbering
+    files in place.
+
+    Scale shape: candidacy is decided on the MANIFEST (per-file
+    min/max agg + a join against the distinct delta keys — only
+    intersecting paths are ever collected, never the full file list);
+    matched-vs-insert classification joins the delta against ONLY the
+    intersecting files' keys (a non-intersecting file provably
+    contains no delta key — that is what the stats mean; stats-less
+    files are included conservatively); the rewrite reads and writes
+    only intersecting bytes, preserved range-clustered via
+    ``repartitionByRange`` over the same key. Cost is
+    O(intersecting files + delta), independent of table size — the
+    property that makes daily MERGE affordable on a 100 TB table.
+    Data files must carry schema (key, *cols). Returns
+    (snapshot_id, n_files_intersecting, n_files_rewritten);
+    rewritten ≤ intersecting is pytest-pinned
+    (tests/test_catalog_scale.py)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    manifest = _visible_stats(spark.read.parquet(manifest_dir), None)
+    # preserve every tracked stats column present in the rewritten
+    # schema (key, *cols) — appending key-only stats would hide the
+    # rewrites from scans probing the other tracked columns
+    tracked = tuple(
+        sorted(
+            r.column_name
+            for r in manifest.select("column_name").distinct().collect()
+            if r.column_name in {key, *cols}
+        )
+    ) or (key,)
+    per_file = (
+        manifest.filter(F.col("column_name") == key)
+        .groupBy("path")
+        .agg(
+            F.min("min_val").alias("fmin"),
+            F.max("max_val").alias("fmax"),
+            F.sum(
+                F.when(F.col("min_val").isNull(), 1).otherwise(0)
+            ).alias("n_statless"),
+        )
+    )
+    d = delta.select(key, *cols).localCheckpoint(eager=True)
+    # Delta/Iceberg MERGE raises when multiple source rows match one
+    # target row; a duplicate delta key here would silently multiply
+    # matched base rows through the left join below (row-count inflation
+    # written into the rewritten files) — fail fast instead. One tiny
+    # agg over the (checkpointed, delta-sized) frame.
+    kc = d.agg(
+        F.count(key).alias("n"),
+        F.countDistinct(key).alias("nd"),
+    ).collect()[0]
+    if kc.n != kc.nd:
+        raise ValueError(
+            f"merge_through_manifest: delta has {kc.n - kc.nd} duplicate "
+            f"{key!r} rows — MERGE requires at most one source row per "
+            "key (dedup the delta first)"
+        )
+    dkeys = d.select(F.col(key).cast("double").alias("_k")).distinct()
+    # broadcast the PER-FILE STATS (metadata-scale: |files| rows, bounded
+    # ~10^5 even at 100 TB), never the delta keys — a bulk backfill's
+    # key set is data-scale and must stay distributed
+    intersecting = sorted(
+        r.path
+        for r in dkeys.join(
+            F.broadcast(per_file),
+            (F.col("n_statless") > 0)
+            | ((F.col("_k") >= F.col("fmin")) & (F.col("_k") <= F.col("fmax"))),
+        )
+        .select("path")
+        .distinct()
+        .collect()
+    )
+    snap = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else _claimed_next_snapshot(spark, manifest_dir)
+    )
+    new_paths: list[str] = []
+    n_rewritten = 0
+    if intersecting:
+        out_dir = os.path.dirname(intersecting[0])
+        touched = spark.read.parquet(*intersecting)
+        rewritten = (
+            touched.alias("b")
+            .join(d.alias("u"), F.col(f"b.{key}") == F.col(f"u.{key}"), "left")
+            .select(
+                F.col(f"b.{key}").alias(key),
+                *[
+                    F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+                    for c in cols
+                ],
+            )
+        )
+        tmp = os.path.join(out_dir, f".merge_{snap}_stage")
+        (
+            rewritten.repartitionByRange(len(intersecting), key)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        for i, part in enumerate(
+            sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
+        ):
+            dst = os.path.join(out_dir, f"merged-{snap}-{i:05d}.parquet")
+            _shutil.move(part, dst)
+            new_paths.append(dst)
+        _shutil.rmtree(tmp, ignore_errors=True)
+        n_rewritten = len(new_paths)
+        inserts = d.join(touched.select(key), key, "left_anti")
+    else:
+        # no file can contain any delta key: the whole delta inserts
+        any_path = manifest.select("path").limit(1).collect()
+        if not any_path:
+            raise ValueError(f"empty stats manifest at {manifest_dir}")
+        out_dir = os.path.dirname(any_path[0].path)
+        inserts = d
+    tmp = os.path.join(out_dir, f".merge_{snap}_ins_stage")
+    # insert_files=1 suits the common daily-delta ≪ table case; a bulk
+    # backfill passes more and each becomes its own range-clustered,
+    # independently-pruned manifest row
+    ins = (
+        inserts.coalesce(1)
+        if insert_files <= 1
+        else inserts.repartitionByRange(insert_files, key)
+    )
+    ins.write.mode("overwrite").parquet(tmp)
+    # parquet writes a (schema-only) file even for an empty frame; an
+    # empty insert file would add a stats-less row the pruner must
+    # conservatively open forever — commit only parts that have rows
+    for i, part in enumerate(
+        sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
+    ):
+        if spark.read.parquet(part).limit(1).count() > 0:
+            ins_path = os.path.join(
+                out_dir, f"merged-{snap}-inserts-{i:05d}.parquet"
+            )
+            _shutil.move(part, ins_path)
+            new_paths.append(ins_path)
+    _shutil.rmtree(tmp, ignore_errors=True)
+    if not new_paths and not intersecting:
+        raise ValueError("merge_through_manifest: empty delta — nothing to do")
+    # adds + removes land in ONE append (commit_manifest_rows): a
+    # concurrent loser re-planning mid-commit must never see the
+    # rewritten files alongside the still-untombstoned originals
+    frames = []
+    if new_paths:
+        frames.append(_stats_add_rows(spark, new_paths, tracked, snap))
+    if intersecting:
+        frames.append(_tombstone_rows(spark, manifest_dir, intersecting, snap))
+    verify_claim(manifest_dir, snap)
+    commit_manifest_rows(spark, manifest_dir, frames)
+    return snap, len(intersecting), n_rewritten
+
+
+@register(
+    "plan_manifest_merge",
+    oracle=f"""
+        WITH delta_upd AS (
+            SELECT o_orderkey,
+                   'R' AS o_orderstatus,
+                   o_totalprice + 1000.0 AS o_totalprice
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+              AND o_orderkey BETWEEN {_RG_PRUNE_RANGE[0]} AND {_RG_PRUNE_RANGE[1]}
+        ),
+        delta_ins AS (
+            SELECT o_orderkey + 100000000 AS o_orderkey,
+                   'N' AS o_orderstatus,
+                   o_totalprice
+            FROM orders WHERE o_orderkey % 997 = 7
+        ),
+        delta AS (SELECT * FROM delta_upd UNION ALL SELECT * FROM delta_ins),
+        base AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ),
+        merged AS (
+            SELECT COALESCE(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   COALESCE(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+                   COALESCE(d.o_totalprice, b.o_totalprice) AS o_totalprice
+            FROM base b FULL OUTER JOIN delta d
+              ON b.o_orderkey = d.o_orderkey
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM merged
+        GROUP BY o_orderstatus
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE through the manifest, end to end: orders
+    (projected to key/status/price) lands range-clustered across 16
+    files with a stats manifest; the daily delta re-prices urgent
+    orders in a narrow key band (UPDATE — only the few files whose
+    key range covers the band get rewritten) and lands brand-new keys
+    far beyond every file's range (INSERT — one new file, zero
+    rewrites). ``merge_through_manifest`` commits rewritten + insert
+    files and tombstones the originals at ONE snapshot. The query then
+    reads the WHOLE table through the manifest: per-status counts and
+    cent-exact sums must equal a relational MERGE of the same delta —
+    if a non-intersecting file was rewritten or a tombstone missed,
+    rows double or vanish and the driver hash catches it. Time travel
+    across the merge snapshot (both directions) and rewritten ≤
+    intersecting are pytest-pinned in tests/test_catalog_scale.py."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "merge_cow_orders")
+    mpath = scratch_path(spark, sf_dir, "merge_cow_manifest")
+    lo, hi = _RG_PRUNE_RANGE
+    with scratch_cleanup(data_dir, mpath):
+        full = load_table(spark, sf_dir, "orders")
+        orders = full.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        orders.repartitionByRange(16, "o_orderkey").write.mode(
+            "overwrite"
+        ).parquet(data_dir)
+        files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
+        write_stats_manifest(spark, files, mpath, ("o_orderkey",))
+        delta = (
+            full.filter(
+                (F.col("o_orderkey").between(lo, hi))
+                & (F.col("o_orderpriority") == "1-URGENT")
+            )
+            .select(
+                "o_orderkey",
+                F.lit("R").alias("o_orderstatus"),
+                (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            )
+            .unionByName(
+                orders.filter(F.col("o_orderkey") % 997 == 7).select(
+                    (F.col("o_orderkey") + F.lit(100000000)).alias(
+                        "o_orderkey"
+                    ),
+                    F.lit("N").alias("o_orderstatus"),
+                    "o_totalprice",
+                )
+            )
+        )
+        merge_through_manifest(
+            spark, mpath, delta, "o_orderkey", ["o_orderstatus", "o_totalprice"]
+        )
+        return (
+            manifest_pruned_scan(spark, mpath, "o_orderkey", 0, 2**62)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .cast("long")
+                .alias("total_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+def expire_manifest_history(
+    spark: SparkSession, manifest_dir: str, expire_below: int
+) -> tuple[int, int]:
+    """EXPIRE manifest history below a snapshot floor — Iceberg's
+    expire_snapshots / Delta's log retention, the verb that stops the
+    manifest growing forever under continuous commits: rows that no
+    read at-or-above the floor can ever need are dropped and the
+    shrunken manifest is swapped in atomically. Kept: every row at
+    snapshot >= floor; 'add' rows of files still visible at the floor
+    (no tombstone below it); live equality-delete records; retire
+    markers (KB-scale, and their ceilings scope any kept records);
+    schema_add declarations (the table's committed schema outlives any
+    history expiry).
+    Dropped: add+remove pairs both below the floor (files whose whole
+    life predates it) and delete records already retired below it. A
+    persisted 'expire' marker records the floor; an as-of read BELOW
+    it now RAISES (``manifest_pruned_scan``) instead of silently
+    reconstructing partial history — the Delta "version not found"
+    contract rather than a wrong answer. Time travel at or above the
+    floor is bit-identical to pre-expire (pytest-pinned). Cost is one
+    read+rewrite of the MANIFEST (metadata-scale), never of data.
+    Returns (rows_before, rows_after)."""
+    import shutil as _shutil
+
+    e = int(expire_below)
+    man = spark.read.parquet(manifest_dir)
+    # one agg answers both driver-side questions — separate actions
+    # each cost a full (tiny) job under load
+    stats = man.agg(
+        F.max("snapshot_id").alias("cur_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).collect()[0]
+    cur_max, rows_before = stats.cur_max, stats.n_rows
+    if cur_max is None or e > cur_max:
+        raise ValueError(
+            f"expire_below={e} exceeds max snapshot {cur_max} — refusing "
+            "to expire the current state"
+        )
+    old = man.filter(F.col("snapshot_id") < e)
+    removed_below = (
+        old.filter(F.col("op") == "remove").select("path").distinct()
+    )
+    keep_old_adds = old.filter(F.col("op") == "add").join(
+        removed_below, "path", "left_anti"
+    )
+    # retire ceilings are PER COLUMN, mirroring _live_delete_records'
+    # scoping: a retire marker for column A must never expire column
+    # B's still-live delete records (that would silently resurrect
+    # B's deleted rows on every post-expire read)
+    ceilings = (
+        old.filter(F.col("op") == "delete_retire")
+        .groupBy("column_name")
+        .agg(F.max("min_val").alias("__ceiling"))
+    )
+    live_old_deletes = (
+        old.filter(F.col("op") == "delete_eq")
+        .join(F.broadcast(ceilings), "column_name", "left")
+        .filter(
+            F.col("__ceiling").isNull()
+            | (F.col("snapshot_id") > F.col("__ceiling"))
+        )
+        .drop("__ceiling")
+    )
+    keep = (
+        man.filter(F.col("snapshot_id") >= e)
+        .unionByName(keep_old_adds)
+        .unionByName(live_old_deletes)
+        # schema_add rows are the table's DECLARED SCHEMA — a committed
+        # ADD COLUMN must survive any expiry or post-expire reads lose
+        # the NULL-backfill (and a re-declaration stops raising)
+        .unionByName(
+            old.filter(
+                F.col("op").isin("delete_retire", "expire", "schema_add")
+            )
+        )
+    )
+    schema = man.schema
+    marker_fixed = {
+        "path": "",
+        "file_name": "",
+        "column_name": "__expire__",
+        "min_val": float(e),
+        "max_val": float(e),
+        "snapshot_id": int(e),
+        "op": "expire",
+    }
+    marker = spark.createDataFrame(
+        [tuple(marker_fixed.get(f.name) for f in schema)], schema
+    )
+    tmp = manifest_dir + ".expiring"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    # the marker lands as its own appended file, NOT unioned into the
+    # rewrite plan: a LocalRelation branch under the coalesced union
+    # measured 4x the whole write (10.5 s vs 2.4 + 0.9 at sf0.1)
+    keep.coalesce(1).write.parquet(tmp)
+    marker.write.mode("append").parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+    aside = manifest_dir + ".expired_old"
+    _shutil.rmtree(aside, ignore_errors=True)
+    _shutil.move(manifest_dir, aside)
+    _shutil.move(tmp, manifest_dir)
+    # commit tokens SURVIVE the expire swap: an in-flight writer that
+    # claimed a snapshot above the committed tip must keep its lease
+    # (losing it would let a second writer re-claim the same id — the
+    # at-or-below-tip guard only covers committed ids). Tokens at or
+    # below the tip, and stale-takeover asides, are pruned here so the
+    # token tree does not grow forever.
+    old_commits = os.path.join(aside, "_commits")
+    if os.path.isdir(old_commits):
+        new_commits = os.path.join(manifest_dir, "_commits")
+        os.makedirs(new_commits, exist_ok=True)
+        for name in os.listdir(old_commits):
+            try:
+                live = int(name) > int(cur_max)
+            except ValueError:
+                live = False  # 'N.stale-<uuid>' asides: prune
+            if live:
+                _shutil.move(
+                    os.path.join(old_commits, name),
+                    os.path.join(new_commits, name),
+                )
+    _shutil.rmtree(aside, ignore_errors=True)
+    return rows_before, rows_after
+
+
+@register(
+    "plan_expire_snapshots",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-history EXPIRY end to end: documents land fragmented
+    with a manifest, the 'en' then 'de' partitions' fragments are
+    compacted (two commits), then history below the SECOND commit is
+    EXPIRED — the en fragments' whole life (add at snapshot 0,
+    tombstone at 1) predates the floor and vanishes from the manifest;
+    the de fragments' adds survive because their tombstones sit AT the
+    floor. The CURRENT whole-table read through the manifest must
+    still equal the raw table exactly (if expiry dropped a
+    still-visible file's stats row, a lang vanishes; if it resurrected
+    a tombstoned fragment, a lang double-counts — the driver hash
+    catches both). Row-count shrinkage, at-floor read equality, and
+    the raise-below-floor contract are pytest-pinned in
+    tests/test_catalog_scale.py."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "expire_docs")
+    mpath = scratch_path(spark, sf_dir, "expire_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        load_table(spark, sf_dir, "documents").repartition(4).write.partitionBy(
+            "lang"
+        ).mode("overwrite").parquet(data_dir)
+        all_files = sorted(
+            _glob.glob(os.path.join(data_dir, "lang=*", "*.parquet"))
+        )
+        write_stats_manifest(spark, all_files, mpath, ("doc_id",))
+        en_files = [p for p in all_files if "/lang=en/" in p]
+        commit_data_compaction(spark, mpath, en_files, ("doc_id",))
+        de_files = [p for p in all_files if "/lang=de/" in p]
+        _, snap2 = commit_data_compaction(spark, mpath, de_files, ("doc_id",))
+        # floor = the second commit: the en fragments' whole life (add at
+        # 0, tombstone at 1) predates it and is dropped; the de fragments'
+        # adds survive (their tombstones sit AT the floor)
+        expire_manifest_history(spark, mpath, snap2)
+        visible = manifest_pruned_scan(spark, mpath, "doc_id", 0, 2**62)
+        lang = F.regexp_extract(F.input_file_name(), "lang=([^/]+)/", 1)
+        return (
+            visible.groupBy(lang.alias("lang"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+def optimize_table(
+    spark: SparkSession,
+    manifest_dir: str,
+    target_bytes: int,
+    partition_by: tuple[str, ...] = (),
+) -> tuple[int, int, int]:
+    """OPTIMIZE — the composed small-file maintenance verb (Delta
+    OPTIMIZE / Iceberg rewrite_data_files): bin-pack the table's
+    VISIBLE files to the target size with the same streaming first-fit
+    rule as ``plan_compaction_bins`` (exclusive running sum over name
+    order — stable across reruns, a bin overflows by at most one
+    file), then commit every multi-file bin through
+    ``commit_data_compaction`` — add(compacted) + remove(fragments) at
+    one snapshot per bin, so readers pinned below an OPTIMIZE still
+    see the fragments and current readers never see both.
+
+    Partition identity is preserved: files are binned WITHIN their
+    directory (the Hive partition dir — a cross-partition bin would
+    merge rows whose partition value lives only in the path and write
+    the result into ONE partition's dir, silently corrupting every
+    partition-filtered scan), and the compacted files' stats rows
+    re-record the partition values when ``partition_by`` names them.
+    The compacted stats carry the manifest's FULL tracked column set,
+    derived like ``merge_through_manifest``'s — a key-only append
+    would hide compacted files from scans probing other columns.
+    Sizes come from driver-side stat of the visible path list
+    (metadata-scale). Returns (n_bins_compacted, n_files_before,
+    n_files_after)."""
+    import itertools as _it
+
+    visible = sorted(
+        r.path
+        for r in _visible_stats(spark.read.parquet(manifest_dir), None)
+        .select("path")
+        .distinct()
+        .collect()
+    )
+    n_before = len(visible)
+    bins: list[list[str]] = []
+    for _dirname, group_iter in _it.groupby(visible, key=os.path.dirname):
+        acc = 0
+        first_in_dir = True
+        for path in group_iter:
+            size = os.path.getsize(path)
+            if first_in_dir or acc >= target_bytes:
+                bins.append([])
+                acc = 0
+                first_in_dir = False
+            bins[-1].append(path)
+            acc += size
+    compacted = 0
+    for group in bins:
+        if len(group) > 1:
+            commit_data_compaction(
+                spark,
+                manifest_dir,
+                group,
+                partition_by=partition_by,
+            )
+            compacted += 1
+    n_after = n_before - sum(len(g) - 1 for g in bins if len(g) > 1)
+    return compacted, n_before, n_after

@@ -47,7 +47,14 @@ COLLECT_ALLOWED = {
     "llm/similarity.py",
     "plans/validate.py",
     "sources/readers.py",
-    "sources/table.py",
+    "sources/footers.py",  # r11 split: footer-stats listing frames
+    "sources/table/commit.py",  # snapshot max() 1-row agg
+    "sources/table/manifest.py",  # metadata-scale path/stats frames
+    "sources/table/evolution.py",
+    "sources/table/deletes.py",
+    "sources/table/maintenance.py",
+    "sources/table/sketches.py",
+    "sources/table/facade.py",
     "streaming/jobs.py",
     "streaming/scheduled.py",
 }
@@ -71,7 +78,7 @@ CROSSJOIN_ALLOWED = {
     "llm/similarity.py",
     "llm/vector.py",  # 1-row aggregate-recall anchor (property surface)
     "operators/window_ops.py",  # 1-row global-total anchor (rank_global)
-    "sources/readers.py",  # 1-row exact/estimate anchors (sketch NDV)
+    "sources/table/sketches.py",  # 1-row exact/estimate anchors (sketch NDV)
     "plans/migrate.py",  # 1-row destination-checksum anchor
     "sources/http_fetch.py",
 }

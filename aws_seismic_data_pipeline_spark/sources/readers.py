@@ -1027,6 +1027,7 @@ from aws_seismic_data_pipeline_spark.sources.table.manifest import (  # noqa: E4
     manifest_count_range,
     manifest_incremental_scan,
     manifest_pruned_scan,
+    manifest_pruned_scan_multi,
     manifest_row_count,
     remove_from_manifest,
     scan_manifest_asof,

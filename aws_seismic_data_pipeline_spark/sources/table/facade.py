@@ -92,6 +92,24 @@ class GovernedTable:
             partition_filter=partition_filter,
         )
 
+    def scan_multi(
+        self,
+        predicates: dict[str, tuple[float, float]],
+        as_of: int | None = None,
+        partition_filter: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Multi-column stats-pruned scan: every predicate column's
+        band prunes in one metadata pass, composed with partition
+        pruning and time travel — the three-axis skipping real tables
+        need (key band + second column + partition values)."""
+        return R.manifest_pruned_scan_multi(
+            self.spark,
+            self.manifest_dir,
+            predicates,
+            as_of=as_of,
+            partition_filter=partition_filter,
+        )
+
     def scan_with_deletes(self, as_of: int | None = None) -> DataFrame:
         """Full scan minus live equality deletes."""
         return R.read_with_deletes(

@@ -2583,3 +2583,57 @@ def test_compound_commit_is_one_write_job(spark, tmp_path):
     )
     ops = {r.op: r["count"] for r in snap_rows}
     assert ops.get("remove") == 3 and ops.get("add", 0) >= 1, ops
+
+
+def test_multi_column_pruning_beats_either_axis(spark, tmp_path):
+    """scan_manifest_pruned_multi's contract: on a Z-ordered layout the
+    two-column conjunction opens strictly fewer files than either
+    single-column band, and metadata elimination loses no rows vs the
+    direct filter."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.operators.window_ops import (
+        _morton16_sql,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        manifest_pruned_scan,
+        manifest_pruned_scan_multi,
+        write_stats_manifest,
+    )
+
+    keyed = load_table(spark, SF_DIR, "orders").select(
+        (F.col("o_orderkey") % 256).alias("key_bucket"),
+        (F.col("o_custkey") % 128).alias("cust_bucket"),
+        "o_totalprice",
+    ).withColumn("zkey", F.expr(_morton16_sql("key_bucket", "cust_bucket")))
+    data_dir = str(tmp_path / "zdata")
+    keyed.repartitionByRange(16, "zkey").drop("zkey").write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "zmanifest")
+    write_stats_manifest(spark, files, mpath, ("key_bucket", "cust_bucket"))
+
+    xb, yb = (32, 95), (16, 47)
+    both = manifest_pruned_scan_multi(
+        spark, mpath, {"key_bucket": xb, "cust_bucket": yb}
+    )
+    x_only = manifest_pruned_scan(spark, mpath, "key_bucket", *xb)
+    y_only = manifest_pruned_scan(spark, mpath, "cust_bucket", *yb)
+    n_both = len(both.inputFiles())
+    n_x = len(x_only.inputFiles())
+    n_y = len(y_only.inputFiles())
+    assert 0 < n_both < min(n_x, n_y), (n_both, n_x, n_y)
+    assert n_both < len(files)
+
+    direct = keyed.filter(
+        F.col("key_bucket").between(*xb) & F.col("cust_bucket").between(*yb)
+    )
+    n_direct = direct.count()
+    assert n_direct > 0 and both.count() == n_direct
+    # either single-axis scan restricted to the other band must agree —
+    # the conjunction dropped only provably-disjoint files
+    assert (
+        x_only.filter(F.col("cust_bucket").between(*yb)).count() == n_direct
+    )

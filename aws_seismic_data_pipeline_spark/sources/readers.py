@@ -1023,6 +1023,7 @@ from aws_seismic_data_pipeline_spark.sources.table.manifest import (  # noqa: E4
     _tombstone_rows,
     _visible_stats,
     append_stats_manifest,
+    append_stats_manifest_retry,
     commit_manifest_rows,
     manifest_count_range,
     manifest_incremental_scan,

@@ -151,15 +151,19 @@ class GovernedTable:
         return R.sketch_merged_ndv(self.spark, sketch_dir, paths=paths)
 
     # ---- write side ----------------------------------------------------
-    def append(self, new_paths: list[str]) -> int:
-        """Register already-landed files at the next snapshot."""
-        return R.append_stats_manifest(
+    def append(self, new_paths: list[str], max_retries: int = 5) -> int:
+        """Register already-landed files at the next snapshot, retrying
+        lost CAS races (appends need no re-plan; see
+        ``manifest.append_stats_manifest_retry``)."""
+        snap, _ = R.append_stats_manifest_retry(
             self.spark,
             new_paths,
             self.manifest_dir,
             (self.key,),
             partition_by=self.partition_by,
+            max_retries=max_retries,
         )
+        return snap
 
     def merge(self, delta: DataFrame, cols: list[str], insert_files: int = 1):
         """Copy-on-write MERGE: returns (snapshot, intersecting,

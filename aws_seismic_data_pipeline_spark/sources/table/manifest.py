@@ -145,6 +145,47 @@ def append_stats_manifest(
     return int(snapshot_id)
 
 
+def append_stats_manifest_retry(
+    spark: SparkSession,
+    new_paths: list[str],
+    manifest_dir: str,
+    columns: tuple[str, ...] = _MANIFEST_COLS,
+    partition_by: tuple[str, ...] = (),
+    max_retries: int = 5,
+) -> tuple[int, int]:
+    """APPEND under optimistic concurrency: claim, commit, and on a
+    lost CAS race back off and re-claim the NEXT id. Unlike MERGE
+    (``merge_with_conflict_retry``), an append needs no re-planning —
+    the new files' stats don't depend on table state — so the retry is
+    just a fresh claim; the outcome is the serial order of commits.
+    This is the loop a continuously-ingesting stream runs when another
+    writer (a second stream, a compaction) shares the table — the
+    reference's two-manual-triggers race (``/root/reference/
+    app.py:641-653``, SURVEY §3.2: no concurrency guard) closed.
+    Returns (snapshot_id, n_retries); bounded retries fail loudly."""
+    import time as _time
+
+    from aws_seismic_data_pipeline_spark.sources.table.commit import (
+        ConcurrentCommitError,
+    )
+
+    for attempt in range(int(max_retries) + 1):
+        try:
+            snap = append_stats_manifest(
+                spark,
+                new_paths,
+                manifest_dir,
+                columns,
+                partition_by=partition_by,
+            )
+            return snap, attempt
+        except ConcurrentCommitError:
+            if attempt == max_retries:
+                raise
+            _time.sleep(min(0.05 * (2**attempt), 1.0))
+    raise AssertionError("unreachable")  # pragma: no cover
+
+
 def _stats_add_rows(
     spark: SparkSession,
     new_paths: list[str],

@@ -548,3 +548,102 @@ def test_stream_merge_commits_one_snapshot_per_batch(spark, tmp_path):
     n_base, n_ins = counts[0], inserts.count()
     assert sorted(counts) == [n_base, n_base, n_base, n_base + n_ins]
     assert counts[3] == n_base + n_ins
+
+
+def test_concurrent_stream_ingest_serializable_commits(spark, tmp_path, monkeypatch):
+    """VERDICT r10 item 5: two CONCURRENT availableNow streams append to
+    ONE governed manifest through the CAS claim protocol, with one
+    commit race forced (injected ConcurrentCommitError on a first
+    claim); the retrying append must recover and the outcome must be
+    the SERIAL order of commits — every landed file registered exactly
+    once, all snapshot ids distinct, no row lost or duplicated. Seed:
+    the reference's two manual triggers racing with no guard
+    (/root/reference/app.py:641-653)."""
+    import glob
+    import os
+    import threading
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.sources.table import commit as C
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        append_stats_manifest_retry,
+        manifest_pruned_scan,
+        write_stats_manifest,
+    )
+    from aws_seismic_data_pipeline_spark.streaming.jobs import (
+        _events_stream_from_dir,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    # stage the two source slices as parquet dirs (one file each)
+    src_a = str(tmp_path / "src_even")
+    src_b = str(tmp_path / "src_odd")
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src_a)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(src_b)
+
+    data_dir = str(tmp_path / "table_data")
+    mpath = str(tmp_path / "manifest")
+    seed = str(tmp_path / "seed")
+    events.limit(0).coalesce(1).write.parquet(seed)
+    write_stats_manifest(
+        spark, sorted(glob.glob(seed + "/*.parquet")), mpath, ("user_id",)
+    )
+
+    # inject exactly ONE lost race: the 2nd claim_commit call overall
+    # fails as if a concurrent writer won the token
+    real_claim = C.claim_commit
+    calls = {"n": 0}
+    def racing_claim(spark_, manifest_dir, parent, stale_after=300.0):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise C.ConcurrentCommitError("injected lost race (test)")
+        return real_claim(spark_, manifest_dir, parent, stale_after)
+    monkeypatch.setattr(C, "claim_commit", racing_claim)
+
+    committed = {"a": [], "b": []}
+    errors = []
+
+    def make_sink(tag: str):
+        def land(batch_df, batch_id):
+            bdir = os.path.join(data_dir, f"{tag}_{batch_id}")
+            batch_df.coalesce(1).write.mode("overwrite").parquet(bdir)
+            files = sorted(glob.glob(os.path.join(bdir, "*.parquet")))
+            if files:
+                snap, retries = append_stats_manifest_retry(
+                    spark, files, mpath, ("user_id",)
+                )
+                committed[tag].append((snap, retries))
+        return land
+
+    def run(tag: str, src: str, ckpt: str):
+        try:
+            q = (
+                _events_stream_from_dir(spark, src)
+                .select("event_id", "user_id", "value")
+                .writeStream.foreachBatch(make_sink(tag))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append((tag, e))
+
+    ta = threading.Thread(target=run, args=("a", src_a, str(tmp_path / "ck_a")))
+    tb = threading.Thread(target=run, args=("b", src_b, str(tmp_path / "ck_b")))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errors, errors
+
+    snaps = [s for tag in ("a", "b") for s, _ in committed[tag]]
+    retries = sum(r for tag in ("a", "b") for _, r in committed[tag])
+    assert committed["a"] and committed["b"]
+    assert retries >= 1, "the injected lost race must force one retry"
+    assert len(snaps) == len(set(snaps)), f"snapshot ids collided: {snaps}"
+
+    # serializable result: the governed scan sees BOTH slices exactly
+    got = manifest_pruned_scan(spark, mpath, "user_id", 0, 2**62)
+    n_total = events.count()
+    assert got.count() == n_total
+    assert got.select("event_id").distinct().count() == n_total

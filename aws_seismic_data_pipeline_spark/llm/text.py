@@ -1401,3 +1401,242 @@ def text_kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_trigrams"),
         F.round(F.avg("surprisal"), 6).alias("kn3_cross_entropy"),
     )
+
+
+@register(
+    "text_kneser_ney_4gram",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        quads AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - 2),
+                                         i -> toks[i])) AS w1,
+                   unnest(list_transform(range(1, len(toks) - 2),
+                                         i -> toks[i+1])) AS w2,
+                   unnest(list_transform(range(1, len(toks) - 2),
+                                         i -> toks[i+2])) AS w3,
+                   unnest(list_transform(range(1, len(toks) - 2),
+                                         i -> toks[i+3])) AS w4
+            FROM tok WHERE len(toks) >= 4
+        ),
+        triples AS (
+            SELECT unnest(list_transform(range(1, len(toks) - 1),
+                                         i -> toks[i])) AS w1,
+                   unnest(list_transform(range(1, len(toks) - 1),
+                                         i -> toks[i+1])) AS w2,
+                   unnest(list_transform(range(1, len(toks) - 1),
+                                         i -> toks[i+2])) AS w3
+            FROM tok WHERE len(toks) >= 3
+        ),
+        pairs AS (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i])) AS w1,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i+1])) AS w2
+            FROM tok WHERE len(toks) >= 2
+        ),
+        c12b AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM pairs GROUP BY w1, w2
+        ),
+        cont AS (
+            SELECT w2 AS w4, CAST(COUNT(*) AS BIGINT) AS ncont
+            FROM c12b GROUP BY w2
+        ),
+        t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM c12b),
+        tri AS (
+            SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+            FROM triples GROUP BY w1, w2, w3
+        ),
+        n1p34 AS (
+            SELECT w2 AS w3, w3 AS w4, CAST(COUNT(*) AS BIGINT) AS n34
+            FROM tri GROUP BY w2, w3
+        ),
+        mid3 AS (
+            SELECT w3, CAST(SUM(n34) AS BIGINT) AS nctx3,
+                   CAST(COUNT(*) AS BIGINT) AS ntypes3
+            FROM n1p34 GROUP BY w3
+        ),
+        quad AS (
+            SELECT w1, w2, w3, w4, CAST(COUNT(*) AS BIGINT) AS c1234
+            FROM quads GROUP BY w1, w2, w3, w4
+        ),
+        ctx123 AS (
+            SELECT w1, w2, w3, CAST(SUM(c1234) AS BIGINT) AS cctx,
+                   CAST(COUNT(*) AS BIGINT) AS n1ptop
+            FROM quad GROUP BY w1, w2, w3
+        ),
+        mid234 AS (
+            SELECT w2, w3, w4, CAST(COUNT(*) AS BIGINT) AS n234
+            FROM quad GROUP BY w2, w3, w4
+        ),
+        mid23c AS (
+            SELECT w2, w3, CAST(SUM(n234) AS BIGINT) AS nctx23,
+                   CAST(COUNT(*) AS BIGINT) AS ntypes23
+            FROM mid234 GROUP BY w2, w3
+        ),
+        scored AS (
+            SELECT p.doc_id,
+                   -ln(
+                     (GREATEST(b.c1234 - 0.75, 0.0) / x.cctx)
+                     + (0.75 * x.n1ptop / x.cctx) * (
+                         (GREATEST(m.n234 - 0.75, 0.0) / g.nctx23)
+                         + (0.75 * g.ntypes23 / g.nctx23) * (
+                             (GREATEST(l.n34 - 0.75, 0.0) / h.nctx3)
+                             + (0.75 * h.ntypes3 / h.nctx3) * (k.ncont / t.t)
+                           )
+                       )
+                   ) AS surprisal
+            FROM quads p
+            JOIN quad b ON p.w1 = b.w1 AND p.w2 = b.w2
+                       AND p.w3 = b.w3 AND p.w4 = b.w4
+            JOIN ctx123 x ON p.w1 = x.w1 AND p.w2 = x.w2 AND p.w3 = x.w3
+            JOIN mid234 m ON p.w2 = m.w2 AND p.w3 = m.w3 AND p.w4 = m.w4
+            JOIN mid23c g ON p.w2 = g.w2 AND p.w3 = g.w3
+            JOIN n1p34 l ON p.w3 = l.w3 AND p.w4 = l.w4
+            JOIN mid3 h ON p.w3 = h.w3
+            JOIN cont k ON p.w4 = k.w4
+            CROSS JOIN t
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_4grams,
+               ROUND(AVG(surprisal), 6) AS kn4_cross_entropy
+        FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_kneser_ney_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney at 4-GRAM order — PRODUCTION order for
+    the artifact-per-order story (KenLM ships order 5; each order's
+    tables derive from the raw (k+1)-gram count table one level up),
+    proving the recursion ``text_kneser_ney_trigram`` opened
+    generalizes without new machinery:
+
+        P4(w4|w1w2w3) = max(c1234-D,0)/c(w1w2w3)
+                        + D·N1+(w1w2w3·)/c(w1w2w3) · P3'(w4|w2w3)
+        P3'(w4|w2w3)  = max(N1+(·w2w3w4)-D,0)/N1+(·w2w3·)
+                        + D·Ntypes(·w2w3·)/N1+(·w2w3·) · P2'(w4|w3)
+        P2'(w4|w3)    = max(N1+(·w3w4)-D,0)/N1+(·w3·)
+                        + D·Ntypes(·w3·)/N1+(·w3·) · P1(w4)
+        P1(w4)        = N1+(·w4)/|bigram types|
+
+    D = 0.75 (Chen-Goodman fixed discount). The lower orders REUSE the
+    existing models' tables: P2'/P1 read the trigram and bigram count
+    tables the sibling queries already build (continuation counts keyed
+    by the LAST words of the next-higher-order table) — one count
+    artifact per order, shared downward, never a re-tokenize.
+
+    Value parity: every factor is a quotient of integer-derived doubles
+    composed in the SAME association on both engines
+    (term4 + lam4·(term3 + lam3·(term2 + lam2·(ncont/t)))); only the
+    per-doc AVG accumulates in engine order, hence ROUND(6).
+
+    Scale shape: one tokenize pass per order (the corpus is shuffled
+    once per count table, all model tables vocab-sized, derived by
+    groupBy from the order above), seven join-backs on word keys —
+    model tables shuffle, the corpus never shuffles twice."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = "split(text, ' ')"
+    quads = (
+        docs.filter(F.expr(f"size({toks})") >= 4)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({toks}) - 3),"
+                    f" i -> struct(element_at({toks}, i) AS w1,"
+                    f" element_at({toks}, i + 1) AS w2,"
+                    f" element_at({toks}, i + 2) AS w3,"
+                    f" element_at({toks}, i + 3) AS w4))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2", "p.w3", "p.w4")
+        .localCheckpoint(eager=True)
+    )
+    triples = (
+        docs.filter(F.expr(f"size({toks})") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({toks}) - 2),"
+                    f" i -> struct(element_at({toks}, i) AS w1,"
+                    f" element_at({toks}, i + 1) AS w2,"
+                    f" element_at({toks}, i + 2) AS w3))"
+                )
+            ).alias("p"),
+        )
+        .select("p.w1", "p.w2", "p.w3")
+    )
+    pairs = (
+        docs.filter(F.expr(f"size({toks})") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({toks}) - 1),"
+                    f" i -> struct(element_at({toks}, i) AS w1,"
+                    f" element_at({toks}, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("p.w1", "p.w2")
+    )
+    c12b = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    cont = c12b.groupBy(F.col("w2").alias("w4")).agg(
+        F.count(F.lit(1)).cast("long").alias("ncont")
+    )
+    t = c12b.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    tri = triples.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("c123")
+    )
+    n1p34 = tri.groupBy(
+        F.col("w2").alias("w3"), F.col("w3").alias("w4")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n34"))
+    mid3 = n1p34.groupBy("w3").agg(
+        F.sum("n34").cast("long").alias("nctx3"),
+        F.count(F.lit(1)).cast("long").alias("ntypes3"),
+    )
+    quad = quads.groupBy("w1", "w2", "w3", "w4").agg(
+        F.count(F.lit(1)).cast("long").alias("c1234")
+    )
+    ctx123 = quad.groupBy("w1", "w2", "w3").agg(
+        F.sum("c1234").cast("long").alias("cctx"),
+        F.count(F.lit(1)).cast("long").alias("n1ptop"),
+    )
+    mid234 = quad.groupBy("w2", "w3", "w4").agg(
+        F.count(F.lit(1)).cast("long").alias("n234")
+    )
+    mid23c = mid234.groupBy("w2", "w3").agg(
+        F.sum("n234").cast("long").alias("nctx23"),
+        F.count(F.lit(1)).cast("long").alias("ntypes23"),
+    )
+    d = F.lit(0.75)
+    p1 = F.col("ncont") / F.col("t")
+    p2 = (
+        F.greatest(F.col("n34") - d, F.lit(0.0)) / F.col("nctx3")
+    ) + (d * F.col("ntypes3") / F.col("nctx3")) * p1
+    p3 = (
+        F.greatest(F.col("n234") - d, F.lit(0.0)) / F.col("nctx23")
+    ) + (d * F.col("ntypes23") / F.col("nctx23")) * p2
+    p4 = (
+        F.greatest(F.col("c1234") - d, F.lit(0.0)) / F.col("cctx")
+    ) + (d * F.col("n1ptop") / F.col("cctx")) * p3
+    scored = (
+        quads.join(quad, ["w1", "w2", "w3", "w4"])
+        .join(ctx123, ["w1", "w2", "w3"])
+        .join(mid234, ["w2", "w3", "w4"])
+        .join(mid23c, ["w2", "w3"])
+        .join(n1p34, ["w3", "w4"])
+        .join(mid3, "w3")
+        .join(cont, "w4")
+        .crossJoin(F.broadcast(t))
+        .select("doc_id", (-F.log(p4)).alias("surprisal"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_4grams"),
+        F.round(F.avg("surprisal"), 6).alias("kn4_cross_entropy"),
+    )

@@ -172,6 +172,12 @@ HEADLINE = [
     # content-checksum copy verification
     "curate_multimodal_manifest",
     "migrate_checksum_verify",
+    # round-11 additions: production-order Kneser-Ney (4-gram, tables
+    # shared downward), Z-order + multi-column manifest skipping, and
+    # the library-MinHash verified-property surface
+    "text_kneser_ney_4gram",
+    "scan_manifest_pruned_multi",
+    "dedup_minhash_lsh",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

@@ -385,13 +385,27 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_library_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_library_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    candidate_docs: DataFrame | None = None,
+) -> DataFrame:
     """Spark ML's MinHashLSH candidate pairs (seed=42, 8 hash tables,
     distance threshold 0.9 over binary distinct-token vectors),
     returned as (doc_a, doc_b, lib_sim) with lib_sim the library's
     EXACT Jaccard similarity on the candidate pair (approxSimilarityJoin
     computes true distance on candidates — only candidacy is
-    approximate)."""
+    approximate).
+
+    ``candidate_docs`` (a doc_id frame) restricts the similarity join
+    to those docs WITHOUT changing any pair's verdict: the vocabulary
+    and hash functions still come from the FULL corpus (CountVectorizer
+    fit + fixed-seed MinHashLSH), and a pair's candidacy/distance are
+    functions of its two docs' hashes alone — bucket equality does not
+    depend on what else is in the dataset. The verified-property
+    surface needs the library's verdict only on the banded pair axis,
+    so the O(corpus-bucket²) join (measured ~590 s at sf0.1) shrinks to
+    a pair-doc self-join at identical output values."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents")
@@ -402,10 +416,14 @@ def _minhash_library_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="tokens", outputCol="features", binary=True, minDF=1.0
     )
     feats = cv.fit(toks).transform(toks)
-    lsh = MinHashLSH(
+    model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
-    )
-    pairs = lsh.fit(feats).approxSimilarityJoin(
+    ).fit(feats)
+    if candidate_docs is not None:
+        feats = feats.join(
+            F.broadcast(candidate_docs.select("doc_id").distinct()), "doc_id"
+        )
+    pairs = model.approxSimilarityJoin(
         feats, feats, 0.9, distCol="jaccard_dist"
     )
     return (
@@ -451,13 +469,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       approxSimilarityJoin (only candidacy is approximate; the
       distance is exact), pinned per pair.
 
-    Scale shape of the library path: candidate generation is linear in
-    corpus size (each doc lands in numHashTables buckets) versus the
-    shared-shingle join whose fan-out grows with shingle frequency;
-    the verification join is candidate-set-sized, never corpus².
+    Scale shape: the library join is RESTRICTED to the banded pair
+    docs (verdicts are functions of the two docs' hashes alone — see
+    ``_minhash_library_pairs``), so the whole surface costs one corpus
+    vectorize pass + pair-doc-sized joins; the unrestricted
+    corpus-wide approxSimilarityJoin measured ~590 s at sf0.1 for
+    identical output values.
     Determinism remains pinned by seed=42 in tests."""
-    banded = dedup_minhash_banded(spark, sf_dir)
-    lib = _minhash_library_pairs(spark, sf_dir)
+    banded = dedup_minhash_banded(spark, sf_dir).localCheckpoint(eager=True)
+    pair_docs = banded.select(F.col("doc_a").alias("doc_id")).unionByName(
+        banded.select(F.col("doc_b").alias("doc_id"))
+    )
+    lib = _minhash_library_pairs(spark, sf_dir, candidate_docs=pair_docs)
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
     )

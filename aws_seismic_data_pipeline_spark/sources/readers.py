@@ -1063,6 +1063,7 @@ from aws_seismic_data_pipeline_spark.sources.table.maintenance import (  # noqa:
     merge_through_manifest,
     merge_with_conflict_retry,
     optimize_table,
+    optimize_zorder,
     plan_expire_snapshots,
     plan_manifest_compact_commit,
     plan_manifest_merge,

@@ -165,6 +165,13 @@ class GovernedTable:
         )
         return snap
 
+    def optimize_zorder(self, x_col: str, y_col: str, n_files: int = 16):
+        """Rewrite the table Morton-clustered on two columns at one
+        snapshot (Delta OPTIMIZE ZORDER BY); pair with scan_multi."""
+        return R.optimize_zorder(
+            self.spark, self.manifest_dir, x_col, y_col, n_files=n_files
+        )
+
     def merge(self, delta: DataFrame, cols: list[str], insert_files: int = 1):
         """Copy-on-write MERGE: returns (snapshot, intersecting,
         rewritten)."""

@@ -1022,6 +1022,182 @@ def plan_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+def optimize_zorder(
+    spark: SparkSession,
+    manifest_dir: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+) -> tuple[int, int, int]:
+    """OPTIMIZE ZORDER BY — Delta's multi-dimensional clustering verb
+    committed through the manifest: rewrite the table's VISIBLE files
+    range-clustered on the Morton interleave of two columns, tombstone
+    the old layout and add the new files at ONE snapshot. After the
+    commit every file is a narrow rectangle in (x, y) space, so
+    multi-column stats pruning (``manifest_pruned_scan_multi``) opens
+    O(box-intersecting files) where the pre-optimize layout opened
+    everything; readers pinned below the snapshot still see the old
+    layout byte-for-byte (time travel — the rewrite is pure layout,
+    row set unchanged, which the registered query's oracle
+    hash-checks).
+
+    The interleave buckets are RANGE-SCALED from the manifest's own
+    stats (min/max per column over visible files — zero data pages),
+    so raw-column predicates prune afterwards; no pre-bucketed columns
+    needed. Cost: one read+write of the visible bytes (any OPTIMIZE
+    pays this) + one metadata commit. Seed: the reference's one-axis
+    date-prefix layout (``/root/reference/app.py:449-463``)
+    generalized to two query dimensions."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from aws_seismic_data_pipeline_spark.operators.window_ops import (
+        _morton16_sql,
+    )
+
+    manifest = _visible_stats(spark.read.parquet(manifest_dir), None)
+    visible = sorted(
+        r.path for r in manifest.select("path").distinct().collect()
+    )
+    if not visible:
+        raise ValueError(f"optimize_zorder: no visible files in {manifest_dir}")
+    tracked = tuple(
+        sorted(
+            r.column_name
+            for r in manifest.select("column_name").distinct().collect()
+        )
+    )
+    bounds = {
+        r.column_name: (r.lo, r.hi)
+        for r in manifest.filter(F.col("column_name").isin(x_col, y_col))
+        .groupBy("column_name")
+        .agg(F.min("min_val").alias("lo"), F.max("max_val").alias("hi"))
+        .collect()
+    }
+    for c in (x_col, y_col):
+        if c not in bounds or bounds[c][0] is None:
+            raise ValueError(
+                f"optimize_zorder: no stats for {c!r} in {manifest_dir} — "
+                "the z-order columns must be tracked by the manifest"
+            )
+
+    def _bucket(col: str) -> str:
+        lo, hi = bounds[col]
+        span = max(hi - lo, 1e-12)
+        return (
+            f"CAST(least(greatest(({col} - {lo!r}) * 255.0 / {span!r},"
+            " 0.0), 255.0) AS INT)"
+        )
+
+    snap = _claimed_next_snapshot(spark, manifest_dir)
+    out_dir = os.path.dirname(visible[0])
+    tmp = os.path.join(out_dir, f".zorder_{snap}_stage")
+    (
+        spark.read.parquet(*visible)
+        .withColumn(
+            "_zkey", F.expr(_morton16_sql(_bucket(x_col), _bucket(y_col)))
+        )
+        .repartitionByRange(int(n_files), "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    new_paths = []
+    for i, part in enumerate(
+        sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
+    ):
+        dst = os.path.join(out_dir, f"zorder-{snap}-{i:05d}.parquet")
+        _shutil.move(part, dst)
+        new_paths.append(dst)
+    _shutil.rmtree(tmp, ignore_errors=True)
+    verify_claim(manifest_dir, snap)
+    commit_manifest_rows(
+        spark,
+        manifest_dir,
+        [
+            _stats_add_rows(spark, new_paths, tracked, snap),
+            _tombstone_rows(spark, manifest_dir, visible, snap),
+        ],
+    )
+    return snap, len(visible), len(new_paths)
+
+
+@register(
+    "plan_optimize_zorder",
+    oracle="""
+        WITH bounds AS (
+            SELECT MAX(o_orderkey) // 4 AS k_lo,
+                   MAX(o_orderkey) // 2 AS k_hi,
+                   MAX(o_custkey) // 4 AS c_lo,
+                   MAX(o_custkey) // 2 AS c_hi
+            FROM orders
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders, bounds
+        WHERE o_orderkey BETWEEN bounds.k_lo AND bounds.k_hi
+          AND o_custkey BETWEEN bounds.c_lo AND bounds.c_hi
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER end to end: orders land HASH-scattered (the
+    anti-layout — every file spans both key ranges, no predicate can
+    skip anything), the manifest tracks (o_orderkey, o_custkey), then
+    ``optimize_zorder`` rewrites the table Morton-clustered on both
+    RAW columns at one snapshot — and a 2-D rectangle is answered
+    through ``manifest_pruned_scan_multi`` on the optimized layout.
+    The oracle recomputes the rectangle from the raw table, so the
+    driver hash proves the layout rewrite lost/duplicated nothing;
+    the numFiles collapse (post-optimize opens a fraction of the
+    files; pre-optimize opened all) and the time-travel pin (as-of
+    below the optimize sees the scattered layout) are pytest-pinned
+    in tests/test_catalog_scale.py."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        manifest_pruned_scan_multi,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "zopt_data")
+    mpath = scratch_path(spark, sf_dir, "zopt_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        orders.repartition(16).write.mode("overwrite").parquet(data_dir)
+        files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
+        write_stats_manifest(
+            spark, files, mpath, ("o_orderkey", "o_custkey")
+        )
+        optimize_zorder(spark, mpath, "o_orderkey", "o_custkey", n_files=16)
+        mx = orders.agg(
+            F.max("o_orderkey").alias("mk"), F.max("o_custkey").alias("mc")
+        ).collect()[0]
+        k_lo, k_hi = mx.mk // 4, mx.mk // 2
+        c_lo, c_hi = mx.mc // 4, mx.mc // 2
+        box = manifest_pruned_scan_multi(
+            spark,
+            mpath,
+            {"o_orderkey": (k_lo, k_hi), "o_custkey": (c_lo, c_hi)},
+        )
+        return box.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        ).localCheckpoint(eager=True)
+
+
 def optimize_table(
     spark: SparkSession,
     manifest_dir: str,

@@ -178,6 +178,9 @@ HEADLINE = [
     "text_kneser_ney_4gram",
     "scan_manifest_pruned_multi",
     "dedup_minhash_lsh",
+    # ...and OPTIMIZE ZORDER BY through the manifest (layout rewrite +
+    # 2-D pruned rectangle at one snapshot)
+    "plan_optimize_zorder",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

@@ -2637,3 +2637,116 @@ def test_multi_column_pruning_beats_either_axis(spark, tmp_path):
     assert (
         x_only.filter(F.col("cust_bucket").between(*yb)).count() == n_direct
     )
+
+
+def test_multi_pruning_edges_and_asof(spark, tmp_path):
+    """manifest_pruned_scan_multi edges: empty predicate map raises; a
+    disjoint rectangle returns an empty frame with the data schema; a
+    predicate on an untracked column is conservative (keeps files);
+    as_of composes (pre-append pin excludes late files)."""
+    import glob
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        append_stats_manifest,
+        manifest_pruned_scan_multi,
+        manifest_row_count,
+        write_stats_manifest,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    data_dir = str(tmp_path / "docs")
+    docs.repartitionByRange(4, "doc_id").write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "m")
+    write_stats_manifest(spark, files[:3], mpath, ("doc_id",))
+
+    with _pytest.raises(ValueError, match="empty predicate"):
+        manifest_pruned_scan_multi(spark, mpath, {})
+
+    empty = manifest_pruned_scan_multi(
+        spark, mpath, {"doc_id": (10**9, 2 * 10**9)}
+    )
+    assert empty.count() == 0 and set(empty.columns) == {"doc_id", "n_chars"}
+
+    # n_chars is NOT tracked: its predicate must not eliminate files
+    # (conservative), only the residual row filter applies
+    cons = manifest_pruned_scan_multi(
+        spark, mpath, {"doc_id": (0, 10**9), "n_chars": (0, 10**9)}
+    )
+    tracked_rows = manifest_pruned_scan_multi(
+        spark, mpath, {"doc_id": (0, 10**9)}
+    ).count()
+    assert cons.count() == tracked_rows > 0
+
+    n0 = manifest_row_count(spark, mpath)
+    append_stats_manifest(spark, files[3:], mpath, ("doc_id",))  # snap 1
+    assert manifest_row_count(spark, mpath) == docs.count()
+    assert manifest_row_count(spark, mpath, as_of=0) == n0
+    pinned = manifest_pruned_scan_multi(
+        spark, mpath, {"doc_id": (0, 10**9)}, as_of=0
+    )
+    assert pinned.count() == n0
+
+
+def test_optimize_zorder_collapses_files_and_preserves_history(spark, tmp_path):
+    """optimize_zorder's contract: pre-optimize (hash-scattered) a 2-D
+    rectangle opens EVERY file; post-optimize it opens a strict
+    fraction; the row set is unchanged; and an as-of read below the
+    optimize still sees the scattered layout (time travel)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
+        optimize_zorder,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        manifest_pruned_scan_multi,
+        manifest_row_count,
+        write_stats_manifest,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    data_dir = str(tmp_path / "data")
+    orders.repartition(16).write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "m")
+    write_stats_manifest(spark, files, mpath, ("o_orderkey", "o_custkey"))
+
+    mx = orders.agg(
+        F.max("o_orderkey").alias("mk"), F.max("o_custkey").alias("mc")
+    ).collect()[0]
+    box = {
+        "o_orderkey": (mx.mk // 4, mx.mk // 2),
+        "o_custkey": (mx.mc // 4, mx.mc // 2),
+    }
+    pre = manifest_pruned_scan_multi(spark, mpath, box)
+    n_pre_files = len(pre.inputFiles())
+    n_box_rows = pre.count()
+    assert n_pre_files == len(files), "hash layout must defeat pruning"
+
+    n0 = manifest_row_count(spark, mpath)
+    snap, n_old, n_new = optimize_zorder(
+        spark, mpath, "o_orderkey", "o_custkey", n_files=16
+    )
+    assert n_old == len(files) and n_new >= 1
+
+    post = manifest_pruned_scan_multi(spark, mpath, box)
+    assert len(post.inputFiles()) < n_pre_files // 2, (
+        len(post.inputFiles()),
+        n_pre_files,
+    )
+    assert post.count() == n_box_rows
+    # pure layout rewrite: total rows unchanged, history intact
+    assert manifest_row_count(spark, mpath) == n0
+    assert manifest_row_count(spark, mpath, as_of=snap - 1) == n0
+    pinned = manifest_pruned_scan_multi(spark, mpath, box, as_of=snap - 1)
+    assert len(pinned.inputFiles()) == n_pre_files
+    assert pinned.count() == n_box_rows

@@ -1064,6 +1064,7 @@ from aws_seismic_data_pipeline_spark.sources.table.maintenance import (  # noqa:
     merge_with_conflict_retry,
     optimize_table,
     optimize_zorder,
+    optimize_zorder_incremental,
     plan_expire_snapshots,
     plan_manifest_compact_commit,
     plan_manifest_merge,

@@ -1123,6 +1123,208 @@ def optimize_zorder(
     return snap, len(visible), len(new_paths)
 
 
+def optimize_zorder_incremental(
+    spark: SparkSession,
+    manifest_dir: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 4,
+    coverage_threshold: float = 0.5,
+) -> tuple[int, int, int, int]:
+    """INCREMENTAL Z-order maintenance — the Delta liquid-clustering
+    shape: cluster only the UNCLUSTERED visible files instead of
+    rewriting the table. A full ``optimize_zorder`` re-sorts every
+    byte — prohibitive as recurring maintenance at 100 TB; under
+    continuous ingest the steady state is a large already-clustered
+    bulk plus a small scattered tail of fresh appends, and only the
+    tail needs work.
+
+    Selection is METADATA-ONLY: a file is unclustered when its stats
+    rectangle covers more than ``coverage_threshold`` of the table's
+    global range in BOTH dimensions (a Z-clustered file is narrow in
+    both — a 16-file Morton layout gives ~1/4-span tiles; a fresh
+    hash-scattered append spans ~everything). The scattered files are
+    rewritten Morton-clustered (buckets scaled from GLOBAL bounds, so
+    the new tiles land in the same coordinate system as the existing
+    layout) and committed add+remove at ONE snapshot; the clustered
+    bulk's files are never read, rewritten, or tombstoned — the
+    pytest pins their on-disk mtimes unchanged. Returns
+    (snapshot_id, n_scattered_rewritten, n_new_files, n_untouched);
+    raises if nothing is scattered (the no-op must be visible, not a
+    silent empty commit)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from aws_seismic_data_pipeline_spark.operators.window_ops import (
+        _morton16_sql,
+    )
+
+    manifest = _visible_stats(spark.read.parquet(manifest_dir), None)
+    tracked = tuple(
+        sorted(
+            r.column_name
+            for r in manifest.select("column_name").distinct().collect()
+        )
+    )
+    # per-file rectangles AND global bounds for both dims, one metadata agg
+    per_file = (
+        manifest.filter(F.col("column_name").isin(x_col, y_col))
+        .groupBy("path", "column_name")
+        .agg(F.min("min_val").alias("lo"), F.max("max_val").alias("hi"))
+    )
+    rows = per_file.collect()
+    glo = {}
+    for r in rows:
+        lo, hi = glo.get(r.column_name, (float("inf"), float("-inf")))
+        glo[r.column_name] = (min(lo, r.lo), max(hi, r.hi))
+    for c in (x_col, y_col):
+        if c not in glo:
+            raise ValueError(
+                f"optimize_zorder_incremental: no stats for {c!r} in "
+                f"{manifest_dir}"
+            )
+    spans = {c: max(glo[c][1] - glo[c][0], 1e-12) for c in (x_col, y_col)}
+    width = {}
+    for r in rows:
+        width.setdefault(r.path, {})[r.column_name] = (r.hi - r.lo) / spans[
+            r.column_name
+        ]
+    scattered = sorted(
+        p
+        for p, w in width.items()
+        if w.get(x_col, 1.0) > coverage_threshold
+        and w.get(y_col, 1.0) > coverage_threshold
+    )
+    n_untouched = len(width) - len(scattered)
+    if not scattered:
+        raise ValueError(
+            "optimize_zorder_incremental: every visible file is already "
+            f"clustered below coverage {coverage_threshold} — nothing to do"
+        )
+
+    def _bucket(col: str) -> str:
+        lo, _hi = glo[col]
+        return (
+            f"CAST(least(greatest(({col} - {lo!r}) * 255.0 / "
+            f"{spans[col]!r}, 0.0), 255.0) AS INT)"
+        )
+
+    snap = _claimed_next_snapshot(spark, manifest_dir)
+    out_dir = os.path.dirname(scattered[0])
+    tmp = os.path.join(out_dir, f".zinc_{snap}_stage")
+    (
+        spark.read.parquet(*scattered)
+        .withColumn(
+            "_zkey", F.expr(_morton16_sql(_bucket(x_col), _bucket(y_col)))
+        )
+        .repartitionByRange(int(n_files), "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    new_paths = []
+    for i, part in enumerate(
+        sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
+    ):
+        dst = os.path.join(out_dir, f"zinc-{snap}-{i:05d}.parquet")
+        _shutil.move(part, dst)
+        new_paths.append(dst)
+    _shutil.rmtree(tmp, ignore_errors=True)
+    verify_claim(manifest_dir, snap)
+    commit_manifest_rows(
+        spark,
+        manifest_dir,
+        [
+            _stats_add_rows(spark, new_paths, tracked, snap),
+            _tombstone_rows(spark, manifest_dir, scattered, snap),
+        ],
+    )
+    return snap, len(scattered), len(new_paths), n_untouched
+
+
+@register(
+    "plan_optimize_zorder_incremental",
+    oracle="""
+        WITH bounds AS (
+            SELECT MAX(o_orderkey) // 8 AS k_lo,
+                   (3 * MAX(o_orderkey)) // 8 AS k_hi,
+                   (3 * MAX(o_custkey)) // 8 AS c_lo,
+                   (5 * MAX(o_custkey)) // 8 AS c_hi
+            FROM orders
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders, bounds
+        WHERE o_orderkey BETWEEN bounds.k_lo AND bounds.k_hi
+          AND o_custkey BETWEEN bounds.c_lo AND bounds.c_hi
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_optimize_zorder_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The liquid-clustering lifecycle end to end: 80% of orders land
+    Z-ordered (the clustered bulk), the remaining 20% arrive later as
+    a hash-scattered append (fresh ingest), and
+    ``optimize_zorder_incremental`` clusters ONLY the scattered tail —
+    the bulk's files are never rewritten. The 2-D rectangle is then
+    answered through multi-column manifest pruning over the mixed
+    (bulk tiles + tail tiles) layout, and the oracle recomputes it
+    from the raw table: a lost or double-counted row in either
+    generation breaks the hash. The untouched-bulk (mtime), numFiles,
+    and time-travel pins live in tests/test_catalog_scale.py."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        append_stats_manifest,
+        manifest_pruned_scan_multi,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "zinc_data")
+    mpath = scratch_path(spark, sf_dir, "zinc_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        bulk = orders.filter(F.col("o_orderkey") % 5 != 0)
+        late = orders.filter(F.col("o_orderkey") % 5 == 0)
+        bulk.repartition(12).write.mode("overwrite").parquet(data_dir)
+        files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
+        write_stats_manifest(spark, files, mpath, ("o_orderkey", "o_custkey"))
+        # cluster the bulk (snapshot 1), then the scattered tail arrives
+        optimize_zorder(spark, mpath, "o_orderkey", "o_custkey", n_files=12)
+        late_dir = os.path.join(data_dir, "late")
+        late.repartition(4).write.mode("overwrite").parquet(late_dir)
+        late_files = sorted(_glob.glob(os.path.join(late_dir, "*.parquet")))
+        append_stats_manifest(spark, late_files, mpath, ("o_orderkey", "o_custkey"))
+        optimize_zorder_incremental(
+            spark, mpath, "o_orderkey", "o_custkey", n_files=4
+        )
+        mx = orders.agg(
+            F.max("o_orderkey").alias("mk"), F.max("o_custkey").alias("mc")
+        ).collect()[0]
+        box = {
+            "o_orderkey": (mx.mk // 8, (3 * mx.mk) // 8),
+            "o_custkey": ((3 * mx.mc) // 8, (5 * mx.mc) // 8),
+        }
+        out = manifest_pruned_scan_multi(spark, mpath, box)
+        return out.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        ).localCheckpoint(eager=True)
+
+
 @register(
     "plan_optimize_zorder",
     oracle="""

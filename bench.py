@@ -181,6 +181,7 @@ HEADLINE = [
     # ...and OPTIMIZE ZORDER BY through the manifest (layout rewrite +
     # 2-D pruned rectangle at one snapshot)
     "plan_optimize_zorder",
+    "plan_optimize_zorder_incremental",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

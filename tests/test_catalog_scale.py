@@ -2750,3 +2750,82 @@ def test_optimize_zorder_collapses_files_and_preserves_history(spark, tmp_path):
     pinned = manifest_pruned_scan_multi(spark, mpath, box, as_of=snap - 1)
     assert len(pinned.inputFiles()) == n_pre_files
     assert pinned.count() == n_box_rows
+
+
+def test_incremental_zorder_touches_only_the_scattered_tail(spark, tmp_path):
+    """optimize_zorder_incremental's liquid-clustering contract: after a
+    scattered append degrades pruning, the incremental pass rewrites
+    ONLY the scattered files — the clustered bulk's files keep their
+    on-disk mtimes and stay visible — pruning recovers, rows are
+    conserved, and as-of below the pass sees the degraded layout."""
+    import glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
+        optimize_zorder,
+        optimize_zorder_incremental,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        append_stats_manifest,
+        manifest_pruned_scan_multi,
+        manifest_row_count,
+        write_stats_manifest,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.commit import (
+        ConcurrentCommitError,
+    )
+    import pytest as _pytest
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    bulk = orders.filter(F.col("o_orderkey") % 5 != 0)
+    late = orders.filter(F.col("o_orderkey") % 5 == 0)
+    data_dir = str(tmp_path / "data")
+    bulk.repartition(12).write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "m")
+    write_stats_manifest(spark, files, mpath, ("o_orderkey", "o_custkey"))
+    optimize_zorder(spark, mpath, "o_orderkey", "o_custkey", n_files=12)
+
+    # fully-clustered table: the incremental pass must refuse (visible
+    # no-op, not an empty commit)
+    with _pytest.raises(ValueError, match="already"):
+        optimize_zorder_incremental(spark, mpath, "o_orderkey", "o_custkey")
+
+    late_dir = _os.path.join(data_dir, "late")
+    late.repartition(4).write.parquet(late_dir)
+    late_files = sorted(glob.glob(late_dir + "/*.parquet"))
+    append_stats_manifest(spark, late_files, mpath, ("o_orderkey", "o_custkey"))
+
+    mx = orders.agg(
+        F.max("o_orderkey").alias("mk"), F.max("o_custkey").alias("mc")
+    ).collect()[0]
+    box = {
+        "o_orderkey": (mx.mk // 8, mx.mk // 4),
+        "o_custkey": (mx.mc // 8, mx.mc // 4),
+    }
+    pre = manifest_pruned_scan_multi(spark, mpath, box)
+    n_pre_files, n_box = len(pre.inputFiles()), pre.count()
+    assert n_box > 0
+    # every scattered file spans the whole space: all of them are opened
+    assert n_pre_files > len(late_files)
+    n_total = manifest_row_count(spark, mpath)
+    bulk_tiles = sorted(glob.glob(data_dir + "/zorder-*.parquet"))
+    mtimes = {p: _os.stat(p).st_mtime_ns for p in bulk_tiles}
+
+    snap, n_scat, n_new, n_kept = optimize_zorder_incremental(
+        spark, mpath, "o_orderkey", "o_custkey", n_files=4
+    )
+    assert n_scat == len(late_files) and n_kept == len(bulk_tiles)
+    # the clustered bulk was never rewritten
+    assert {p: _os.stat(p).st_mtime_ns for p in bulk_tiles} == mtimes
+    post = manifest_pruned_scan_multi(spark, mpath, box)
+    assert len(post.inputFiles()) < n_pre_files
+    assert post.count() == n_box
+    assert manifest_row_count(spark, mpath) == n_total
+    pinned = manifest_pruned_scan_multi(spark, mpath, box, as_of=snap - 1)
+    assert len(pinned.inputFiles()) == n_pre_files and pinned.count() == n_box

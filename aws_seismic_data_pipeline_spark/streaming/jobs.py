@@ -768,7 +768,7 @@ def stream_manifest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         scratch_cleanup,
         scratch_path,
     )
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
         append_stats_manifest,
         manifest_pruned_scan,
     )
@@ -1313,8 +1313,10 @@ def run_stream_merge(
     snapshot boundaries the scratch-cleaned query can't expose)."""
     import glob as _glob
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
         merge_with_conflict_retry,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
         write_stats_manifest,
     )
 
@@ -1447,7 +1449,7 @@ def stream_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         scratch_cleanup,
         scratch_path,
     )
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
         manifest_pruned_scan,
     )
 

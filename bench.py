@@ -412,7 +412,7 @@ def _bench_bloom_manifest(spark, sf_dir: str) -> dict[str, float]:
     import shutil
 
     from aws_seismic_data_pipeline_spark.catalog import load_table
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.sketches import (
         _BLOOM_LOOKUP_KEYS,
         bloom_pruned_scan,
         build_bloom_manifest,
@@ -499,17 +499,21 @@ def _bench_manifest_lifecycle(spark, sf_dir: str) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     from aws_seismic_data_pipeline_spark.catalog import load_table
-    from aws_seismic_data_pipeline_spark.sources.readers import (
-        _visible_stats,
-        append_stats_manifest,
-        commit_data_compaction,
+    from aws_seismic_data_pipeline_spark.sources.table.deletes import (
         compact_equality_deletes,
         equality_delete,
-        expire_manifest_history,
-        manifest_pruned_scan,
-        merge_through_manifest,
         read_with_deletes,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
+        commit_data_compaction,
+        expire_manifest_history,
+        merge_through_manifest,
         vacuum_orphans_report,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        _visible_stats,
+        append_stats_manifest,
+        manifest_pruned_scan,
         write_stats_manifest,
     )
 

@@ -235,8 +235,10 @@ def test_rowgroup_stats_prune_files_and_lose_no_rows(spark, tmp_path):
     and returns exactly the rows a brute-force filter finds."""
     import glob
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.footers import (
         rangekey_write,
+    )
+    from aws_seismic_data_pipeline_spark.sources.readers import (
         rowgroup_pruned_scan,
     )
 
@@ -355,8 +357,10 @@ def test_rowgroup_pruning_property_random_ranges(spark, tmp_path):
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.footers import (
         rangekey_write,
+    )
+    from aws_seismic_data_pipeline_spark.sources.readers import (
         rowgroup_pruned_scan,
     )
 
@@ -469,12 +473,16 @@ def test_manifest_pruned_scan_equals_direct_and_prunes(spark, tmp_path):
     contracts that make the manifest the catalog instead of a cache."""
     import glob
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
-        append_stats_manifest,
-        manifest_pruned_scan,
+    from aws_seismic_data_pipeline_spark.sources.footers import (
         rangekey_write,
         read_footer_stats_multi,
+    )
+    from aws_seismic_data_pipeline_spark.sources.readers import (
         rowgroup_pruned_scan,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        append_stats_manifest,
+        manifest_pruned_scan,
         write_stats_manifest,
     )
 
@@ -527,7 +535,7 @@ def test_manifest_prunes_on_second_column(spark, tmp_path):
     import glob
 
     from aws_seismic_data_pipeline_spark.catalog import load_table
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
         manifest_pruned_scan,
         write_stats_manifest,
     )
@@ -565,8 +573,10 @@ def test_vacuum_report_empty_when_fully_tracked(spark, tmp_path):
     import glob
 
     from aws_seismic_data_pipeline_spark.catalog import load_table
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
         vacuum_orphans_report,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
         write_stats_manifest,
     )
 
@@ -607,9 +617,11 @@ def test_manifest_pruning_property_random_ranges(spark, tmp_path):
     from hypothesis import strategies as st
 
     from aws_seismic_data_pipeline_spark.catalog import compact_parquet_dir
-    from aws_seismic_data_pipeline_spark.sources.readers import (
-        manifest_pruned_scan,
+    from aws_seismic_data_pipeline_spark.sources.footers import (
         rangekey_write,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        manifest_pruned_scan,
         write_stats_manifest,
     )
 
@@ -675,10 +687,12 @@ def test_compaction_commit_time_travel_and_vacuum(spark, tmp_path):
     import glob
 
     from aws_seismic_data_pipeline_spark.catalog import load_table
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
         commit_data_compaction,
-        manifest_pruned_scan,
         vacuum_orphans_report,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        manifest_pruned_scan,
         write_stats_manifest,
     )
 
@@ -736,9 +750,11 @@ def test_manifest_scan_pushes_residual_predicate(spark, tmp_path):
     import io
     from contextlib import redirect_stdout
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
-        manifest_pruned_scan,
+    from aws_seismic_data_pipeline_spark.sources.footers import (
         rangekey_write,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        manifest_pruned_scan,
         write_stats_manifest,
     )
 
@@ -772,7 +788,7 @@ def test_bloom_manifest_prunes_and_loses_no_rows(spark, tmp_path):
     import glob
 
     from aws_seismic_data_pipeline_spark.catalog import load_table
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.sketches import (
         append_bloom_manifest,
         bloom_pruned_scan,
         build_bloom_manifest,
@@ -838,10 +854,12 @@ def test_bloom_manifest_string_keys_and_tombstones(spark, tmp_path):
     """String keys hash through the same CAST-to-STRING normalization,
     and a file tombstoned out of the bloom manifest must be invisible
     to probes even though its filter would match."""
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        remove_from_manifest,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.sketches import (
         bloom_pruned_scan,
         build_bloom_manifest,
-        remove_from_manifest,
     )
 
     import glob
@@ -922,10 +940,12 @@ def test_equality_delete_visibility_directions(spark, tmp_path):
     import glob
 
     from aws_seismic_data_pipeline_spark.catalog import load_table
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.deletes import (
         equality_delete,
-        manifest_pruned_scan,
         read_with_deletes,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        manifest_pruned_scan,
         write_stats_manifest,
     )
 
@@ -1017,7 +1037,7 @@ def test_bloom_property_no_false_negatives(spark, tmp_path):
     from hypothesis import strategies as st
 
     from aws_seismic_data_pipeline_spark.catalog import load_table
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.sketches import (
         bloom_pruned_scan,
         build_bloom_manifest,
     )
@@ -1065,7 +1085,7 @@ def test_bloom_scan_pushes_residual_in_filter(spark, tmp_path):
     import re
 
     from aws_seismic_data_pipeline_spark.catalog import load_table
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.sketches import (
         bloom_pruned_scan,
         build_bloom_manifest,
     )
@@ -1180,8 +1200,10 @@ def test_shallow_clone_isolates_both_directions(spark, tmp_path):
     import os
 
     from aws_seismic_data_pipeline_spark.catalog import load_table
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
         clone_manifest,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
         manifest_pruned_scan,
         remove_from_manifest,
         write_stats_manifest,
@@ -1345,9 +1367,11 @@ def test_incremental_scan_skips_compaction_snapshots(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
-        append_stats_manifest,
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
         commit_data_compaction,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        append_stats_manifest,
         manifest_incremental_scan,
         manifest_pruned_scan,
         write_stats_manifest,
@@ -1388,11 +1412,13 @@ def test_rollback_preserves_history_and_guards_resurrection(spark, tmp_path):
     import pytest as _pytest
     from pyspark.sql import functions as F
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
-        append_stats_manifest,
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
         commit_data_compaction,
-        manifest_pruned_scan,
         rollback_manifest,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        append_stats_manifest,
+        manifest_pruned_scan,
         write_stats_manifest,
     )
 
@@ -1467,9 +1493,11 @@ def test_manifest_merge_cow_rewrites_only_intersecting_and_time_travels(
     the first but not the second."""
     import glob
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
-        manifest_pruned_scan,
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
         merge_through_manifest,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        manifest_pruned_scan,
         write_stats_manifest,
     )
 
@@ -1566,11 +1594,13 @@ def test_bloom_fp_rate_matches_sizing_math_at_sf01(spark, tmp_path):
     from functools import reduce
     from operator import and_ as AND
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.footers import (
+        read_footer_stats_multi,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.sketches import (
         _BLOOM_A,
         _bloom_pos_sql,
         build_bloom_manifest,
-        read_footer_stats_multi,
     )
 
     sf_dir = "/root/testdata/sf0.1"
@@ -1645,12 +1675,14 @@ def test_delete_compaction_retires_records_and_preserves_history(
     subset of files, and rewriting lost no surviving row."""
     import glob
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.deletes import (
         _live_delete_records,
         compact_equality_deletes,
         equality_delete,
-        manifest_pruned_scan,
         read_with_deletes,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        manifest_pruned_scan,
         write_stats_manifest,
     )
 
@@ -1722,13 +1754,17 @@ def test_expire_manifest_history_preserves_floor_and_raises_below(
 
     import pytest as _pytest
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
-        commit_data_compaction,
+    from aws_seismic_data_pipeline_spark.sources.table.deletes import (
         compact_equality_deletes,
         equality_delete,
-        expire_manifest_history,
-        manifest_pruned_scan,
         read_with_deletes,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
+        commit_data_compaction,
+        expire_manifest_history,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        manifest_pruned_scan,
         write_stats_manifest,
     )
 
@@ -1806,9 +1842,11 @@ def test_manifest_count_is_metadata_dominated(spark, tmp_path):
     an empty range scans nothing and returns 0."""
     import glob
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
-        manifest_count_range,
+    from aws_seismic_data_pipeline_spark.sources.footers import (
         rangekey_write,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        manifest_count_range,
         write_stats_manifest,
     )
 
@@ -1851,11 +1889,15 @@ def test_expire_scopes_retire_ceilings_per_column(spark, tmp_path):
     resurrected its rows."""
     import glob
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.deletes import (
         compact_equality_deletes,
         equality_delete,
-        expire_manifest_history,
         read_with_deletes,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
+        expire_manifest_history,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
         write_stats_manifest,
     )
 
@@ -1917,8 +1959,10 @@ def test_merge_rejects_duplicate_delta_keys(spark, tmp_path):
 
     import pytest as _pytest
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
         merge_through_manifest,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
         write_stats_manifest,
     )
 
@@ -1945,11 +1989,13 @@ def test_manifest_paths_survive_special_char_dirs(spark, tmp_path):
     rather than forked encoded/decoded groups."""
     import glob
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
-        bloom_pruned_scan,
-        build_bloom_manifest,
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
         manifest_count_range,
         write_stats_manifest,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.sketches import (
+        bloom_pruned_scan,
+        build_bloom_manifest,
     )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -1987,7 +2033,7 @@ def test_partition_plus_stats_pruning_compound(spark, tmp_path):
     are kept conservatively."""
     import glob
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
         manifest_pruned_scan,
         write_stats_manifest,
     )
@@ -2057,11 +2103,17 @@ def test_concurrent_merge_conflict_retry_serializes(spark, tmp_path):
     SERIAL application A-then-B."""
     import glob
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.commit import (
         ConcurrentCommitError,
         claim_commit,
-        merge_with_conflict_retry,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.deletes import (
         read_with_deletes,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
+        merge_with_conflict_retry,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
         write_stats_manifest,
     )
 
@@ -2118,10 +2170,12 @@ def test_schema_evolution_time_travels(spark, tmp_path):
 
     import pytest as _pytest
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
-        append_stats_manifest,
+    from aws_seismic_data_pipeline_spark.sources.table.evolution import (
         evolve_schema_add,
         read_evolved,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        append_stats_manifest,
         write_stats_manifest,
     )
 
@@ -2161,8 +2215,10 @@ def test_schema_evolution_time_travels(spark, tmp_path):
     # the committed schema survives history expiry (round-10 review
     # finding: expire dropped 'schema_add' rows below the floor,
     # silently un-declaring the column)
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.deletes import (
         equality_delete,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
         expire_manifest_history,
     )
 
@@ -2184,10 +2240,12 @@ def test_vacuum_executes_with_retention(spark, tmp_path):
     manifest-side expire keeps failing loudly at metadata."""
     import glob
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
         commit_data_compaction,
-        manifest_pruned_scan,
         vacuum_orphans,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        manifest_pruned_scan,
         write_stats_manifest,
     )
 
@@ -2234,7 +2292,7 @@ def test_partition_evolution_prunes_only_new_generation(spark, tmp_path):
     is exact."""
     import glob
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
         append_stats_manifest,
         manifest_pruned_scan,
         write_stats_manifest,
@@ -2283,14 +2341,18 @@ def test_sketch_manifest_band_merge_equals_direct(spark, tmp_path):
 
     from pyspark.sql import Window as W
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.footers import (
+        rangekey_write,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        manifest_pruned_scan,
+        write_stats_manifest,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.sketches import (
         _SKETCH_K,
         _SKETCH_SCALE,
-        manifest_pruned_scan,
-        rangekey_write,
         sketch_merged_ndv,
         write_kmv_sketch_manifest,
-        write_stats_manifest,
     )
 
     path = str(tmp_path / "rangekey")
@@ -2356,9 +2418,11 @@ def test_claim_commit_stale_token_takeover(spark, tmp_path):
 
     import pytest as _pytest
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.commit import (
         ConcurrentCommitError,
         claim_commit,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
         write_stats_manifest,
     )
 
@@ -2395,9 +2459,11 @@ def test_vacuum_retention_measured_from_tombstone_time(spark, tmp_path):
     import glob
     import time
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
-        remove_from_manifest,
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
         vacuum_orphans,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        remove_from_manifest,
         write_stats_manifest,
     )
 
@@ -2428,7 +2494,7 @@ def test_partition_values_decode_hive_escapes(spark, tmp_path):
     the LOGICAL value so partition_filter compares logical-to-logical."""
     import glob
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
         manifest_pruned_scan,
         write_stats_manifest,
     )
@@ -2475,7 +2541,7 @@ def test_revoked_claim_refuses_to_commit(spark, tmp_path):
 
     import pytest as _pytest
 
-    from aws_seismic_data_pipeline_spark.sources import readers as R
+    from aws_seismic_data_pipeline_spark.sources.table import _verbs as R
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     data_dir = str(tmp_path / "docs")
@@ -2517,7 +2583,7 @@ def test_expire_preserves_inflight_tokens_prunes_committed(spark, tmp_path):
 
     import pytest as _pytest
 
-    from aws_seismic_data_pipeline_spark.sources import readers as R
+    from aws_seismic_data_pipeline_spark.sources.table import _verbs as R
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     data_dir = str(tmp_path / "docs")
@@ -2553,7 +2619,7 @@ def test_compound_commit_is_one_write_job(spark, tmp_path):
     import glob
     import re
 
-    from aws_seismic_data_pipeline_spark.sources import readers as R
+    from aws_seismic_data_pipeline_spark.sources.table import _verbs as R
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     data_dir = str(tmp_path / "docs")

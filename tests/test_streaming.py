@@ -473,7 +473,7 @@ def test_stream_merge_commits_one_snapshot_per_batch(spark, tmp_path):
     hence commuting) deltas applied."""
     from pyspark.sql import functions as F
 
-    from aws_seismic_data_pipeline_spark.sources.readers import (
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
         manifest_pruned_scan,
     )
     from aws_seismic_data_pipeline_spark.streaming.jobs import (

@@ -2,13 +2,16 @@
 table verbs (the DeltaTable / Iceberg Table analog).
 
 Every verb is implemented (and individually driver-hash-checked /
-pytest-pinned) in :mod:`aws_seismic_data_pipeline_spark.sources.readers`;
-this module only binds them to one (data_dir, manifest_dir, key) triple
-so a user migrating from the reference's loose S3-prefix conventions
+pytest-pinned) in the split table-format modules
+(:mod:`..table.manifest` / ``commit`` / ``deletes`` / ``maintenance`` /
+``sketches`` / ``evolution``, aggregated by :mod:`._verbs`); this
+module only binds them to one (data_dir, manifest_dir, key) triple so
+a user migrating from the reference's loose S3-prefix conventions
 (`/root/reference/app.py:449-463` — a date-keyed prefix IS its table)
-holds one object with the full lifecycle: scan (stats-pruned, as-of,
-incremental), append, copy-on-write merge, row-level delete + its
-compaction, file compaction, vacuum, clone, rollback, and history
+holds one object with the full lifecycle: scan (stats-pruned,
+multi-column, as-of, incremental), metadata row counts, retrying
+append, copy-on-write merge, row-level delete + its compaction, file
+compaction, OPTIMIZE ZORDER, vacuum, clone, rollback, and history
 expiry. No new dataflow lives here — thin delegation only, pinned by
 the end-to-end scenario test (tests/test_governed_table.py).
 """

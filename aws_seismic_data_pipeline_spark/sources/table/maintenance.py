@@ -1028,6 +1028,7 @@ def optimize_zorder(
     x_col: str,
     y_col: str,
     n_files: int = 16,
+    partition_by: tuple[str, ...] = (),
 ) -> tuple[int, int, int]:
     """OPTIMIZE ZORDER BY — Delta's multi-dimensional clustering verb
     committed through the manifest: rewrite the table's VISIBLE files
@@ -1047,10 +1048,12 @@ def optimize_zorder(
     needed. Cost: one read+write of the visible bytes (any OPTIMIZE
     pays this) + one metadata commit. Seed: the reference's one-axis
     date-prefix layout (``/root/reference/app.py:449-463``)
-    generalized to two query dimensions."""
-    import glob as _glob
-    import shutil as _shutil
+    generalized to two query dimensions.
 
+    Hive-partitioned tables are clustered WITHIN each partition dir
+    (``_zcluster_rewrite`` — partition identity preserved); pass
+    ``partition_by`` so the new files' stats rows re-record their
+    partition values."""
     from aws_seismic_data_pipeline_spark.operators.window_ops import (
         _morton16_sql,
     )
@@ -1090,37 +1093,76 @@ def optimize_zorder(
         )
 
     snap = _claimed_next_snapshot(spark, manifest_dir)
-    out_dir = os.path.dirname(visible[0])
-    tmp = os.path.join(out_dir, f".zorder_{snap}_stage")
-    (
-        spark.read.parquet(*visible)
-        .withColumn(
-            "_zkey", F.expr(_morton16_sql(_bucket(x_col), _bucket(y_col)))
-        )
-        .repartitionByRange(int(n_files), "_zkey")
-        .sortWithinPartitions("_zkey")
-        .drop("_zkey")
-        .write.mode("overwrite")
-        .parquet(tmp)
+    new_paths = _zcluster_rewrite(
+        spark,
+        visible,
+        _morton16_sql(_bucket(x_col), _bucket(y_col)),
+        int(n_files),
+        snap,
+        "zorder",
     )
-    new_paths = []
-    for i, part in enumerate(
-        sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
-    ):
-        dst = os.path.join(out_dir, f"zorder-{snap}-{i:05d}.parquet")
-        _shutil.move(part, dst)
-        new_paths.append(dst)
-    _shutil.rmtree(tmp, ignore_errors=True)
     verify_claim(manifest_dir, snap)
     commit_manifest_rows(
         spark,
         manifest_dir,
         [
-            _stats_add_rows(spark, new_paths, tracked, snap),
+            _stats_add_rows(
+                spark, new_paths, tracked, snap, partition_by=partition_by
+            ),
             _tombstone_rows(spark, manifest_dir, visible, snap),
         ],
     )
     return snap, len(visible), len(new_paths)
+
+
+def _zcluster_rewrite(
+    spark: SparkSession,
+    paths: list[str],
+    zkey_sql: str,
+    n_files: int,
+    snap: int,
+    prefix: str,
+) -> list[str]:
+    """Rewrite ``paths`` Morton-clustered, PER PARTITION DIRECTORY —
+    files are grouped by their parent dir and each group is clustered
+    and landed back into ITS OWN dir. A cross-dir rewrite would merge
+    rows whose partition value lives only in the path and write them
+    into one partition's dir, silently corrupting every
+    partition-filtered scan (the same identity rule ``optimize_table``
+    bins under). File counts split proportionally, min 1 per dir.
+    Returns the new paths (staged + moved; commit is the caller's)."""
+    import glob as _glob
+    import itertools as _it
+    import shutil as _shutil
+
+    by_dir = {
+        d: list(g)
+        for d, g in _it.groupby(sorted(paths), key=os.path.dirname)
+    }
+    total = len(paths)
+    new_paths: list[str] = []
+    for out_dir, group in by_dir.items():
+        n_out = max(1, round(n_files * len(group) / total))
+        tmp = os.path.join(out_dir, f".{prefix}_{snap}_stage")
+        (
+            spark.read.parquet(*group)
+            .withColumn("_zkey", F.expr(zkey_sql))
+            .repartitionByRange(n_out, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        for i, part in enumerate(
+            sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
+        ):
+            dst = os.path.join(
+                out_dir, f"{prefix}-{snap}-{i:05d}.parquet"
+            )
+            _shutil.move(part, dst)
+            new_paths.append(dst)
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return new_paths
 
 
 def optimize_zorder_incremental(
@@ -1130,6 +1172,7 @@ def optimize_zorder_incremental(
     y_col: str,
     n_files: int = 4,
     coverage_threshold: float = 0.5,
+    partition_by: tuple[str, ...] = (),
 ) -> tuple[int, int, int, int]:
     """INCREMENTAL Z-order maintenance — the Delta liquid-clustering
     shape: cluster only the UNCLUSTERED visible files instead of
@@ -1151,10 +1194,8 @@ def optimize_zorder_incremental(
     pytest pins their on-disk mtimes unchanged. Returns
     (snapshot_id, n_scattered_rewritten, n_new_files, n_untouched);
     raises if nothing is scattered (the no-op must be visible, not a
-    silent empty commit)."""
-    import glob as _glob
-    import shutil as _shutil
-
+    silent empty commit). Hive-partitioned tables cluster within each
+    partition dir; ``partition_by`` re-records partition values."""
     from aws_seismic_data_pipeline_spark.operators.window_ops import (
         _morton16_sql,
     )
@@ -1210,33 +1251,22 @@ def optimize_zorder_incremental(
         )
 
     snap = _claimed_next_snapshot(spark, manifest_dir)
-    out_dir = os.path.dirname(scattered[0])
-    tmp = os.path.join(out_dir, f".zinc_{snap}_stage")
-    (
-        spark.read.parquet(*scattered)
-        .withColumn(
-            "_zkey", F.expr(_morton16_sql(_bucket(x_col), _bucket(y_col)))
-        )
-        .repartitionByRange(int(n_files), "_zkey")
-        .sortWithinPartitions("_zkey")
-        .drop("_zkey")
-        .write.mode("overwrite")
-        .parquet(tmp)
+    new_paths = _zcluster_rewrite(
+        spark,
+        scattered,
+        _morton16_sql(_bucket(x_col), _bucket(y_col)),
+        int(n_files),
+        snap,
+        "zinc",
     )
-    new_paths = []
-    for i, part in enumerate(
-        sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
-    ):
-        dst = os.path.join(out_dir, f"zinc-{snap}-{i:05d}.parquet")
-        _shutil.move(part, dst)
-        new_paths.append(dst)
-    _shutil.rmtree(tmp, ignore_errors=True)
     verify_claim(manifest_dir, snap)
     commit_manifest_rows(
         spark,
         manifest_dir,
         [
-            _stats_add_rows(spark, new_paths, tracked, snap),
+            _stats_add_rows(
+                spark, new_paths, tracked, snap, partition_by=partition_by
+            ),
             _tombstone_rows(spark, manifest_dir, scattered, snap),
         ],
     )

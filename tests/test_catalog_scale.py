@@ -2895,3 +2895,71 @@ def test_incremental_zorder_touches_only_the_scattered_tail(spark, tmp_path):
     assert manifest_row_count(spark, mpath) == n_total
     pinned = manifest_pruned_scan_multi(spark, mpath, box, as_of=snap - 1)
     assert len(pinned.inputFiles()) == n_pre_files and pinned.count() == n_box
+
+
+def test_zorder_preserves_partition_identity(spark, tmp_path):
+    """optimize_zorder on a Hive-partitioned governed table must
+    cluster WITHIN each partition dir — a cross-dir rewrite would merge
+    rows whose partition value lives only in the path. Pins: new files
+    land inside their own lang= dirs, partition-filtered scans return
+    exactly the pre-optimize per-partition rows, and the 2-D pruning
+    still improves inside a partition."""
+    import glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.catalog import load_table
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
+        optimize_zorder,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        manifest_pruned_scan,
+        manifest_row_count,
+        write_stats_manifest,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    data_dir = str(tmp_path / "docs")
+    # scattered within each lang partition (the anti-layout)
+    docs.repartition(4).write.partitionBy("lang").parquet(data_dir)
+    files = sorted(
+        glob.glob(_os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    )
+    mpath = str(tmp_path / "m")
+    write_stats_manifest(
+        spark, files, mpath, ("doc_id", "n_chars"), partition_by=("lang",)
+    )
+    per_lang_before = {
+        r.lang: r.n
+        for r in manifest_pruned_scan(
+            spark, mpath, "doc_id", 0, 10**9
+        )
+        .withColumn("lang", F.regexp_extract(F.input_file_name(), "lang=([^/]+)/", 1))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n0 = manifest_row_count(spark, mpath)
+
+    snap, n_old, n_new = optimize_zorder(
+        spark, mpath, "doc_id", "n_chars", n_files=8, partition_by=("lang",)
+    )
+    assert n_old == len(files)
+    new_files = sorted(
+        glob.glob(_os.path.join(data_dir, "**", "zorder-*.parquet"), recursive=True)
+    )
+    assert len(new_files) == n_new
+    # every rewritten file lives inside a lang= dir (identity preserved)
+    assert all("lang=" in p for p in new_files), new_files
+    assert manifest_row_count(spark, mpath) == n0
+
+    # partition-filtered scans agree with the pre-optimize per-lang rows
+    for lang, n_before in per_lang_before.items():
+        got = manifest_pruned_scan(
+            spark, mpath, "doc_id", 0, 10**9, partition_filter={"lang": lang}
+        )
+        assert got.count() == n_before, lang
+        assert all("lang=" + lang in f for f in got.inputFiles())

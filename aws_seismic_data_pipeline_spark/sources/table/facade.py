@@ -170,9 +170,17 @@ class GovernedTable:
 
     def optimize_zorder(self, x_col: str, y_col: str, n_files: int = 16):
         """Rewrite the table Morton-clustered on two columns at one
-        snapshot (Delta OPTIMIZE ZORDER BY); pair with scan_multi."""
+        snapshot (Delta OPTIMIZE ZORDER BY); pair with scan_multi. The
+        table's own partition_by is threaded so the rewritten files'
+        stats rows keep their partition values (a bare rewrite would
+        turn every later partition filter conservative)."""
         return R.optimize_zorder(
-            self.spark, self.manifest_dir, x_col, y_col, n_files=n_files
+            self.spark,
+            self.manifest_dir,
+            x_col,
+            y_col,
+            n_files=n_files,
+            partition_by=self.partition_by,
         )
 
     def merge(self, delta: DataFrame, cols: list[str], insert_files: int = 1):

@@ -260,3 +260,54 @@ def test_rank_over_governed_scan_sizes_from_metadata(
     got = sorted((r.doc_id, r.r) for r in ranked)
     assert [r for _, r in got] == list(range(1, n_real + 1))
     assert [d for d, _ in got] == sorted(d for d, _ in got)
+
+
+def test_facade_three_axis_scan_and_zorder(spark, tmp_path):
+    """The facade's three-axis skipping (two stats bands + partition
+    filter) and OPTIMIZE ZORDER binding: a partitioned governed table
+    answers a (key band, second column band, partition value) query
+    correctly before and after t.optimize_zorder, and the partitioned
+    rewrite keeps partition identity (delegation-level pin; the verb
+    internals are pinned in tests/test_catalog_scale.py)."""
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars", "lang")
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "doc_id",
+        n_files=8,
+        partition_by=("lang",),
+    )
+    # track the second column too: rebuild stats with both columns
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        write_stats_manifest,
+    )
+
+    write_stats_manifest(
+        spark,
+        t.visible_files(),
+        t.manifest_dir,
+        ("doc_id", "n_chars"),
+        partition_by=("lang",),
+    )
+    preds = {"doc_id": (50, 300), "n_chars": (0, 10**6)}
+    expect = docs.filter(
+        (F.col("doc_id").between(50, 300)) & (F.col("lang") == "en")
+    ).count()
+    got = t.scan_multi(preds, partition_filter={"lang": "en"})
+    assert got.count() == expect > 0
+    assert all("lang=en" in f for f in got.inputFiles())
+
+    snap, n_old, n_new = t.optimize_zorder(
+        "doc_id", "n_chars", n_files=8
+    )
+    # facade binding currently drops partition values on the rewrite's
+    # stats rows unless partition_by is threaded — it must thread the
+    # table's own partition_by automatically
+    got2 = t.scan_multi(preds, partition_filter={"lang": "en"})
+    assert got2.count() == expect
+    assert all("lang=en" in f for f in got2.inputFiles())

@@ -229,9 +229,16 @@ class GovernedTable:
         return R.compact_equality_deletes(self.spark, self.manifest_dir, self.key)
 
     def compact_files(self, paths: list[str]):
-        """Merge fragment files; add+tombstone at one snapshot."""
+        """Merge fragment files; add+tombstone at one snapshot. Pass
+        fragments from ONE partition dir at a time (optimize() already
+        bins per dir); the table's partition_by is threaded so the
+        compacted file's stats keep their partition values."""
         return R.commit_data_compaction(
-            self.spark, self.manifest_dir, paths, (self.key,)
+            self.spark,
+            self.manifest_dir,
+            paths,
+            (self.key,),
+            partition_by=self.partition_by,
         )
 
     def optimize(self, target_bytes: int = 128 * 1024 * 1024):

@@ -311,3 +311,35 @@ def test_facade_three_axis_scan_and_zorder(spark, tmp_path):
     got2 = t.scan_multi(preds, partition_filter={"lang": "en"})
     assert got2.count() == expect
     assert all("lang=en" in f for f in got2.inputFiles())
+
+
+def test_facade_compact_files_keeps_partition_values(spark, tmp_path):
+    """compact_files on a partitioned table: the compacted file's stats
+    rows must re-record the partition value, or every later partition
+    filter treats the file conservatively (scans it for all values)."""
+    import glob
+    import os as _os
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "doc_id",
+        n_files=4,
+        partition_by=("lang",),
+    )
+    en_dir = _os.path.join(t.data_dir, "lang=en")
+    frags = sorted(glob.glob(en_dir + "/*.parquet"))
+    assert len(frags) > 1
+    n_en = t.scan(partition_filter={"lang": "en"}).count()
+    new_path, _snap = t.compact_files(frags)
+    got = t.scan(partition_filter={"lang": "en"})
+    assert got.count() == n_en
+    assert new_path in [f.replace("file://", "") for f in got.inputFiles()]
+    # the de-filtered scan must NOT open the compacted en file
+    de = t.scan(partition_filter={"lang": "de"})
+    assert all("lang=en" not in f for f in de.inputFiles())

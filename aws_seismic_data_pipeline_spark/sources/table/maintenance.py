@@ -1131,14 +1131,26 @@ def _zcluster_rewrite(
     partition-filtered scan (the same identity rule ``optimize_table``
     bins under). File counts split proportionally, min 1 per dir.
     Returns the new paths (staged + moved; commit is the caller's)."""
+    import collections as _collections
     import glob as _glob
-    import itertools as _it
     import shutil as _shutil
 
-    by_dir = {
-        d: list(g)
-        for d, g in _it.groupby(sorted(paths), key=os.path.dirname)
-    }
+    # Group with a defaultdict, NOT itertools.groupby over path-sorted
+    # input: full-path order is not dirname-contiguous when a directory
+    # holds both files and a subdirectory whose name sorts between them
+    # (e.g. 'compacted-*' + 'late/' + 'zorder-*'), and groupby would
+    # then emit the same dirname twice — a dict comprehension keeps only
+    # the last run while the caller tombstones EVERY input path, so the
+    # dropped files' rows would silently vanish from the snapshot.
+    by_dir: dict[str, list[str]] = _collections.defaultdict(list)
+    for p in sorted(paths):
+        by_dir[os.path.dirname(p)].append(p)
+    grouped = {p for g in by_dir.values() for p in g}
+    if grouped != set(paths):
+        raise AssertionError(
+            "_zcluster_rewrite: directory grouping lost files: "
+            f"{sorted(set(paths) - grouped)}"
+        )
     total = len(paths)
     new_paths: list[str] = []
     for out_dir, group in by_dir.items():

@@ -2963,3 +2963,69 @@ def test_zorder_preserves_partition_identity(spark, tmp_path):
         )
         assert got.count() == n_before, lang
         assert all("lang=" + lang in f for f in got.inputFiles())
+
+
+def test_zcluster_rewrite_mixed_dir_and_subdir_loses_no_rows(spark, tmp_path):
+    """Regression: a directory holding files whose names straddle a
+    subdirectory's name (root 'aaa-*.parquet' + 'zzz-*.parquet' with a
+    'late/' ingest subdir between them in path order) used to make
+    itertools.groupby over path-sorted input emit the root dirname in
+    two non-contiguous runs — the dict comprehension kept only the
+    second, the first run's files were never rewritten, and the caller
+    tombstoned every input path: silent data loss. Pins: every input
+    row survives the rewrite, and each new file lands in its source
+    file's own directory."""
+    import glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
+        _zcluster_rewrite,
+    )
+
+    root = str(tmp_path / "data")
+    late = _os.path.join(root, "late")
+    _os.makedirs(late)
+    base = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 100).alias("v")
+    )
+    # names chosen so sorted(full paths) interleaves: root/aaa-… <
+    # root/late/… < root/zzz-…
+    base.filter("k < 100").coalesce(1).write.parquet(str(tmp_path / "s1"))
+    base.filter("k >= 100 and k < 200").coalesce(1).write.parquet(
+        str(tmp_path / "s2")
+    )
+    base.filter("k >= 200").coalesce(1).write.parquet(str(tmp_path / "s3"))
+    import shutil as _shutil
+
+    def _one(src: str, dst: str) -> str:
+        part = glob.glob(_os.path.join(src, "part-*.parquet"))[0]
+        _shutil.move(part, dst)
+        return dst
+
+    paths = [
+        _one(str(tmp_path / "s1"), _os.path.join(root, "aaa-0.parquet")),
+        _one(str(tmp_path / "s2"), _os.path.join(late, "mid-0.parquet")),
+        _one(str(tmp_path / "s3"), _os.path.join(root, "zzz-0.parquet")),
+    ]
+    new_paths = _zcluster_rewrite(
+        spark,
+        paths,
+        "CAST(k % 256 AS INT)",
+        n_files=3,
+        snap=7,
+        prefix="zorder",
+    )
+    # no rows lost, no rows duplicated
+    got = spark.read.parquet(*new_paths)
+    assert got.count() == 300
+    assert got.select(F.sum("k")).first()[0] == sum(range(300))
+    # partition identity: root rows stayed in root, late rows in late/
+    by_dir = {_os.path.dirname(p) for p in new_paths}
+    assert by_dir == {root, late}
+    late_rows = spark.read.parquet(
+        *[p for p in new_paths if _os.path.dirname(p) == late]
+    )
+    assert late_rows.count() == 100
+    assert late_rows.agg(F.min("k"), F.max("k")).first() == (100, 199)

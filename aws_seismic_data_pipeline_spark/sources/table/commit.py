@@ -65,7 +65,24 @@ def claim_commit(
     import uuid as _uuid
 
     token_root = os.path.join(manifest_dir, "_commits")
-    os.makedirs(token_root, exist_ok=True)
+    # os.mkdir, NOT makedirs: creating the token root must FAIL when the
+    # manifest directory itself is absent. During expire's two-rename
+    # swap the manifest dir briefly does not exist; a makedirs here used
+    # to recreate it mid-swap, making expire's second rename nest the
+    # new manifest INSIDE the recreated dir as an '.expiring' subdir —
+    # table unreadable. A missing parent now surfaces as a retryable
+    # ConcurrentCommitError instead (mkdir-fails-on-missing-parent is
+    # atomic: there is no check-then-create window to race).
+    try:
+        os.mkdir(token_root)
+    except FileExistsError:
+        pass
+    except FileNotFoundError:
+        raise ConcurrentCommitError(
+            f"manifest {manifest_dir} does not exist — either the table "
+            "was never created (write_stats_manifest first) or an expire "
+            "swap is in flight; back off and retry"
+        ) from None
     snap = int(parent) + 1
     token = os.path.join(token_root, str(snap))
     # an id at or below the committed tip is NEVER claimable, token or
@@ -127,6 +144,21 @@ def claim_commit(
 #: uuid written into the token dir. verify_claim compares the on-disk
 #: owner file against this registry at commit time.
 _CLAIM_OWNERS: dict[tuple[str, int], str] = {}
+
+
+def release_claim(manifest_dir: str, snapshot_id: int) -> None:
+    """Release a claim that was taken purely as a MUTUAL-EXCLUSION lease
+    (no rows were committed at the id) so the id becomes claimable
+    again — ``expire_manifest_history`` guards its manifest swap this
+    way. Committing verbs never release: their token is the commit's
+    durable marker until expire prunes the at-or-below-tip tokens."""
+    import shutil as _shutil
+
+    _CLAIM_OWNERS.pop((os.path.abspath(manifest_dir), int(snapshot_id)), None)
+    _shutil.rmtree(
+        os.path.join(manifest_dir, "_commits", str(int(snapshot_id))),
+        ignore_errors=True,
+    )
 
 
 def verify_claim(manifest_dir: str, snapshot_id: int) -> None:

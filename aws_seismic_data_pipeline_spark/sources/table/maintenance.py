@@ -20,6 +20,7 @@ from aws_seismic_data_pipeline_spark.sources.table.commit import (
     _claimed_next_snapshot,
     _next_snapshot,
     claim_commit,
+    release_claim,
     verify_claim,
 )
 from aws_seismic_data_pipeline_spark.sources.table.deletes import (
@@ -855,9 +856,25 @@ def expire_manifest_history(
     contract rather than a wrong answer. Time travel at or above the
     floor is bit-identical to pre-expire (pytest-pinned). Cost is one
     read+rewrite of the MANIFEST (metadata-scale), never of data.
+
+    Concurrency contract: the swap runs under a CAS commit claim on the
+    next snapshot id, so every committing WRITER is excluded — a
+    concurrent claim either loses to this lease (in-flight error) or,
+    during the rename window when the manifest dir is briefly absent,
+    gets a retryable ``ConcurrentCommitError`` from ``claim_commit``'s
+    missing-parent check instead of recreating the dir mid-swap. The
+    two legs are same-filesystem ``os.rename`` (each individually
+    atomic), but a lock-free READER planning exactly inside that window
+    can still observe the missing directory — on a POSIX substrate a
+    truly reader-atomic replace needs an indirection layer; schedule
+    expire off-peak or route readers through the claim protocol if they
+    must never error. A crash between the two renames strands the
+    manifest under ``.expired_old``; the next expire (or an explicit
+    ``recover_interrupted_expire``) renames it back before proceeding.
     Returns (rows_before, rows_after)."""
     import shutil as _shutil
 
+    recover_interrupted_expire(manifest_dir)
     e = int(expire_below)
     man = spark.read.parquet(manifest_dir)
     # one agg answers both driver-side questions — separate actions
@@ -872,91 +889,131 @@ def expire_manifest_history(
             f"expire_below={e} exceeds max snapshot {cur_max} — refusing "
             "to expire the current state"
         )
-    old = man.filter(F.col("snapshot_id") < e)
-    removed_below = (
-        old.filter(F.col("op") == "remove").select("path").distinct()
-    )
-    keep_old_adds = old.filter(F.col("op") == "add").join(
-        removed_below, "path", "left_anti"
-    )
-    # retire ceilings are PER COLUMN, mirroring _live_delete_records'
-    # scoping: a retire marker for column A must never expire column
-    # B's still-live delete records (that would silently resurrect
-    # B's deleted rows on every post-expire read)
-    ceilings = (
-        old.filter(F.col("op") == "delete_retire")
-        .groupBy("column_name")
-        .agg(F.max("min_val").alias("__ceiling"))
-    )
-    live_old_deletes = (
-        old.filter(F.col("op") == "delete_eq")
-        .join(F.broadcast(ceilings), "column_name", "left")
-        .filter(
-            F.col("__ceiling").isNull()
-            | (F.col("snapshot_id") > F.col("__ceiling"))
+    # exclude every committing writer for the whole rewrite + swap: a
+    # CAS lease on the next id (writers claim ids sequentially, so
+    # holding cur_max+1 blocks them all). Also closes the lost-commit
+    # race the bare swap had — rows committed at cur_max+1 between the
+    # stats read above and the swap would have been silently dropped
+    # from the rewritten manifest; now either that writer's claim or
+    # this one fails loudly. Released in the finally; a crashed expire
+    # blocks writers only until the token goes stale (claim takeover).
+    guard = claim_commit(spark, manifest_dir, int(cur_max))
+    try:
+        old = man.filter(F.col("snapshot_id") < e)
+        removed_below = (
+            old.filter(F.col("op") == "remove").select("path").distinct()
         )
-        .drop("__ceiling")
-    )
-    keep = (
-        man.filter(F.col("snapshot_id") >= e)
-        .unionByName(keep_old_adds)
-        .unionByName(live_old_deletes)
-        # schema_add rows are the table's DECLARED SCHEMA — a committed
-        # ADD COLUMN must survive any expiry or post-expire reads lose
-        # the NULL-backfill (and a re-declaration stops raising)
-        .unionByName(
-            old.filter(
-                F.col("op").isin("delete_retire", "expire", "schema_add")
+        keep_old_adds = old.filter(F.col("op") == "add").join(
+            removed_below, "path", "left_anti"
+        )
+        # retire ceilings are PER COLUMN, mirroring _live_delete_records'
+        # scoping: a retire marker for column A must never expire column
+        # B's still-live delete records (that would silently resurrect
+        # B's deleted rows on every post-expire read)
+        ceilings = (
+            old.filter(F.col("op") == "delete_retire")
+            .groupBy("column_name")
+            .agg(F.max("min_val").alias("__ceiling"))
+        )
+        live_old_deletes = (
+            old.filter(F.col("op") == "delete_eq")
+            .join(F.broadcast(ceilings), "column_name", "left")
+            .filter(
+                F.col("__ceiling").isNull()
+                | (F.col("snapshot_id") > F.col("__ceiling"))
+            )
+            .drop("__ceiling")
+        )
+        keep = (
+            man.filter(F.col("snapshot_id") >= e)
+            .unionByName(keep_old_adds)
+            .unionByName(live_old_deletes)
+            # schema_add rows are the table's DECLARED SCHEMA — a
+            # committed ADD COLUMN must survive any expiry or post-expire
+            # reads lose the NULL-backfill (and a re-declaration stops
+            # raising)
+            .unionByName(
+                old.filter(
+                    F.col("op").isin("delete_retire", "expire", "schema_add")
+                )
             )
         )
-    )
-    schema = man.schema
-    marker_fixed = {
-        "path": "",
-        "file_name": "",
-        "column_name": "__expire__",
-        "min_val": float(e),
-        "max_val": float(e),
-        "snapshot_id": int(e),
-        "op": "expire",
-    }
-    marker = spark.createDataFrame(
-        [tuple(marker_fixed.get(f.name) for f in schema)], schema
-    )
-    tmp = manifest_dir + ".expiring"
-    _shutil.rmtree(tmp, ignore_errors=True)
-    # the marker lands as its own appended file, NOT unioned into the
-    # rewrite plan: a LocalRelation branch under the coalesced union
-    # measured 4x the whole write (10.5 s vs 2.4 + 0.9 at sf0.1)
-    keep.coalesce(1).write.parquet(tmp)
-    marker.write.mode("append").parquet(tmp)
-    rows_after = spark.read.parquet(tmp).count()
-    aside = manifest_dir + ".expired_old"
-    _shutil.rmtree(aside, ignore_errors=True)
-    _shutil.move(manifest_dir, aside)
-    _shutil.move(tmp, manifest_dir)
-    # commit tokens SURVIVE the expire swap: an in-flight writer that
-    # claimed a snapshot above the committed tip must keep its lease
-    # (losing it would let a second writer re-claim the same id — the
-    # at-or-below-tip guard only covers committed ids). Tokens at or
-    # below the tip, and stale-takeover asides, are pruned here so the
-    # token tree does not grow forever.
-    old_commits = os.path.join(aside, "_commits")
-    if os.path.isdir(old_commits):
-        new_commits = os.path.join(manifest_dir, "_commits")
-        os.makedirs(new_commits, exist_ok=True)
-        for name in os.listdir(old_commits):
-            try:
-                live = int(name) > int(cur_max)
-            except ValueError:
-                live = False  # 'N.stale-<uuid>' asides: prune
-            if live:
-                _shutil.move(
-                    os.path.join(old_commits, name),
-                    os.path.join(new_commits, name),
-                )
-    _shutil.rmtree(aside, ignore_errors=True)
+        schema = man.schema
+        marker_fixed = {
+            "path": "",
+            "file_name": "",
+            "column_name": "__expire__",
+            "min_val": float(e),
+            "max_val": float(e),
+            "snapshot_id": int(e),
+            "op": "expire",
+        }
+        marker = spark.createDataFrame(
+            [tuple(marker_fixed.get(f.name) for f in schema)], schema
+        )
+        tmp = manifest_dir + ".expiring"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        # the marker lands as its own appended file, NOT unioned into the
+        # rewrite plan: a LocalRelation branch under the coalesced union
+        # measured 4x the whole write (10.5 s vs 2.4 + 0.9 at sf0.1)
+        keep.coalesce(1).write.parquet(tmp)
+        marker.write.mode("append").parquet(tmp)
+        rows_after = spark.read.parquet(tmp).count()
+        aside = manifest_dir + ".expired_old"
+        _shutil.rmtree(aside, ignore_errors=True)
+        # two same-filesystem os.rename legs (tmp is a sibling of the
+        # manifest dir), each individually atomic — never shutil.move,
+        # whose copy fallback widens the window and whose move-INTO-dst
+        # semantics caused the nesting corruption claim_commit now guards
+        os.rename(manifest_dir, aside)
+        try:
+            os.rename(tmp, manifest_dir)
+        except BaseException:
+            os.rename(aside, manifest_dir)  # restore: expire didn't happen
+            raise
+        # commit tokens SURVIVE the expire swap: an in-flight writer that
+        # claimed a snapshot above the committed tip must keep its lease
+        # (losing it would let a second writer re-claim the same id — the
+        # at-or-below-tip guard only covers committed ids). Tokens at or
+        # below the tip, and stale-takeover asides, are pruned here so
+        # the token tree does not grow forever. The swap guard itself
+        # (cur_max+1, live) migrates here and is released in the finally.
+        old_commits = os.path.join(aside, "_commits")
+        if os.path.isdir(old_commits):
+            new_commits = os.path.join(manifest_dir, "_commits")
+            os.makedirs(new_commits, exist_ok=True)
+            for name in os.listdir(old_commits):
+                try:
+                    live = int(name) > int(cur_max)
+                except ValueError:
+                    live = False  # 'N.stale-<uuid>' asides: prune
+                if live:
+                    _shutil.move(
+                        os.path.join(old_commits, name),
+                        os.path.join(new_commits, name),
+                    )
+        _shutil.rmtree(aside, ignore_errors=True)
+    finally:
+        release_claim(manifest_dir, guard)
     return rows_before, rows_after
+
+
+def recover_interrupted_expire(manifest_dir: str) -> bool:
+    """Crash recovery for an interrupted expire swap: when the manifest
+    directory is ABSENT but the ``.expired_old`` aside exists, the
+    previous expire died between its two renames — rename the aside
+    back so the table is readable again (that expire simply never
+    happened; its ``.expiring`` output is leftover garbage the next run
+    rmtree's). When both directories exist the swap completed and the
+    aside is the about-to-be-deleted old manifest — left alone. Called
+    automatically at the top of :func:`expire_manifest_history`; expose
+    it for ops tooling that wants to heal a table without expiring.
+    Returns True when a recovery rename was performed."""
+    aside = manifest_dir + ".expired_old"
+    if not os.path.isdir(manifest_dir) and os.path.isdir(aside):
+        os.rename(aside, manifest_dir)
+        return True
+    return False
 
 
 @register(

@@ -2578,7 +2578,9 @@ def test_expire_preserves_inflight_tokens_prunes_committed(spark, tmp_path):
     tokens across: an in-flight writer above the committed tip keeps
     its lease (else a second writer could re-claim the same id), while
     committed-id tokens and stale asides are pruned so the token tree
-    stays bounded."""
+    stays bounded. Expire itself now claims tip+1 as its swap guard —
+    so the surviving in-flight token is one ABOVE the guard, and an
+    in-flight claim AT tip+1 makes expire refuse (tested separately)."""
     import glob
 
     import pytest as _pytest
@@ -2593,20 +2595,78 @@ def test_expire_preserves_inflight_tokens_prunes_committed(spark, tmp_path):
     R.write_stats_manifest(spark, files[:2], mpath, ("doc_id",))
     R.append_stats_manifest(spark, files[2:3], mpath, ("doc_id",))  # snap 1
     R.append_stats_manifest(spark, files[3:4], mpath, ("doc_id",))  # snap 2
-    # an in-flight claim ABOVE the tip (parent = tip 2 -> claims 3)
-    assert R.claim_commit(spark, mpath, 2) == 3
+    # an in-flight claim ABOVE the expire guard (parent 3 -> claims 4;
+    # expire's own guard takes 3)
+    assert R.claim_commit(spark, mpath, 3) == 4
     R.expire_manifest_history(spark, mpath, expire_below=2)
     commits = os.path.join(mpath, "_commits")
-    assert os.path.isdir(os.path.join(commits, "3")), (
+    assert os.path.isdir(os.path.join(commits, "4")), (
         "in-flight token must survive the expire swap"
+    )
+    assert not os.path.isdir(os.path.join(commits, "3")), (
+        "expire must release its own swap-guard lease"
     )
     assert not os.path.isdir(os.path.join(commits, "1")), (
         "committed-id tokens must be pruned at expiry"
     )
     assert not os.path.isdir(os.path.join(commits, "2"))
-    # the surviving lease still guards id 3 against a second claimant
+    # the surviving lease still guards id 4 against a second claimant
     with _pytest.raises(R.ConcurrentCommitError, match="in-flight"):
-        R.claim_commit(spark, mpath, 2, stale_after=3600.0)
+        R.claim_commit(spark, mpath, 3, stale_after=3600.0)
+    # the released guard id is claimable again (writers resume)
+    assert R.claim_commit(spark, mpath, 2) == 3
+
+
+def test_expire_refuses_under_inflight_writer_and_recovers_crash(
+    spark, tmp_path
+):
+    """The expire swap's concurrency contract: (a) an in-flight writer
+    lease at tip+1 makes expire raise ConcurrentCommitError instead of
+    silently dropping whatever that writer is about to commit; (b)
+    claim_commit during the swap window (manifest dir absent) raises
+    retryable instead of RECREATING the dir — the makedirs-resurrection
+    used to nest the new manifest inside it, bricking the table; (c) a
+    crash between the two renames (manifest stranded under
+    .expired_old) is healed by recover_interrupted_expire and by the
+    next expire run."""
+    import glob
+
+    import pytest as _pytest
+
+    from aws_seismic_data_pipeline_spark.sources.table import _verbs as R
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    data_dir = str(tmp_path / "docs")
+    docs.repartition(4, "doc_id").write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "manifest")
+    R.write_stats_manifest(spark, files[:2], mpath, ("doc_id",))
+    R.append_stats_manifest(spark, files[2:3], mpath, ("doc_id",))  # snap 1
+    R.append_stats_manifest(spark, files[3:4], mpath, ("doc_id",))  # snap 2
+
+    # (a) in-flight writer at tip+1 blocks expire
+    assert R.claim_commit(spark, mpath, 2) == 3
+    with _pytest.raises(R.ConcurrentCommitError, match="in-flight"):
+        R.expire_manifest_history(spark, mpath, expire_below=2)
+    R.release_claim(mpath, 3)
+
+    # (b) swap window: manifest dir absent -> retryable error, no mkdir
+    aside = mpath + ".expired_old"
+    os.rename(mpath, aside)
+    with _pytest.raises(R.ConcurrentCommitError, match="does not exist"):
+        R.claim_commit(spark, mpath, 2)
+    assert not os.path.isdir(mpath), (
+        "claim_commit must not resurrect the manifest dir mid-swap"
+    )
+
+    # (c) crash recovery restores the stranded manifest, expire works
+    assert R.recover_interrupted_expire(mpath) is True
+    assert os.path.isdir(mpath) and not os.path.isdir(aside)
+    n_before = spark.read.parquet(mpath).count()
+    before, after = R.expire_manifest_history(spark, mpath, expire_below=2)
+    assert before == n_before and after <= before + 1  # +1 expire marker
+    # idempotent no-op when the table is healthy
+    assert R.recover_interrupted_expire(mpath) is False
 
 
 def test_compound_commit_is_one_write_job(spark, tmp_path):

@@ -319,7 +319,10 @@ def compact_equality_deletes(
     new_paths: list[str] = []
     if candidates:
         out_dir = os.path.dirname(candidates[0])
-        touched = spark.read.parquet(*candidates)
+        # mergeSchema: evolved columns present in SOME candidate files
+        # must survive the rewrite (inference from a pre-evolution file
+        # would silently drop them)
+        touched = spark.read.option("mergeSchema", "true").parquet(*candidates)
         kept = touched.join(
             F.broadcast(dkeys),
             touched[column].cast("double") == dkeys["_k"],

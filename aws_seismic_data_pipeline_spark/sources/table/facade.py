@@ -185,7 +185,10 @@ class GovernedTable:
 
     def merge(self, delta: DataFrame, cols: list[str], insert_files: int = 1):
         """Copy-on-write MERGE: returns (snapshot, intersecting,
-        rewritten)."""
+        rewritten). On a partitioned table the table's own partition_by
+        is threaded: rewrites stay inside their partition dirs, inserts
+        land Hive-partitioned (the delta must carry the partition
+        columns), and the committed stats rows keep partition values."""
         return R.merge_through_manifest(
             self.spark,
             self.manifest_dir,
@@ -193,6 +196,7 @@ class GovernedTable:
             self.key,
             cols,
             insert_files=insert_files,
+            partition_by=self.partition_by,
         )
 
     def merge_concurrent(
@@ -200,7 +204,8 @@ class GovernedTable:
     ):
         """Copy-on-write MERGE under optimistic concurrency: CAS-claims
         the commit snapshot and re-plans on a lost race. Returns
-        (snapshot, intersecting, rewritten, n_retries)."""
+        (snapshot, intersecting, rewritten, n_retries). partition_by is
+        threaded exactly as in :meth:`merge`."""
         return R.merge_with_conflict_retry(
             self.spark,
             self.manifest_dir,
@@ -208,6 +213,7 @@ class GovernedTable:
             self.key,
             cols,
             max_retries=max_retries,
+            partition_by=self.partition_by,
         )
 
     def add_column(self, column: str, sql_type: str) -> int:
@@ -268,9 +274,17 @@ class GovernedTable:
         )
 
     def clone(self, dst_manifest: str) -> "GovernedTable":
-        """Zero-copy shallow clone sharing this table's data files."""
+        """Zero-copy shallow clone sharing this table's data files.
+        partition_by propagates — maintenance verbs on the clone keep
+        recording partition values just like on the source."""
         R.clone_manifest(self.spark, self.manifest_dir, dst_manifest)
-        return GovernedTable(self.spark, self.data_dir, dst_manifest, self.key)
+        return GovernedTable(
+            self.spark,
+            self.data_dir,
+            dst_manifest,
+            self.key,
+            self.partition_by,
+        )
 
     def rollback(self, to_snapshot: int) -> int:
         """History-preserving rollback-as-new-commit."""

@@ -47,6 +47,7 @@ def merge_with_conflict_retry(
     cols: list[str],
     insert_files: int = 1,
     max_retries: int = 3,
+    partition_by: tuple[str, ...] = (),
 ) -> tuple[int, int, int, int]:
     """MERGE under optimistic concurrency: plan against the current
     snapshot, CAS-claim the next id (:func:`claim_commit`), and commit;
@@ -79,6 +80,7 @@ def merge_with_conflict_retry(
             cols,
             insert_files=insert_files,
             snapshot_id=snap,
+            partition_by=partition_by,
         )
         return s, n_int, n_rw, attempt
     raise ConcurrentCommitError(  # pragma: no cover - loop always returns
@@ -304,7 +306,12 @@ def commit_data_compaction(
     out_dir = os.path.dirname(sorted(paths)[0])
     snap = _claimed_next_snapshot(spark, manifest_dir)
     tmp = os.path.join(out_dir, f".compact_{snap}_stage")
-    spark.read.parquet(*paths).coalesce(1).write.mode("overwrite").parquet(tmp)
+    # mergeSchema: after evolve_schema_add a mixed file set can carry the
+    # evolved column in SOME files; schema inference from a pre-evolution
+    # file would silently drop it from the rewritten output
+    spark.read.option("mergeSchema", "true").parquet(*paths).coalesce(
+        1
+    ).write.mode("overwrite").parquet(tmp)
     part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
     new_path = os.path.join(out_dir, f"compacted-{snap}.parquet")
     _shutil.move(part, new_path)
@@ -562,6 +569,7 @@ def merge_through_manifest(
     cols: list[str],
     insert_files: int = 1,
     snapshot_id: int | None = None,
+    partition_by: tuple[str, ...] = (),
 ) -> tuple[int, int, int]:
     """MERGE committed THROUGH the manifest — the copy-on-write shape
     (Iceberg CoW, Delta MERGE): rewrite ONLY the data files whose
@@ -590,10 +598,28 @@ def merge_through_manifest(
     Data files must carry schema (key, *cols). Returns
     (snapshot_id, n_files_intersecting, n_files_rewritten);
     rewritten ≤ intersecting is pytest-pinned
-    (tests/test_catalog_scale.py)."""
+    (tests/test_catalog_scale.py).
+
+    Hive-partitioned tables pass ``partition_by``: intersecting files
+    are then rewritten PER PARTITION DIRECTORY (a cross-dir rewrite
+    would merge rows whose partition value lives only in the path into
+    one dir — the same identity rule ``optimize_zorder`` obeys), the
+    committed stats rows re-record partition values, and INSERT rows
+    land Hive-partitioned under the table root — so the delta must
+    carry the partition columns. Updates never move a row between
+    partitions (partition columns are not updatable ``cols``)."""
+    import collections as _collections
     import glob as _glob
     import shutil as _shutil
 
+    if partition_by:
+        missing = [c for c in partition_by if c not in delta.columns]
+        if missing:
+            raise ValueError(
+                "merge_through_manifest: partitioned table — the delta "
+                f"must carry the partition column(s) {missing} so insert "
+                "rows can land in their Hive partition dirs"
+            )
     manifest = _visible_stats(spark.read.parquet(manifest_dir), None)
     # preserve every tracked stats column present in the rewritten
     # schema (key, *cols) — appending key-only stats would hide the
@@ -616,7 +642,9 @@ def merge_through_manifest(
             ).alias("n_statless"),
         )
     )
-    d = delta.select(key, *cols).localCheckpoint(eager=True)
+    sel = [key, *cols] + [c for c in partition_by if c not in (key, *cols)]
+    d = delta.select(*sel).localCheckpoint(eager=True)
+    d_upd = d.select(key, *cols)  # the join never writes partition cols
     # Delta/Iceberg MERGE raises when multiple source rows match one
     # target row; a duplicate delta key here would silently multiply
     # matched base rows through the left join below (row-count inflation
@@ -655,42 +683,58 @@ def merge_through_manifest(
     new_paths: list[str] = []
     n_rewritten = 0
     if intersecting:
-        out_dir = os.path.dirname(intersecting[0])
-        touched = spark.read.parquet(*intersecting)
-        rewritten = (
-            touched.alias("b")
-            .join(d.alias("u"), F.col(f"b.{key}") == F.col(f"u.{key}"), "left")
-            .select(
-                F.col(f"b.{key}").alias(key),
-                *[
-                    F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
-                    for c in cols
-                ],
+        # partitioned: rewrite per partition dir so every row lands back
+        # in the dir carrying its (path-only) partition value;
+        # unpartitioned: one group, the pre-existing single-dir shape
+        if partition_by:
+            by_dir: dict[str, list[str]] = _collections.defaultdict(list)
+            for p in intersecting:
+                by_dir[os.path.dirname(p)].append(p)
+        else:
+            by_dir = {os.path.dirname(intersecting[0]): intersecting}
+        for out_dir, group in by_dir.items():
+            touched_g = spark.read.option("mergeSchema", "true").parquet(*group)
+            rewritten = (
+                touched_g.alias("b")
+                .join(
+                    d_upd.alias("u"),
+                    F.col(f"b.{key}") == F.col(f"u.{key}"),
+                    "left",
+                )
+                .select(
+                    F.col(f"b.{key}").alias(key),
+                    *[
+                        F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+                        for c in cols
+                    ],
+                )
             )
-        )
-        tmp = os.path.join(out_dir, f".merge_{snap}_stage")
-        (
-            rewritten.repartitionByRange(len(intersecting), key)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        for i, part in enumerate(
-            sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
-        ):
-            dst = os.path.join(out_dir, f"merged-{snap}-{i:05d}.parquet")
-            _shutil.move(part, dst)
-            new_paths.append(dst)
-        _shutil.rmtree(tmp, ignore_errors=True)
+            tmp = os.path.join(out_dir, f".merge_{snap}_stage")
+            (
+                rewritten.repartitionByRange(len(group), key)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            for i, part in enumerate(
+                sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
+            ):
+                dst = os.path.join(out_dir, f"merged-{snap}-{i:05d}.parquet")
+                _shutil.move(part, dst)
+                new_paths.append(dst)
+            _shutil.rmtree(tmp, ignore_errors=True)
         n_rewritten = len(new_paths)
-        inserts = d.join(touched.select(key), key, "left_anti")
+        touched_keys = spark.read.parquet(*intersecting).select(key)
+        inserts = d.join(touched_keys, key, "left_anti")
+        sample_path = intersecting[0]
     else:
         # no file can contain any delta key: the whole delta inserts
         any_path = manifest.select("path").limit(1).collect()
         if not any_path:
             raise ValueError(f"empty stats manifest at {manifest_dir}")
-        out_dir = os.path.dirname(any_path[0].path)
+        sample_path = any_path[0].path
         inserts = d
-    tmp = os.path.join(out_dir, f".merge_{snap}_ins_stage")
+    root = _strip_partition_dirs(os.path.dirname(sample_path), partition_by)
+    tmp = os.path.join(root, f".merge_{snap}_ins_stage")
     # insert_files=1 suits the common daily-delta ≪ table case; a bulk
     # backfill passes more and each becomes its own range-clustered,
     # independently-pruned manifest row
@@ -699,16 +743,28 @@ def merge_through_manifest(
         if insert_files <= 1
         else inserts.repartitionByRange(insert_files, key)
     )
-    ins.write.mode("overwrite").parquet(tmp)
+    writer = ins.write.mode("overwrite")
+    if partition_by:
+        # inserts land Hive-partitioned: partitionBy strips the
+        # partition columns from the files, matching the table layout
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     # parquet writes a (schema-only) file even for an empty frame; an
     # empty insert file would add a stats-less row the pruner must
     # conservatively open forever — commit only parts that have rows
     for i, part in enumerate(
-        sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
+        sorted(
+            _glob.glob(
+                os.path.join(tmp, "**", "part-*.parquet"), recursive=True
+            )
+        )
     ):
         if spark.read.parquet(part).limit(1).count() > 0:
+            rel_dir = os.path.relpath(os.path.dirname(part), tmp)
+            dst_dir = root if rel_dir == "." else os.path.join(root, rel_dir)
+            os.makedirs(dst_dir, exist_ok=True)
             ins_path = os.path.join(
-                out_dir, f"merged-{snap}-inserts-{i:05d}.parquet"
+                dst_dir, f"merged-{snap}-inserts-{i:05d}.parquet"
             )
             _shutil.move(part, ins_path)
             new_paths.append(ins_path)
@@ -720,12 +776,33 @@ def merge_through_manifest(
     # rewritten files alongside the still-untombstoned originals
     frames = []
     if new_paths:
-        frames.append(_stats_add_rows(spark, new_paths, tracked, snap))
+        frames.append(
+            _stats_add_rows(
+                spark, new_paths, tracked, snap, partition_by=partition_by
+            )
+        )
     if intersecting:
         frames.append(_tombstone_rows(spark, manifest_dir, intersecting, snap))
     verify_claim(manifest_dir, snap)
     commit_manifest_rows(spark, manifest_dir, frames)
     return snap, len(intersecting), n_rewritten
+
+
+def _strip_partition_dirs(
+    file_dir: str, partition_by: tuple[str, ...]
+) -> str:
+    """The table root above a data file's Hive partition segments:
+    strip one trailing ``col=value`` segment per partition column (in
+    reverse declaration order, matching Hive nesting). A segment that
+    does not match its expected column (pre-partition-evolution file
+    sitting at the root) stops the walk — the dir itself is the root."""
+    d = file_dir
+    for pcol in reversed(partition_by):
+        if os.path.basename(d).startswith(pcol + "="):
+            d = os.path.dirname(d)
+        else:
+            break
+    return d
 
 
 @register(
@@ -1214,7 +1291,8 @@ def _zcluster_rewrite(
         n_out = max(1, round(n_files * len(group) / total))
         tmp = os.path.join(out_dir, f".{prefix}_{snap}_stage")
         (
-            spark.read.parquet(*group)
+            # mergeSchema: evolved columns must survive the rewrite
+            spark.read.option("mergeSchema", "true").parquet(*group)
             .withColumn("_zkey", F.expr(zkey_sql))
             .repartitionByRange(n_out, "_zkey")
             .sortWithinPartitions("_zkey")

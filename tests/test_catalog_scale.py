@@ -3089,3 +3089,72 @@ def test_zcluster_rewrite_mixed_dir_and_subdir_loses_no_rows(spark, tmp_path):
     )
     assert late_rows.count() == 100
     assert late_rows.agg(F.min("k"), F.max("k")).first() == (100, 199)
+
+
+def test_maintenance_rewrites_preserve_evolved_columns(spark, tmp_path):
+    """Regression for schema-inference loss in maintenance rewrites:
+    after evolve_schema_add, a compaction (or merge/z-order) over a
+    MIXED file set — some files physically carrying the evolved column,
+    some pre-evolution — must read with mergeSchema, or Spark can infer
+    the schema from a pre-evolution file and silently drop the evolved
+    column from the rewritten output (reads would then mask the loss as
+    NULLs). Pins: the compacted file physically carries the evolved
+    column and its values survive bit-exactly."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.table import _verbs as R
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    data_dir = str(tmp_path / "data")
+    # two pre-evolution fragments (names sort FIRST so schema inference
+    # without mergeSchema picks a pre-evolution file)
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(
+        str(tmp_path / "s0")
+    )
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(
+        str(tmp_path / "s1")
+    )
+    import os as _os
+    import shutil as _shutil
+
+    _os.makedirs(data_dir)
+    paths = []
+    for i, src in enumerate(("s0", "s1")):
+        part = glob.glob(str(tmp_path / src / "part-*.parquet"))[0]
+        dst = _os.path.join(data_dir, f"aa-{i}.parquet")
+        _shutil.move(part, dst)
+        paths.append(dst)
+    mpath = str(tmp_path / "manifest")
+    R.write_stats_manifest(spark, paths, mpath, ("doc_id",))
+    R.evolve_schema_add(spark, mpath, "score", "double")
+    # one evolved fragment that PHYSICALLY carries score
+    evolved = spark.range(8_000_000, 8_000_050).select(
+        F.col("id").alias("doc_id"),
+        F.lit(7).cast("long").alias("n_chars"),
+        (F.col("id") % 10).cast("double").alias("score"),
+    )
+    evolved.coalesce(1).write.parquet(str(tmp_path / "s2"))
+    part = glob.glob(str(tmp_path / "s2" / "part-*.parquet"))[0]
+    ev_path = _os.path.join(data_dir, "zz-evolved.parquet")
+    _shutil.move(part, ev_path)
+    R.append_stats_manifest(spark, [ev_path], mpath, ("doc_id",))
+    want_score_sum = evolved.agg(F.sum("score")).first()[0]
+
+    # compact the mixed set: evolved column must survive physically
+    new_path, _snap = R.commit_data_compaction(
+        spark, mpath, paths + [ev_path], ("doc_id",)
+    )
+    compacted = spark.read.parquet(new_path)
+    assert "score" in compacted.columns, (
+        "compaction dropped the evolved column (schema inferred from a "
+        "pre-evolution file)"
+    )
+    assert compacted.agg(F.sum("score")).first()[0] == want_score_sum
+    # the evolved read still sees every row and the surviving values
+    got = R.read_evolved(spark, mpath, "doc_id")
+    assert got.count() == docs.count() + 50
+    assert got.agg(F.sum("score")).first()[0] == want_score_sum

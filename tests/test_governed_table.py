@@ -343,3 +343,114 @@ def test_facade_compact_files_keeps_partition_values(spark, tmp_path):
     # the de-filtered scan must NOT open the compacted en file
     de = t.scan(partition_filter={"lang": "de"})
     assert all("lang=en" not in f for f in de.inputFiles())
+
+
+def test_facade_merge_partitioned_keeps_partition_identity(spark, tmp_path):
+    """merge/merge_concurrent on a Hive-partitioned table: the facade
+    threads partition_by, so (a) rewrites stay inside their own lang=
+    dirs, (b) unmatched delta rows land Hive-partitioned by their OWN
+    partition value, (c) committed stats rows re-record partition
+    values — partition-filtered scans remain exact and never open
+    another partition's files."""
+    import glob
+    import os as _os
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars", "lang"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "doc_id",
+        n_files=8,
+        partition_by=("lang",),
+    )
+    per_lang = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # delta: bump n_chars for a band (updates) + insert new fr docs
+    upd = docs.filter(F.col("doc_id").between(10, 40)).select(
+        "doc_id", (F.col("n_chars") + F.lit(1)).alias("n_chars"), "lang"
+    )
+    ins = spark.createDataFrame(
+        [(9_000_001, 11, "fr"), (9_000_002, 22, "de")],
+        "doc_id long, n_chars int, lang string",
+    )
+    delta = upd.unionByName(ins)
+    snap, n_int, n_rw = t.merge(delta, ["n_chars"])
+    assert n_int > 0 and n_rw <= n_int
+    # rewrites + inserts all live inside lang= dirs
+    merged_files = glob.glob(
+        _os.path.join(t.data_dir, "**", f"merged-{snap}-*.parquet"),
+        recursive=True,
+    )
+    assert merged_files and all("lang=" in f for f in merged_files)
+    # per-partition row counts: updates don't move rows, inserts land
+    # in their own partition
+    for lang, n in per_lang.items():
+        expect = n + (1 if lang in ("fr", "de") else 0)
+        got = t.scan(partition_filter={"lang": lang})
+        assert got.count() == expect, lang
+        assert all(f"lang={lang}" in f for f in got.inputFiles()), lang
+    # updated values visible, partition-filtered
+    en_docs = docs.filter(F.col("lang") == "en")
+    want = en_docs.withColumn(
+        "n_chars",
+        F.when(
+            F.col("doc_id").between(10, 40), F.col("n_chars") + 1
+        ).otherwise(F.col("n_chars")),
+    ).agg(F.sum("n_chars")).first()[0]
+    got_sum = (
+        t.scan(partition_filter={"lang": "en"}).agg(F.sum("n_chars")).first()[0]
+    )
+    assert got_sum == want
+    # merge_concurrent threads partition_by the same way
+    ins2 = spark.createDataFrame(
+        [(9_000_003, 33, "en")], "doc_id long, n_chars int, lang string"
+    )
+    snap2, _, _, retries = t.merge_concurrent(ins2, ["n_chars"])
+    assert retries == 0
+    got_en = t.scan(partition_filter={"lang": "en"})
+    assert got_en.count() == per_lang["en"] + 1
+    assert all("lang=en" in f for f in got_en.inputFiles())
+    # a partitioned merge refuses a delta missing the partition column
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition column"):
+        t.merge(ins2.drop("lang"), ["n_chars"])
+
+
+def test_facade_clone_propagates_partition_by(spark, tmp_path):
+    """clone() must carry partition_by: maintenance verbs on the clone
+    keep recording partition values (a bare clone would silently turn
+    every later partition filter conservative after its first verb)."""
+    import glob
+    import os as _os
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "doc_id",
+        n_files=4,
+        partition_by=("lang",),
+    )
+    c = t.clone(str(tmp_path / "clone_manifest"))
+    assert c.partition_by == ("lang",)
+    # a maintenance verb on the clone records partition values
+    en_dir = _os.path.join(t.data_dir, "lang=en")
+    frags = sorted(glob.glob(en_dir + "/*.parquet"))
+    assert len(frags) > 1
+    n_en = c.scan(partition_filter={"lang": "en"}).count()
+    c.compact_files(frags)
+    got = c.scan(partition_filter={"lang": "en"})
+    assert got.count() == n_en
+    de = c.scan(partition_filter={"lang": "de"})
+    assert all("lang=en" not in f for f in de.inputFiles())

@@ -53,36 +53,39 @@ def claim_commit(
     underscore keeps the token tree invisible to Spark's parquet
     listing of the manifest itself.
 
-    Each claim writes an ``owner`` file (a fresh uuid) inside its token
-    dir. A stale takeover (token older than ``stale_after`` with no
-    committed rows) renames the token ASIDE atomically — only one
-    takeover-er can win the rename — and claims fresh, so the original
-    claimant's ownership is revoked rather than silently shared: if
-    that claimant was merely SLOW (a >5-min compaction, not a crash),
-    its commit-time :func:`verify_claim` check fails loudly instead of
-    interleaving two writers' rows under one snapshot id."""
-    import time as _time
+    Each claim records an owner uuid with its token. A stale takeover
+    (token older than ``stale_after`` with no committed rows) revokes
+    the token ATOMICALLY — only one takeover-er can win — and claims
+    fresh, so the original claimant's ownership is revoked rather than
+    silently shared: if that claimant was merely SLOW (a >5-min
+    compaction, not a crash), its commit-time :func:`verify_claim`
+    check fails loudly instead of interleaving two writers' rows under
+    one snapshot id.
+
+    Every primitive routes through the manifest's :mod:`.logstore`
+    (POSIX mkdir/rename by default; the simulated object store swaps in
+    conditional-PUT-style single-object CAS), so this protocol — and
+    the concurrency tests that pin it — is substrate-independent."""
     import uuid as _uuid
 
+    from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+        log_store_for,
+    )
+
+    store = log_store_for(manifest_dir)
     token_root = os.path.join(manifest_dir, "_commits")
-    # os.mkdir, NOT makedirs: creating the token root must FAIL when the
-    # manifest directory itself is absent. During expire's two-rename
-    # swap the manifest dir briefly does not exist; a makedirs here used
-    # to recreate it mid-swap, making expire's second rename nest the
-    # new manifest INSIDE the recreated dir as an '.expiring' subdir —
-    # table unreadable. A missing parent now surfaces as a retryable
-    # ConcurrentCommitError instead (mkdir-fails-on-missing-parent is
-    # atomic: there is no check-then-create window to race).
-    try:
-        os.mkdir(token_root)
-    except FileExistsError:
-        pass
-    except FileNotFoundError:
+    # the token root must NEVER be creatable when the manifest directory
+    # itself is absent: during expire's swap the dir briefly does not
+    # exist, and recreating it mid-swap used to make the second rename
+    # nest the new manifest INSIDE it — table unreadable. The store
+    # surfaces that window as a retryable error instead (its root
+    # creation is atomic: no check-then-create race).
+    if not store.ensure_token_root(manifest_dir, token_root):
         raise ConcurrentCommitError(
             f"manifest {manifest_dir} does not exist — either the table "
             "was never created (write_stats_manifest first) or an expire "
             "swap is in flight; back off and retry"
-        ) from None
+        )
     snap = int(parent) + 1
     token = os.path.join(token_root, str(snap))
     # an id at or below the committed tip is NEVER claimable, token or
@@ -97,44 +100,36 @@ def claim_commit(
         )
     owner = _uuid.uuid4().hex
     for attempt in (0, 1):
-        try:
-            os.mkdir(token)
-        except FileExistsError:
-            committed_max = _next_snapshot(spark, manifest_dir) - 1
-            if snap <= committed_max:
-                raise ConcurrentCommitError(
-                    f"snapshot {snap} at {manifest_dir} was committed by "
-                    "a concurrent writer — re-validate against the "
-                    "current table state and retry"
-                ) from None
-            # claimed but not (yet) committed: in-flight, or abandoned
-            # by a crashed claimant. A token older than stale_after with
-            # no committed rows is taken over — the lease-timeout
-            # recovery object-store log stores use; a young token means
-            # a live writer: fail loudly, the caller backs off and
-            # retries. Takeover renames the token aside (atomic: one
-            # winner) instead of rmdir'ing it, revoking the old owner
-            # file with it.
-            try:
-                age = _time.time() - os.stat(token).st_mtime
-            except FileNotFoundError:
-                continue  # winner vanished between mkdir and stat: retry
-            if attempt == 0 and age > float(stale_after):
-                try:
-                    os.rename(token, f"{token}.stale-{owner}")
-                except OSError:
-                    pass  # another takeover-er won the rename: retry
-                continue
+        if store.try_create_token(token, owner):
+            _CLAIM_OWNERS[(os.path.abspath(manifest_dir), snap)] = owner
+            return snap
+        committed_max = _next_snapshot(spark, manifest_dir) - 1
+        if snap <= committed_max:
             raise ConcurrentCommitError(
-                f"snapshot {snap} at {manifest_dir} is claimed by an "
-                f"in-flight commit (token age {age:.1f}s) — back off and "
-                "retry; if the claimant crashed, the token becomes "
-                f"stale after {stale_after}s and is taken over"
-            ) from None
-        with open(os.path.join(token, "owner"), "w") as fh:
-            fh.write(owner)
-        _CLAIM_OWNERS[(os.path.abspath(manifest_dir), snap)] = owner
-        return snap
+                f"snapshot {snap} at {manifest_dir} was committed by "
+                "a concurrent writer — re-validate against the "
+                "current table state and retry"
+            )
+        # claimed but not (yet) committed: in-flight, or abandoned
+        # by a crashed claimant. A token older than stale_after with
+        # no committed rows is taken over — the lease-timeout
+        # recovery object-store log stores use; a young token means
+        # a live writer: fail loudly, the caller backs off and
+        # retries. Takeover revokes the token atomically (one winner,
+        # whichever store) instead of deleting it, revoking the old
+        # owner record with it.
+        age = store.token_age(token)
+        if age is None:
+            continue  # winner vanished between create and stat: retry
+        if attempt == 0 and age > float(stale_after):
+            store.revoke_token(token, f".stale-{owner}")
+            continue  # won or lost the revoke race: either way re-claim
+        raise ConcurrentCommitError(
+            f"snapshot {snap} at {manifest_dir} is claimed by an "
+            f"in-flight commit (token age {age:.1f}s) — back off and "
+            "retry; if the claimant crashed, the token becomes "
+            f"stale after {stale_after}s and is taken over"
+        )
     raise ConcurrentCommitError(  # pragma: no cover - loop always exits
         f"could not claim snapshot {snap} at {manifest_dir}"
     )
@@ -152,12 +147,13 @@ def release_claim(manifest_dir: str, snapshot_id: int) -> None:
     again — ``expire_manifest_history`` guards its manifest swap this
     way. Committing verbs never release: their token is the commit's
     durable marker until expire prunes the at-or-below-tip tokens."""
-    import shutil as _shutil
+    from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+        log_store_for,
+    )
 
     _CLAIM_OWNERS.pop((os.path.abspath(manifest_dir), int(snapshot_id)), None)
-    _shutil.rmtree(
-        os.path.join(manifest_dir, "_commits", str(int(snapshot_id))),
-        ignore_errors=True,
+    log_store_for(manifest_dir).delete_token(
+        os.path.join(manifest_dir, "_commits", str(int(snapshot_id)))
     )
 
 
@@ -172,17 +168,16 @@ def verify_claim(manifest_dir: str, snapshot_id: int) -> None:
     caller that claimed in another process, or pre-claim-era tests
     stamping id 0 fixtures) is not re-validated — the registry only
     knows this process's leases."""
+    from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+        log_store_for,
+    )
+
     ours = _CLAIM_OWNERS.get((os.path.abspath(manifest_dir), int(snapshot_id)))
     if ours is None:
         return
-    owner_file = os.path.join(
-        manifest_dir, "_commits", str(int(snapshot_id)), "owner"
+    on_disk = log_store_for(manifest_dir).read_token_owner(
+        os.path.join(manifest_dir, "_commits", str(int(snapshot_id)))
     )
-    try:
-        with open(owner_file) as fh:
-            on_disk = fh.read().strip()
-    except OSError:
-        on_disk = None
     if on_disk != ours:
         raise ConcurrentCommitError(
             f"snapshot {snapshot_id} at {manifest_dir}: this writer's "

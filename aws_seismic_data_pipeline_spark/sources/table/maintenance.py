@@ -26,6 +26,9 @@ from aws_seismic_data_pipeline_spark.sources.table.commit import (
 from aws_seismic_data_pipeline_spark.sources.table.deletes import (
     _live_delete_records,
 )
+from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+    log_store_for,
+)
 from aws_seismic_data_pipeline_spark.sources.table.manifest import (
     _MANIFEST_COLS,
     _stats_add_rows,
@@ -1038,16 +1041,12 @@ def expire_manifest_history(
         rows_after = spark.read.parquet(tmp).count()
         aside = manifest_dir + ".expired_old"
         _shutil.rmtree(aside, ignore_errors=True)
-        # two same-filesystem os.rename legs (tmp is a sibling of the
-        # manifest dir), each individually atomic — never shutil.move,
-        # whose copy fallback widens the window and whose move-INTO-dst
-        # semantics caused the nesting corruption claim_commit now guards
-        os.rename(manifest_dir, aside)
-        try:
-            os.rename(tmp, manifest_dir)
-        except BaseException:
-            os.rename(aside, manifest_dir)  # restore: expire didn't happen
-            raise
+        # the swap routes through the manifest's LogStore: POSIX = two
+        # atomic same-filesystem renames with restore-on-failure; the
+        # simulated object store = copy+delete (non-atomic — safe here
+        # only because this whole block runs under the claim lease)
+        store = log_store_for(manifest_dir)
+        store.replace_dir(tmp, manifest_dir, aside)
         # commit tokens SURVIVE the expire swap: an in-flight writer that
         # claimed a snapshot above the committed tip must keep its lease
         # (losing it would let a second writer re-claim the same id — the
@@ -1056,19 +1055,18 @@ def expire_manifest_history(
         # the token tree does not grow forever. The swap guard itself
         # (cur_max+1, live) migrates here and is released in the finally.
         old_commits = os.path.join(aside, "_commits")
-        if os.path.isdir(old_commits):
-            new_commits = os.path.join(manifest_dir, "_commits")
-            os.makedirs(new_commits, exist_ok=True)
-            for name in os.listdir(old_commits):
-                try:
-                    live = int(name) > int(cur_max)
-                except ValueError:
-                    live = False  # 'N.stale-<uuid>' asides: prune
-                if live:
-                    _shutil.move(
-                        os.path.join(old_commits, name),
-                        os.path.join(new_commits, name),
-                    )
+        new_commits = os.path.join(manifest_dir, "_commits")
+        for name in store.list_tokens(old_commits):
+            try:
+                live = int(name) > int(cur_max)
+            except ValueError:
+                live = False  # 'N.stale-<uuid>' asides: prune
+            if live:
+                os.makedirs(new_commits, exist_ok=True)
+                store.move_token(
+                    os.path.join(old_commits, name),
+                    os.path.join(new_commits, name),
+                )
         _shutil.rmtree(aside, ignore_errors=True)
     finally:
         release_claim(manifest_dir, guard)
@@ -1088,7 +1086,7 @@ def recover_interrupted_expire(manifest_dir: str) -> bool:
     Returns True when a recovery rename was performed."""
     aside = manifest_dir + ".expired_old"
     if not os.path.isdir(manifest_dir) and os.path.isdir(aside):
-        os.rename(aside, manifest_dir)
+        log_store_for(manifest_dir).move_dir(aside, manifest_dir)
         return True
     return False
 

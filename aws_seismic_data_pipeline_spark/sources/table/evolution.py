@@ -36,32 +36,51 @@ def evolve_schema_add(
     COMMITTED: an as-of read below this snapshot sees the old schema,
     at/above sees the new, exactly like any other table mutation).
     Returns the snapshot id written."""
-    man = spark.read.parquet(manifest_dir)
-    declared = (
-        man.filter(
-            (F.col("op") == "schema_add") & (F.col("column_name") == column)
-        ).limit(1).count()
-        > 0
-    )
-    if declared:
-        raise ValueError(
-            f"column {column!r} is already declared at {manifest_dir}"
-        )
     snap = _claimed_next_snapshot(spark, manifest_dir)
-    schema = man.schema
-    fixed = {
-        "path": "",
-        "file_name": "",
-        "column_name": column,
-        "snapshot_id": int(snap),
-        "op": "schema_add",
-        "partition_values": {"type": str(sql_type)},
-    }
-    row = tuple(fixed.get(f.name) for f in schema)
-    spark.createDataFrame([row], schema).write.mode("append").parquet(
-        manifest_dir
-    )
+    schema_add_rows(spark, manifest_dir, {column: sql_type}, snap).write.mode(
+        "append"
+    ).parquet(manifest_dir)
     return snap
+
+
+def schema_add_rows(
+    spark: SparkSession,
+    manifest_dir: str,
+    columns: dict[str, str],
+    snapshot_id: int,
+) -> DataFrame:
+    """UNCOMMITTED 'schema_add' declaration rows — compound verbs
+    (``merge_evolve_through_manifest``) union these with their data
+    adds/tombstones and commit everything in ONE append, so the column
+    declaration and the files that first carry it become visible at the
+    SAME snapshot (Delta's mergeSchema-on-MERGE atomicity). Raises on a
+    re-declaration, same as :func:`evolve_schema_add`."""
+    man = spark.read.parquet(manifest_dir)
+    declared = {
+        r.column_name
+        for r in man.filter(F.col("op") == "schema_add")
+        .select("column_name")
+        .distinct()
+        .collect()
+    }
+    dupes = sorted(set(columns) & declared)
+    if dupes:
+        raise ValueError(
+            f"column(s) {dupes} are already declared at {manifest_dir}"
+        )
+    schema = man.schema
+    rows = []
+    for column, sql_type in sorted(columns.items()):
+        fixed = {
+            "path": "",
+            "file_name": "",
+            "column_name": column,
+            "snapshot_id": int(snapshot_id),
+            "op": "schema_add",
+            "partition_values": {"type": str(sql_type)},
+        }
+        rows.append(tuple(fixed.get(f.name) for f in schema))
+    return spark.createDataFrame(rows, schema)
 
 
 def read_evolved(

@@ -573,6 +573,7 @@ def merge_through_manifest(
     insert_files: int = 1,
     snapshot_id: int | None = None,
     partition_by: tuple[str, ...] = (),
+    extra_commit_frames: list[DataFrame] | None = None,
 ) -> tuple[int, int, int]:
     """MERGE committed THROUGH the manifest — the copy-on-write shape
     (Iceberg CoW, Delta MERGE): rewrite ONLY the data files whose
@@ -707,7 +708,14 @@ def merge_through_manifest(
                 .select(
                     F.col(f"b.{key}").alias(key),
                     *[
+                        # a col the base files don't physically carry
+                        # (schema evolution: declared, or arriving with
+                        # THIS delta) is delta-only — unmatched base
+                        # rows get NULL, the mergeSchema-on-MERGE
+                        # semantics Delta ships
                         F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+                        if c in touched_g.columns
+                        else F.col(f"u.{c}").alias(c)
                         for c in cols
                     ],
                 )
@@ -777,7 +785,7 @@ def merge_through_manifest(
     # adds + removes land in ONE append (commit_manifest_rows): a
     # concurrent loser re-planning mid-commit must never see the
     # rewritten files alongside the still-untombstoned originals
-    frames = []
+    frames = list(extra_commit_frames or [])
     if new_paths:
         frames.append(
             _stats_add_rows(
@@ -910,6 +918,181 @@ def plan_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
                 .cast("long")
                 .alias("total_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+def merge_evolve_through_manifest(
+    spark: SparkSession,
+    manifest_dir: str,
+    delta: DataFrame,
+    key: str,
+    cols: list[str],
+    insert_files: int = 1,
+    partition_by: tuple[str, ...] = (),
+) -> tuple[int, int, int, list[str]]:
+    """MERGE **with schema evolution** in ONE snapshot — Delta's
+    ``mergeSchema``-on-MERGE composition: a delta carrying columns the
+    table has never seen auto-ADDs the declarations and merges the data
+    in the SAME commit, so there is no snapshot at which the new column
+    is declared but its first values are missing (or vice versa). The
+    declaration rows ride in ``merge_through_manifest``'s single
+    ``commit_manifest_rows`` append; rewritten intersecting files carry
+    the new column (NULL on unmatched base rows), untouched files are
+    NULL-backfilled by :func:`evolution.read_evolved` at scan time, and
+    an as-of read BELOW the snapshot sees the old schema AND the old
+    rows (both directions pytest-pinned). A column is evolved when it
+    is in ``cols`` but neither physically in the base files nor already
+    declared. Returns (snapshot_id, n_intersecting, n_rewritten,
+    evolved_columns)."""
+    from aws_seismic_data_pipeline_spark.sources.table.evolution import (
+        schema_add_rows,
+    )
+
+    man = spark.read.parquet(manifest_dir)
+    sample = (
+        _visible_stats(man, None).select("path").limit(1).collect()
+    )
+    if not sample:
+        raise ValueError(f"empty stats manifest at {manifest_dir}")
+    physical = set(spark.read.parquet(sample[0].path).columns)
+    declared = {
+        r.column_name
+        for r in man.filter(F.col("op") == "schema_add")
+        .select("column_name")
+        .distinct()
+        .collect()
+    }
+    dtypes = dict(delta.dtypes)
+    evolved = {
+        c: dtypes[c]
+        for c in cols
+        if c not in physical and c not in declared
+    }
+    snap = _claimed_next_snapshot(spark, manifest_dir)
+    extra = (
+        [schema_add_rows(spark, manifest_dir, evolved, snap)]
+        if evolved
+        else None
+    )
+    s, n_int, n_rw = merge_through_manifest(
+        spark,
+        manifest_dir,
+        delta,
+        key,
+        cols,
+        insert_files=insert_files,
+        snapshot_id=snap,
+        partition_by=partition_by,
+        extra_commit_frames=extra,
+    )
+    return s, n_int, n_rw, sorted(evolved)
+
+
+@register(
+    "plan_merge_schema_evolution",
+    oracle=f"""
+        WITH delta_keys AS (
+            SELECT o_orderkey, 'R' AS o_orderstatus
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+              AND o_orderkey BETWEEN {_RG_PRUNE_RANGE[0]} AND {_RG_PRUNE_RANGE[1]}
+            UNION ALL
+            SELECT o_orderkey + 100000000 AS o_orderkey, 'N' AS o_orderstatus
+            FROM orders WHERE o_orderkey % 997 = 7
+        ),
+        delta AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(o_orderkey % 7 AS DOUBLE) AS o_flag
+            FROM delta_keys
+        ),
+        base AS (SELECT o_orderkey, o_orderstatus FROM orders),
+        merged AS (
+            SELECT COALESCE(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   COALESCE(d.o_orderstatus, b.o_orderstatus)
+                       AS o_orderstatus,
+                   d.o_flag AS o_flag
+            FROM base b FULL OUTER JOIN delta d
+              ON b.o_orderkey = d.o_orderkey
+        )
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(o_flag) AS BIGINT) AS n_flagged,
+               SUM(o_flag) AS sum_flag,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        FROM merged
+        GROUP BY o_orderstatus
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE + schema evolution composed in ONE snapshot, end to end:
+    orders lands range-clustered with a manifest; the delta UPDATEs
+    urgent orders in a narrow band and INSERTs far keys, carrying a
+    column the table has never seen (``o_flag`` double).
+    ``merge_evolve_through_manifest`` declares the column and commits
+    the merge atomically; the query reads the whole table under the
+    evolved schema. The oracle replays the same MERGE relationally —
+    the new column is non-NULL exactly on delta rows (updates +
+    inserts), NULL on every untouched row, counts/sums exact. If the
+    declaration committed without the data (or at a different
+    snapshot), n_flagged/sum_flag break; the one-snapshot and both
+    time-travel directions are pytest-pinned in
+    tests/test_catalog_scale.py. ``SUM(double)`` is order-safe here:
+    o_flag values are small integers, exact at any summation order."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.evolution import (
+        read_evolved,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "merge_evo_orders")
+    mpath = scratch_path(spark, sf_dir, "merge_evo_manifest")
+    lo, hi = _RG_PRUNE_RANGE
+    with scratch_cleanup(data_dir, mpath):
+        full = load_table(spark, sf_dir, "orders")
+        orders = full.select("o_orderkey", "o_orderstatus")
+        orders.repartitionByRange(16, "o_orderkey").write.mode(
+            "overwrite"
+        ).parquet(data_dir)
+        files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
+        write_stats_manifest(spark, files, mpath, ("o_orderkey",))
+        delta_keys = (
+            full.filter(
+                (F.col("o_orderkey").between(lo, hi))
+                & (F.col("o_orderpriority") == "1-URGENT")
+            )
+            .select("o_orderkey", F.lit("R").alias("o_orderstatus"))
+            .unionByName(
+                orders.filter(F.col("o_orderkey") % 997 == 7).select(
+                    (F.col("o_orderkey") + F.lit(100000000)).alias(
+                        "o_orderkey"
+                    ),
+                    F.lit("N").alias("o_orderstatus"),
+                )
+            )
+        )
+        delta = delta_keys.withColumn(
+            "o_flag", (F.col("o_orderkey") % 7).cast("double")
+        )
+        _snap, _n_int, _n_rw, evolved = merge_evolve_through_manifest(
+            spark, mpath, delta, "o_orderkey", ["o_orderstatus", "o_flag"]
+        )
+        assert evolved == ["o_flag"], evolved
+        return (
+            read_evolved(spark, mpath, "o_orderkey")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.count("o_flag").cast("long").alias("n_flagged"),
+                F.sum("o_flag").alias("sum_flag"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
             )
             .localCheckpoint(eager=True)
         )

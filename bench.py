@@ -182,6 +182,8 @@ HEADLINE = [
     # 2-D pruned rectangle at one snapshot)
     "plan_optimize_zorder",
     "plan_optimize_zorder_incremental",
+    # round-12: MERGE + schema evolution composed at one snapshot
+    "plan_merge_schema_evolution",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

@@ -3158,3 +3158,75 @@ def test_maintenance_rewrites_preserve_evolved_columns(spark, tmp_path):
     got = R.read_evolved(spark, mpath, "doc_id")
     assert got.count() == docs.count() + 50
     assert got.agg(F.sum("score")).first()[0] == want_score_sum
+
+
+def test_merge_schema_evolution_one_snapshot_time_travels(spark, tmp_path):
+    """merge_evolve_through_manifest pins: (a) the column declaration
+    and the merge land at ONE snapshot (history shows a single commit
+    carrying schema_add + adds + removes); (b) an as-of read BELOW the
+    snapshot sees the OLD schema and the OLD rows; (c) at/above sees
+    the new column — values on delta rows, NULL elsewhere; (d) a
+    re-merge with the same column does NOT re-declare it."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.table import _verbs as R
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    data_dir = str(tmp_path / "docs")
+    docs.repartition(4, "doc_id").write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "manifest")
+    R.write_stats_manifest(spark, files, mpath, ("doc_id",))
+    n0 = docs.count()
+
+    delta = spark.createDataFrame(
+        [(3, "aa", 0.5), (10**7, "nb", 0.9)],
+        "doc_id long, lang string, score double",
+    )
+    snap, n_int, n_rw, evolved = R.merge_evolve_through_manifest(
+        spark, mpath, delta, "doc_id", ["lang", "score"]
+    )
+    assert evolved == ["score"] and n_int > 0
+
+    # (a) one snapshot: schema_add + adds + removes all at `snap`,
+    # and nothing landed at any other new snapshot
+    man = spark.read.parquet(mpath)
+    ops_at = {
+        r.op
+        for r in man.filter(F.col("snapshot_id") == snap)
+        .select("op").distinct().collect()
+    }
+    assert {"schema_add", "add", "remove"} <= ops_at
+    assert man.agg(F.max("snapshot_id")).first()[0] == snap
+
+    # (b) below: old schema, old rows
+    before = R.read_evolved(spark, mpath, "doc_id", as_of=snap - 1)
+    assert "score" not in before.columns
+    assert before.count() == n0
+    assert before.filter(F.col("doc_id") == 3).first().lang != "aa"
+
+    # (c) at: evolved schema, merged rows, NULL elsewhere
+    after = R.read_evolved(spark, mpath, "doc_id", as_of=snap)
+    assert "score" in after.columns
+    assert after.count() == n0 + 1
+    got = {r.doc_id: (r.lang, r.score) for r in after.filter(
+        F.col("doc_id").isin(3, 10**7)).collect()}
+    assert got[3] == ("aa", 0.5) and got[10**7] == ("nb", 0.9)
+    assert (
+        after.filter(F.col("score").isNotNull()).count() == 2
+    ), "score must be NULL on every untouched row"
+
+    # (d) idempotent declaration: second merge reuses the declared col
+    delta2 = spark.createDataFrame(
+        [(5, "cc", 0.1)], "doc_id long, lang string, score double"
+    )
+    snap2, _, _, evolved2 = R.merge_evolve_through_manifest(
+        spark, mpath, delta2, "doc_id", ["lang", "score"]
+    )
+    assert evolved2 == [] and snap2 == snap + 1
+    final = R.read_evolved(spark, mpath, "doc_id")
+    assert final.filter(F.col("score").isNotNull()).count() == 3

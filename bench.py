@@ -182,8 +182,10 @@ HEADLINE = [
     # 2-D pruned rectangle at one snapshot)
     "plan_optimize_zorder",
     "plan_optimize_zorder_incremental",
-    # round-12: MERGE + schema evolution composed at one snapshot
+    # round-12: MERGE + schema evolution composed at one snapshot, and
+    # row-group-granular manifest skipping on the binpack-concat layout
     "plan_merge_schema_evolution",
+    "scan_manifest_pruned_rowgroup",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

@@ -3230,3 +3230,58 @@ def test_merge_schema_evolution_one_snapshot_time_travels(spark, tmp_path):
     assert evolved2 == [] and snap2 == snap + 1
     final = R.read_evolved(spark, mpath, "doc_id")
     assert final.filter(F.col("score").isNotNull()).count() == 3
+
+
+def test_rowgroup_pruning_beats_file_pruning_on_concat_layout(spark, tmp_path):
+    """Row-group-granular conjunction (r11 verdict item 4) pins on the
+    binpack-concat layout (each file = two disjoint sorted runs): the
+    band inside one run survives file-level pruning in EVERY file (all
+    bounding ranges cover it) but owns exactly one matching row group —
+    files_rowgroup_level << files_file_level, the executed scan opens
+    only that file, and the two scans return identical rows."""
+    import glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.table import _verbs as R
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        _run_width,
+    )
+
+    path = str(tmp_path / "concat")
+    mpath = str(tmp_path / "manifest")
+    R.write_fragment_concat_layout(spark, SF_DIR, path)
+    files = sorted(
+        glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    assert len(files) == 8
+    R.write_stats_manifest(spark, files, mpath, ("o_orderkey",))
+    w = _run_width(spark, SF_DIR)
+    lo, hi = 8 * w + w // 4, 8 * w + w // 2
+    preds = {"o_orderkey": (float(lo), float(hi))}
+
+    rep = R.rowgroup_prune_report(spark, mpath, preds)
+    assert rep["files_file_level"] == 8, rep  # file stats defeated
+    assert rep["files_rowgroup_level"] < rep["files_file_level"], rep
+    assert rep["rowgroups_matching"] < rep["rowgroups_total"], rep
+
+    a = R.manifest_pruned_scan_multi(spark, mpath, preds)
+    b = R.manifest_pruned_scan_multi_rowgroup(spark, mpath, preds)
+    assert b.count() == a.count() > 0
+    assert (
+        b.agg(F.sum("o_orderkey")).first()[0]
+        == a.agg(F.sum("o_orderkey")).first()[0]
+    )
+    # the executed row-group-level scan opens strictly fewer files
+    assert len(b.inputFiles()) == rep["files_rowgroup_level"]
+    assert len(a.inputFiles()) == rep["files_file_level"]
+
+    # conservative contract: a predicate on an untracked column keeps
+    # every file on that axis (no silent elimination)
+    both = R.manifest_pruned_scan_multi_rowgroup(
+        spark,
+        mpath,
+        {"o_orderkey": (float(lo), float(hi)), "o_custkey": (0.0, 1e18)},
+    )
+    assert both.count() == a.count()

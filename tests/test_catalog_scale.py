@@ -3285,3 +3285,70 @@ def test_rowgroup_pruning_beats_file_pruning_on_concat_layout(spark, tmp_path):
         {"o_orderkey": (float(lo), float(hi)), "o_custkey": (0.0, 1e18)},
     )
     assert both.count() == a.count()
+
+
+def test_optimize_hilbert_prunes_time_travels_matches_morton(spark, tmp_path):
+    """optimize_hilbert pins: (a) the 2-D rectangle opens a fraction of
+    the files post-optimize (pre-optimize hash layout opened all); (b)
+    an as-of read below the optimize snapshot still sees the scattered
+    layout (time travel — pure layout rewrite); (c) pruning power
+    equals the Morton layout on the same table and box (a rectangle
+    intersects the same tiles under any space-filling curve), while
+    the curve differs (hilbert-* files on disk, not zorder-*)."""
+    import glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.table import _verbs as R
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    mx = orders.agg(
+        F.max("o_orderkey").alias("mk"), F.max("o_custkey").alias("mc")
+    ).collect()[0]
+    box = {
+        "o_orderkey": (mx.mk // 8, (3 * mx.mk) // 8),
+        "o_custkey": (mx.mc // 2, (3 * mx.mc) // 4),
+    }
+
+    def build(curve_fn, tag):
+        data_dir = str(tmp_path / f"{tag}_data")
+        mpath = str(tmp_path / f"{tag}_m")
+        orders.repartition(16).write.parquet(data_dir)
+        files = sorted(glob.glob(_os.path.join(data_dir, "*.parquet")))
+        R.write_stats_manifest(
+            spark, files, mpath, ("o_orderkey", "o_custkey")
+        )
+        snap, n_old, n_new = curve_fn(
+            spark, mpath, "o_orderkey", "o_custkey", n_files=16
+        )
+        return data_dir, mpath, snap, len(files)
+
+    hd, hm, hsnap, n_before = build(R.optimize_hilbert, "h")
+    zd, zm, _zsnap, _ = build(R.optimize_zorder, "z")
+
+    want = orders.filter(
+        F.col("o_orderkey").between(*box["o_orderkey"])
+        & F.col("o_custkey").between(*box["o_custkey"])
+    )
+    n_want, sum_want = want.count(), want.agg(F.sum("o_orderkey")).first()[0]
+
+    got_h = R.manifest_pruned_scan_multi(spark, hm, box)
+    assert got_h.count() == n_want
+    assert got_h.agg(F.sum("o_orderkey")).first()[0] == sum_want
+    # (a) pruning collapse + the files are hilbert runs
+    h_files = got_h.inputFiles()
+    assert 0 < len(h_files) < n_before
+    assert all("hilbert-" in f for f in h_files), h_files[:3]
+    # (c) same number of files opened as the Morton layout
+    got_z = R.manifest_pruned_scan_multi(spark, zm, box)
+    assert got_z.count() == n_want
+    assert len(h_files) == len(got_z.inputFiles())
+    # (b) time travel: below the optimize snapshot the scattered layout
+    # answers identically (row set unchanged by a layout rewrite)
+    pre = R.manifest_pruned_scan_multi(spark, hm, box, as_of=hsnap - 1)
+    assert pre.count() == n_want
+    assert all("hilbert-" not in f for f in pre.inputFiles())
+    assert len(pre.inputFiles()) == n_before  # hash layout: no skipping

@@ -74,17 +74,22 @@ def claim_commit(
 
     store = log_store_for(manifest_dir)
     token_root = os.path.join(manifest_dir, "_commits")
-    # the token root must NEVER be creatable when the manifest directory
-    # itself is absent: during expire's swap the dir briefly does not
-    # exist, and recreating it mid-swap used to make the second rename
-    # nest the new manifest INSIDE it — table unreadable. The store
-    # surfaces that window as a retryable error instead (its root
-    # creation is atomic: no check-then-create race).
+    # A NEVER-CREATED table may claim its first snapshot before any
+    # manifest rows exist (streaming ingest claims, then its first batch
+    # lands the manifest) — distinguished from expire's swap window by
+    # the '.expired_old' aside: while the swap is in flight (or after a
+    # crash between its renames) the aside exists and the claim must
+    # fail retryably rather than resurrect the manifest dir (recreating
+    # it mid-swap used to make the second rename nest the new manifest
+    # INSIDE it — table unreadable).
+    aside = manifest_dir + ".expired_old"
+    if not os.path.isdir(manifest_dir) and not os.path.isdir(aside):
+        os.makedirs(manifest_dir, exist_ok=True)
     if not store.ensure_token_root(manifest_dir, token_root):
         raise ConcurrentCommitError(
-            f"manifest {manifest_dir} does not exist — either the table "
-            "was never created (write_stats_manifest first) or an expire "
-            "swap is in flight; back off and retry"
+            f"manifest {manifest_dir} does not exist and its expire aside "
+            "does — an expire swap is in flight (or crashed mid-swap: run "
+            "recover_interrupted_expire); back off and retry"
         )
     snap = int(parent) + 1
     token = os.path.join(token_root, str(snap))

@@ -36,10 +36,19 @@ def evolve_schema_add(
     COMMITTED: an as-of read below this snapshot sees the old schema,
     at/above sees the new, exactly like any other table mutation).
     Returns the snapshot id written."""
+    from aws_seismic_data_pipeline_spark.sources.table.commit import (
+        release_claim,
+    )
+
     snap = _claimed_next_snapshot(spark, manifest_dir)
-    schema_add_rows(spark, manifest_dir, {column: sql_type}, snap).write.mode(
-        "append"
-    ).parquet(manifest_dir)
+    try:
+        rows = schema_add_rows(spark, manifest_dir, {column: sql_type}, snap)
+    except BaseException:
+        # nothing committed at the id: release the lease so the raise
+        # (re-declaration) doesn't block the NEXT writer for stale_after
+        release_claim(manifest_dir, snap)
+        raise
+    rows.write.mode("append").parquet(manifest_dir)
     return snap
 
 

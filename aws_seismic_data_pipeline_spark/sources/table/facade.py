@@ -183,6 +183,55 @@ class GovernedTable:
             partition_by=self.partition_by,
         )
 
+    def optimize_hilbert(self, x_col: str, y_col: str, n_files: int = 16):
+        """Rewrite the table Hilbert-clustered on two columns at one
+        snapshot — equal pruning power to :meth:`optimize_zorder`,
+        better run contiguity (fewer byte ranges per rectangle); the
+        table's partition_by is threaded like every maintenance verb."""
+        return R.optimize_hilbert(
+            self.spark,
+            self.manifest_dir,
+            x_col,
+            y_col,
+            n_files=n_files,
+            partition_by=self.partition_by,
+        )
+
+    def scan_multi_rowgroup(
+        self,
+        predicates: dict[str, tuple[float, float]],
+        as_of: int | None = None,
+        partition_filter: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Multi-column scan pruned at ROW-GROUP granularity: a file is
+        opened only if some single row group can satisfy every
+        predicate at once — strictly fewer files than
+        :meth:`scan_multi` on concat-compacted layouts."""
+        return R.manifest_pruned_scan_multi_rowgroup(
+            self.spark,
+            self.manifest_dir,
+            predicates,
+            as_of=as_of,
+            partition_filter=partition_filter,
+        )
+
+    def merge_evolve(
+        self, delta: DataFrame, cols: list[str], insert_files: int = 1
+    ):
+        """MERGE with schema evolution in ONE snapshot: delta columns
+        the table has never seen are declared and merged atomically
+        (Delta's mergeSchema-on-MERGE). Returns (snapshot,
+        intersecting, rewritten, evolved_columns)."""
+        return R.merge_evolve_through_manifest(
+            self.spark,
+            self.manifest_dir,
+            delta,
+            self.key,
+            cols,
+            insert_files=insert_files,
+            partition_by=self.partition_by,
+        )
+
     def merge(self, delta: DataFrame, cols: list[str], insert_files: int = 1):
         """Copy-on-write MERGE: returns (snapshot, intersecting,
         rewritten). On a partitioned table the table's own partition_by

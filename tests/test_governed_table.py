@@ -454,3 +454,54 @@ def test_facade_clone_propagates_partition_by(spark, tmp_path):
     assert got.count() == n_en
     de = c.scan(partition_filter={"lang": "de"})
     assert all("lang=en" not in f for f in de.inputFiles())
+
+
+def test_facade_r12_verbs_bind(spark, tmp_path):
+    """Binding pins for the r12 facade verbs: optimize_hilbert clusters
+    (partition_by threaded — partition filters stay exact), merge_evolve
+    declares + merges atomically, scan_multi_rowgroup answers the same
+    band as scan_multi."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars", "lang"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "doc_id",
+        n_files=8,
+        partition_by=("lang",),
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        write_stats_manifest,
+    )
+
+    write_stats_manifest(
+        spark,
+        t.visible_files(),
+        t.manifest_dir,
+        ("doc_id", "n_chars"),
+        partition_by=("lang",),
+    )
+    n_en = t.scan(partition_filter={"lang": "en"}).count()
+    snap, n_old, n_new = t.optimize_hilbert("doc_id", "n_chars", n_files=8)
+    assert n_old > 0 and n_new > 0
+    got = t.scan(partition_filter={"lang": "en"})
+    assert got.count() == n_en
+    assert all("lang=en" in f for f in got.inputFiles())
+
+    preds = {"doc_id": (50.0, 300.0)}
+    a = t.scan_multi(preds)
+    b = t.scan_multi_rowgroup(preds)
+    assert a.count() == b.count() > 0
+
+    delta = spark.createDataFrame(
+        [(50, 10, "en", 0.7)],
+        "doc_id long, n_chars long, lang string, quality double",
+    )
+    snap2, _, _, evolved = t.merge_evolve(delta, ["n_chars", "quality"])
+    assert evolved == ["quality"]
+    ev = t.scan_evolved()
+    assert "quality" in ev.columns
+    assert ev.filter(F.col("quality").isNotNull()).count() == 1

@@ -165,9 +165,12 @@ def test_concurrent_append_threads_serialize(spark, tmp_path, store_kind):
         def appender(my_batches):
             try:
                 for files in my_batches:
+                    # max_retries above the default: under full-suite
+                    # load the winner's commit can outlast the default
+                    # ~1.5s backoff budget and flake the loser out
                     results.append(
                         R.append_stats_manifest_retry(
-                            spark, files, mpath, ("doc_id",)
+                            spark, files, mpath, ("doc_id",), max_retries=10
                         )
                     )
             except Exception as e:  # pragma: no cover - surfaced below

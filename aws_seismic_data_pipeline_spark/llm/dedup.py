@@ -382,15 +382,23 @@ def ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
     functions, not per-query work — every consumer in the same
     application (``dedup_minhash_banded``, ``dedup_minhash_lsh``,
     repeated bench trials) probes the parquet instead of re-deriving
-    the stage. Both sub-artifacts are deterministic (universal-hash
+    the stage. All sub-artifacts are deterministic (universal-hash
     constants; vocabulary from a fixed corpus), so serving from the
-    index is value-transparent — driver hashes are unchanged."""
+    index is value-transparent — driver hashes are unchanged.
+
+    ``vocab/`` additionally persists the fitted vocabulary as
+    (token, idx) rows — the library's keyDistance is Jaccard over each
+    doc's active vocabulary-index set, and the pair-bounded verdict
+    path (:func:`_minhash_library_pairs`) recomputes it from exactly
+    this artifact. vocabSize is raised to 2^22 (the default 2^18 cap
+    silently drops rare tokens from the vectors, skewing distances on
+    large-vocabulary corpora)."""
     from pyspark.ml.feature import CountVectorizer
 
     path = minhash_index_path(spark, sf_dir)
     done = all(
         os.path.exists(os.path.join(path, sub, "_SUCCESS"))
-        for sub in ("pairs", "features")
+        for sub in ("pairs", "features", "vocab")
     )
     if done:
         return path
@@ -402,11 +410,20 @@ def ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
         "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
     )
     cv = CountVectorizer(
-        inputCol="tokens", outputCol="features", binary=True, minDF=1.0
+        inputCol="tokens",
+        outputCol="features",
+        binary=True,
+        minDF=1.0,
+        vocabSize=1 << 22,
     )
-    cv.fit(toks).transform(toks).select("doc_id", "features").write.mode(
+    cv_model = cv.fit(toks)
+    cv_model.transform(toks).select("doc_id", "features").write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "features"))
+    spark.createDataFrame(
+        [(t, i) for i, t in enumerate(cv_model.vocabulary)],
+        "token string, idx long",
+    ).write.mode("overwrite").parquet(os.path.join(path, "vocab"))
     return path
 
 
@@ -456,49 +473,97 @@ def _banded_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_library_pairs(
     spark: SparkSession,
     sf_dir: str,
-    candidate_docs: DataFrame | None = None,
+    candidate_pairs: DataFrame,
 ) -> DataFrame:
-    """Spark ML's MinHashLSH candidate pairs (seed=42, 8 hash tables,
-    distance threshold 0.9 over binary distinct-token vectors),
-    returned as (doc_a, doc_b, lib_sim) with lib_sim the library's
-    EXACT Jaccard similarity on the candidate pair (approxSimilarityJoin
-    computes true distance on candidates — only candidacy is
-    approximate).
+    """Spark ML's MinHashLSH verdict (seed=42, 8 hash tables, distance
+    threshold 0.9 over binary distinct-token vectors) evaluated
+    PER REQUESTED PAIR — (doc_a, doc_b, lib_sim) rows for exactly the
+    ``candidate_pairs`` the library would emit.
 
-    ``candidate_docs`` (a doc_id frame) restricts the similarity join
-    to those docs WITHOUT changing any pair's verdict: the vocabulary
-    and hash functions still come from the FULL corpus (CountVectorizer
-    fit + fixed-seed MinHashLSH), and a pair's candidacy/distance are
-    functions of its two docs' hashes alone — bucket equality does not
-    depend on what else is in the dataset. The verified-property
-    surface needs the library's verdict only on the banded pair axis,
-    so the O(corpus-bucket²) join (measured ~590 s at sf0.1) shrinks to
-    a pair-doc self-join at identical output values. The corpus vectors
-    come from the persisted MinHash index (:func:`ensure_minhash_index`
-    ``features/``) — the CountVectorizer vocabulary is a corpus-version
-    artifact, fit once per corpus, not per query."""
+    Pair-bounded by construction (the r12 sf1 headroom probe's one
+    super-linear finding): an ``approxSimilarityJoin`` restricted to
+    the pair DOCS still materializes every similar-doc pair of that
+    set — sum(bucket²), measured 8.09M intermediate rows for a
+    2,583-pair axis at the 10x probe scale, because the fixture corpus
+    has pervasive token overlap and the library's 0.9-distance cutoff
+    keeps almost any pair. The library's verdict for one pair depends
+    only on its two docs, so it is evaluated pairwise instead:
+
+    - candidacy: the library's own ``model.transform`` hashes (8
+      per-table min-hash values, fixed-seed) compared POSITIONALLY —
+      ``approxSimilarityJoin``'s bucket rule is hash equality in the
+      same table — plus its post-filter (keyDistance <= threshold);
+    - distance: ``MinHashLSHModel.keyDistance``'s documented formula,
+      1 - Jaccard over the two docs' active VOCABULARY-INDEX sets,
+      recomputed from the index's persisted (token, idx) vocabulary
+      artifact (binary CountVectorizer: active indices = distinct
+      in-vocabulary tokens).
+
+    Cost: transform over pair docs + pair-sized joins — O(|pairs|),
+    never a similarity self-join. The full corpus still defines the
+    artifacts (vocabulary fit; MinHash coefficients are seed-only)."""
     from pyspark.ml.feature import MinHashLSH
+    from pyspark.ml.functions import vector_to_array
 
-    feats = spark.read.parquet(
-        os.path.join(ensure_minhash_index(spark, sf_dir), "features")
-    )
+    idx = ensure_minhash_index(spark, sf_dir)
+    feats = spark.read.parquet(os.path.join(idx, "features"))
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     ).fit(feats)
-    if candidate_docs is not None:
-        feats = feats.join(
-            F.broadcast(candidate_docs.select("doc_id").distinct()), "doc_id"
-        )
-    pairs = model.approxSimilarityJoin(
-        feats, feats, 0.9, distCol="jaccard_dist"
+    pairs = candidate_pairs.select("doc_a", "doc_b").distinct()
+    pair_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            (1 - F.col("jaccard_dist")).alias("lib_sim"),
+    feats_r = feats.join(F.broadcast(pair_docs), "doc_id")
+    # per-doc hash vector -> plain array<double>, table order preserved
+    harr = (
+        model.transform(feats_r)
+        .select("doc_id", F.posexplode("hashes").alias("t", "hv"))
+        .select("doc_id", "t", vector_to_array("hv").getItem(0).alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "h"))),
+                lambda s: s.getField("h"),
+            ).alias("harr")
         )
+    )
+    # per-doc active vocabulary-index set (library keyDistance domain)
+    vocab = spark.read.parquet(os.path.join(idx, "vocab"))
+    tok_idx = (
+        load_table(spark, sf_dir, "documents")
+        .join(F.broadcast(pair_docs), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+        )
+        .join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("idxs"))
+    )
+    side = harr.join(tok_idx, "doc_id")
+    a = side.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("harr").alias("ha"),
+        F.col("idxs").alias("ia"),
+    )
+    b = side.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("harr").alias("hb"),
+        F.col("idxs").alias("ib"),
+    )
+    lib_sim = F.size(F.array_intersect("ia", "ib")) / F.size(
+        F.array_union("ia", "ib")
+    )
+    bucket_hit = F.expr("exists(zip_with(ha, hb, (x, y) -> x = y), v -> v)")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("lib_sim", lib_sim)
+        .filter(bucket_hit & (F.lit(1.0) - F.col("lib_sim") <= F.lit(0.9)))
+        .select("doc_a", "doc_b", "lib_sim")
     )
 
 
@@ -547,10 +612,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus pass (r11 verdict 'What's wrong' #2).
     Determinism remains pinned by seed=42 in tests."""
     banded = dedup_minhash_banded(spark, sf_dir)
-    pair_docs = banded.select(F.col("doc_a").alias("doc_id")).unionByName(
-        banded.select(F.col("doc_b").alias("doc_id"))
-    )
-    lib = _minhash_library_pairs(spark, sf_dir, candidate_docs=pair_docs)
+    lib = _minhash_library_pairs(spark, sf_dir, candidate_pairs=banded)
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
     )

@@ -987,3 +987,61 @@ def test_minhash_lsh_property_surface_verifies_library(spark):
         for r in REGISTRY["dedup_minhash_lsh"].builder(spark, SF_DIR).collect()
     }
     assert rows1 == rows2
+
+
+def test_pairwise_library_verdict_matches_approx_similarity_join(spark):
+    """The r12 pair-bounded library verdict (positional hash-equality
+    candidacy on model.transform hashes + keyDistance recomputed from
+    the persisted vocabulary artifact) must agree with the library's
+    own approxSimilarityJoin on the banded pair axis: same surviving
+    pairs, same similarities (1e-9). Pinned at fixture scale where the
+    full join is affordable — at 10x it materialized 8.09M intermediate
+    rows for a 2,583-pair axis (the sf1 probe's one super-linear
+    finding), which is why the query path is pairwise."""
+    import os
+
+    from pyspark.ml.feature import MinHashLSH
+
+    from aws_seismic_data_pipeline_spark.llm.dedup import (
+        _minhash_library_pairs,
+        dedup_minhash_banded,
+        ensure_minhash_index,
+    )
+
+    banded = dedup_minhash_banded(spark, SF_DIR).select("doc_a", "doc_b")
+    got = {
+        (r.doc_a, r.doc_b): r.lib_sim
+        for r in _minhash_library_pairs(
+            spark, SF_DIR, candidate_pairs=banded
+        ).collect()
+    }
+    assert got, "banded candidate set must be non-empty at fixture SF"
+
+    feats = spark.read.parquet(
+        os.path.join(ensure_minhash_index(spark, SF_DIR), "features")
+    )
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(feats)
+    pair_docs = banded.select(F.col("doc_a").alias("doc_id")).unionByName(
+        banded.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    feats_r = feats.join(F.broadcast(pair_docs), "doc_id")
+    truth_all = {
+        (r.a, r.b): r.sim
+        for r in model.approxSimilarityJoin(
+            feats_r, feats_r, 0.9, distCol="d"
+        )
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a"),
+            F.col("datasetB.doc_id").alias("b"),
+            (1 - F.col("d")).alias("sim"),
+        )
+        .collect()
+    }
+    banded_pairs = {(r.doc_a, r.doc_b) for r in banded.collect()}
+    truth = {p: s for p, s in truth_all.items() if p in banded_pairs}
+    assert set(got) == set(truth)
+    for p, s in truth.items():
+        assert abs(got[p] - s) < 1e-9, (p, got[p], s)

@@ -31,6 +31,7 @@ from aws_seismic_data_pipeline_spark.sources.table.logstore import (
 )
 from aws_seismic_data_pipeline_spark.sources.table.manifest import (
     _MANIFEST_COLS,
+    _PART_PRUNE_RANGE,
     _stats_add_rows,
     _tombstone_rows,
     _visible_stats,
@@ -988,6 +989,105 @@ def merge_evolve_through_manifest(
         extra_commit_frames=extra,
     )
     return s, n_int, n_rw, sorted(evolved)
+
+
+@register(
+    "plan_merge_partitioned",
+    oracle=f"""
+        WITH merged AS (
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id BETWEEN {_PART_PRUNE_RANGE[0]}
+                                        AND {_PART_PRUNE_RANGE[1]}
+                        THEN n_chars + 7 ELSE n_chars END AS n_chars
+            FROM documents
+            UNION ALL SELECT 900000001, 'fr', 11
+            UNION ALL SELECT 900000002, 'en', 22
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM merged
+        WHERE lang IN ('en', 'fr')
+        GROUP BY lang
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE on a HIVE-PARTITIONED governed table end to
+    end (the r12 partition-aware merge): documents land partitioned by
+    lang and range-clustered by doc_id inside each partition; the delta
+    UPDATEs a doc_id band across every language and INSERTs one new fr
+    doc and one new en doc. ``merge_through_manifest(partition_by=)``
+    rewrites intersecting files WITHIN their own lang= dirs, lands the
+    inserts Hive-partitioned by their own lang values, and re-records
+    partition_values on every committed stats row — then the query
+    answers per-lang aggregates through PARTITION-FILTERED manifest
+    scans. If a rewrite crossed partition dirs, an insert landed in the
+    wrong partition, or a stats row lost its partition value (filter
+    goes conservative but the path-derived rows would be wrong), the
+    per-lang counts/sums break the driver hash. Placement + per-dir
+    pins live in tests/test_governed_table.py."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "merge_part_data")
+    mpath = scratch_path(spark, sf_dir, "merge_part_manifest")
+    lo, hi = _PART_PRUNE_RANGE
+    with scratch_cleanup(data_dir, mpath):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars", "lang"
+        )
+        (
+            docs.repartitionByRange(6, "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(data_dir)
+        )
+        files = sorted(
+            _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+        )
+        write_stats_manifest(
+            spark, files, mpath, ("doc_id",), partition_by=("lang",)
+        )
+        delta = (
+            docs.filter(F.col("doc_id").between(lo, hi))
+            .select(
+                "doc_id",
+                (F.col("n_chars") + F.lit(7)).alias("n_chars"),
+                "lang",
+            )
+            .unionByName(
+                spark.createDataFrame(
+                    [(900000001, 11, "fr"), (900000002, 22, "en")],
+                    "doc_id long, n_chars long, lang string",
+                )
+            )
+        )
+        merge_through_manifest(
+            spark, mpath, delta, "doc_id", ["n_chars"], partition_by=("lang",)
+        )
+        per_lang = [
+            manifest_pruned_scan(
+                spark,
+                mpath,
+                "doc_id",
+                float("-inf"),
+                float("inf"),
+                partition_filter={"lang": lang},
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .select(F.lit(lang).alias("lang"), "n_docs", "sum_chars")
+            for lang in ("en", "fr")
+        ]
+        return per_lang[0].unionByName(per_lang[1]).localCheckpoint(eager=True)
 
 
 @register(

@@ -39,12 +39,21 @@ class GovernedTable:
         manifest_dir: str,
         key: str,
         partition_by: tuple[str, ...] = (),
+        log_store: object | None = None,
     ) -> None:
         self.spark = spark
         self.data_dir = data_dir
         self.manifest_dir = manifest_dir
         self.key = key
         self.partition_by = tuple(partition_by)
+        if log_store is not None:
+            # route this manifest's commit primitives through the given
+            # substrate (e.g. ObjectStoreLogStore) — see table/logstore.py
+            from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+                set_log_store,
+            )
+
+            set_log_store(manifest_dir, log_store)
 
     @classmethod
     def create(
@@ -56,12 +65,16 @@ class GovernedTable:
         key: str,
         n_files: int = 16,
         partition_by: tuple[str, ...] = (),
+        log_store: object | None = None,
     ) -> "GovernedTable":
         """Land ``df`` range-clustered on ``key`` across ``n_files``
         files and build the stats manifest over them (snapshot 0).
         ``partition_by`` lands Hive-partitioned dirs whose values the
         manifest records for combined partition+stats pruning
-        (:func:`readers.manifest_pruned_scan` ``partition_filter``)."""
+        (:func:`readers.manifest_pruned_scan` ``partition_filter``).
+        ``log_store`` selects the commit-atomicity substrate for this
+        table's manifest (POSIX default; ``ObjectStoreLogStore`` for
+        bucket-honest semantics — table/logstore.py)."""
         writer = df.repartitionByRange(n_files, key).write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -72,7 +85,9 @@ class GovernedTable:
         R.write_stats_manifest(
             spark, files, manifest_dir, (key,), partition_by=partition_by
         )
-        return cls(spark, data_dir, manifest_dir, key, partition_by)
+        return cls(
+            spark, data_dir, manifest_dir, key, partition_by, log_store
+        )
 
     # ---- read side -----------------------------------------------------
     def scan(
@@ -324,8 +339,13 @@ class GovernedTable:
 
     def clone(self, dst_manifest: str) -> "GovernedTable":
         """Zero-copy shallow clone sharing this table's data files.
-        partition_by propagates — maintenance verbs on the clone keep
-        recording partition values just like on the source."""
+        partition_by AND the commit substrate propagate — maintenance
+        verbs on the clone keep recording partition values and keep
+        using the source table's LogStore."""
+        from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+            log_store_for,
+        )
+
         R.clone_manifest(self.spark, self.manifest_dir, dst_manifest)
         return GovernedTable(
             self.spark,
@@ -333,6 +353,7 @@ class GovernedTable:
             dst_manifest,
             self.key,
             self.partition_by,
+            log_store_for(self.manifest_dir),
         )
 
     def rollback(self, to_snapshot: int) -> int:

@@ -1715,6 +1715,66 @@ def optimize_zorder_incremental(
         _morton16_sql,
     )
 
+    return _optimize_curve_incremental(
+        spark,
+        manifest_dir,
+        x_col,
+        y_col,
+        n_files,
+        coverage_threshold,
+        partition_by,
+        _morton16_sql,
+        "zinc",
+    )
+
+
+def optimize_hilbert_incremental(
+    spark: SparkSession,
+    manifest_dir: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 4,
+    coverage_threshold: float = 0.5,
+    partition_by: tuple[str, ...] = (),
+) -> tuple[int, int, int, int]:
+    """INCREMENTAL Hilbert maintenance — :func:`optimize_hilbert`'s
+    liquid-clustering sibling, sharing :func:`optimize_zorder_incremental`'s
+    metadata-only scattered-file selection verbatim: a file's stats
+    rectangle decides clustering regardless of WHICH curve laid the
+    bulk out (a clustered file is narrow in both dimensions under any
+    space-filling curve), so only the scattered tail is rewritten —
+    along the Hilbert order, into the same global coordinate system."""
+    from aws_seismic_data_pipeline_spark.operators.window_ops import (
+        _hilbert16_sql,
+    )
+
+    return _optimize_curve_incremental(
+        spark,
+        manifest_dir,
+        x_col,
+        y_col,
+        n_files,
+        coverage_threshold,
+        partition_by,
+        _hilbert16_sql,
+        "hinc",
+    )
+
+
+def _optimize_curve_incremental(
+    spark: SparkSession,
+    manifest_dir: str,
+    x_col: str,
+    y_col: str,
+    n_files: int,
+    coverage_threshold: float,
+    partition_by: tuple[str, ...],
+    curve_sql,
+    prefix: str,
+) -> tuple[int, int, int, int]:
+    """Shared incremental-OPTIMIZE body (see the public wrappers for
+    semantics): metadata-only selection of scattered files, curve
+    rewrite of only the tail, one atomic add+remove commit."""
     manifest = _visible_stats(spark.read.parquet(manifest_dir), None)
     tracked = tuple(
         sorted(
@@ -1738,8 +1798,7 @@ def optimize_zorder_incremental(
     for c in (x_col, y_col):
         if c not in glo or glo[c][0] is None:
             raise ValueError(
-                f"optimize_zorder_incremental: no stats for {c!r} in "
-                f"{manifest_dir}"
+                f"optimize_{prefix}: no stats for {c!r} in {manifest_dir}"
             )
     spans = {c: max(glo[c][1] - glo[c][0], 1e-12) for c in (x_col, y_col)}
     # per-file rectangle widths stay a DataFrame (at 10⁷ files the
@@ -1770,7 +1829,7 @@ def optimize_zorder_incremental(
     n_untouched = agg.n_files - len(scattered)
     if not scattered:
         raise ValueError(
-            "optimize_zorder_incremental: every visible file is already "
+            f"optimize_{prefix}: every visible file is already "
             f"clustered below coverage {coverage_threshold} — nothing to do"
         )
 
@@ -1785,10 +1844,10 @@ def optimize_zorder_incremental(
     new_paths = _zcluster_rewrite(
         spark,
         scattered,
-        _morton16_sql(_bucket(x_col), _bucket(y_col)),
+        curve_sql(_bucket(x_col), _bucket(y_col)),
         int(n_files),
         snap,
-        "zinc",
+        prefix,
     )
     verify_claim(manifest_dir, snap)
     commit_manifest_rows(

@@ -3352,3 +3352,63 @@ def test_optimize_hilbert_prunes_time_travels_matches_morton(spark, tmp_path):
     assert pre.count() == n_want
     assert all("hilbert-" not in f for f in pre.inputFiles())
     assert len(pre.inputFiles()) == n_before  # hash layout: no skipping
+
+
+def test_incremental_hilbert_touches_only_the_scattered_tail(spark, tmp_path):
+    """optimize_hilbert_incremental pins (mirror of the zorder
+    incremental contract): the Hilbert-clustered bulk's files are never
+    rewritten (mtimes unchanged), only the hash-scattered appends are
+    (hinc-* files), the committed row set is exact, and a fully
+    clustered table raises instead of an empty commit."""
+    import glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.table import _verbs as R
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    bulk = orders.filter(F.col("o_orderkey") % 5 != 0)
+    late = orders.filter(F.col("o_orderkey") % 5 == 0)
+    data_dir = str(tmp_path / "data")
+    bulk.repartition(8).write.parquet(data_dir)
+    files = sorted(glob.glob(_os.path.join(data_dir, "*.parquet")))
+    mpath = str(tmp_path / "m")
+    R.write_stats_manifest(spark, files, mpath, ("o_orderkey", "o_custkey"))
+    R.optimize_hilbert(spark, mpath, "o_orderkey", "o_custkey", n_files=8)
+    clustered = sorted(glob.glob(_os.path.join(data_dir, "hilbert-*.parquet")))
+    mtimes = {p: _os.stat(p).st_mtime_ns for p in clustered}
+
+    late_dir = _os.path.join(data_dir, "late")
+    late.repartition(3).write.parquet(late_dir)
+    late_files = sorted(glob.glob(_os.path.join(late_dir, "*.parquet")))
+    R.append_stats_manifest(spark, late_files, mpath, ("o_orderkey", "o_custkey"))
+
+    # n_files=8: a Hilbert run of ~32 tiles has a ~6x6-tile bounding
+    # box (~0.37 span) — safely below the 0.5 scattered threshold; 3
+    # files would give ~85-tile runs whose ~0.57-span boxes re-classify
+    # as scattered on the next pass
+    snap, n_scat, n_new, n_untouched = R.optimize_hilbert_incremental(
+        spark, mpath, "o_orderkey", "o_custkey", n_files=8
+    )
+    assert n_scat == len(late_files) and n_untouched == len(clustered)
+    assert all(
+        _os.stat(p).st_mtime_ns == mtimes[p] for p in clustered
+    ), "the clustered bulk must never be rewritten"
+    new = glob.glob(_os.path.join(data_dir, "**", "hinc-*.parquet"), recursive=True)
+    assert len(new) == n_new > 0
+    got = R.manifest_pruned_scan(spark, mpath, "o_orderkey", 0, 2**62)
+    assert got.count() == orders.count()
+    assert (
+        got.agg(F.sum("o_orderkey")).first()[0]
+        == orders.agg(F.sum("o_orderkey")).first()[0]
+    )
+    # fully clustered now: the no-op is loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already"):
+        R.optimize_hilbert_incremental(
+            spark, mpath, "o_orderkey", "o_custkey", n_files=8
+        )

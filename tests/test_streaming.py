@@ -5,6 +5,7 @@ late-drop divergence), and stateful dedup must match batch distinct.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from aws_seismic_data_pipeline_spark.catalog import load_table
@@ -550,7 +551,10 @@ def test_stream_merge_commits_one_snapshot_per_batch(spark, tmp_path):
     assert counts[3] == n_base + n_ins
 
 
-def test_concurrent_stream_ingest_serializable_commits(spark, tmp_path, monkeypatch):
+@pytest.mark.parametrize("store_kind", ["posix", "object"])
+def test_concurrent_stream_ingest_serializable_commits(
+    spark, tmp_path, monkeypatch, store_kind
+):
     """VERDICT r10 item 5: two CONCURRENT availableNow streams append to
     ONE governed manifest through the CAS claim protocol, with one
     commit race forced (injected ConcurrentCommitError on a first
@@ -558,10 +562,18 @@ def test_concurrent_stream_ingest_serializable_commits(spark, tmp_path, monkeypa
     the SERIAL order of commits — every landed file registered exactly
     once, all snapshot ids distinct, no row lost or duplicated. Seed:
     the reference's two manual triggers racing with no guard
-    (/root/reference/app.py:641-653)."""
+    (/root/reference/app.py:641-653). r12: parameterized over BOTH
+    LogStore substrates — the streaming half of the commit protocol
+    must hold on single-object conditional-PUT CAS too."""
     import glob
     import os
     import threading
+
+    from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+        ObjectStoreLogStore,
+        PosixLogStore,
+        set_log_store,
+    )
 
     from aws_seismic_data_pipeline_spark.catalog import load_table
     from aws_seismic_data_pipeline_spark.sources.table import commit as C
@@ -585,6 +597,10 @@ def test_concurrent_stream_ingest_serializable_commits(spark, tmp_path, monkeypa
 
     data_dir = str(tmp_path / "table_data")
     mpath = str(tmp_path / "manifest")
+    set_log_store(
+        mpath,
+        ObjectStoreLogStore() if store_kind == "object" else PosixLogStore(),
+    )
     seed = str(tmp_path / "seed")
     events.limit(0).coalesce(1).write.parquet(seed)
     write_stats_manifest(
@@ -647,3 +663,4 @@ def test_concurrent_stream_ingest_serializable_commits(spark, tmp_path, monkeypa
     n_total = events.count()
     assert got.count() == n_total
     assert got.select("event_id").distinct().count() == n_total
+    set_log_store(mpath, None)

@@ -817,6 +817,19 @@ def _morton16_sql(x: str, y: str) -> str:
     return " | ".join(terms)
 
 
+def _morton_n_sql(cols: list[str], bits: int = 8) -> str:
+    """k-dimensional Morton interleave of ``len(cols)`` b-bit ints
+    (column j owns bit positions k·i + j) — the n-column generalization
+    of :func:`_morton16_sql` (which is the k=2 case with the same bit
+    assignment). Pure integer bit arithmetic, portable to DuckDB."""
+    k = len(cols)
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            terms.append(f"((({c} >> {i}) & 1) << {k * i + j})")
+    return " | ".join(terms)
+
+
 def _hilbert16_sql(x: str, y: str) -> str:
     """Hilbert cluster key over two 8-bit ints: the order-4 HILBERT
     index of the 16x16 TILE (one JVM array lookup against the 256-entry

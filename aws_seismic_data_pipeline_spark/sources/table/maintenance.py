@@ -1476,11 +1476,10 @@ def optimize_zorder(
     return _optimize_curve(
         spark,
         manifest_dir,
-        x_col,
-        y_col,
+        (x_col, y_col),
         n_files,
         partition_by,
-        _morton16_sql,
+        lambda bs: _morton16_sql(bs[0], bs[1]),
         "zorder",
     )
 
@@ -1513,28 +1512,63 @@ def optimize_hilbert(
     return _optimize_curve(
         spark,
         manifest_dir,
-        x_col,
-        y_col,
+        (x_col, y_col),
         n_files,
         partition_by,
-        _hilbert16_sql,
+        lambda bs: _hilbert16_sql(bs[0], bs[1]),
         "hilbert",
+    )
+
+
+def optimize_zorder_n(
+    spark: SparkSession,
+    manifest_dir: str,
+    cols: list[str],
+    n_files: int = 16,
+    partition_by: tuple[str, ...] = (),
+) -> tuple[int, int, int]:
+    """k-DIMENSIONAL OPTIMIZE ZORDER BY — the n-column generalization
+    (Delta accepts any number of ZORDER BY columns): visible files are
+    rewritten range-clustered on the k-way Morton interleave of every
+    listed column's range-scaled bucket, so each file becomes a narrow
+    BOX in k-space and a k-predicate rectangle through
+    ``manifest_pruned_scan_multi`` opens O(box-intersecting files).
+    Two columns delegate here from :func:`optimize_zorder` semantics-
+    identically; three-plus columns trade per-dimension resolution for
+    dimensionality (8 bits per column regardless — the curve key just
+    widens), exactly Delta's documented trade. Same manifest mechanics:
+    bounds from the manifest's own stats (zero data pages), per-
+    partition-dir rewrite, ONE atomic add+remove commit, time travel
+    below the snapshot sees the old layout."""
+    from aws_seismic_data_pipeline_spark.operators.window_ops import (
+        _morton_n_sql,
+    )
+
+    if len(cols) < 2:
+        raise ValueError("optimize_zorder_n: need at least two columns")
+    return _optimize_curve(
+        spark,
+        manifest_dir,
+        tuple(cols),
+        n_files,
+        partition_by,
+        _morton_n_sql,
+        "zorder",
     )
 
 
 def _optimize_curve(
     spark: SparkSession,
     manifest_dir: str,
-    x_col: str,
-    y_col: str,
+    cols: tuple[str, ...],
     n_files: int,
     partition_by: tuple[str, ...],
     curve_sql,
     prefix: str,
 ) -> tuple[int, int, int]:
-    """Shared OPTIMIZE body: bucket both columns to 0..255 from the
-    manifest's global stats, cluster the visible files along
-    ``curve_sql(bucket_x, bucket_y)`` via :func:`_zcluster_rewrite`,
+    """Shared OPTIMIZE body: bucket every clustering column to 0..255
+    from the manifest's global stats, cluster the visible files along
+    ``curve_sql([bucket_sql, ...])`` via :func:`_zcluster_rewrite`,
     and commit add+remove at one snapshot."""
     manifest = _visible_stats(spark.read.parquet(manifest_dir), None)
     visible = sorted(
@@ -1552,12 +1586,12 @@ def _optimize_curve(
     )
     bounds = {
         r.column_name: (r.lo, r.hi)
-        for r in manifest.filter(F.col("column_name").isin(x_col, y_col))
+        for r in manifest.filter(F.col("column_name").isin(list(cols)))
         .groupBy("column_name")
         .agg(F.min("min_val").alias("lo"), F.max("max_val").alias("hi"))
         .collect()
     }
-    for c in (x_col, y_col):
+    for c in cols:
         if c not in bounds or bounds[c][0] is None:
             raise ValueError(
                 f"optimize_{prefix}: no stats for {c!r} in {manifest_dir} — "
@@ -1576,7 +1610,7 @@ def _optimize_curve(
     new_paths = _zcluster_rewrite(
         spark,
         visible,
-        curve_sql(_bucket(x_col), _bucket(y_col)),
+        curve_sql([_bucket(c) for c in cols]),
         int(n_files),
         snap,
         prefix,
@@ -2083,6 +2117,96 @@ def plan_optimize_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "o_orderkey": (mx.mk // 8, (3 * mx.mk) // 8),
                 "o_custkey": (mx.mc // 2, (3 * mx.mc) // 4),
+            },
+        )
+        return box.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        ).localCheckpoint(eager=True)
+
+
+@register(
+    "plan_optimize_zorder_3d",
+    oracle="""
+        WITH bounds AS (
+            SELECT MAX(o_orderkey) // 4 AS k_lo,
+                   MAX(o_orderkey) // 2 AS k_hi,
+                   MAX(o_custkey) // 4 AS c_lo,
+                   MAX(o_custkey) // 2 AS c_hi,
+                   MAX(o_totalprice) // 8 AS p_lo,
+                   MAX(o_totalprice) // 4 AS p_hi
+            FROM orders
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders, bounds
+        WHERE o_orderkey BETWEEN bounds.k_lo AND bounds.k_hi
+          AND o_custkey BETWEEN bounds.c_lo AND bounds.c_hi
+          AND o_totalprice BETWEEN bounds.p_lo AND bounds.p_hi
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_optimize_zorder_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-DIMENSIONAL OPTIMIZE end to end (3 columns — the n-column
+    generalization from r11 verdict item 6's 'k-dimensional' half):
+    orders land hash-scattered, ``optimize_zorder_n`` rewrites the
+    table clustered on the 3-way Morton interleave of (o_orderkey,
+    o_custkey, o_totalprice), and a 3-predicate BOX is answered through
+    ``manifest_pruned_scan_multi`` over all three stats axes. The
+    oracle recomputes the box from the raw table (the layout rewrite
+    must lose/duplicate nothing — including the float third dimension,
+    whose bucket scaling exercises non-integer bounds); the 3-axis
+    numFiles collapse and time travel are pytest-pinned in
+    tests/test_catalog_scale.py."""
+    import glob as _glob
+    import math as _math
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        manifest_pruned_scan_multi,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "z3opt_data")
+    mpath = scratch_path(spark, sf_dir, "z3opt_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        orders.repartition(16).write.mode("overwrite").parquet(data_dir)
+        files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
+        write_stats_manifest(
+            spark, files, mpath, ("o_orderkey", "o_custkey", "o_totalprice")
+        )
+        optimize_zorder_n(
+            spark,
+            mpath,
+            ["o_orderkey", "o_custkey", "o_totalprice"],
+            n_files=16,
+        )
+        mx = orders.agg(
+            F.max("o_orderkey").alias("mk"),
+            F.max("o_custkey").alias("mc"),
+            F.max("o_totalprice").alias("mp"),
+        ).collect()[0]
+        box = manifest_pruned_scan_multi(
+            spark,
+            mpath,
+            {
+                "o_orderkey": (mx.mk // 4, mx.mk // 2),
+                "o_custkey": (mx.mc // 4, mx.mc // 2),
+                "o_totalprice": (
+                    _math.floor(mx.mp / 8),
+                    _math.floor(mx.mp / 4),
+                ),
             },
         )
         return box.agg(

@@ -3412,3 +3412,70 @@ def test_incremental_hilbert_touches_only_the_scattered_tail(spark, tmp_path):
         R.optimize_hilbert_incremental(
             spark, mpath, "o_orderkey", "o_custkey", n_files=8
         )
+
+
+def test_optimize_zorder_3d_prunes_all_axes_and_time_travels(spark, tmp_path):
+    """optimize_zorder_n (3 columns) pins: the 3-predicate box opens a
+    fraction of the files post-optimize; EACH of the three axes
+    contributes (dropping any one predicate opens at least as many
+    files); as-of below the optimize sees the scattered layout (all
+    files, no skipping); exact row parity with the raw table."""
+    import glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.table import _verbs as R
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    data_dir = str(tmp_path / "data")
+    orders.repartition(16).write.parquet(data_dir)
+    files = sorted(glob.glob(_os.path.join(data_dir, "*.parquet")))
+    mpath = str(tmp_path / "m")
+    R.write_stats_manifest(
+        spark, files, mpath, ("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    snap, n_old, n_new = R.optimize_zorder_n(
+        spark,
+        mpath,
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+        n_files=16,
+    )
+    assert n_old == len(files)
+
+    mx = orders.agg(
+        F.max("o_orderkey").alias("mk"),
+        F.max("o_custkey").alias("mc"),
+        F.max("o_totalprice").alias("mp"),
+    ).collect()[0]
+    box = {
+        "o_orderkey": (mx.mk // 4, mx.mk // 2),
+        "o_custkey": (mx.mc // 4, mx.mc // 2),
+        "o_totalprice": (mx.mp / 8, mx.mp / 4),
+    }
+    want = orders.filter(
+        F.col("o_orderkey").between(*box["o_orderkey"])
+        & F.col("o_custkey").between(*box["o_custkey"])
+        & F.col("o_totalprice").between(*box["o_totalprice"])
+    )
+    got = R.manifest_pruned_scan_multi(spark, mpath, box)
+    assert got.count() == want.count()
+    n3 = len(got.inputFiles())
+    assert 0 < n3 < len(files)
+    # every axis contributes: any 2-predicate sub-box opens >= files
+    for drop in box:
+        sub = {k: v for k, v in box.items() if k != drop}
+        n2 = len(R.manifest_pruned_scan_multi(spark, mpath, sub).inputFiles())
+        assert n2 >= n3, (drop, n2, n3)
+    assert any(
+        len(R.manifest_pruned_scan_multi(
+            spark, mpath, {k: v for k, v in box.items() if k != drop}
+        ).inputFiles()) > n3
+        for drop in box
+    ), "at least one axis must strictly improve the 3-D conjunction"
+    # time travel: pre-optimize layout opens everything
+    pre = R.manifest_pruned_scan_multi(spark, mpath, box, as_of=snap - 1)
+    assert pre.count() == want.count()
+    assert len(pre.inputFiles()) == len(files)

@@ -198,6 +198,18 @@ class GovernedTable:
             partition_by=self.partition_by,
         )
 
+    def optimize_zorder_by(self, cols: list[str], n_files: int = 16):
+        """k-dimensional OPTIMIZE ZORDER BY: cluster on the n-way
+        Morton interleave of any column list (Delta's multi-column
+        form); partition_by threaded like every maintenance verb."""
+        return R.optimize_zorder_n(
+            self.spark,
+            self.manifest_dir,
+            cols,
+            n_files=n_files,
+            partition_by=self.partition_by,
+        )
+
     def optimize_hilbert(self, x_col: str, y_col: str, n_files: int = 16):
         """Rewrite the table Hilbert-clustered on two columns at one
         snapshot — equal pruning power to :meth:`optimize_zorder`,

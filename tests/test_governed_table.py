@@ -505,3 +505,52 @@ def test_facade_r12_verbs_bind(spark, tmp_path):
     ev = t.scan_evolved()
     assert "quality" in ev.columns
     assert ev.filter(F.col("quality").isNotNull()).count() == 1
+
+
+def test_facade_optimize_zorder_by_multi_column(spark, tmp_path):
+    """Binding pin for the k-dimensional facade verb: a 3-column
+    optimize through the facade keeps the row set exact and the
+    3-predicate scan_multi opens fewer files than the table holds."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = GovernedTable.create(
+        spark,
+        orders,
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "o_orderkey",
+        n_files=12,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        write_stats_manifest,
+    )
+
+    write_stats_manifest(
+        spark,
+        t.visible_files(),
+        t.manifest_dir,
+        ("o_orderkey", "o_custkey", "o_totalprice"),
+    )
+    snap, n_old, n_new = t.optimize_zorder_by(
+        ["o_orderkey", "o_custkey", "o_totalprice"], n_files=12
+    )
+    assert n_old == 12 and n_new > 0
+    mx = orders.agg(
+        F.max("o_orderkey").alias("mk"),
+        F.max("o_custkey").alias("mc"),
+        F.max("o_totalprice").alias("mp"),
+    ).collect()[0]
+    box = {
+        "o_orderkey": (mx.mk // 4, mx.mk // 2),
+        "o_custkey": (mx.mc // 4, mx.mc // 2),
+        "o_totalprice": (mx.mp / 8, mx.mp / 4),
+    }
+    got = t.scan_multi(box)
+    want = orders.filter(
+        F.col("o_orderkey").between(*box["o_orderkey"])
+        & F.col("o_custkey").between(*box["o_custkey"])
+        & F.col("o_totalprice").between(*box["o_totalprice"])
+    )
+    assert got.count() == want.count()
+    assert 0 < len(got.inputFiles()) < n_new

@@ -821,12 +821,37 @@ def _morton_n_sql(cols: list[str], bits: int = 8) -> str:
     """k-dimensional Morton interleave of ``len(cols)`` b-bit ints
     (column j owns bit positions k·i + j) — the n-column generalization
     of :func:`_morton16_sql` (which is the k=2 case with the same bit
-    assignment). Pure integer bit arithmetic, portable to DuckDB."""
+    assignment). Pure integer bit arithmetic, portable to DuckDB.
+
+    Every emitted bit position must stay in the non-negative bigint
+    range: position 63 is the sign bit and shifts >= 64 wrap mod 64 on
+    the JVM, silently scrambling the clustering order. When k·bits > 63
+    the interleave keeps only each column's TOP ``63 // k`` bits
+    (``c >> (bits - use)`` — the MOST significant bits, so the total
+    order still follows the curve at reduced per-dimension resolution;
+    dropping LOW bits instead would sort bucket 128 next to bucket 0).
+    k <= 7 at the default 8 bits is bit-identical to the historical
+    output."""
     k = len(cols)
+    if k < 1:
+        raise ValueError("_morton_n_sql: need at least one column")
+    use = min(int(bits), 63 // k)
+    if use < 1:
+        raise ValueError(
+            f"_morton_n_sql: {k} columns cannot share 63 curve-key bits"
+        )
+    drop = int(bits) - use  # low bits sacrificed per column (0 for k<=7)
     terms = []
-    for i in range(bits):
+    for i in range(use):
         for j, c in enumerate(cols):
-            terms.append(f"((({c} >> {i}) & 1) << {k * i + j})")
+            # CAST the extracted bit to BIGINT BEFORE shifting: both
+            # Spark and DuckDB type `<<` from the left operand, and an
+            # INT-typed bucket wraps at shift >= 32 (k >= 5 puts bits
+            # there) — the same silent-wrap family as the k=8 sign bit
+            terms.append(
+                f"((CAST((({c} >> {drop + i}) & 1) AS BIGINT))"
+                f" << {k * i + j})"
+            )
     return " | ".join(terms)
 
 

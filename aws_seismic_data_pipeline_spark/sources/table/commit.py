@@ -15,8 +15,46 @@ from pyspark.sql import functions as F
 
 
 def _next_snapshot(spark: SparkSession, manifest_dir: str) -> int:
-    """Next snapshot id: one KB-scale max() over the stats table (0 if
-    the manifest does not exist yet)."""
+    """Next snapshot id: max(snapshot_id) over the KB-scale manifest,
+    0 if the manifest does not exist yet.
+
+    Read DRIVER-SIDE with pyarrow, not as a Spark job: this runs
+    (twice) inside EVERY commit's claim path, and a Spark
+    read+agg+collect costs a full job-submission round trip (~100 ms
+    of scheduler latency) to answer a question about kilobytes of
+    local metadata — the r12 claim-protocol work made that constant
+    visible on every manifest-committing bench slot. pyarrow reads
+    only the parquet footers' row-group statistics (no data pages)
+    and falls back to per-fragment column reads only for footers
+    without stats; the Spark path remains as the fallback for any
+    layout pyarrow cannot address. ``_``/``.``-prefixed entries (the
+    ``_commits`` token tree) are excluded by pyarrow's default
+    ``ignore_prefixes`` — the same hidden-file convention Spark's own
+    listing applies."""
+    try:
+        import pyarrow.dataset as _pads
+
+        dataset = _pads.dataset(manifest_dir, format="parquet")
+        cur = None
+        for frag in dataset.get_fragments():
+            frag_max = None
+            try:
+                for rg in frag.row_groups:
+                    st = (rg.statistics or {}).get("snapshot_id")
+                    mx = st.get("max") if st else None
+                    if mx is None:  # footer without stats: read column
+                        raise KeyError
+                    if frag_max is None or mx > frag_max:
+                        frag_max = mx
+            except Exception:
+                col = frag.to_table(columns=["snapshot_id"]).column(0)
+                vals = [v for v in col.to_pylist() if v is not None]
+                frag_max = max(vals) if vals else None
+            if frag_max is not None and (cur is None or frag_max > cur):
+                cur = frag_max
+        return (int(cur) if cur is not None else -1) + 1
+    except Exception:
+        pass
     try:
         cur = (
             spark.read.parquet(manifest_dir)

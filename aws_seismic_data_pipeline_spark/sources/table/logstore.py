@@ -111,7 +111,22 @@ class PosixLogStore:
             return []
 
     def move_token(self, src: str, dst: str) -> None:
+        """Move a token; REFUSES an existing destination (shutil.move
+        would nest the source INSIDE an existing dst dir — silently
+        corrupting a live claimant's token) — the destination owner
+        wins and the source is left in place."""
+        if os.path.exists(dst):
+            return
         shutil.move(src, dst)
+
+    def copy_token(self, src: str, dst: str) -> None:
+        """Copy a token (owner record included) without disturbing the
+        source — expire pre-seeds surviving leases into its replacement
+        manifest dir this way. Existing destination wins (same rule as
+        :meth:`move_token`)."""
+        if os.path.exists(dst):
+            return
+        shutil.copytree(src, dst)
 
     def replace_dir(self, new_dir: str, live_dir: str, aside_dir: str) -> None:
         """Expire's swap: live -> aside, new -> live, two atomic
@@ -211,10 +226,24 @@ class ObjectStoreLogStore:
         # copy + delete: object stores have no rename. Tokens being
         # single small objects keeps the non-atomic window harmless
         # here (expire's lease excludes every competing writer).
+        # Existing destination wins — a blind copy2 would overwrite a
+        # live claimant's token with this (stale) one.
+        if os.path.exists(dst):
+            return
         shutil.copy2(src, dst) if os.path.isfile(src) else shutil.copytree(
             src, dst
         )
         self.delete_token(src)
+
+    def copy_token(self, src: str, dst: str) -> None:
+        """Copy a token object (owner rides inside it) leaving the
+        source untouched; existing destination wins."""
+        if os.path.exists(dst):
+            return
+        if os.path.isfile(src):
+            shutil.copy2(src, dst)
+        else:  # pre-switch posix token: best effort
+            shutil.copytree(src, dst)
 
     def replace_dir(self, new_dir: str, live_dir: str, aside_dir: str) -> None:
         # honest S3 semantics: copy every object, then delete sources.

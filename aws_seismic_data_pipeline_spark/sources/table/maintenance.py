@@ -1324,32 +1324,39 @@ def expire_manifest_history(
         rows_after = spark.read.parquet(tmp).count()
         aside = manifest_dir + ".expired_old"
         _shutil.rmtree(aside, ignore_errors=True)
-        # the swap routes through the manifest's LogStore: POSIX = two
-        # atomic same-filesystem renames with restore-on-failure; the
-        # simulated object store = copy+delete (non-atomic — safe here
-        # only because this whole block runs under the claim lease)
         store = log_store_for(manifest_dir)
-        store.replace_dir(tmp, manifest_dir, aside)
         # commit tokens SURVIVE the expire swap: an in-flight writer that
         # claimed a snapshot above the committed tip must keep its lease
         # (losing it would let a second writer re-claim the same id — the
         # at-or-below-tip guard only covers committed ids). Tokens at or
-        # below the tip, and stale-takeover asides, are pruned here so
-        # the token tree does not grow forever. The swap guard itself
-        # (cur_max+1, live) migrates here and is released in the finally.
-        old_commits = os.path.join(aside, "_commits")
-        new_commits = os.path.join(manifest_dir, "_commits")
-        for name in store.list_tokens(old_commits):
+        # below the tip, and stale-takeover asides, are pruned so the
+        # token tree does not grow forever. Surviving tokens (including
+        # this expire's own cur_max+1 guard) are PRE-SEEDED into the
+        # replacement dir BEFORE the swap (round-12 advice): migrating
+        # them afterwards left a window where the new manifest was live
+        # with an EMPTY _commits, letting a concurrent claim win the
+        # guard's own id and then collide with the migration loop —
+        # which revoked the live writer's lease. Copy, not move: the
+        # live tree stays authoritative until the swap lands, and the
+        # guard lease excludes every writer so the set is stable.
+        tmp_commits = os.path.join(tmp, "_commits")
+        live_commits = os.path.join(manifest_dir, "_commits")
+        for name in store.list_tokens(live_commits):
             try:
                 live = int(name) > int(cur_max)
             except ValueError:
                 live = False  # 'N.stale-<uuid>' asides: prune
             if live:
-                os.makedirs(new_commits, exist_ok=True)
-                store.move_token(
-                    os.path.join(old_commits, name),
-                    os.path.join(new_commits, name),
+                os.makedirs(tmp_commits, exist_ok=True)
+                store.copy_token(
+                    os.path.join(live_commits, name),
+                    os.path.join(tmp_commits, name),
                 )
+        # the swap routes through the manifest's LogStore: POSIX = two
+        # atomic same-filesystem renames with restore-on-failure; the
+        # simulated object store = copy+delete (non-atomic — safe here
+        # only because this whole block runs under the claim lease)
+        store.replace_dir(tmp, manifest_dir, aside)
         _shutil.rmtree(aside, ignore_errors=True)
     finally:
         release_claim(manifest_dir, guard)

@@ -24,7 +24,13 @@ import sys
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import BASELINE_RESETS, _normalized_regressions  # noqa: E402
+from bench import (  # noqa: E402
+    BASELINE_RESETS,
+    CALIBRATION_SLOTS,
+    HOST_FACTOR_RECORD_MAX,
+    _admissible,
+    _normalized_regressions,
+)
 
 HISTORY = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "bench_history.jsonl")
@@ -93,3 +99,54 @@ def test_normalized_regressions_math():
     # no priors -> no flags, neutral factor
     bad, hf = _normalized_regressions({"x": 5.0}, {})
     assert not bad and hf == 1.0
+
+
+def test_host_factor_from_pinned_calibration_set():
+    """Round-12 verdict item 2: the host factor comes from the pinned
+    never-changed CALIBRATION_SLOTS when >=4 have priors — a batch of
+    NEW slot families running slow (plan problems, not machine speed)
+    must no longer drag the median up and mask themselves."""
+    cal = list(CALIBRATION_SLOTS[:4])
+    best = {n: 1.0 for n in cal} | {"new_a": 1.0, "new_b": 1.0,
+                                    "new_c": 1.0, "new_d": 1.0,
+                                    "new_e": 1.0}
+    # machine unchanged (calibration ~1x) but five new-family slots 2x:
+    # the old all-slot median would report hf~2 and absorb them all
+    timings = {n: 1.02 for n in cal} | {k: 2.0 for k in
+                                        ("new_a", "new_b", "new_c",
+                                         "new_d", "new_e")}
+    bad, hf = _normalized_regressions(timings, best)
+    assert hf < 1.1, f"calibration median ignored: hf={hf}"
+    assert set(bad) == {"new_a", "new_b", "new_c", "new_d", "new_e"}
+    # conversely a genuinely slow machine (calibration 2x) absorbs a
+    # uniform 2x everywhere
+    timings_slow = {n: 2.0 for n in best}
+    bad, hf = _normalized_regressions(timings_slow, best)
+    assert not bad and 1.9 <= hf <= 2.1
+    # <4 calibration slots with priors: falls back to all-slot median
+    few = {cal[0]: 1.0, "x": 1.0, "y": 1.0, "z": 1.0}
+    bad, hf = _normalized_regressions({cal[0]: 2.0, "x": 2.0, "y": 2.0,
+                                       "z": 2.0}, few)
+    assert not bad and 1.9 <= hf <= 2.1
+
+
+def test_loaded_box_runs_are_inadmissible():
+    """Runs measured at host_factor > HOST_FACTOR_RECORD_MAX are not
+    recorded into bench_history.jsonl (they poison the best-prior table
+    and the two-consecutive-runs gate — both r12 red-gate entries were
+    loaded-box runs)."""
+    assert _admissible(1.0)
+    assert _admissible(HOST_FACTOR_RECORD_MAX)
+    assert not _admissible(HOST_FACTOR_RECORD_MAX + 0.01)
+    assert not _admissible(1.49)
+
+
+def test_recorded_history_is_admissible():
+    """Every ALREADY-RECORDED sf0.1 entry after the guard's landing must
+    satisfy the admissibility bound — the guard is enforced at append
+    time, so this pins the invariant going forward (pre-guard entries
+    are grandfathered: they are the measured record of rounds 1-12)."""
+    GUARD_LANDED_TS = 1786865300.0  # r13: entries after this obey it
+    for e in _entries():
+        if e.get("ts", 0.0) >= GUARD_LANDED_TS and "host_factor" in e:
+            assert _admissible(e["host_factor"]), e["ts"]

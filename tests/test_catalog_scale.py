@@ -195,6 +195,51 @@ def test_zorder_write_prunes_files_and_loses_no_rows(spark, tmp_path):
     assert a == sorted(map(tuple, reg.builder(spark, SF_DIR).collect()))
 
 
+def test_morton_n_high_dimension_stays_in_bigint_range():
+    """_morton_n_sql's k-bound contract (round-12 advice): with 8-bit
+    buckets, k=8 used to place a bit at position 63 (the bigint sign
+    bit) and k>8 emitted shifts >= 64, which the JVM masks mod 64 —
+    curve-key bits silently collided and the clustering order was
+    scrambled. Now every emitted bit position stays <= 62 for any k,
+    resolution degrades by dropping each column's LOW bits (top bits
+    kept, so the total order still follows the curve), and k <= 7
+    output is byte-identical to the historical text."""
+    import re
+
+    import duckdb
+
+    from aws_seismic_data_pipeline_spark.operators.window_ops import (
+        _morton_n_sql,
+    )
+
+    shift_pat = re.compile(r"<< (\d+)\)")
+    for k in (2, 3, 7, 8, 9, 16, 31, 63):
+        sql = _morton_n_sql([f"c{j}" for j in range(k)])
+        positions = [int(m) for m in shift_pat.findall(sql)]
+        assert positions, f"k={k}: no shift terms emitted"
+        assert max(positions) <= 62, f"k={k}: bit position {max(positions)}"
+        assert len(set(positions)) == len(positions), f"k={k}: collision"
+    # k <= 7 keeps all 8 bits (historic behavior); k = 8 drops to 7
+    assert "c0 >> 7) & 1) AS BIGINT)) << 48" in _morton_n_sql(
+        [f"c{j}" for j in range(8)]
+    )
+    assert "<< 63" not in _morton_n_sql([f"c{j}" for j in range(8)])
+    # ordering property at k = 8: the key is monotone in each column's
+    # TOP bits — bucket 128 must sort after bucket 127 in any dimension
+    con = duckdb.connect()
+    for dim in (0, 7):
+        lo_cols = ["0"] * 8
+        hi_cols = ["0"] * 8
+        lo_cols[dim], hi_cols[dim] = "126", "130"
+        lo = con.execute(f"SELECT {_morton_n_sql(lo_cols)}").fetchone()[0]
+        hi = con.execute(f"SELECT {_morton_n_sql(hi_cols)}").fetchone()[0]
+        assert 0 <= lo < hi, f"dim={dim}: {lo} !< {hi}"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="63 curve-key bits"):
+        _morton_n_sql([f"c{j}" for j in range(64)])
+
+
 def test_morton_tile_identity_property():
     """The invariant zorder_pruned_scan's tile enumeration relies on:
     for ALL (x, y) in the 8-bit grid, the SQL Morton key's high bits

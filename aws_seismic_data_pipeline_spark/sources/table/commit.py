@@ -31,10 +31,14 @@ def _next_snapshot(spark: SparkSession, manifest_dir: str) -> int:
     ``_commits`` token tree) are excluded by pyarrow's default
     ``ignore_prefixes`` — the same hidden-file convention Spark's own
     listing applies."""
+    from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+        manifest_data_dir as _mdd,
+    )
+
     try:
         import pyarrow.dataset as _pads
 
-        dataset = _pads.dataset(manifest_dir, format="parquet")
+        dataset = _pads.dataset(_mdd(manifest_dir), format="parquet")
         cur = None
         for frag in dataset.get_fragments():
             frag_max = None
@@ -57,7 +61,7 @@ def _next_snapshot(spark: SparkSession, manifest_dir: str) -> int:
         pass
     try:
         cur = (
-            spark.read.parquet(manifest_dir)
+            spark.read.parquet(_mdd(manifest_dir))
             .agg(F.max("snapshot_id"))
             .collect()[0][0]
         )

@@ -14,6 +14,9 @@ from pyspark.sql import functions as F
 
 from aws_seismic_data_pipeline_spark.catalog import load_table, prepare
 from aws_seismic_data_pipeline_spark.registry import register
+from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+    manifest_data_dir as _mdd,
+)
 from aws_seismic_data_pipeline_spark.sources.table.commit import (
     _claimed_next_snapshot,
     verify_claim,
@@ -177,7 +180,7 @@ def read_with_deletes(
     ``compact_equality_deletes`` is the maintenance step that
     physically drops the rows, retires the records, and keeps the
     delete set from growing unboundedly."""
-    manifest = spark.read.parquet(manifest_dir)
+    manifest = spark.read.parquet(_mdd(manifest_dir))
     dels = (
         _live_delete_records(manifest, column, as_of)
         .select(F.col("min_val").alias("__del_key"))
@@ -267,7 +270,7 @@ def compact_equality_deletes(
     import glob as _glob
     import shutil as _shutil
 
-    manifest = spark.read.parquet(manifest_dir)
+    manifest = spark.read.parquet(_mdd(manifest_dir))
     live = _live_delete_records(manifest, column, None).localCheckpoint(
         eager=True
     )
@@ -355,7 +358,7 @@ def compact_equality_deletes(
     # retire the records THROUGH the ceiling at the same snapshot: a
     # pinned read in (ceiling, snap) still subtracts; at >= snap the
     # live set is empty and reads stop paying for history
-    schema = spark.read.parquet(manifest_dir).schema
+    schema = spark.read.parquet(_mdd(manifest_dir)).schema
     fixed = {
         "path": "",
         "file_name": "",

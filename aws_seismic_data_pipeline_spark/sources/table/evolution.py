@@ -14,6 +14,9 @@ from pyspark.sql import functions as F
 
 from aws_seismic_data_pipeline_spark.catalog import load_table, prepare
 from aws_seismic_data_pipeline_spark.registry import register
+from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+    manifest_data_dir as _mdd,
+)
 from aws_seismic_data_pipeline_spark.sources.table.commit import (
     _claimed_next_snapshot,
 )
@@ -48,7 +51,7 @@ def evolve_schema_add(
         # (re-declaration) doesn't block the NEXT writer for stale_after
         release_claim(manifest_dir, snap)
         raise
-    rows.write.mode("append").parquet(manifest_dir)
+    rows.write.mode("append").parquet(_mdd(manifest_dir))
     return snap
 
 
@@ -64,18 +67,20 @@ def schema_add_rows(
     declaration and the files that first carry it become visible at the
     SAME snapshot (Delta's mergeSchema-on-MERGE atomicity). Raises on a
     re-declaration, same as :func:`evolve_schema_add`."""
-    man = spark.read.parquet(manifest_dir)
-    declared = {
-        r.column_name
-        for r in man.filter(F.col("op") == "schema_add")
-        .select("column_name")
-        .distinct()
-        .collect()
-    }
+    man = spark.read.parquet(_mdd(manifest_dir))
+    declared = set()
+    for r in man.filter(
+        F.col("op").isin("schema_add", "schema_rename", "schema_drop")
+    ).select("op", "column_name", "partition_values").collect():
+        declared.add(r.column_name)  # adds, rename sources, DROPPED names
+        if r.op == "schema_rename":
+            declared.add((r.partition_values or {}).get("to"))
     dupes = sorted(set(columns) & declared)
     if dupes:
         raise ValueError(
-            f"column(s) {dupes} are already declared at {manifest_dir}"
+            f"column(s) {dupes} are already declared (or were renamed/"
+            f"dropped — re-using such a name would resurface old files' "
+            f"values) at {manifest_dir}"
         )
     schema = man.schema
     rows = []
@@ -92,6 +97,164 @@ def schema_add_rows(
     return spark.createDataFrame(rows, schema)
 
 
+def _schema_ops(man: DataFrame, as_of: int | None) -> list:
+    """The table's schema-change history visible at ``as_of``, in
+    commit order: [(snapshot_id, op, column_name, arg)] where arg is
+    the SQL type for 'schema_add', the new name for 'schema_rename',
+    None for 'schema_drop'. Applying these IN ORDER to the physical
+    column space yields the effective schema — the name-mapping walk
+    Iceberg does through field ids, replayed through the commit log."""
+    ops = man.filter(
+        F.col("op").isin("schema_add", "schema_rename", "schema_drop")
+    )
+    if as_of is not None:
+        ops = ops.filter(F.col("snapshot_id") <= as_of)
+    out = []
+    for r in ops.select(
+        "snapshot_id", "op", "column_name", "partition_values"
+    ).collect():
+        pv = r.partition_values or {}
+        arg = pv.get("type") if r.op == "schema_add" else pv.get("to")
+        out.append((int(r.snapshot_id), r.op, r.column_name, arg))
+    out.sort(key=lambda t: (t[0], t[1], t[2]))
+    return out
+
+
+def _effective_columns(
+    spark: SparkSession, manifest_dir: str, man: DataFrame
+) -> set[str]:
+    """Best-effort effective column set at the CURRENT snapshot:
+    the union of visible data-file footer schemas (pyarrow, newest 64
+    files — driver-side metadata reads, no data pages) transformed
+    through the committed rename/drop chain, plus live declared adds.
+    Used only to validate rename/drop targets loudly."""
+    import pyarrow.parquet as _pq
+
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        _visible_stats,
+    )
+
+    paths = [
+        r.path
+        for r in _visible_stats(man, None)
+        .select("path", "snapshot_id")
+        .distinct()
+        .orderBy(F.col("snapshot_id").desc(), "path")
+        .limit(64)
+        .collect()
+    ]
+    cols: set[str] = set()
+    for p in paths:
+        try:
+            cols.update(_pq.read_schema(p).names)
+        except Exception:
+            continue
+    for _snap, op, name, arg in _schema_ops(man, None):
+        if op == "schema_add":
+            cols.add(name)
+        elif op == "schema_rename":
+            if name in cols:
+                cols.discard(name)
+                cols.add(arg)
+        elif op == "schema_drop":
+            cols.discard(name)
+    return cols
+
+
+def evolve_schema_rename(
+    spark: SparkSession, manifest_dir: str, old: str, new: str
+) -> int:
+    """RENAME COLUMN as a METADATA commit — Iceberg column-mapping
+    semantics with the mapping replayed from the commit log instead of
+    field ids: one 'schema_rename' row (old name in ``column_name``,
+    new name riding in ``partition_values['to']``), ZERO data files
+    rewritten. Files written before the commit keep the old physical
+    name and are re-mapped at scan time (:func:`read_evolved`); files
+    written after carry the new name; a scan that sees both coalesces
+    them into the one logical column. An as-of read below this
+    snapshot sees the OLD name — renames are as time-travelable as
+    data. Validates loudly: ``old`` must resolve in the current
+    effective schema and ``new`` must not collide. Returns the
+    snapshot id written."""
+    from aws_seismic_data_pipeline_spark.sources.table.commit import (
+        release_claim,
+    )
+
+    snap = _claimed_next_snapshot(spark, manifest_dir)
+    try:
+        man = spark.read.parquet(_mdd(manifest_dir))
+        effective = _effective_columns(spark, manifest_dir, man)
+        if old not in effective:
+            raise ValueError(
+                f"rename: column {old!r} does not exist at {manifest_dir} "
+                f"(effective columns: {sorted(effective)})"
+            )
+        if new in effective:
+            raise ValueError(
+                f"rename: column {new!r} already exists at {manifest_dir}"
+            )
+        schema = man.schema
+        fixed = {
+            "path": "",
+            "file_name": "",
+            "column_name": old,
+            "snapshot_id": int(snap),
+            "op": "schema_rename",
+            "partition_values": {"to": str(new)},
+        }
+        rows = spark.createDataFrame(
+            [tuple(fixed.get(f.name) for f in schema)], schema
+        )
+    except BaseException:
+        release_claim(manifest_dir, snap)  # nothing committed at the id
+        raise
+    rows.write.mode("append").parquet(_mdd(manifest_dir))
+    return snap
+
+
+def evolve_schema_drop(
+    spark: SparkSession, manifest_dir: str, column: str
+) -> int:
+    """DROP COLUMN as a METADATA commit — the column is TOMBSTONED
+    ('schema_drop' row), not rewritten out of any data file: scans at
+    or above this snapshot exclude it, as-of reads below still see it
+    (Delta's drop-with-column-mapping). Re-declaring a dropped name
+    raises — without field ids the old files' values would silently
+    resurface under the re-added name (documented limitation; Iceberg
+    avoids it by binding data to ids, not names). Returns the snapshot
+    id written."""
+    from aws_seismic_data_pipeline_spark.sources.table.commit import (
+        release_claim,
+    )
+
+    snap = _claimed_next_snapshot(spark, manifest_dir)
+    try:
+        man = spark.read.parquet(_mdd(manifest_dir))
+        effective = _effective_columns(spark, manifest_dir, man)
+        if column not in effective:
+            raise ValueError(
+                f"drop: column {column!r} does not exist at {manifest_dir} "
+                f"(effective columns: {sorted(effective)})"
+            )
+        schema = man.schema
+        fixed = {
+            "path": "",
+            "file_name": "",
+            "column_name": column,
+            "snapshot_id": int(snap),
+            "op": "schema_drop",
+            "partition_values": {},
+        }
+        rows = spark.createDataFrame(
+            [tuple(fixed.get(f.name) for f in schema)], schema
+        )
+    except BaseException:
+        release_claim(manifest_dir, snap)  # nothing committed at the id
+        raise
+    rows.write.mode("append").parquet(_mdd(manifest_dir))
+    return snap
+
+
 def read_evolved(
     spark: SparkSession,
     manifest_dir: str,
@@ -106,17 +269,7 @@ def read_evolved(
     neither the declaration nor any post-commit file, so the OLD schema
     emerges exactly — schema history is as time-travelable as data
     history. Metadata-only cost on top of the pruned scan."""
-    man = spark.read.parquet(manifest_dir)
-    if as_of is not None:
-        man = man.filter(F.col("snapshot_id") <= as_of)
-    adds = (
-        man.filter(F.col("op") == "schema_add")
-        .select(
-            "column_name",
-            F.col("partition_values").getItem("type").alias("sql_type"),
-        )
-        .collect()
-    )
+    man = spark.read.parquet(_mdd(manifest_dir))
     df = manifest_pruned_scan(
         spark,
         manifest_dir,
@@ -126,11 +279,27 @@ def read_evolved(
         as_of=as_of,
         merge_schema=True,
     )
-    for r in adds:
-        if r.column_name not in df.columns:
-            df = df.withColumn(
-                r.column_name, F.lit(None).cast(r.sql_type or "string")
-            )
+    # replay the schema-change history in COMMIT ORDER on top of the
+    # physical union — each op transforms the name space the next op
+    # sees, so chained renames/adds-then-renames resolve exactly as
+    # they were declared
+    for _snap, op, name, arg in _schema_ops(man, as_of):
+        if op == "schema_add":
+            if name not in df.columns:
+                df = df.withColumn(name, F.lit(None).cast(arg or "string"))
+        elif op == "schema_rename":
+            if name in df.columns and arg in df.columns:
+                # files from BOTH eras in the scan: pre-rename files
+                # carry the old physical name, post-rename files the
+                # new — one logical column, coalesced (a file carries
+                # exactly one of the two, so coalesce is exact)
+                df = df.withColumn(arg, F.coalesce(arg, name)).drop(name)
+            elif name in df.columns:
+                df = df.withColumnRenamed(name, arg)
+            # new-name-only scans (every old file pruned/compacted
+            # away) already read correctly
+        elif op == "schema_drop" and name in df.columns:
+            df = df.drop(name)
     return df
 
 
@@ -210,6 +379,83 @@ def plan_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("quality_milli"),
                 F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+@register(
+    "plan_schema_rename_drop",
+    oracle="""
+        WITH evolved AS (
+            SELECT doc_id, n_chars AS char_count FROM documents
+            UNION ALL
+            SELECT doc_id, n_chars AS char_count
+            FROM documents WHERE doc_id % 5 = 0
+        )
+        SELECT CAST(doc_id % 10 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(char_count) AS BIGINT) AS sum_chars
+        FROM evolved
+        GROUP BY 1
+    """,
+    tags=("plan", "layout", "schema"),
+)
+def plan_schema_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME + DROP COLUMN through the manifest end to end (round-12
+    verdict item 4): documents land governed as (doc_id, lang,
+    n_chars); RENAME n_chars -> char_count commits as PURE METADATA
+    (zero data files rewritten — pytest pins unchanged file mtimes);
+    a post-rename batch lands physically CARRYING char_count (both
+    physical eras coalesce into one logical column); DROP lang
+    tombstones the column without touching data. The current read
+    exposes exactly (doc_id, char_count) — old files re-mapped, new
+    files native, lang gone — and the oracle recomputes that union
+    from the raw table. As-of reads below the rename still see
+    n_chars and lang (tests/test_catalog_scale.py pins both time-
+    travel directions). Iceberg column-mapping semantics replayed
+    from the commit log instead of field ids. Seed: the reference
+    re-parses filename fields as its schema
+    (``/root/reference/app.py:449-463``)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "schema_rename_data")
+    mpath = scratch_path(spark, sf_dir, "schema_rename_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        docs.repartition(4, "doc_id").write.mode("overwrite").parquet(
+            data_dir
+        )
+        files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
+        write_stats_manifest(spark, files, mpath, ("doc_id",))
+        evolve_schema_rename(spark, mpath, "n_chars", "char_count")
+        late = (
+            docs.filter(F.col("doc_id") % 5 == 0)
+            .withColumnRenamed("n_chars", "char_count")
+        )
+        stage = os.path.join(data_dir, ".late_stage")
+        late.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))[0]
+        late_path = os.path.join(data_dir, "renamed-late-00000.parquet")
+        _shutil.move(part, late_path)
+        _shutil.rmtree(stage, ignore_errors=True)
+        append_stats_manifest(spark, [late_path], mpath, ("doc_id",))
+        evolve_schema_drop(spark, mpath, "lang")
+        return (
+            read_evolved(spark, mpath, "doc_id")
+            .groupBy((F.col("doc_id") % 10).cast("long").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("char_count").cast("long").alias("sum_chars"),
             )
             .localCheckpoint(eager=True)
         )

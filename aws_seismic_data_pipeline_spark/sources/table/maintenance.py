@@ -14,6 +14,9 @@ from pyspark.sql import functions as F
 
 from aws_seismic_data_pipeline_spark.catalog import load_table, prepare
 from aws_seismic_data_pipeline_spark.registry import register
+from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+    manifest_data_dir as _mdd,
+)
 from aws_seismic_data_pipeline_spark.sources.footers import _RG_PRUNE_RANGE
 from aws_seismic_data_pipeline_spark.sources.table.commit import (
     ConcurrentCommitError,
@@ -122,7 +125,7 @@ def vacuum_orphans_report(
     # VISIBLE paths only: a tombstoned file (compaction input, retention
     # delete) is exactly what vacuum exists to reclaim
     tracked = (
-        _visible_stats(spark.read.parquet(manifest_dir), None)
+        _visible_stats(spark.read.parquet(_mdd(manifest_dir)), None)
         .select("path")
         .distinct()
     )
@@ -179,7 +182,7 @@ def vacuum_orphans(
     listing = spark.createDataFrame(
         _pd.DataFrame({"path": all_files}), "path string"
     )
-    manifest = spark.read.parquet(manifest_dir)
+    manifest = spark.read.parquet(_mdd(manifest_dir))
     tracked = _visible_stats(manifest, None).select("path").distinct()
     orphans = [
         r.path for r in listing.join(tracked, "path", "left_anti").collect()
@@ -300,7 +303,7 @@ def commit_data_compaction(
     if columns is None:
         tracked = sorted(
             r.column_name
-            for r in spark.read.parquet(manifest_dir)
+            for r in spark.read.parquet(_mdd(manifest_dir))
             .filter((F.col("op") == "add") & F.col("path").isin(list(paths)))
             .select("column_name")
             .distinct()
@@ -481,7 +484,7 @@ def rollback_manifest(
     the target and now (a compaction input) cannot be resurrected — a
     rollback across such maintenance raises instead of silently
     restoring a state with missing files."""
-    m = spark.read.parquet(manifest_dir)
+    m = spark.read.parquet(_mdd(manifest_dir))
     target = {
         r.path
         for r in _visible_stats(m, to_snapshot).select("path").distinct().collect()
@@ -625,7 +628,7 @@ def merge_through_manifest(
                 f"must carry the partition column(s) {missing} so insert "
                 "rows can land in their Hive partition dirs"
             )
-    manifest = _visible_stats(spark.read.parquet(manifest_dir), None)
+    manifest = _visible_stats(spark.read.parquet(_mdd(manifest_dir)), None)
     # preserve every tracked stats column present in the rewritten
     # schema (key, *cols) — appending key-only stats would hide the
     # rewrites from scans probing the other tracked columns
@@ -951,7 +954,7 @@ def merge_evolve_through_manifest(
         schema_add_rows,
     )
 
-    man = spark.read.parquet(manifest_dir)
+    man = spark.read.parquet(_mdd(manifest_dir))
     sample = (
         _visible_stats(man, None).select("path").limit(1).collect()
     )
@@ -1222,24 +1225,21 @@ def expire_manifest_history(
 
     Concurrency contract: the swap runs under a CAS commit claim on the
     next snapshot id, so every committing WRITER is excluded — a
-    concurrent claim either loses to this lease (in-flight error) or,
-    during the rename window when the manifest dir is briefly absent,
-    gets a retryable ``ConcurrentCommitError`` from ``claim_commit``'s
-    missing-parent check instead of recreating the dir mid-swap. The
-    two legs are same-filesystem ``os.rename`` (each individually
-    atomic), but a lock-free READER planning exactly inside that window
-    can still observe the missing directory — on a POSIX substrate a
-    truly reader-atomic replace needs an indirection layer; schedule
-    expire off-peak or route readers through the claim protocol if they
-    must never error. A crash between the two renames strands the
-    manifest under ``.expired_old``; the next expire (or an explicit
-    ``recover_interrupted_expire``) renames it back before proceeding.
+    concurrent claim loses to this lease (in-flight error). The swap
+    itself publishes the shrunken manifest as the next GENERATION and
+    atomically flips the ``_GENERATION`` pointer (see
+    :mod:`.logstore`): lock-free READERS resolve a complete manifest —
+    old or new — at every instant, on both substrates; the superseded
+    generation is retained one expire cycle for in-flight readers. A
+    crash mid-publish leaves only an unreferenced partial generation
+    (pruned at the next expire); ``recover_interrupted_expire`` remains
+    for healing tables stranded by the PRE-generation two-rename swap.
     Returns (rows_before, rows_after)."""
     import shutil as _shutil
 
     recover_interrupted_expire(manifest_dir)
     e = int(expire_below)
-    man = spark.read.parquet(manifest_dir)
+    man = spark.read.parquet(_mdd(manifest_dir))
     # one agg answers both driver-side questions — separate actions
     # each cost a full (tiny) job under load
     stats = man.agg(
@@ -1291,13 +1291,20 @@ def expire_manifest_history(
             man.filter(F.col("snapshot_id") >= e)
             .unionByName(keep_old_adds)
             .unionByName(live_old_deletes)
-            # schema_add rows are the table's DECLARED SCHEMA — a
-            # committed ADD COLUMN must survive any expiry or post-expire
-            # reads lose the NULL-backfill (and a re-declaration stops
-            # raising)
+            # schema_add/rename/drop rows are the table's DECLARED
+            # SCHEMA — a committed schema change must survive any
+            # expiry or post-expire reads lose the NULL-backfill /
+            # name re-map / column tombstone (and a re-declaration
+            # stops raising)
             .unionByName(
                 old.filter(
-                    F.col("op").isin("delete_retire", "expire", "schema_add")
+                    F.col("op").isin(
+                        "delete_retire",
+                        "expire",
+                        "schema_add",
+                        "schema_rename",
+                        "schema_drop",
+                    )
                 )
             )
         )
@@ -1339,24 +1346,23 @@ def expire_manifest_history(
         # which revoked the live writer's lease. Copy, not move: the
         # live tree stays authoritative until the swap lands, and the
         # guard lease excludes every writer so the set is stable.
-        tmp_commits = os.path.join(tmp, "_commits")
         live_commits = os.path.join(manifest_dir, "_commits")
+        # the swap publishes tmp as the next manifest GENERATION and
+        # atomically flips the _GENERATION pointer (logstore module
+        # docstring): readers resolve a complete manifest at every
+        # instant, and _commits sits OUTSIDE the generations so
+        # in-flight leases (including this expire's own guard) never
+        # move — the r12 empty-token-root window is gone by
+        # construction. Committed/stale ids are pruned in place so the
+        # token tree does not grow forever.
+        store.replace_dir(tmp, manifest_dir, aside)
         for name in store.list_tokens(live_commits):
             try:
                 live = int(name) > int(cur_max)
             except ValueError:
                 live = False  # 'N.stale-<uuid>' asides: prune
-            if live:
-                os.makedirs(tmp_commits, exist_ok=True)
-                store.copy_token(
-                    os.path.join(live_commits, name),
-                    os.path.join(tmp_commits, name),
-                )
-        # the swap routes through the manifest's LogStore: POSIX = two
-        # atomic same-filesystem renames with restore-on-failure; the
-        # simulated object store = copy+delete (non-atomic — safe here
-        # only because this whole block runs under the claim lease)
-        store.replace_dir(tmp, manifest_dir, aside)
+            if not live:
+                store.delete_token(os.path.join(live_commits, name))
         _shutil.rmtree(aside, ignore_errors=True)
     finally:
         release_claim(manifest_dir, guard)
@@ -1577,7 +1583,7 @@ def _optimize_curve(
     from the manifest's global stats, cluster the visible files along
     ``curve_sql([bucket_sql, ...])`` via :func:`_zcluster_rewrite`,
     and commit add+remove at one snapshot."""
-    manifest = _visible_stats(spark.read.parquet(manifest_dir), None)
+    manifest = _visible_stats(spark.read.parquet(_mdd(manifest_dir)), None)
     visible = sorted(
         r.path for r in manifest.select("path").distinct().collect()
     )
@@ -1816,7 +1822,7 @@ def _optimize_curve_incremental(
     """Shared incremental-OPTIMIZE body (see the public wrappers for
     semantics): metadata-only selection of scattered files, curve
     rewrite of only the tail, one atomic add+remove commit."""
-    manifest = _visible_stats(spark.read.parquet(manifest_dir), None)
+    manifest = _visible_stats(spark.read.parquet(_mdd(manifest_dir)), None)
     tracked = tuple(
         sorted(
             r.column_name
@@ -2257,7 +2263,7 @@ def optimize_table(
 
     visible = sorted(
         r.path
-        for r in _visible_stats(spark.read.parquet(manifest_dir), None)
+        for r in _visible_stats(spark.read.parquet(_mdd(manifest_dir)), None)
         .select("path")
         .distinct()
         .collect()

@@ -23,6 +23,9 @@ from aws_seismic_data_pipeline_spark.catalog import (
     prepare,
 )
 from aws_seismic_data_pipeline_spark.registry import register
+from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+    manifest_data_dir as _mdd,
+)
 from aws_seismic_data_pipeline_spark.sources.footers import (
     _RG_PRUNE_RANGE,
     _decode_input_file,
@@ -113,7 +116,7 @@ def write_stats_manifest(
         "snapshot_id", F.lit(0).cast("int")
     ).withColumn("op", F.lit("add")).withColumn(
         "partition_values", _partition_values_col(partition_by)
-    ).write.mode("overwrite").parquet(manifest_dir)
+    ).write.mode("overwrite").parquet(_mdd(manifest_dir))
 
 
 def append_stats_manifest(
@@ -141,7 +144,7 @@ def append_stats_manifest(
     verify_claim(manifest_dir, int(snapshot_id))
     _stats_add_rows(
         spark, new_paths, columns, int(snapshot_id), partition_by
-    ).write.mode("append").parquet(manifest_dir)
+    ).write.mode("append").parquet(_mdd(manifest_dir))
     return int(snapshot_id)
 
 
@@ -220,7 +223,7 @@ def commit_manifest_rows(
     out = frames[0]
     for fdf in frames[1:]:
         out = out.unionByName(fdf, allowMissingColumns=True)
-    out.write.mode("append").parquet(manifest_dir)
+    out.write.mode("append").parquet(_mdd(manifest_dir))
 
 
 _MANIFEST_SCHEMA = (
@@ -264,7 +267,7 @@ def remove_from_manifest(
     verify_claim(manifest_dir, int(snapshot_id))
     _tombstone_rows(spark, manifest_dir, paths, int(snapshot_id)).write.mode(
         "append"
-    ).parquet(manifest_dir)
+    ).parquet(_mdd(manifest_dir))
     return int(snapshot_id)
 
 
@@ -279,7 +282,7 @@ def _tombstone_rows(
     import os as _os
     import time as _time
 
-    schema = spark.read.parquet(manifest_dir).schema
+    schema = spark.read.parquet(_mdd(manifest_dir)).schema
     now = float(_time.time())
     has_stats_slots = {"min_val", "max_val"} <= {f.name for f in schema}
     fixed = {
@@ -330,7 +333,7 @@ def manifest_row_count(
     paginated listing as the statistic itself
     (``/root/reference/upload_to_rfs.py:16-35``); the manifest keeps
     the same answer one metadata agg away."""
-    visible = _visible_stats(spark.read.parquet(manifest_dir), as_of)
+    visible = _visible_stats(spark.read.parquet(_mdd(manifest_dir)), as_of)
     n = (
         visible.groupBy("path", "row_group")
         .agg(F.max("n_rows").alias("n"))
@@ -373,7 +376,7 @@ def manifest_pruned_scan(
     Files with no recorded entry for a filtered column are kept
     conservatively (scanned, never silently dropped), so the filter is
     always sound over mixed/legacy manifests."""
-    raw = spark.read.parquet(manifest_dir)
+    raw = spark.read.parquet(_mdd(manifest_dir))
     if as_of is not None:
         floor = _history_floor(raw)
         if floor is not None and as_of < floor:
@@ -454,7 +457,7 @@ def manifest_pruned_scan_multi(
     (``/root/reference/app.py:449-456``: date prefix + station)."""
     if not predicates:
         raise ValueError("manifest_pruned_scan_multi: empty predicate map")
-    raw = spark.read.parquet(manifest_dir)
+    raw = spark.read.parquet(_mdd(manifest_dir))
     if as_of is not None:
         floor = _history_floor(raw)
         if floor is not None and as_of < floor:
@@ -541,7 +544,7 @@ def manifest_pruned_scan_multi_rowgroup(
         raise ValueError(
             "manifest_pruned_scan_multi_rowgroup: empty predicate map"
         )
-    raw = spark.read.parquet(manifest_dir)
+    raw = spark.read.parquet(_mdd(manifest_dir))
     if as_of is not None:
         floor = _history_floor(raw)
         if floor is not None and as_of < floor:
@@ -631,7 +634,7 @@ def rowgroup_prune_report(
     files_rowgroup_level (survivors of the per-row-group conjunction;
     always <=), rowgroups_matching (row groups satisfying every
     predicate at once)."""
-    manifest = _visible_stats(spark.read.parquet(manifest_dir), None)
+    manifest = _visible_stats(spark.read.parquet(_mdd(manifest_dir)), None)
     files_total = manifest.select("path").distinct().count()
     rowgroups_total = (
         manifest.select("path", "row_group").distinct().count()
@@ -1333,7 +1336,7 @@ def manifest_incremental_scan(
         raise ValueError(
             f"incremental scan: to={to_snapshot} < from={from_snapshot}"
         )
-    m = spark.read.parquet(manifest_dir)
+    m = spark.read.parquet(_mdd(manifest_dir))
     window_rows = m.filter(
         (F.col("snapshot_id") > from_snapshot)
         & (F.col("snapshot_id") <= to_snapshot)
@@ -1447,7 +1450,7 @@ def manifest_count_range(
     query reads two boundary files instead of the table. Stats-less
     row groups are conservatively counted by scan. Returns
     (n_total, n_from_metadata, n_files_scanned)."""
-    manifest = _visible_stats(spark.read.parquet(manifest_dir), as_of).filter(
+    manifest = _visible_stats(spark.read.parquet(_mdd(manifest_dir)), as_of).filter(
         F.col("column_name") == column
     )
     rg = manifest.select(

@@ -24,6 +24,9 @@ from aws_seismic_data_pipeline_spark.catalog import (
     spread,
 )
 
+from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+    manifest_data_dir as _mdd,
+)
 from .conftest import SF_DIR
 
 
@@ -1765,7 +1768,7 @@ def test_delete_compaction_retires_records_and_preserves_history(
     # the live-delete set is EMPTY after retirement
     assert (
         _live_delete_records(
-            spark.read.parquet(mpath), "doc_id", None
+            spark.read.parquet(_mdd(mpath)), "doc_id", None
         ).count()
         == 0
     )
@@ -1854,7 +1857,7 @@ def test_expire_manifest_history_preserves_floor_and_raises_below(
 
     pre_current = rows()
     pre_at_floor = rows(as_of=snap_c)
-    n_rows_pre = spark.read.parquet(mpath).count()
+    n_rows_pre = spark.read.parquet(_mdd(mpath)).count()
 
     with _pytest.raises(ValueError, match="refusing"):
         expire_manifest_history(spark, mpath, snap_c + 1)
@@ -1868,7 +1871,7 @@ def test_expire_manifest_history_preserves_floor_and_raises_below(
     assert rows() == pre_current
     assert rows(as_of=snap_c) == pre_at_floor
     # retired delete records below the floor are gone entirely
-    man = spark.read.parquet(mpath)
+    man = spark.read.parquet(_mdd(mpath))
     assert man.filter(F.col("op") == "delete_eq").count() == 0
     # post-expire reads still subtract nothing and agree
     assert sorted(
@@ -1959,7 +1962,7 @@ def test_expire_scopes_retire_ceilings_per_column(spark, tmp_path):
     snap_c, _, n_rw, _ = compact_equality_deletes(spark, mpath, "doc_id")
     # the rewrite keeps BOTH tracked stats columns (a key-only append
     # would hide the rewrites from n_chars scans entirely)
-    man = spark.read.parquet(mpath)
+    man = spark.read.parquet(_mdd(mpath))
     rewrit = man.filter(
         (F.col("op") == "add") & (F.col("snapshot_id") == snap_c)
     )
@@ -1991,7 +1994,7 @@ def test_expire_scopes_retire_ceilings_per_column(spark, tmp_path):
     expire_manifest_history(spark, mpath, floor)
     # the n_chars delete record (snap 1, never retired) must survive
     assert by_chars() == expect
-    kept = spark.read.parquet(mpath).filter(F.col("op") == "delete_eq")
+    kept = spark.read.parquet(_mdd(mpath)).filter(F.col("op") == "delete_eq")
     assert (
         kept.filter(F.col("column_name") == "n_chars").count() == 1
     ), "expiry dropped a live delete record scoped to another column"
@@ -2274,6 +2277,98 @@ def test_schema_evolution_time_travels(spark, tmp_path):
     assert cur2.filter(F.col("quality").isNotNull()).count() == n_late
     with _pytest.raises(ValueError, match="already declared"):
         evolve_schema_add(spark, mpath, "quality", "double")
+
+
+def test_schema_rename_drop_time_travels_without_rewrite(spark, tmp_path):
+    """RENAME/DROP COLUMN (round-12 verdict item 4): both are METADATA
+    commits — pinned by unchanged data-file mtimes; the current read
+    coalesces pre-rename (old physical name) and post-rename (new
+    name) files into one logical column and excludes dropped columns;
+    as-of reads below the rename see the OLD name and below the drop
+    still see the column; renaming a missing column, renaming onto an
+    existing name, dropping a missing column, and re-adding a dropped
+    name all raise; the schema chain survives history expiry."""
+    import glob
+
+    import pytest as _pytest
+
+    from aws_seismic_data_pipeline_spark.sources.table.evolution import (
+        evolve_schema_add,
+        evolve_schema_drop,
+        evolve_schema_rename,
+        read_evolved,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        append_stats_manifest,
+        write_stats_manifest,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    data_dir = str(tmp_path / "docs")
+    docs.repartition(3, "doc_id").write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "manifest")
+    write_stats_manifest(spark, files, mpath, ("doc_id",))
+
+    mtimes_before = {f: os.stat(f).st_mtime_ns for f in files}
+    snap_ren = evolve_schema_rename(spark, mpath, "n_chars", "char_count")
+    # validation raises loudly AND releases the claim (the next commit
+    # must not be blocked for stale_after)
+    with _pytest.raises(ValueError, match="does not exist"):
+        evolve_schema_rename(spark, mpath, "nope", "x")
+    with _pytest.raises(ValueError, match="already exists"):
+        evolve_schema_rename(spark, mpath, "lang", "char_count")
+
+    late = docs.filter(F.col("doc_id") % 5 == 0).withColumnRenamed(
+        "n_chars", "char_count"
+    )
+    late_dir = str(tmp_path / "late")
+    late.coalesce(1).write.parquet(late_dir)
+    late_path = sorted(glob.glob(late_dir + "/*.parquet"))[0]
+    append_stats_manifest(spark, [late_path], mpath, ("doc_id",))
+    snap_drop = evolve_schema_drop(spark, mpath, "lang")
+    with _pytest.raises(ValueError, match="does not exist"):
+        evolve_schema_drop(spark, mpath, "lang")
+    with _pytest.raises(ValueError, match="already declared"):
+        evolve_schema_add(spark, mpath, "lang", "string")
+
+    # zero data files rewritten by either metadata commit
+    assert {f: os.stat(f).st_mtime_ns for f in files} == mtimes_before
+
+    n_docs, n_late = docs.count(), docs.filter(F.col("doc_id") % 5 == 0).count()
+    cur = read_evolved(spark, mpath, "doc_id")
+    assert set(cur.columns) == {"doc_id", "char_count"}
+    assert cur.count() == n_docs + n_late
+    # coalesce exactness: every row carries its char count (old files
+    # through the re-map, late file natively)
+    assert cur.filter(F.col("char_count").isNull()).count() == 0
+    raw_sum = docs.agg(F.sum("n_chars")).collect()[0][0] + late.agg(
+        F.sum("char_count")
+    ).collect()[0][0]
+    assert cur.agg(F.sum("char_count")).collect()[0][0] == raw_sum
+
+    # time travel: below the rename -> old name; between rename and
+    # drop -> new name with lang still present
+    old = read_evolved(spark, mpath, "doc_id", as_of=snap_ren - 1)
+    assert "n_chars" in old.columns and "char_count" not in old.columns
+    mid = read_evolved(spark, mpath, "doc_id", as_of=snap_drop - 1)
+    assert "char_count" in mid.columns and "lang" in mid.columns
+
+    # the rename/drop chain survives history expiry like schema_add
+    from aws_seismic_data_pipeline_spark.sources.table.deletes import (
+        equality_delete,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
+        expire_manifest_history,
+    )
+
+    floor = equality_delete(spark, mpath, "doc_id", [10**9])
+    expire_manifest_history(spark, mpath, floor)
+    cur2 = read_evolved(spark, mpath, "doc_id")
+    assert set(cur2.columns) == {"doc_id", "char_count"}
+    assert cur2.agg(F.sum("char_count")).collect()[0][0] == raw_sum
 
 
 def test_vacuum_executes_with_retention(spark, tmp_path):
@@ -2562,7 +2657,7 @@ def test_partition_values_decode_hive_escapes(spark, tmp_path):
     )
     recorded = {
         r.v
-        for r in spark.read.parquet(mpath)
+        for r in spark.read.parquet(_mdd(mpath))
         .select(F.col("partition_values").getItem("lang").alias("v"))
         .distinct()
         .collect()
@@ -2707,7 +2802,7 @@ def test_expire_refuses_under_inflight_writer_and_recovers_crash(
     # (c) crash recovery restores the stranded manifest, expire works
     assert R.recover_interrupted_expire(mpath) is True
     assert os.path.isdir(mpath) and not os.path.isdir(aside)
-    n_before = spark.read.parquet(mpath).count()
+    n_before = spark.read.parquet(_mdd(mpath)).count()
     before, after = R.expire_manifest_history(spark, mpath, expire_below=2)
     assert before == n_before and after <= before + 1  # +1 expire marker
     # idempotent no-op when the table is healthy
@@ -2746,7 +2841,7 @@ def test_compound_commit_is_one_write_job(spark, tmp_path):
     )
     # and the committed snapshot carries BOTH row kinds
     snap_rows = (
-        spark.read.parquet(mpath)
+        spark.read.parquet(_mdd(mpath))
         .filter(F.col("snapshot_id") == snap)
         .groupBy("op")
         .count()
@@ -3239,7 +3334,7 @@ def test_merge_schema_evolution_one_snapshot_time_travels(spark, tmp_path):
 
     # (a) one snapshot: schema_add + adds + removes all at `snap`,
     # and nothing landed at any other new snapshot
-    man = spark.read.parquet(mpath)
+    man = spark.read.parquet(_mdd(mpath))
     ops_at = {
         r.op
         for r in man.filter(F.col("snapshot_id") == snap)

@@ -208,7 +208,35 @@ def test_expire_swap_under_lease(spark, governed, store_kind, tmp_path):
     # an exotic in-flight lease ABOVE the guard survives the swap
     assert R.claim_commit(spark, mpath, 2) == 3
     n_before = R.read_with_deletes(spark, mpath, "doc_id").count()
-    before, after = R.expire_manifest_history(spark, mpath, expire_below=1)
+    # lock-free readers DURING the swap see a complete manifest at every
+    # instant on BOTH substrates (posix: RENAME_EXCHANGE; object:
+    # generation-pointer flip) — the r12 "readers are documented" caveat
+    # is gone
+    from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+        manifest_data_dir,
+    )
+
+    reader_errors: list = []
+    stop = threading.Event()
+
+    def _reader():
+        while not stop.is_set():
+            try:
+                assert spark.read.parquet(manifest_data_dir(mpath)).count() > 0
+            except Exception as exc:  # pragma: no cover - the bug
+                reader_errors.append(exc)
+                return
+
+    rt = threading.Thread(target=_reader)
+    rt.start()
+    try:
+        before, after = R.expire_manifest_history(
+            spark, mpath, expire_below=1
+        )
+    finally:
+        stop.set()
+        rt.join()
+    assert not reader_errors, f"reader observed the swap: {reader_errors[0]!r}"
     assert before > 0 and after > 0
     commits = os.path.join(mpath, "_commits")
     names = log_store_for(mpath).list_tokens(commits)
@@ -224,3 +252,128 @@ def test_expire_swap_under_lease(spark, governed, store_kind, tmp_path):
     # crash recovery heals the stranded manifest on either substrate
     assert R.recover_interrupted_expire(mpath) is True
     assert R.read_with_deletes(spark, mpath, "doc_id").count() == n_before
+
+
+def test_generation_swap_file_level_semantics(tmp_path):
+    """The generation publish at the primitive level, both substrates:
+    new manifest lands as gen-(max+1), the pointer flip is one atomic
+    os.replace, the previous resolution target is retained, anything
+    older (and partial gens from crashed installs) is pruned."""
+    for store in (PosixLogStore(), ObjectStoreLogStore()):
+        lived = str(tmp_path / f"live-{store.name}")
+        os.makedirs(lived)
+        open(os.path.join(lived, "part-0.parquet"), "w").write("flat")
+        # crashed partial install, never referenced
+        os.makedirs(os.path.join(lived, "gen-00000005"))
+        newd = str(tmp_path / f"new-{store.name}")
+        os.makedirs(newd)
+        open(os.path.join(newd, "part-1.parquet"), "w").write("v2")
+        store.replace_dir(newd, lived, lived + ".aside")
+        # burnt number skipped, pointer resolves, flat retained (grace),
+        # partial gen pruned
+        assert store.data_dir(lived) == os.path.join(lived, "gen-00000006")
+        assert os.path.exists(os.path.join(lived, "part-0.parquet"))
+        assert not os.path.isdir(os.path.join(lived, "gen-00000005"))
+        # second publish: flat objects now unreachable -> pruned,
+        # gen-6 retained one cycle
+        newd2 = str(tmp_path / f"new2-{store.name}")
+        os.makedirs(newd2)
+        open(os.path.join(newd2, "part-2.parquet"), "w").write("v3")
+        store.replace_dir(newd2, lived, lived + ".aside2")
+        assert store.data_dir(lived) == os.path.join(lived, "gen-00000007")
+        assert not os.path.exists(os.path.join(lived, "part-0.parquet"))
+        assert os.path.isdir(os.path.join(lived, "gen-00000006"))
+
+
+def test_generation_pointer_expiry(spark, tmp_path, store_kind):
+    """The production expire design (round-12 verdict item 3), BOTH
+    substrates: expire publishes the shrunken manifest as a NEW
+    generation and atomically flips the _GENERATION pointer — readers
+    resolve a COMPLETE manifest at every instant (old or new), commit
+    tokens never move, the superseded generation survives one expire
+    for in-flight readers and is pruned at the next, and a partial
+    generation from a crashed install is never referenced and gets
+    pruned."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    data_dir = str(tmp_path / "docs")
+    docs.repartition(4, "doc_id").write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "manifest")
+    _use_store(store_kind, mpath)
+    try:
+        from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+            manifest_data_dir,
+        )
+
+        R.write_stats_manifest(spark, files[:2], mpath, ("doc_id",))
+        R.append_stats_manifest(spark, files[2:3], mpath, ("doc_id",))
+        R.append_stats_manifest(spark, files[3:4], mpath, ("doc_id",))
+        # pre-expire: flat layout, no pointer
+        assert manifest_data_dir(mpath) == mpath
+        n_before = R.read_with_deletes(spark, mpath, "doc_id").count()
+        flat_parquet = [f for f in os.listdir(mpath) if f.endswith(".parquet")]
+        assert flat_parquet, "creation writes flat until the first expire"
+
+        # in-flight lease above the guard + a reader loop DURING expire
+        assert R.claim_commit(spark, mpath, 3) == 4
+        errors: list = []
+        stop = threading.Event()
+
+        def reader():
+            while not stop.is_set():
+                try:
+                    assert (
+                        spark.read.parquet(manifest_data_dir(mpath)).count()
+                        > 0
+                    )
+                except Exception as exc:  # pragma: no cover - the bug
+                    errors.append(exc)
+                    return
+
+        t = threading.Thread(target=reader)
+        t.start()
+        try:
+            R.expire_manifest_history(spark, mpath, expire_below=2)
+        finally:
+            stop.set()
+            t.join()
+        assert not errors, f"reader observed the swap: {errors[0]!r}"
+
+        # generation-1 layout: pointer resolves, flat parquet RETAINED
+        # (grace for readers that resolved pre-flip), tokens in place
+        gen1 = manifest_data_dir(mpath)
+        assert gen1 == os.path.join(mpath, "gen-00000001")
+        assert os.path.isdir(gen1)
+        for f in flat_parquet:
+            assert os.path.exists(os.path.join(mpath, f)), "grace retention"
+        names = log_store_for(mpath).list_tokens(
+            os.path.join(mpath, "_commits")
+        )
+        assert "4" in names, "in-flight token must survive (never moved)"
+        assert "3" not in names, "expire releases its guard"
+        assert R.read_with_deletes(spark, mpath, "doc_id").count() == n_before
+
+        # a crashed mid-copy generation: unreferenced, reads unaffected
+        partial = os.path.join(mpath, "gen-00000002")
+        os.makedirs(partial)
+        open(os.path.join(partial, "part-junk.parquet"), "w").write("")
+        assert manifest_data_dir(mpath) == gen1
+        assert R.read_with_deletes(spark, mpath, "doc_id").count() == n_before
+
+        # second expire: skips the burnt number, prunes the partial gen,
+        # the pre-pointer flat objects, and everything older than the
+        # superseded generation
+        R.release_claim(mpath, 4)
+        R.expire_manifest_history(spark, mpath, expire_below=2)
+        gen3 = manifest_data_dir(mpath)
+        assert gen3 == os.path.join(mpath, "gen-00000003")
+        assert not os.path.isdir(partial), "partial gen pruned"
+        assert os.path.isdir(gen1), "superseded gen retained one cycle"
+        assert not any(
+            f.endswith(".parquet") for f in os.listdir(mpath)
+        ), "pre-pointer flat objects pruned once unreachable"
+        assert R.read_with_deletes(spark, mpath, "doc_id").count() == n_before
+    finally:
+        set_log_store(mpath, None)

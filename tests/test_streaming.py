@@ -11,6 +11,9 @@ from pyspark.sql import functions as F
 from aws_seismic_data_pipeline_spark.catalog import load_table
 from aws_seismic_data_pipeline_spark.registry import load_all
 
+from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+    manifest_data_dir as _mdd,
+)
 from .conftest import SF_DIR
 
 REGISTRY = load_all()
@@ -492,7 +495,7 @@ def test_stream_merge_commits_one_snapshot_per_batch(spark, tmp_path):
 
     snaps = sorted(
         r.snapshot_id
-        for r in spark.read.parquet(mpath)
+        for r in spark.read.parquet(_mdd(mpath))
         .select("snapshot_id")
         .distinct()
         .collect()

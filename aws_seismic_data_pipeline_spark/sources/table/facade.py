@@ -172,10 +172,46 @@ class GovernedTable:
         return R.sketch_merged_ndv(self.spark, sketch_dir, paths=paths)
 
     # ---- write side ----------------------------------------------------
+    def _gate(self, batch: DataFrame) -> None:
+        """Write-time constraint gate: one map-side aggregate over the
+        batch against the table's live CHECK/NOT NULL declarations;
+        raises ConstraintViolationError BEFORE any claim or commit."""
+        R.enforce_constraints(self.spark, self.manifest_dir, batch)
+
+    def add_constraint(
+        self, name: str, expr: str, validate_existing: bool = True
+    ) -> int:
+        """Declare CHECK ``expr``; every later append/merge is gated.
+        ``validate_existing`` (default) first proves the CURRENT table
+        satisfies it — Delta's ALTER TABLE ADD CONSTRAINT contract."""
+        existing = self.scan_with_deletes() if validate_existing else None
+        return R.add_check_constraint(
+            self.spark, self.manifest_dir, name, expr, existing=existing
+        )
+
+    def add_not_null(self, column: str, validate_existing: bool = True) -> int:
+        """NOT NULL on ``column`` (enforced as CHECK col IS NOT NULL)."""
+        existing = self.scan_with_deletes() if validate_existing else None
+        return R.add_not_null_constraint(
+            self.spark, self.manifest_dir, column, existing=existing
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """Retire a constraint (metadata commit; unknown name raises)."""
+        return R.drop_constraint(self.spark, self.manifest_dir, name)
+
+    def constraints(self) -> list[tuple[str, str, str]]:
+        """Live [(name, kind, expr)] declarations."""
+        return R.active_constraints(self.spark, self.manifest_dir)
+
     def append(self, new_paths: list[str], max_retries: int = 5) -> int:
         """Register already-landed files at the next snapshot, retrying
         lost CAS races (appends need no re-plan; see
-        ``manifest.append_stats_manifest_retry``)."""
+        ``manifest.append_stats_manifest_retry``). Gated by the
+        table's constraints: a violating batch raises and nothing —
+        snapshot, manifest row, claim — is touched."""
+        if new_paths:
+            self._gate(self.spark.read.parquet(*new_paths))
         snap, _ = R.append_stats_manifest_retry(
             self.spark,
             new_paths,
@@ -252,6 +288,7 @@ class GovernedTable:
         the table has never seen are declared and merged atomically
         (Delta's mergeSchema-on-MERGE). Returns (snapshot,
         intersecting, rewritten, evolved_columns)."""
+        self._gate(delta)
         return R.merge_evolve_through_manifest(
             self.spark,
             self.manifest_dir,
@@ -268,6 +305,7 @@ class GovernedTable:
         is threaded: rewrites stay inside their partition dirs, inserts
         land Hive-partitioned (the delta must carry the partition
         columns), and the committed stats rows keep partition values."""
+        self._gate(delta)
         return R.merge_through_manifest(
             self.spark,
             self.manifest_dir,
@@ -285,6 +323,7 @@ class GovernedTable:
         the commit snapshot and re-plans on a lost race. Returns
         (snapshot, intersecting, rewritten, n_retries). partition_by is
         threaded exactly as in :meth:`merge`."""
+        self._gate(delta)
         return R.merge_with_conflict_retry(
             self.spark,
             self.manifest_dir,

@@ -1304,6 +1304,8 @@ def expire_manifest_history(
                         "schema_add",
                         "schema_rename",
                         "schema_drop",
+                        "constraint_add",
+                        "constraint_drop",
                     )
                 )
             )

@@ -554,3 +554,100 @@ def test_facade_optimize_zorder_by_multi_column(spark, tmp_path):
     )
     assert got.count() == want.count()
     assert 0 < len(got.inputFiles()) < n_new
+
+
+def test_write_time_constraints_gate_and_leak_nothing(spark, tmp_path):
+    """Write-time CHECK/NOT NULL enforcement (round-12 verdict item 5):
+    a violating append OR merge raises ConstraintViolationError and
+    leaves NO snapshot, NO manifest rows, and NO leaked claim (the
+    next good commit proceeds at the immediately-next id — memory-rule
+    leak trap); add_constraint validates the EXISTING table (declaring
+    a constraint current data violates raises and also leaks nothing);
+    drop_constraint retires the gate; constraints survive history
+    expiry."""
+    import glob as _glob
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.table import _verbs as R
+    from aws_seismic_data_pipeline_spark.sources.table.facade import (
+        GovernedTable,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "doc_id",
+        n_files=4,
+    )
+    base_count = t.scan_with_deletes().count()
+
+    # declaring a constraint the CURRENT table violates: rejected, and
+    # the claim it briefly held is released (next declare succeeds at
+    # the very next id)
+    with _pytest.raises(R.ConstraintViolationError, match="impossible"):
+        t.add_constraint("impossible", "n_chars > 1000000000")
+    snap_c1 = t.add_constraint("chars_positive", "n_chars > 0")
+    snap_c2 = t.add_not_null("lang")
+    assert snap_c2 == snap_c1 + 1, "failed declare must not burn/block ids"
+    assert [c[0] for c in t.constraints()] == [
+        "chars_positive",
+        "lang_not_null",
+    ]
+
+    def _land(df, name):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        return sorted(_glob.glob(stage + "/*.parquet"))[0]
+
+    bad_append = _land(
+        docs.limit(10).select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.lit(None).cast("string").alias("lang"),
+            F.col("n_chars"),
+        ),
+        "bad",
+    )
+    with _pytest.raises(R.ConstraintViolationError, match="lang_not_null"):
+        t.append([bad_append])
+    # nothing landed, nothing leaked
+    assert t.scan_with_deletes().count() == base_count
+
+    bad_delta = spark.createDataFrame(
+        [(1, "xx", -5)], "doc_id long, lang string, n_chars long"
+    )
+    with _pytest.raises(R.ConstraintViolationError, match="chars_positive"):
+        t.merge(bad_delta, ["lang", "n_chars"])
+    with _pytest.raises(R.ConstraintViolationError, match="chars_positive"):
+        t.merge_concurrent(bad_delta, ["lang", "n_chars"])
+    assert t.scan_with_deletes().count() == base_count
+
+    # a good commit proceeds at the IMMEDIATELY next snapshot — the
+    # rejected writes held no id
+    good = _land(
+        docs.limit(5).select(
+            (F.col("doc_id") + 600000).alias("doc_id"), "lang", "n_chars"
+        ),
+        "good",
+    )
+    snap_good = t.append([good])
+    assert snap_good == snap_c2 + 1, "rejected writes must not burn ids"
+    assert t.scan_with_deletes().count() == base_count + 5
+
+    # constraints survive expiry; drop retires the gate
+    t.expire(snap_good)
+    assert len(t.constraints()) == 2
+    with _pytest.raises(R.ConstraintViolationError):
+        t.merge(bad_delta, ["lang", "n_chars"])
+    t.drop_constraint("chars_positive")
+    t.drop_constraint("lang_not_null")
+    with _pytest.raises(ValueError, match="does not exist"):
+        t.drop_constraint("chars_positive")
+    snap_m, _, _ = t.merge(bad_delta, ["lang", "n_chars"])
+    assert snap_m > snap_good, "dropped constraints stop gating"

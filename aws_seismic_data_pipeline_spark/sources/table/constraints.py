@@ -136,8 +136,17 @@ def _commit_constraint_row(
         "op": op,
         "partition_values": pv,
     }
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        _commit_ts_fixed,
+    )
+
+    ts_row = _commit_ts_fixed(snap)
     spark.createDataFrame(
-        [tuple(fixed.get(f.name) for f in man_schema)], man_schema
+        [
+            tuple(fixed.get(f.name) for f in man_schema),
+            tuple(ts_row.get(f.name) for f in man_schema),
+        ],
+        man_schema,
     ).write.mode("append").parquet(_mdd(manifest_dir))
 
 

@@ -371,7 +371,7 @@ def compact_equality_deletes(
     row = tuple(fixed.get(f.name) for f in schema)
     frames.append(spark.createDataFrame([row], schema))
     verify_claim(manifest_dir, snap)
-    commit_manifest_rows(spark, manifest_dir, frames)
+    commit_manifest_rows(spark, manifest_dir, frames, snapshot_id=snap)
     return snap, len(candidates), len(new_paths), int(n_live)
 
 

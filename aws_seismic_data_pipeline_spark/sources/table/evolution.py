@@ -21,6 +21,7 @@ from aws_seismic_data_pipeline_spark.sources.table.commit import (
     _claimed_next_snapshot,
 )
 from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+    _commit_ts_rows,
     append_stats_manifest,
     manifest_pruned_scan,
     write_stats_manifest,
@@ -51,7 +52,9 @@ def evolve_schema_add(
         # (re-declaration) doesn't block the NEXT writer for stale_after
         release_claim(manifest_dir, snap)
         raise
-    rows.write.mode("append").parquet(_mdd(manifest_dir))
+    rows.unionByName(
+        _commit_ts_rows(spark, rows.schema, snap), allowMissingColumns=True
+    ).write.mode("append").parquet(_mdd(manifest_dir))
     return snap
 
 
@@ -208,7 +211,9 @@ def evolve_schema_rename(
     except BaseException:
         release_claim(manifest_dir, snap)  # nothing committed at the id
         raise
-    rows.write.mode("append").parquet(_mdd(manifest_dir))
+    rows.unionByName(
+        _commit_ts_rows(spark, rows.schema, snap), allowMissingColumns=True
+    ).write.mode("append").parquet(_mdd(manifest_dir))
     return snap
 
 
@@ -251,7 +256,9 @@ def evolve_schema_drop(
     except BaseException:
         release_claim(manifest_dir, snap)  # nothing committed at the id
         raise
-    rows.write.mode("append").parquet(_mdd(manifest_dir))
+    rows.unionByName(
+        _commit_ts_rows(spark, rows.schema, snap), allowMissingColumns=True
+    ).write.mode("append").parquet(_mdd(manifest_dir))
     return snap
 
 

@@ -137,6 +137,17 @@ class GovernedTable:
             self.spark, self.manifest_dir, self.key, as_of=as_of
         )
 
+    def snapshot_at(self, ts: float) -> int:
+        """Resolve AS OF TIMESTAMP (epoch seconds) to the newest
+        snapshot committed at or before ``ts`` — Delta/Iceberg
+        timestamp-travel semantics; raises below the earliest
+        surviving commit (expired history fails loudly)."""
+        return R.snapshot_for_timestamp(self.spark, self.manifest_dir, ts)
+
+    def scan_at_timestamp(self, ts: float) -> DataFrame:
+        """Full scan (minus live deletes) AS OF TIMESTAMP ``ts``."""
+        return self.scan_with_deletes(as_of=self.snapshot_at(ts))
+
     def incremental(self, from_snapshot: int, to_snapshot: int) -> DataFrame:
         """CDC read: rows whose files arrived in (from, to]."""
         return R.manifest_incremental_scan(

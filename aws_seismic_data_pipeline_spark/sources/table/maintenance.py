@@ -333,6 +333,7 @@ def commit_data_compaction(
             _stats_add_rows(spark, [new_path], columns, snap, partition_by),
             _tombstone_rows(spark, manifest_dir, paths, snap),
         ],
+        snapshot_id=snap,
     )
     return new_path, snap
 
@@ -799,7 +800,7 @@ def merge_through_manifest(
     if intersecting:
         frames.append(_tombstone_rows(spark, manifest_dir, intersecting, snap))
     verify_claim(manifest_dir, snap)
-    commit_manifest_rows(spark, manifest_dir, frames)
+    commit_manifest_rows(spark, manifest_dir, frames, snapshot_id=snap)
     return snap, len(intersecting), n_rewritten
 
 
@@ -1640,6 +1641,7 @@ def _optimize_curve(
             ),
             _tombstone_rows(spark, manifest_dir, visible, snap),
         ],
+        snapshot_id=snap,
     )
     return snap, len(visible), len(new_paths)
 
@@ -1659,7 +1661,8 @@ def _zcluster_rewrite(
     into one partition's dir, silently corrupting every
     partition-filtered scan (the same identity rule ``optimize_table``
     bins under). File counts split proportionally, min 1 per dir.
-    Returns the new paths (staged + moved; commit is the caller's).
+    Returns the new paths (landed directly at their final location
+    under ``<dir>/<prefix>-<snap>/``; commit is the caller's).
 
     Per-dir rewrites are submitted from a BOUNDED THREAD POOL — Spark's
     scheduler runs jobs from multiple threads concurrently, so OPTIMIZE
@@ -1670,7 +1673,7 @@ def _zcluster_rewrite(
     import collections as _collections
     import concurrent.futures as _futures
     import glob as _glob
-    import shutil as _shutil
+    import re as _re
 
     # Group with a defaultdict, NOT itertools.groupby over path-sorted
     # input: full-path order is not dirname-contiguous when a directory
@@ -1679,9 +1682,22 @@ def _zcluster_rewrite(
     # then emit the same dirname twice — a dict comprehension keeps only
     # the last run while the caller tombstones EVERY input path, so the
     # dropped files' rows would silently vanish from the snapshot.
+    # The PARTITION dir strips trailing curve-output segments (a prior
+    # OPTIMIZE's 'zorder-<snap>'/'hilbert-<snap>' subdir): files from
+    # the previous layout and fresh appends in the same partition must
+    # rewrite as ONE group landing one level of nesting deep, never
+    # zorder-5/zorder-9/...
+    curve_seg = _re.compile(r"^(?:zorder|hilbert|zinc|hinc)-\d+$")
+
+    def _partition_dir(p: str) -> str:
+        d = os.path.dirname(p)
+        while curve_seg.match(os.path.basename(d)):
+            d = os.path.dirname(d)
+        return d
+
     by_dir: dict[str, list[str]] = _collections.defaultdict(list)
     for p in sorted(paths):
-        by_dir[os.path.dirname(p)].append(p)
+        by_dir[_partition_dir(p)].append(p)
     grouped = {p for g in by_dir.values() for p in g}
     if grouped != set(paths):
         raise AssertionError(
@@ -1692,7 +1708,18 @@ def _zcluster_rewrite(
 
     def _rewrite_dir(out_dir: str, group: list[str]) -> list[str]:
         n_out = max(1, round(n_files * len(group) / total))
-        tmp = os.path.join(out_dir, f".{prefix}_{snap}_stage")
+        # land DIRECTLY at the final location — a visible per-snapshot
+        # subdir inside the partition dir (round-12 verdict item 7):
+        # the old flow staged into a dot-dir and drove a per-file
+        # glob+move loop on the driver, which re-serializes OPTIMIZE at
+        # 10^4+ partition dirs (and on an object store every move is a
+        # copy). Registering Spark's own output files costs one glob
+        # per dir and zero renames; a crash before the commit leaves
+        # only untracked files that vacuum_orphans reclaims, exactly
+        # like any other write-then-commit orphan. Partition-value
+        # parsing is unaffected (key=value segments stay in the path;
+        # the extra segment carries no '=').
+        dst = os.path.join(out_dir, f"{prefix}-{snap}")
         (
             # mergeSchema: evolved columns must survive the rewrite
             spark.read.option("mergeSchema", "true").parquet(*group)
@@ -1701,17 +1728,9 @@ def _zcluster_rewrite(
             .sortWithinPartitions("_zkey")
             .drop("_zkey")
             .write.mode("overwrite")
-            .parquet(tmp)
+            .parquet(dst)
         )
-        dir_paths = []
-        for i, part in enumerate(
-            sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
-        ):
-            dst = os.path.join(out_dir, f"{prefix}-{snap}-{i:05d}.parquet")
-            _shutil.move(part, dst)
-            dir_paths.append(dst)
-        _shutil.rmtree(tmp, ignore_errors=True)
-        return dir_paths
+        return sorted(_glob.glob(os.path.join(dst, "part-*.parquet")))
 
     items = sorted(by_dir.items())
     if len(items) == 1:  # skip pool overhead for the common single dir
@@ -1908,6 +1927,7 @@ def _optimize_curve_incremental(
             ),
             _tombstone_rows(spark, manifest_dir, scattered, snap),
         ],
+        snapshot_id=snap,
     )
     return snap, len(scattered), len(new_paths), n_untouched
 

@@ -112,10 +112,17 @@ def write_stats_manifest(
     (``manifest_pruned_scan(as_of=...)`` time-travels on it).
     ``partition_by`` records Hive-style partition values per row (see
     ``_partition_values_col``) for combined partition+stats pruning."""
-    read_footer_stats_multi(spark, paths, columns).withColumn(
-        "snapshot_id", F.lit(0).cast("int")
-    ).withColumn("op", F.lit("add")).withColumn(
-        "partition_values", _partition_values_col(partition_by)
+    rows = (
+        read_footer_stats_multi(spark, paths, columns)
+        .withColumn("snapshot_id", F.lit(0).cast("int"))
+        .withColumn("op", F.lit("add"))
+        .withColumn("partition_values", _partition_values_col(partition_by))
+    )
+    # snapshot 0's wall-clock marker rides in the same write (see
+    # _commit_ts_fixed) — the schema comes from the build itself, the
+    # manifest does not exist yet
+    rows.unionByName(
+        _commit_ts_rows(spark, rows.schema, 0), allowMissingColumns=True
     ).write.mode("overwrite").parquet(_mdd(manifest_dir))
 
 
@@ -142,8 +149,12 @@ def append_stats_manifest(
     if snapshot_id is None:
         snapshot_id = _claimed_next_snapshot(spark, manifest_dir)
     verify_claim(manifest_dir, int(snapshot_id))
-    _stats_add_rows(
+    rows = _stats_add_rows(
         spark, new_paths, columns, int(snapshot_id), partition_by
+    )
+    rows.unionByName(
+        _commit_ts_rows(spark, rows.schema, int(snapshot_id)),
+        allowMissingColumns=True,
     ).write.mode("append").parquet(_mdd(manifest_dir))
     return int(snapshot_id)
 
@@ -208,8 +219,81 @@ def _stats_add_rows(
     )
 
 
+def _commit_ts_fixed(snapshot_id: int, ts: float | None = None) -> dict:
+    """The field values of a 'commit_ts' marker row: the commit's
+    WALL-CLOCK (epoch seconds, riding in the otherwise-unused
+    min_val/max_val slots exactly like tombstone retention clocks)
+    stamped at snapshot ``snapshot_id``. One marker rides inside every
+    commit's single write job, giving the snapshot axis a time axis —
+    ``snapshot_for_timestamp`` resolves ``AS OF TIMESTAMP`` reads
+    (the form users actually type) through these rows. Delta resolves
+    timestamps from log-file mtimes; an explicit row survives manifest
+    rewrites (expire) that mtimes do not."""
+    import time as _time
+
+    t = _time.time() if ts is None else float(ts)
+    return {
+        "path": "",
+        "file_name": "",
+        "column_name": "__commit_ts__",
+        "min_val": t,
+        "max_val": t,
+        "snapshot_id": int(snapshot_id),
+        "op": "commit_ts",
+        # empty, not None: partitioned manifests declare the map
+        # non-nullable
+        "partition_values": {},
+    }
+
+
+def _commit_ts_rows(
+    spark: SparkSession, schema, snapshot_id: int
+) -> DataFrame:
+    """A 1-row commit_ts marker frame shaped by the target manifest's
+    own schema (never forks it)."""
+    fixed = _commit_ts_fixed(snapshot_id)
+    return spark.createDataFrame(
+        [tuple(fixed.get(f.name) for f in schema)], schema
+    )
+
+
+def snapshot_for_timestamp(
+    spark: SparkSession, manifest_dir: str, ts: float
+) -> int:
+    """Resolve ``AS OF TIMESTAMP`` to a snapshot id: the NEWEST
+    snapshot whose commit wall-clock is <= ``ts`` (Delta/Iceberg
+    semantics — the table state a reader at that instant saw). Raises
+    when ``ts`` precedes every recorded commit — including when the
+    matching history was EXPIRED (commit_ts markers below the floor
+    are dropped with it, so a pre-floor timestamp fails loudly exactly
+    like a pre-floor snapshot pin). KB-scale manifest read."""
+    man = spark.read.parquet(_mdd(manifest_dir))
+    rows = (
+        man.filter(F.col("op") == "commit_ts")
+        .select("snapshot_id", "min_val")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            f"no commit timestamps recorded at {manifest_dir} — the table "
+            "predates timestamp stamping; pin by snapshot id instead"
+        )
+    eligible = [int(r.snapshot_id) for r in rows if r.min_val <= float(ts)]
+    if not eligible:
+        raise ValueError(
+            f"timestamp {ts} precedes the earliest recorded commit at "
+            f"{manifest_dir} (earliest surviving commit_ts: "
+            f"{min(r.min_val for r in rows)}) — the history may have been "
+            "expired"
+        )
+    return max(eligible)
+
+
 def commit_manifest_rows(
-    spark: SparkSession, manifest_dir: str, frames: list[DataFrame]
+    spark: SparkSession,
+    manifest_dir: str,
+    frames: list[DataFrame],
+    snapshot_id: int | None = None,
 ) -> None:
     """Commit several metadata row groups (adds + tombstones + markers)
     as ONE Spark write job — the atomicity half of the optimistic-
@@ -219,10 +303,21 @@ def commit_manifest_rows(
     rewritten rows and baking the duplication into its own rewrite;
     one job commits all files in a single FileOutputCommitter commit.
     Frames are aligned by name (missing columns NULL-filled) and cast
-    to the target manifest's schema so the append never forks it."""
+    to the target manifest's schema so the append never forks it.
+    ``snapshot_id`` (when the caller passes its claimed id) rides a
+    commit_ts wall-clock marker inside the SAME write."""
     out = frames[0]
     for fdf in frames[1:]:
         out = out.unionByName(fdf, allowMissingColumns=True)
+    if snapshot_id is not None:
+        out = out.unionByName(
+            _commit_ts_rows(
+                spark,
+                spark.read.parquet(_mdd(manifest_dir)).schema,
+                int(snapshot_id),
+            ),
+            allowMissingColumns=True,
+        )
     out.write.mode("append").parquet(_mdd(manifest_dir))
 
 
@@ -265,9 +360,11 @@ def remove_from_manifest(
     if snapshot_id is None:
         snapshot_id = _claimed_next_snapshot(spark, manifest_dir)
     verify_claim(manifest_dir, int(snapshot_id))
-    _tombstone_rows(spark, manifest_dir, paths, int(snapshot_id)).write.mode(
-        "append"
-    ).parquet(_mdd(manifest_dir))
+    rows = _tombstone_rows(spark, manifest_dir, paths, int(snapshot_id))
+    rows.unionByName(
+        _commit_ts_rows(spark, rows.schema, int(snapshot_id)),
+        allowMissingColumns=True,
+    ).write.mode("append").parquet(_mdd(manifest_dir))
     return int(snapshot_id)
 
 
@@ -1565,3 +1662,100 @@ def scan_manifest_count_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [(int(total), int(band))], "n_orders long, n_in_band long"
         )
+
+
+@register(
+    "plan_time_travel_timestamp",
+    oracle="""
+        WITH snap0 AS (
+            SELECT CAST(0 AS BIGINT) AS pin,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+        ),
+        cur AS (
+            SELECT CAST(1 AS BIGINT) AS pin,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM (
+                SELECT doc_id, n_chars FROM documents
+                UNION ALL
+                SELECT doc_id + 3000000, n_chars
+                FROM documents WHERE doc_id % 9 = 0
+            )
+        )
+        SELECT * FROM snap0 UNION ALL SELECT * FROM cur
+    """,
+    tags=("plan", "maintenance", "scan"),
+)
+def plan_time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS OF TIMESTAMP time travel end to end (round-12 verdict item
+    6): every commit stamps its wall-clock as a commit_ts marker row
+    inside the SAME write job; ``snapshot_for_timestamp`` resolves a
+    timestamp to the newest snapshot committed at or before it. The
+    scenario creates the table (snapshot 0), appends a batch
+    (snapshot 1), reads the two recorded commit clocks BACK OFF THE
+    MANIFEST, and pins: a read at snapshot 0's exact clock sees only
+    the original files; a read at snapshot 1's clock sees both. The
+    oracle recomputes both states raw — resolution off by one commit
+    flips a whole output row. Boundary raises (pre-first-commit,
+    post-expiry) are pytest-pinned. Delta resolves timestamps from
+    log-file mtimes, which a manifest rewrite destroys; explicit
+    marker rows survive expiry for all surviving snapshots."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        load_table,
+        prepare,
+        scratch_cleanup,
+        scratch_path,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.facade import (
+        GovernedTable,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "ts_travel_data")
+    mpath = scratch_path(spark, sf_dir, "ts_travel_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars"
+        )
+        table = GovernedTable.create(
+            spark, docs, data_dir, mpath, "doc_id", n_files=4
+        )
+        late = docs.filter(F.col("doc_id") % 9 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(3000000)
+        )
+        stage = os.path.join(data_dir, ".late")
+        late.coalesce(1).write.parquet(stage)
+        part = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))[0]
+        late_path = os.path.join(data_dir, "late-00000.parquet")
+        os.replace(part, late_path)
+        table.append([late_path])
+        # the recorded commit clocks, read back off the manifest
+        clocks = {
+            int(r.snapshot_id): r.min_val
+            for r in spark.read.parquet(_mdd(mpath))
+            .filter(F.col("op") == "commit_ts")
+            .select("snapshot_id", "min_val")
+            .collect()
+        }
+        out = []
+        for pin, snap in ((0, 0), (1, 1)):
+            agg = (
+                table.scan_with_deletes(
+                    as_of=table.snapshot_at(clocks[snap])
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_chars").cast("long").alias("sum_chars"),
+                )
+                .select(
+                    F.lit(pin).cast("long").alias("pin"),
+                    "n_docs",
+                    "sum_chars",
+                )
+            )
+            out.append(agg)
+        return out[0].unionByName(out[1]).localCheckpoint(eager=True)

@@ -3080,7 +3080,9 @@ def test_incremental_zorder_touches_only_the_scattered_tail(spark, tmp_path):
     # every scattered file spans the whole space: all of them are opened
     assert n_pre_files > len(late_files)
     n_total = manifest_row_count(spark, mpath)
-    bulk_tiles = sorted(glob.glob(data_dir + "/zorder-*.parquet"))
+    bulk_tiles = sorted(
+        glob.glob(data_dir + "/zorder-*/part-*.parquet")
+    )
     mtimes = {p: _os.stat(p).st_mtime_ns for p in bulk_tiles}
 
     snap, n_scat, n_new, n_kept = optimize_zorder_incremental(
@@ -3149,7 +3151,10 @@ def test_zorder_preserves_partition_identity(spark, tmp_path):
     )
     assert n_old == len(files)
     new_files = sorted(
-        glob.glob(_os.path.join(data_dir, "**", "zorder-*.parquet"), recursive=True)
+        glob.glob(
+            _os.path.join(data_dir, "**", "zorder-*", "part-*.parquet"),
+            recursive=True,
+        )
     )
     assert len(new_files) == n_new
     # every rewritten file lives inside a lang= dir (identity preserved)
@@ -3518,7 +3523,9 @@ def test_incremental_hilbert_touches_only_the_scattered_tail(spark, tmp_path):
     mpath = str(tmp_path / "m")
     R.write_stats_manifest(spark, files, mpath, ("o_orderkey", "o_custkey"))
     R.optimize_hilbert(spark, mpath, "o_orderkey", "o_custkey", n_files=8)
-    clustered = sorted(glob.glob(_os.path.join(data_dir, "hilbert-*.parquet")))
+    clustered = sorted(
+        glob.glob(_os.path.join(data_dir, "hilbert-*", "part-*.parquet"))
+    )
     mtimes = {p: _os.stat(p).st_mtime_ns for p in clustered}
 
     late_dir = _os.path.join(data_dir, "late")
@@ -3537,7 +3544,10 @@ def test_incremental_hilbert_touches_only_the_scattered_tail(spark, tmp_path):
     assert all(
         _os.stat(p).st_mtime_ns == mtimes[p] for p in clustered
     ), "the clustered bulk must never be rewritten"
-    new = glob.glob(_os.path.join(data_dir, "**", "hinc-*.parquet"), recursive=True)
+    new = glob.glob(
+        _os.path.join(data_dir, "**", "hinc-*", "part-*.parquet"),
+        recursive=True,
+    )
     assert len(new) == n_new > 0
     got = R.manifest_pruned_scan(spark, mpath, "o_orderkey", 0, 2**62)
     assert got.count() == orders.count()

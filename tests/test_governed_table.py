@@ -651,3 +651,79 @@ def test_write_time_constraints_gate_and_leak_nothing(spark, tmp_path):
         t.drop_constraint("chars_positive")
     snap_m, _, _ = t.merge(bad_delta, ["lang", "n_chars"])
     assert snap_m > snap_good, "dropped constraints stop gating"
+
+
+def test_timestamp_time_travel_boundaries(spark, tmp_path):
+    """AS OF TIMESTAMP resolution (round-12 verdict item 6): between-
+    commit timestamps resolve to the OLDER snapshot (the state a
+    reader at that instant saw); a pre-first-commit timestamp raises;
+    after expiry a timestamp below the surviving floor raises exactly
+    like a pre-floor snapshot pin; every commit kind (create, append,
+    constraint declare, schema rename) stamps a clock."""
+    import glob as _glob
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.table.facade import (
+        GovernedTable,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+        manifest_data_dir,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "doc_id",
+        n_files=4,
+    )
+    extra = docs.limit(7).select(
+        (F.col("doc_id") + 700000).alias("doc_id"), "lang", "n_chars"
+    )
+    stage = str(tmp_path / "stage")
+    extra.coalesce(1).write.parquet(stage)
+    snap1 = t.append([sorted(_glob.glob(stage + "/*.parquet"))[0]])
+    t.add_constraint("pos", "n_chars >= 0")
+    t.rename_column("n_chars", "char_count")
+
+    clocks = {
+        int(r.snapshot_id): r.min_val
+        for r in spark.read.parquet(manifest_data_dir(t.manifest_dir))
+        .filter(F.col("op") == "commit_ts")
+        .select("snapshot_id", "min_val")
+        .collect()
+    }
+    # every commit kind stamped: create(0), append(1), constraint(2),
+    # rename(3)
+    assert set(clocks) == {0, 1, 2, 3}
+    assert list(clocks[k] for k in sorted(clocks)) == sorted(
+        clocks[k] for k in sorted(clocks)
+    ), "clocks must be monotone with snapshot order"
+
+    n0 = docs.count()
+    # between snapshot 0 and 1 resolves to 0
+    mid = (clocks[0] + clocks[1]) / 2
+    assert t.snapshot_at(mid) == 0
+    assert t.scan_at_timestamp(mid).count() == n0
+    # exactly at a commit clock resolves to that commit
+    assert t.snapshot_at(clocks[1]) == snap1
+    assert t.scan_at_timestamp(clocks[1]).count() == n0 + 7
+    # future timestamp resolves to the current tip
+    assert t.snapshot_at(clocks[3] + 10**6) == 3
+    # pre-first-commit raises
+    with _pytest.raises(ValueError, match="precedes the earliest"):
+        t.snapshot_at(clocks[0] - 1.0)
+
+    # post-expiry: a timestamp below the surviving floor raises loudly
+    t.expire(snap1)
+    with _pytest.raises(ValueError, match="precedes the earliest"):
+        t.snapshot_at(clocks[0])
+    assert t.snapshot_at(clocks[1]) == snap1, (
+        "surviving snapshots stay timestamp-resolvable after expiry"
+    )

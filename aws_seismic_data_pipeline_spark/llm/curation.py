@@ -1577,3 +1577,374 @@ def curate_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.min("doc_id").cast("long").alias("example_doc"),
     )
+
+
+#: release pipeline: packed shard count + per-stratum sample rates
+RELEASE_SHARDS = 8
+RELEASE_SAMPLE_EN_PCT = 50
+RELEASE_SAMPLE_OTHER_PCT = 80
+
+_RELEASE_ORACLE = f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, lang, source, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        FROM documents
+    ),
+    urls AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END
+               || CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                       ELSE source END
+               || '.Example.COM'
+               || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+               || '/docs/' || CAST(doc_id % 140 AS VARCHAR)
+               || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN '#sec1' ELSE '' END
+               AS url
+        FROM base
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(url), '#.*$', ''),
+                     '\\?utm_[^#]*$', ''),
+                   ':443/', '/'),
+                 '/$', '') AS curl
+        FROM urls
+    ),
+    u_keep AS (SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY curl),
+    s1 AS (SELECT b.* FROM base b JOIN u_keep USING (doc_id)),
+    e_keep AS (SELECT MIN(doc_id) AS doc_id FROM s1 GROUP BY text),
+    s2 AS (SELECT b.* FROM s1 b JOIN e_keep USING (doc_id)),
+    t AS (
+        SELECT doc_id,
+               list_distinct(
+                   list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> CAST(('0x' || substring(md5(
+                                array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                            ), 1, 15)) AS BIGINT)
+                   )
+               ) AS arr
+        FROM s2
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sig AS (
+        SELECT doc_id,
+           {{_MH_SIG_SQL}}
+        FROM t
+    ),
+    bands AS (
+        {{_MH_BAND_SQL}}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x
+        JOIN bands y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a AS a, c.doc_b AS b
+        FROM cand c
+        JOIN t ta ON c.doc_a = ta.doc_id
+        JOIN t tb ON c.doc_b = tb.doc_id
+        WHERE CAST(len(list_intersect(ta.arr, tb.arr)) AS DOUBLE)
+              / (len(ta.arr) + len(tb.arr) - len(list_intersect(ta.arr, tb.arr)))
+              >= {{_LSH_VERIFY_TAU}}
+    ),
+    und AS (SELECT a, b FROM verified UNION SELECT b, a FROM verified),
+    reach(src, dst) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+    ),
+    comp AS (
+        SELECT src AS doc_id, MIN(dst) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    s3 AS (
+        SELECT * FROM s2
+        WHERE doc_id NOT IN (
+            SELECT doc_id FROM comp WHERE doc_id <> cluster_id
+        )
+    ),
+    w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM s3
+    ),
+    pw AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+    gate AS (
+        SELECT doc_id,
+               (SUM(c) >= {GATE_MIN_WORDS}
+                AND CAST(COUNT(*) AS DOUBLE) / SUM(c)
+                    >= {GATE_MIN_DISTINCT_RATIO}
+                AND CAST(MAX(c) AS DOUBLE) / SUM(c)
+                    <= {GATE_MAX_TOP_WORD_FRAC}) AS keep
+        FROM pw GROUP BY doc_id
+    ),
+    s4 AS (
+        SELECT s3.* FROM s3 JOIN gate USING (doc_id) WHERE gate.keep
+    ),
+    s5 AS (
+        SELECT * FROM s4
+        WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':rel'),
+                    1, 15)) AS BIGINT) % 100
+              < CASE WHEN lang = 'en' THEN {RELEASE_SAMPLE_EN_PCT}
+                     ELSE {RELEASE_SAMPLE_OTHER_PCT} END
+    ),
+    acct AS (
+        SELECT '0_base' AS stage, COUNT(*) AS n_docs,
+               SUM(n_words) AS n_tokens FROM base
+        UNION ALL
+        SELECT '1_url_canonical', COUNT(*), SUM(n_words) FROM s1
+        UNION ALL
+        SELECT '2_exact', COUNT(*), SUM(n_words) FROM s2
+        UNION ALL
+        SELECT '3_near_dup', COUNT(*), SUM(n_words) FROM s3
+        UNION ALL
+        SELECT '4_quality', COUNT(*), SUM(n_words) FROM s4
+        UNION ALL
+        SELECT '5_sample', COUNT(*), SUM(n_words) FROM s5
+        UNION ALL
+        SELECT 'shard_' || lpad(CAST(
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % {RELEASE_SHARDS} AS VARCHAR), 2, '0'),
+               COUNT(*), SUM(n_words)
+        FROM s5 GROUP BY 1
+    )
+    SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM acct
+"""
+
+
+def _release_oracle() -> str:
+    from aws_seismic_data_pipeline_spark.llm.dedup import (
+        _LSH_VERIFY_TAU,
+        _MH_BAND_SQL,
+        _MH_SIG_SQL,
+    )
+
+    return _RELEASE_ORACLE.format(
+        _MH_SIG_SQL=_MH_SIG_SQL,
+        _MH_BAND_SQL=_MH_BAND_SQL,
+        _LSH_VERIFY_TAU=_LSH_VERIFY_TAU,
+    )
+
+
+@register(
+    "curate_release_pipeline",
+    oracle=_release_oracle(),
+    tags=("llm", "dedup", "curation", "iterative"),
+)
+def curate_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL corpus release path one real pretraining build runs,
+    composed end to end with per-stage token accounting (round-12
+    verdict item 8): URL-canonical dedup (cheapest first — metadata
+    key, no content touched) → exact-text dedup (keep lowest doc_id)
+    → MinHash-LSH near-dup clustering with exact-Jaccard verification
+    and per-cluster canonical election → Gopher-rule quality gate →
+    deterministic per-language stratified sample (en downsampled to
+    RELEASE_SAMPLE_EN_PCT, other languages RELEASE_SAMPLE_OTHER_PCT)
+    → RELEASE_SHARDS packed shards. The
+    output is the RELEASE LEDGER: one row per stage with surviving
+    doc and token counts (the attrition table a data lead signs off
+    on) plus one row per packed shard — so the driver hash pins every
+    stage boundary, not just the final corpus: a stage that silently
+    drops or resurrects documents moves its row AND every row after
+    it. Each component is separately oracle-checked
+    (``dedup_url_canonical``, ``dedup_exact``,
+    ``dedup_cluster_canonical``, ``curate_quality_gate``,
+    ``sample_stratified_seeded``, ``shard_assign_hash``); this pins
+    the COMPOSITION.
+
+    Scale shape: the union of its parts, ordered cheapest-first so
+    each stage shrinks the next stage's input — URL keys are metadata
+    (map-side agg), exact dedup is one content-hash agg, the LSH
+    stage runs over the already-deduped survivor set (candidate-
+    bounded verification, O(log² n) component rounds), the gate is
+    one word-explode agg over near-dup survivors only, sampling and
+    sharding are stateless md5 arithmetic. No stage widens data; the
+    ledger is |stages| + |shards| rows.""".format(
+        en=RELEASE_SAMPLE_EN_PCT,
+        other=RELEASE_SAMPLE_OTHER_PCT,
+        shards=RELEASE_SHARDS,
+    )
+    from aws_seismic_data_pipeline_spark.llm.dedup import (
+        _LSH_VERIFY_TAU,
+        _MH_SHINGLE_EXPR,
+        _mh_bands,
+        _mh_sig_cols,
+        _min_label_components,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+    )
+
+    # stage 1: URL-canonical (same synthesized-URL + canonicalization
+    # rules as dedup_url_canonical)
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "HTTPS://").otherwise("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 5 == 0, ":443").otherwise(""),
+        F.concat(F.lit("/docs/"), (F.col("doc_id") % 140).cast("string")),
+        F.when(F.col("doc_id") % 4 == 0, "/").otherwise(""),
+        F.when(F.col("doc_id") % 6 == 0, "?utm_source=feed").otherwise(""),
+        F.when(F.col("doc_id") % 7 == 0, "#sec1").otherwise(""),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), "#.*$", ""),
+                r"\?utm_[^#]*$",
+                "",
+            ),
+            ":443/",
+            "/",
+        ),
+        "/$",
+        "",
+    )
+    u_keep = (
+        base.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = base.join(u_keep, "doc_id", "left_semi")
+
+    # stage 2: exact-text dedup over URL survivors
+    e_keep = s1.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    s2 = s1.join(e_keep, "doc_id", "left_semi").localCheckpoint(eager=True)
+
+    # stage 3: near-dup cluster-canonical over exact survivors
+    arrs = s2.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.expr(_MH_SHINGLE_EXPR).alias("arr")
+    )
+    bands = _mh_bands(arrs.select("doc_id", *_mh_sig_cols()))
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_arrs = arrs.join(ids, "doc_id", "leftsemi").localCheckpoint(
+        eager=True
+    )
+    a = cand_arrs.select(
+        F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")
+    )
+    b = cand_arrs.select(
+        F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")
+    )
+    n_common = F.size(F.array_intersect("arr_a", "arr_b"))
+    jac = n_common.cast("double") / (
+        F.size("arr_a") + F.size("arr_b") - n_common
+    )
+    edges = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= _LSH_VERIFY_TAU)
+        .select("doc_a", "doc_b")
+    )
+    comp = _min_label_components(edges)
+    dropped = comp.filter(F.col("doc_id") != F.col("component_id")).select(
+        "doc_id"
+    )
+    s3 = s2.join(dropped, "doc_id", "left_anti").localCheckpoint(eager=True)
+
+    # stage 4: Gopher quality gate over near-dup survivors
+    pw = (
+        s3.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gate = pw.groupBy("doc_id").agg(
+        (
+            (F.sum("c") >= GATE_MIN_WORDS)
+            & (
+                F.count(F.lit(1)).cast("double") / F.sum("c")
+                >= GATE_MIN_DISTINCT_RATIO
+            )
+            & (
+                F.max("c").cast("double") / F.sum("c")
+                <= GATE_MAX_TOP_WORD_FRAC
+            )
+        ).alias("keep")
+    )
+    s4 = s3.join(gate.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
+
+    # stage 5: deterministic per-language stratified sample
+    sample_bucket = (
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(doc_id as string), ':rel')),"
+            " 1, 15), 16, 10) as bigint)"
+        )
+        % 100
+    )
+    rate = F.when(
+        F.col("lang") == "en", F.lit(RELEASE_SAMPLE_EN_PCT)
+    ).otherwise(F.lit(RELEASE_SAMPLE_OTHER_PCT))
+    s5 = s4.filter(sample_bucket < rate).localCheckpoint(eager=True)
+
+    def acct(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+        ).select(F.lit(stage).alias("stage"), "n_docs", "n_tokens")
+
+    ledger = (
+        acct(base, "0_base")
+        .unionByName(acct(s1, "1_url_canonical"))
+        .unionByName(acct(s2, "2_exact"))
+        .unionByName(acct(s3, "3_near_dup"))
+        .unionByName(acct(s4, "4_quality"))
+        .unionByName(acct(s5, "5_sample"))
+    )
+    shards = (
+        s5.select(
+            F.concat(
+                F.lit("shard_"),
+                F.lpad(
+                    _md5_bucket("doc_id", RELEASE_SHARDS).cast("string"),
+                    2,
+                    "0",
+                ),
+            ).alias("stage"),
+            "n_words",
+        )
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+        )
+    )
+    return ledger.unionByName(shards)

@@ -550,6 +550,9 @@ def test_manifest_pruned_scan_equals_direct_and_prunes(spark, tmp_path):
     key = ["path", "row_group", "column_name"]
     got = (
         spark.read.parquet(m_appended)
+        # STATS rows only: every commit also lands a commit_ts
+        # wall-clock marker (timestamp time travel, r13)
+        .filter(F.col("op") == "add")
         .drop("snapshot_id", "op", "partition_values")
         .orderBy(*key)
         .collect()
@@ -3226,11 +3229,16 @@ def test_zcluster_rewrite_mixed_dir_and_subdir_loses_no_rows(spark, tmp_path):
     got = spark.read.parquet(*new_paths)
     assert got.count() == 300
     assert got.select(F.sum("k")).first()[0] == sum(range(300))
-    # partition identity: root rows stayed in root, late rows in late/
+    # partition identity: root rows stayed under root, late rows under
+    # late/ — the rewrite lands in a per-snapshot curve subdir of its
+    # OWN partition dir (driver-light staging, r13)
     by_dir = {_os.path.dirname(p) for p in new_paths}
-    assert by_dir == {root, late}
+    assert by_dir == {
+        _os.path.join(root, "zorder-7"),
+        _os.path.join(late, "zorder-7"),
+    }
     late_rows = spark.read.parquet(
-        *[p for p in new_paths if _os.path.dirname(p) == late]
+        *[p for p in new_paths if p.startswith(late + _os.sep)]
     )
     assert late_rows.count() == 100
     assert late_rows.agg(F.min("k"), F.max("k")).first() == (100, 199)

@@ -52,24 +52,59 @@ def active_constraints(
 ) -> list[tuple[str, str, str]]:
     """The table's live constraints at ``as_of``: [(name, kind, expr)]
     — 'constraint_add' declarations not superseded by a later
-    'constraint_drop' of the same name. KB-scale manifest read."""
-    man = spark.read.parquet(_mdd(manifest_dir))
-    rows = man.filter(F.col("op").isin("constraint_add", "constraint_drop"))
-    if as_of is not None:
-        rows = rows.filter(F.col("snapshot_id") <= as_of)
-    state: dict[str, tuple[int, str, str] | None] = {}
-    for r in rows.select(
-        "snapshot_id", "op", "column_name", "partition_values"
-    ).collect():
-        prev = state.get(r.column_name)
-        if prev is not None and prev[0] >= int(r.snapshot_id):
+    'constraint_drop' of the same name.
+
+    Read DRIVER-SIDE with pyarrow (Spark fallback): this runs inside
+    EVERY gated append/merge, and a Spark job to answer a question
+    about kilobytes of local metadata is exactly the per-commit
+    constant the r12 bench regression taught us to avoid
+    (``commit._next_snapshot`` has the same shape and rationale)."""
+    records: list[tuple[int, str, str, dict]] = []
+    try:
+        import pyarrow.dataset as _pads
+
+        dataset = _pads.dataset(_mdd(manifest_dir), format="parquet")
+        tbl = dataset.to_table(
+            columns=["snapshot_id", "op", "column_name", "partition_values"],
+            filter=(
+                _pads.field("op").isin(
+                    ["constraint_add", "constraint_drop"]
+                )
+            ),
+        )
+        for rec in tbl.to_pylist():
+            pv = dict(rec["partition_values"] or {})
+            records.append(
+                (int(rec["snapshot_id"]), rec["op"], rec["column_name"], pv)
+            )
+    except Exception:
+        man = spark.read.parquet(_mdd(manifest_dir))
+        rows = man.filter(
+            F.col("op").isin("constraint_add", "constraint_drop")
+        )
+        for r in rows.select(
+            "snapshot_id", "op", "column_name", "partition_values"
+        ).collect():
+            records.append(
+                (
+                    int(r.snapshot_id),
+                    r.op,
+                    r.column_name,
+                    dict(r.partition_values or {}),
+                )
+            )
+    state: dict[str, tuple[int, str, str]] = {}
+    for snap, op, name, pv in records:
+        if as_of is not None and snap > as_of:
             continue
-        if r.op == "constraint_drop":
-            state[r.column_name] = (int(r.snapshot_id), "", "")
+        prev = state.get(name)
+        if prev is not None and prev[0] >= snap:
+            continue
+        if op == "constraint_drop":
+            state[name] = (snap, "", "")
         else:
-            pv = r.partition_values or {}
-            state[r.column_name] = (
-                int(r.snapshot_id),
+            state[name] = (
+                snap,
                 pv.get("kind", "check"),
                 pv.get("expr", "true"),
             )

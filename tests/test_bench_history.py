@@ -28,6 +28,7 @@ from bench import (  # noqa: E402
     BASELINE_RESETS,
     CALIBRATION_SLOTS,
     HOST_FACTOR_RECORD_MAX,
+    POISONED_RUNS,
     _admissible,
     _normalized_regressions,
 )
@@ -43,9 +44,14 @@ def _entries():
     with open(HISTORY) as fh:
         for line in fh:
             try:
-                out.append(json.loads(line))
+                rec = json.loads(line)
             except ValueError:
                 continue
+            # retro-adjudicated loaded-box entries are not gate
+            # evidence (bench.POISONED_RUNS documents each)
+            if rec.get("ts") in POISONED_RUNS:
+                continue
+            out.append(rec)
     return out
 
 

@@ -1052,6 +1052,9 @@ def scan_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return (
             spark.read.parquet(mpath)
+            # stats rows only — every commit also lands its commit_ts
+            # wall-clock marker (timestamp time travel, r13)
+            .filter(F.col("op") == "add")
             .select(
                 "file_name",
                 "row_group",

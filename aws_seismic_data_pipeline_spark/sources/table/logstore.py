@@ -206,23 +206,6 @@ class PosixLogStore(_GenerationSwap):
         except FileNotFoundError:
             return []
 
-    def move_token(self, src: str, dst: str) -> None:
-        """Move a token; REFUSES an existing destination (shutil.move
-        would nest the source INSIDE an existing dst dir — silently
-        corrupting a live claimant's token) — the destination owner
-        wins and the source is left in place."""
-        if os.path.exists(dst):
-            return
-        shutil.move(src, dst)
-
-    def copy_token(self, src: str, dst: str) -> None:
-        """Copy a token (owner record included) without disturbing the
-        source; existing destination wins (same rule as
-        :meth:`move_token`)."""
-        if os.path.exists(dst):
-            return
-        shutil.copytree(src, dst)
-
     def move_dir(self, src: str, dst: str) -> None:
         """Atomic directory move (crash recovery's restore leg)."""
         os.rename(src, dst)
@@ -314,29 +297,6 @@ class ObjectStoreLogStore(_GenerationSwap):
             return sorted(os.listdir(token_root))
         except FileNotFoundError:
             return []
-
-    def move_token(self, src: str, dst: str) -> None:
-        # copy + delete: object stores have no rename. Tokens being
-        # single small objects keeps the non-atomic window harmless
-        # here (expire's lease excludes every competing writer).
-        # Existing destination wins — a blind copy2 would overwrite a
-        # live claimant's token with this (stale) one.
-        if os.path.exists(dst):
-            return
-        shutil.copy2(src, dst) if os.path.isfile(src) else shutil.copytree(
-            src, dst
-        )
-        self.delete_token(src)
-
-    def copy_token(self, src: str, dst: str) -> None:
-        """Copy a token object (owner rides inside it) leaving the
-        source untouched; existing destination wins."""
-        if os.path.exists(dst):
-            return
-        if os.path.isfile(src):
-            shutil.copy2(src, dst)
-        else:  # pre-switch posix token: best effort
-            shutil.copytree(src, dst)
 
     def move_dir(self, src: str, dst: str) -> None:
         # copy + delete, the only "move" a bucket has

@@ -133,8 +133,22 @@ def equality_delete(
             "partition_values": None,
         }
     )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        _commit_ts_fixed,
+    )
+
+    ts = _commit_ts_fixed(int(snapshot_id))
+    ts["row_group"], ts["n_rows"] = -1, 0
+    ts["partition_values"] = None  # pandas path: match the delete rows
+    pdf = _pd.concat(
+        [pdf, _pd.DataFrame([{k: ts.get(k) for k in pdf.columns}])],
+        ignore_index=True,
+    )
+    # write through the generation resolver: on a post-expire manifest
+    # the live parquet is <manifest>/gen-N — a root write would make
+    # these delete records invisible to every read
     spark.createDataFrame(pdf, _MANIFEST_SCHEMA).write.mode("append").parquet(
-        manifest_dir
+        _mdd(manifest_dir)
     )
     return int(snapshot_id)
 

@@ -137,6 +137,11 @@ class GovernedTable:
             self.spark, self.manifest_dir, self.key, as_of=as_of
         )
 
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY: per-snapshot op kinds, files added/
+        removed, rows added, commit wall-clock (metadata-scale)."""
+        return R.describe_history(self.spark, self.manifest_dir)
+
     def snapshot_at(self, ts: float) -> int:
         """Resolve AS OF TIMESTAMP (epoch seconds) to the newest
         snapshot committed at or before ``ts`` — Delta/Iceberg

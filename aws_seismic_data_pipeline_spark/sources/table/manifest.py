@@ -1762,3 +1762,150 @@ def plan_time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out.append(agg)
         return out[0].unionByName(out[1]).localCheckpoint(eager=True)
+
+
+def describe_history(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for the governed table (Delta's verb): one row
+    per snapshot with the operation kinds committed there, files
+    added/removed, rows added, and the commit wall-clock (from the
+    commit_ts marker; NULL for commits that predate timestamp
+    stamping). Entirely metadata-scale: a handful of KB-manifest
+    aggregates, zero data pages — the audit surface an operator reads
+    before rolling back or pinning a training run."""
+    man = spark.read.parquet(_mdd(manifest_dir))
+    adds = (
+        man.filter(F.col("op") == "add")
+        # per-column stats rows repeat (path, row_group, n_rows):
+        # dedupe before summing or every file counts |columns| times
+        .select("snapshot_id", "path", "row_group", "n_rows")
+        .distinct()
+        .groupBy("snapshot_id")
+        .agg(
+            F.countDistinct("path").cast("long").alias("n_files_added"),
+            F.sum("n_rows").cast("long").alias("n_rows_added"),
+        )
+    )
+    removes = (
+        man.filter(F.col("op") == "remove")
+        .groupBy("snapshot_id")
+        .agg(F.countDistinct("path").cast("long").alias("n_files_removed"))
+    )
+    ts = (
+        man.filter(F.col("op") == "commit_ts")
+        .groupBy("snapshot_id")
+        .agg(F.max("min_val").alias("commit_ts"))
+    )
+    ops = (
+        man.filter(F.col("op") != "commit_ts")
+        .groupBy("snapshot_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("op")), ",").alias("ops")
+        )
+    )
+    return (
+        man.select("snapshot_id")
+        .distinct()
+        .join(ops, "snapshot_id", "left")
+        .join(adds, "snapshot_id", "left")
+        .join(removes, "snapshot_id", "left")
+        .join(ts, "snapshot_id", "left")
+        .select(
+            F.col("snapshot_id").cast("long").alias("snapshot_id"),
+            F.coalesce("ops", F.lit("")).alias("ops"),
+            F.coalesce("n_files_added", F.lit(0)).cast("long").alias(
+                "n_files_added"
+            ),
+            F.coalesce("n_files_removed", F.lit(0)).cast("long").alias(
+                "n_files_removed"
+            ),
+            F.coalesce("n_rows_added", F.lit(0)).cast("long").alias(
+                "n_rows_added"
+            ),
+            "commit_ts",
+        )
+        .orderBy("snapshot_id")
+    )
+
+
+@register(
+    "plan_describe_history",
+    oracle="""
+        SELECT CAST(0 AS BIGINT) AS snapshot_id, 'add' AS ops,
+               CAST(4 AS BIGINT) AS n_files_added,
+               CAST(0 AS BIGINT) AS n_files_removed,
+               CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+                   AS n_rows_added,
+               TRUE AS has_ts
+        UNION ALL
+        SELECT 1, 'add', 1, 0,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                WHERE doc_id % 7 = 0),
+               TRUE
+        UNION ALL
+        SELECT 2, 'delete_eq', 0, 0, 0, TRUE
+        UNION ALL
+        SELECT 3, 'schema_rename', 0, 0, 0, TRUE
+    """,
+    tags=("plan", "maintenance", "scan"),
+)
+def plan_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY end to end: create (4 files), append (1 file),
+    row-level equality delete (pure metadata), RENAME COLUMN (pure
+    metadata) — then read the table's commit log back as the audit
+    table: per snapshot the op kinds, files added/removed, rows added,
+    and that every commit carries its wall-clock marker. The oracle
+    recomputes the expected ledger from the raw fixture (row counts
+    from documents; file counts are the scenario's deterministic
+    write shapes) — a commit that lost its marker, double-counted
+    per-column stats rows, or mislabeled its op flips a row."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        load_table,
+        prepare,
+        scratch_cleanup,
+        scratch_path,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.deletes import (
+        equality_delete,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.evolution import (
+        evolve_schema_rename,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.facade import (
+        GovernedTable,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "history_data")
+    mpath = scratch_path(spark, sf_dir, "history_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        table = GovernedTable.create(
+            spark, docs, data_dir, mpath, "doc_id", n_files=4
+        )
+        late = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(5000000)
+        )
+        stage = os.path.join(data_dir, ".late")
+        late.coalesce(1).write.parquet(stage)
+        part = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))[0]
+        late_path = os.path.join(data_dir, "late-00000.parquet")
+        os.replace(part, late_path)
+        table.append([late_path])
+        equality_delete(spark, mpath, "doc_id", [1, 2, 3])
+        evolve_schema_rename(spark, mpath, "n_chars", "char_count")
+        return (
+            describe_history(spark, mpath)
+            .select(
+                "snapshot_id",
+                "ops",
+                "n_files_added",
+                "n_files_removed",
+                "n_rows_added",
+                F.col("commit_ts").isNotNull().alias("has_ts"),
+            )
+            .localCheckpoint(eager=True)
+        )

@@ -199,3 +199,47 @@ def test_dynamic_partition_pruning_present(spark):
     df = QUERIES["join_dynamic_partition_pruning"](spark, SF_DIR)
     plan = _plan(df, "extended").lower()
     assert "dynamicpruning" in plan
+
+
+def test_constraint_gate_is_one_map_side_pass(spark, tmp_path):
+    """The write-time constraint gate (r13) must stay a single
+    map-side conditional-count aggregate over the batch: no Exchange
+    other than the 1-row final-combine, no Join, no Window — the gate
+    runs inside EVERY governed append/merge, so any shuffle here
+    becomes a per-commit tax at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.table import _verbs as R
+    from aws_seismic_data_pipeline_spark.sources.table.facade import (
+        GovernedTable,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "d"),
+        str(tmp_path / "m"),
+        "doc_id",
+        n_files=2,
+    )
+    t.add_constraint("pos", "n_chars >= 0", validate_existing=False)
+    t.add_not_null("lang", validate_existing=False)
+    constraints = R.active_constraints(spark, t.manifest_dir)
+    assert len(constraints) == 2
+    # the gate's aggregate plan over a batch
+    aggs = []
+    for name, _kind, expr in constraints:
+        cond = F.expr(expr)
+        aggs.append(
+            F.sum(
+                F.when(cond.isNull() | ~cond, F.lit(1)).otherwise(F.lit(0))
+            ).alias(name)
+        )
+    plan = _plan(docs.agg(*aggs), "simple")
+    assert "Join" not in plan and "Window" not in plan
+    # exactly the partial->final combine exchange, nothing else
+    assert plan.count("Exchange") <= 1
+    assert "HashAggregate" in plan

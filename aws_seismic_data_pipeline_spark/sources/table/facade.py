@@ -137,11 +137,6 @@ class GovernedTable:
             self.spark, self.manifest_dir, self.key, as_of=as_of
         )
 
-    def history(self) -> DataFrame:
-        """DESCRIBE HISTORY: per-snapshot op kinds, files added/
-        removed, rows added, commit wall-clock (metadata-scale)."""
-        return R.describe_history(self.spark, self.manifest_dir)
-
     def snapshot_at(self, ts: float) -> int:
         """Resolve AS OF TIMESTAMP (epoch seconds) to the newest
         snapshot committed at or before ``ts`` — Delta/Iceberg
@@ -446,27 +441,11 @@ class GovernedTable:
         return R.expire_manifest_history(self.spark, self.manifest_dir, below)
 
     def history(self) -> DataFrame:
-        """The snapshot log: per snapshot, how many files were added /
-        tombstoned and how many delete records landed — the DESCRIBE
-        HISTORY analog, straight off the manifest (metadata-scale)."""
-        from pyspark.sql import functions as F
-
-        return (
-            self.spark.read.parquet(_mdd(self.manifest_dir))
-            .groupBy("snapshot_id")
-            .agg(
-                F.count_distinct(
-                    F.when(F.col("op") == "add", F.col("path"))
-                ).alias("n_files_added"),
-                F.count_distinct(
-                    F.when(F.col("op") == "remove", F.col("path"))
-                ).alias("n_files_removed"),
-                F.sum(
-                    F.when(F.col("op") == "delete_eq", 1).otherwise(0)
-                ).alias("n_delete_records"),
-            )
-            .orderBy("snapshot_id")
-        )
+        """DESCRIBE HISTORY: per snapshot the op kinds, files added /
+        removed, rows added, delete records landed, and the commit
+        wall-clock marker — straight off the manifest
+        (metadata-scale)."""
+        return R.describe_history(self.spark, self.manifest_dir)
 
     def visible_files(self, as_of: int | None = None) -> list[str]:
         """The file list a scan at ``as_of`` would consider."""

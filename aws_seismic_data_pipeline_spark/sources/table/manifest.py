@@ -1799,7 +1799,10 @@ def describe_history(spark: SparkSession, manifest_dir: str) -> DataFrame:
         man.filter(F.col("op") != "commit_ts")
         .groupBy("snapshot_id")
         .agg(
-            F.array_join(F.array_sort(F.collect_set("op")), ",").alias("ops")
+            F.array_join(F.array_sort(F.collect_set("op")), ",").alias("ops"),
+            F.sum(
+                F.when(F.col("op") == "delete_eq", 1).otherwise(0)
+            ).cast("long").alias("n_delete_records"),
         )
     )
     return (
@@ -1821,6 +1824,9 @@ def describe_history(spark: SparkSession, manifest_dir: str) -> DataFrame:
             F.coalesce("n_rows_added", F.lit(0)).cast("long").alias(
                 "n_rows_added"
             ),
+            F.coalesce("n_delete_records", F.lit(0)).cast("long").alias(
+                "n_delete_records"
+            ),
             "commit_ts",
         )
         .orderBy("snapshot_id")
@@ -1835,16 +1841,17 @@ def describe_history(spark: SparkSession, manifest_dir: str) -> DataFrame:
                CAST(0 AS BIGINT) AS n_files_removed,
                CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
                    AS n_rows_added,
+               CAST(0 AS BIGINT) AS n_delete_records,
                TRUE AS has_ts
         UNION ALL
         SELECT 1, 'add', 1, 0,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
                 WHERE doc_id % 7 = 0),
-               TRUE
+               0, TRUE
         UNION ALL
-        SELECT 2, 'delete_eq', 0, 0, 0, TRUE
+        SELECT 2, 'delete_eq', 0, 0, 0, CAST(3 AS BIGINT), TRUE
         UNION ALL
-        SELECT 3, 'schema_rename', 0, 0, 0, TRUE
+        SELECT 3, 'schema_rename', 0, 0, 0, 0, TRUE
     """,
     tags=("plan", "maintenance", "scan"),
 )
@@ -1905,6 +1912,7 @@ def plan_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_files_added",
                 "n_files_removed",
                 "n_rows_added",
+                "n_delete_records",
                 F.col("commit_ts").isNotNull().alias("has_ts"),
             )
             .localCheckpoint(eager=True)

@@ -727,3 +727,53 @@ def test_timestamp_time_travel_boundaries(spark, tmp_path):
     assert t.snapshot_at(clocks[1]) == snap1, (
         "surviving snapshots stay timestamp-resolvable after expiry"
     )
+
+
+def test_writes_after_expire_land_in_live_generation(spark, tmp_path):
+    """After the first expire the manifest's live parquet moves to
+    <manifest>/gen-N (generation pointer, r13): every later commit —
+    equality delete, append, constraint declare — must write through
+    the resolver or its rows land invisibly in the manifest ROOT
+    (the equality_delete bug this test pins): the delete would
+    silently stop subtracting."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.table.facade import (
+        GovernedTable,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+        manifest_data_dir,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "d"),
+        str(tmp_path / "m"),
+        "doc_id",
+        n_files=3,
+    )
+    extra = docs.limit(4).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "lang"
+    )
+    stage = str(tmp_path / "s")
+    extra.coalesce(1).write.parquet(stage)
+    snap1 = t.append([sorted(_glob.glob(stage + "/*.parquet"))[0]])
+    t.expire(snap1)  # live manifest now at gen-00000001
+    assert manifest_data_dir(t.manifest_dir) != t.manifest_dir
+    n = t.scan_with_deletes().count()
+
+    keys = [r.doc_id for r in docs.limit(3).collect()]
+    t.delete_keys(keys)
+    assert t.scan_with_deletes().count() == n - 3, (
+        "post-expire delete records must land in the live generation"
+    )
+    # and the delete's commit clock is resolvable
+    assert t.history().filter(
+        (F.col("ops") == "delete_eq") & F.col("commit_ts").isNotNull()
+    ).count() == 1

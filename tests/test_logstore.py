@@ -209,9 +209,9 @@ def test_expire_swap_under_lease(spark, governed, store_kind, tmp_path):
     assert R.claim_commit(spark, mpath, 2) == 3
     n_before = R.read_with_deletes(spark, mpath, "doc_id").count()
     # lock-free readers DURING the swap see a complete manifest at every
-    # instant on BOTH substrates (posix: RENAME_EXCHANGE; object:
-    # generation-pointer flip) — the r12 "readers are documented" caveat
-    # is gone
+    # instant on BOTH substrates (generation-pointer publish: rename-
+    # install on posix, copy-install on the object store) — the r12
+    # "readers are documented" caveat is gone
     from aws_seismic_data_pipeline_spark.sources.table.logstore import (
         manifest_data_dir,
     )

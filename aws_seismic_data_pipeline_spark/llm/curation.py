@@ -1768,11 +1768,7 @@ def curate_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded verification, O(log² n) component rounds), the gate is
     one word-explode agg over near-dup survivors only, sampling and
     sharding are stateless md5 arithmetic. No stage widens data; the
-    ledger is |stages| + |shards| rows.""".format(
-        en=RELEASE_SAMPLE_EN_PCT,
-        other=RELEASE_SAMPLE_OTHER_PCT,
-        shards=RELEASE_SHARDS,
-    )
+    ledger is |stages| + |shards| rows."""
     from aws_seismic_data_pipeline_spark.llm.dedup import (
         _LSH_VERIFY_TAU,
         _MH_SHINGLE_EXPR,

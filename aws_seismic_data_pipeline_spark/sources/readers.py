@@ -1041,6 +1041,10 @@ from aws_seismic_data_pipeline_spark.sources.table.manifest import (  # noqa: E4
     scan_manifest_stats,
     write_stats_manifest,
 )
+from aws_seismic_data_pipeline_spark.sources.table.cdf import (  # noqa: E402,F401
+    plan_change_data_feed,
+    table_changes,
+)
 from aws_seismic_data_pipeline_spark.sources.table.evolution import (  # noqa: E402,F401
     evolve_schema_add,
     plan_schema_evolve,

@@ -35,6 +35,7 @@ from aws_seismic_data_pipeline_spark.registry import register
 from aws_seismic_data_pipeline_spark.sources.table.commit import (
     _claimed_next_snapshot,
     release_claim,
+    verify_claim,
 )
 from aws_seismic_data_pipeline_spark.sources.table.logstore import (
     manifest_data_dir as _mdd,
@@ -213,6 +214,11 @@ def add_check_constraint(
     except BaseException:
         release_claim(manifest_dir, snap)  # nothing committed at the id
         raise
+    # the existing= validation above is a full-table aggregate that can
+    # outlive stale_after at scale — re-validate the lease IMMEDIATELY
+    # before committing (two-writers-interleave guard; outside the
+    # release block: a revoked token belongs to the new owner now)
+    verify_claim(manifest_dir, snap)
     _commit_constraint_row(
         spark,
         manifest_dir,
@@ -256,6 +262,7 @@ def drop_constraint(spark: SparkSession, manifest_dir: str, name: str) -> int:
     except BaseException:
         release_claim(manifest_dir, snap)
         raise
+    verify_claim(manifest_dir, snap)  # lease still ours at commit time
     _commit_constraint_row(
         spark, manifest_dir, snap, name, "constraint_drop", {}
     )

@@ -19,6 +19,7 @@ from aws_seismic_data_pipeline_spark.sources.table.logstore import (
 )
 from aws_seismic_data_pipeline_spark.sources.table.commit import (
     _claimed_next_snapshot,
+    verify_claim,
 )
 from aws_seismic_data_pipeline_spark.sources.table.manifest import (
     _commit_ts_rows,
@@ -52,6 +53,7 @@ def evolve_schema_add(
         # (re-declaration) doesn't block the NEXT writer for stale_after
         release_claim(manifest_dir, snap)
         raise
+    verify_claim(manifest_dir, snap)  # lease still ours at commit time
     rows.unionByName(
         _commit_ts_rows(spark, rows.schema, snap), allowMissingColumns=True
     ).write.mode("append").parquet(_mdd(manifest_dir))
@@ -124,44 +126,57 @@ def _schema_ops(man: DataFrame, as_of: int | None) -> list:
 
 
 def _effective_columns(
-    spark: SparkSession, manifest_dir: str, man: DataFrame
+    spark: SparkSession,
+    manifest_dir: str,
+    man: DataFrame,
+    ensure: tuple[str, ...] = (),
 ) -> set[str]:
     """Best-effort effective column set at the CURRENT snapshot:
-    the union of visible data-file footer schemas (pyarrow, newest 64
-    files — driver-side metadata reads, no data pages) transformed
-    through the committed rename/drop chain, plus live declared adds.
-    Used only to validate rename/drop targets loudly."""
+    the union of visible data-file footer schemas (pyarrow — driver-
+    side metadata reads, no data pages) transformed through the
+    committed rename/drop chain, plus live declared adds. Samples the
+    newest 64 files, then keeps walking OLDER footers only while a
+    name in ``ensure`` is still unresolved — a physical column that
+    lives only in never-rewritten pre-evolution files must not be
+    falsely reported missing on a wide/old table. Used only to
+    validate rename/drop targets loudly."""
     import pyarrow.parquet as _pq
 
     from aws_seismic_data_pipeline_spark.sources.table.manifest import (
         _visible_stats,
     )
 
-    paths = [
-        r.path
-        for r in _visible_stats(man, None)
+    ops = _schema_ops(man, None)
+
+    def _apply(phys: set[str]) -> set[str]:
+        cols = set(phys)
+        for _snap, op, name, arg in ops:
+            if op == "schema_add":
+                cols.add(name)
+            elif op == "schema_rename":
+                if name in cols:
+                    cols.discard(name)
+                    cols.add(arg)
+            elif op == "schema_drop":
+                cols.discard(name)
+        return cols
+
+    ordered = (
+        _visible_stats(man, None)
         .select("path", "snapshot_id")
         .distinct()
         .orderBy(F.col("snapshot_id").desc(), "path")
-        .limit(64)
-        .collect()
-    ]
-    cols: set[str] = set()
-    for p in paths:
+    )
+    phys: set[str] = set()
+    want = set(ensure)
+    for i, r in enumerate(ordered.toLocalIterator()):
         try:
-            cols.update(_pq.read_schema(p).names)
+            phys.update(_pq.read_schema(r.path).names)
         except Exception:
             continue
-    for _snap, op, name, arg in _schema_ops(man, None):
-        if op == "schema_add":
-            cols.add(name)
-        elif op == "schema_rename":
-            if name in cols:
-                cols.discard(name)
-                cols.add(arg)
-        elif op == "schema_drop":
-            cols.discard(name)
-    return cols
+        if i + 1 >= 64 and (not want or want <= _apply(phys)):
+            break
+    return _apply(phys)
 
 
 def evolve_schema_rename(
@@ -177,16 +192,28 @@ def evolve_schema_rename(
     them into the one logical column. An as-of read below this
     snapshot sees the OLD name — renames are as time-travelable as
     data. Validates loudly: ``old`` must resolve in the current
-    effective schema and ``new`` must not collide. Returns the
-    snapshot id written."""
+    effective schema and ``new`` must not collide. Live CHECK
+    constraints whose expression references ``old`` are REMAPPED in
+    the SAME commit (a superseding 'constraint_add' row with the
+    rewritten expr — Iceberg remaps through field ids; without the
+    remap every subsequent gated write would fail analysis on the
+    stale name, wedging the table unwritable). Returns the snapshot
+    id written."""
+    import re as _re
+
     from aws_seismic_data_pipeline_spark.sources.table.commit import (
         release_claim,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.constraints import (
+        active_constraints,
     )
 
     snap = _claimed_next_snapshot(spark, manifest_dir)
     try:
         man = spark.read.parquet(_mdd(manifest_dir))
-        effective = _effective_columns(spark, manifest_dir, man)
+        effective = _effective_columns(
+            spark, manifest_dir, man, ensure=(old,)
+        )
         if old not in effective:
             raise ValueError(
                 f"rename: column {old!r} does not exist at {manifest_dir} "
@@ -196,6 +223,16 @@ def evolve_schema_rename(
             raise ValueError(
                 f"rename: column {new!r} already exists at {manifest_dir}"
             )
+        # identifier-boundary match: `old` as a standalone name in the
+        # stored SQL, not as a substring of a longer identifier
+        pat = _re.compile(
+            rf"(?<![A-Za-z0-9_`]){_re.escape(old)}(?![A-Za-z0-9_])"
+        )
+        remapped = [
+            (cname, kind, pat.sub(new, expr))
+            for cname, kind, expr in active_constraints(spark, manifest_dir)
+            if pat.search(expr)
+        ]
         schema = man.schema
         fixed = {
             "path": "",
@@ -205,12 +242,22 @@ def evolve_schema_rename(
             "op": "schema_rename",
             "partition_values": {"to": str(new)},
         }
-        rows = spark.createDataFrame(
-            [tuple(fixed.get(f.name) for f in schema)], schema
-        )
+        tuples = [tuple(fixed.get(f.name) for f in schema)]
+        for cname, kind, expr in remapped:
+            crow = {
+                "path": "",
+                "file_name": "",
+                "column_name": cname,
+                "snapshot_id": int(snap),
+                "op": "constraint_add",
+                "partition_values": {"kind": kind, "expr": expr},
+            }
+            tuples.append(tuple(crow.get(f.name) for f in schema))
+        rows = spark.createDataFrame(tuples, schema)
     except BaseException:
         release_claim(manifest_dir, snap)  # nothing committed at the id
         raise
+    verify_claim(manifest_dir, snap)  # lease still ours at commit time
     rows.unionByName(
         _commit_ts_rows(spark, rows.schema, snap), allowMissingColumns=True
     ).write.mode("append").parquet(_mdd(manifest_dir))
@@ -226,20 +273,45 @@ def evolve_schema_drop(
     (Delta's drop-with-column-mapping). Re-declaring a dropped name
     raises — without field ids the old files' values would silently
     resurface under the re-added name (documented limitation; Iceberg
-    avoids it by binding data to ids, not names). Returns the snapshot
-    id written."""
+    avoids it by binding data to ids, not names). REJECTED while a
+    live CHECK constraint references the column (Delta blocks the
+    drop): committing it would wedge every subsequent gated write on
+    an unresolvable name — drop the constraint first. Returns the
+    snapshot id written."""
+    import re as _re
+
     from aws_seismic_data_pipeline_spark.sources.table.commit import (
         release_claim,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.constraints import (
+        active_constraints,
     )
 
     snap = _claimed_next_snapshot(spark, manifest_dir)
     try:
         man = spark.read.parquet(_mdd(manifest_dir))
-        effective = _effective_columns(spark, manifest_dir, man)
+        effective = _effective_columns(
+            spark, manifest_dir, man, ensure=(column,)
+        )
         if column not in effective:
             raise ValueError(
                 f"drop: column {column!r} does not exist at {manifest_dir} "
                 f"(effective columns: {sorted(effective)})"
+            )
+        pat = _re.compile(
+            rf"(?<![A-Za-z0-9_`]){_re.escape(column)}(?![A-Za-z0-9_])"
+        )
+        referencing = sorted(
+            cname
+            for cname, _kind, expr in active_constraints(spark, manifest_dir)
+            if pat.search(expr)
+        )
+        if referencing:
+            raise ValueError(
+                f"drop: column {column!r} is referenced by live "
+                f"constraint(s) {referencing} at {manifest_dir} — drop "
+                f"the constraint(s) first (committing would wedge every "
+                f"gated write on an unresolvable name)"
             )
         schema = man.schema
         fixed = {
@@ -256,6 +328,7 @@ def evolve_schema_drop(
     except BaseException:
         release_claim(manifest_dir, snap)  # nothing committed at the id
         raise
+    verify_claim(manifest_dir, snap)  # lease still ours at commit time
     rows.unionByName(
         _commit_ts_rows(spark, rows.schema, snap), allowMissingColumns=True
     ).write.mode("append").parquet(_mdd(manifest_dir))

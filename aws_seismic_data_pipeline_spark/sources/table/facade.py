@@ -154,6 +154,15 @@ class GovernedTable:
             self.spark, self.manifest_dir, from_snapshot, to_snapshot
         )
 
+    def changes(self, from_snapshot: int, to_snapshot: int) -> DataFrame:
+        """CHANGE DATA FEED: row-level insert / update_preimage /
+        update_postimage / delete rows the commits in (from, to] made,
+        derived from the manifest's add+tombstone pairs and delete
+        records (Delta's ``table_changes`` — see table/cdf.py)."""
+        return R.table_changes(
+            self.spark, self.manifest_dir, self.key, from_snapshot, to_snapshot
+        )
+
     def row_count(self, as_of: int | None = None) -> int:
         """Visible row count from the manifest alone (zero data pages)
         — feed it to the distributed global-order primitives' ``n_rows``
@@ -183,11 +192,32 @@ class GovernedTable:
         return R.sketch_merged_ndv(self.spark, sketch_dir, paths=paths)
 
     # ---- write side ----------------------------------------------------
-    def _gate(self, batch: DataFrame) -> None:
+    def _gate(self, batch: DataFrame):
         """Write-time constraint gate: one map-side aggregate over the
         batch against the table's live CHECK/NOT NULL declarations;
-        raises ConstraintViolationError BEFORE any claim or commit."""
-        R.enforce_constraints(self.spark, self.manifest_dir, batch)
+        raises ConstraintViolationError BEFORE any claim or commit.
+        Returns a ``pre_commit(snapshot_id)`` closure the committing
+        verb runs INSIDE its claim: it re-resolves the (driver-side,
+        KB-scale) constraint metadata and, when a declaration landed
+        between this gate read and the commit, enforces exactly the
+        NEW constraints on the batch — so every batch is gated by the
+        constraint set live at ITS commit, not at its planning read
+        (Delta enforces inside the transaction)."""
+        gated = R.active_constraints(self.spark, self.manifest_dir)
+        R.enforce_constraints(self.spark, self.manifest_dir, batch, gated)
+
+        def _recheck(_snap: int) -> None:
+            fresh = [
+                c
+                for c in R.active_constraints(self.spark, self.manifest_dir)
+                if c not in gated
+            ]
+            if fresh:
+                R.enforce_constraints(
+                    self.spark, self.manifest_dir, batch, fresh
+                )
+
+        return _recheck
 
     def add_constraint(
         self, name: str, expr: str, validate_existing: bool = True
@@ -221,8 +251,9 @@ class GovernedTable:
         ``manifest.append_stats_manifest_retry``). Gated by the
         table's constraints: a violating batch raises and nothing —
         snapshot, manifest row, claim — is touched."""
+        recheck = None
         if new_paths:
-            self._gate(self.spark.read.parquet(*new_paths))
+            recheck = self._gate(self.spark.read.parquet(*new_paths))
         snap, _ = R.append_stats_manifest_retry(
             self.spark,
             new_paths,
@@ -230,6 +261,7 @@ class GovernedTable:
             (self.key,),
             partition_by=self.partition_by,
             max_retries=max_retries,
+            pre_commit=recheck,
         )
         return snap
 
@@ -299,7 +331,7 @@ class GovernedTable:
         the table has never seen are declared and merged atomically
         (Delta's mergeSchema-on-MERGE). Returns (snapshot,
         intersecting, rewritten, evolved_columns)."""
-        self._gate(delta)
+        recheck = self._gate(delta)
         return R.merge_evolve_through_manifest(
             self.spark,
             self.manifest_dir,
@@ -308,6 +340,7 @@ class GovernedTable:
             cols,
             insert_files=insert_files,
             partition_by=self.partition_by,
+            pre_commit=recheck,
         )
 
     def merge(self, delta: DataFrame, cols: list[str], insert_files: int = 1):
@@ -316,7 +349,7 @@ class GovernedTable:
         is threaded: rewrites stay inside their partition dirs, inserts
         land Hive-partitioned (the delta must carry the partition
         columns), and the committed stats rows keep partition values."""
-        self._gate(delta)
+        recheck = self._gate(delta)
         return R.merge_through_manifest(
             self.spark,
             self.manifest_dir,
@@ -325,6 +358,7 @@ class GovernedTable:
             cols,
             insert_files=insert_files,
             partition_by=self.partition_by,
+            pre_commit=recheck,
         )
 
     def merge_concurrent(
@@ -334,7 +368,7 @@ class GovernedTable:
         the commit snapshot and re-plans on a lost race. Returns
         (snapshot, intersecting, rewritten, n_retries). partition_by is
         threaded exactly as in :meth:`merge`."""
-        self._gate(delta)
+        recheck = self._gate(delta)
         return R.merge_with_conflict_retry(
             self.spark,
             self.manifest_dir,
@@ -343,6 +377,7 @@ class GovernedTable:
             cols,
             max_retries=max_retries,
             partition_by=self.partition_by,
+            pre_commit=recheck,
         )
 
     def add_column(self, column: str, sql_type: str) -> int:

@@ -55,6 +55,7 @@ def merge_with_conflict_retry(
     insert_files: int = 1,
     max_retries: int = 3,
     partition_by: tuple[str, ...] = (),
+    pre_commit=None,
 ) -> tuple[int, int, int, int]:
     """MERGE under optimistic concurrency: plan against the current
     snapshot, CAS-claim the next id (:func:`claim_commit`), and commit;
@@ -79,16 +80,27 @@ def merge_with_conflict_retry(
             # them; spinning would exhaust retries in microseconds
             _time.sleep(min(0.05 * (2 ** attempt), 1.0))
             continue  # table advanced: loop re-reads and re-plans
-        s, n_int, n_rw = merge_through_manifest(
-            spark,
-            manifest_dir,
-            delta,
-            key,
-            cols,
-            insert_files=insert_files,
-            snapshot_id=snap,
-            partition_by=partition_by,
-        )
+        try:
+            s, n_int, n_rw = merge_through_manifest(
+                spark,
+                manifest_dir,
+                delta,
+                key,
+                cols,
+                insert_files=insert_files,
+                snapshot_id=snap,
+                partition_by=partition_by,
+                pre_commit=pre_commit,
+            )
+        except ConcurrentCommitError:
+            raise  # token already taken over — it is the NEW owner's now
+        except BaseException:
+            # WE claimed this id and the merge aborted before its
+            # commit (validation raise, pre_commit rejection) — release
+            # the lease so the failure doesn't block the next writer
+            # for stale_after
+            release_claim(manifest_dir, snap)
+            raise
         return s, n_int, n_rw, attempt
     raise ConcurrentCommitError(  # pragma: no cover - loop always returns
         f"merge at {manifest_dir} lost {max_retries + 1} commit races"
@@ -406,8 +418,14 @@ def clone_manifest(
     files (vacuum safety therefore requires the union of live
     manifests — noted in ``vacuum_orphans_report``'s contract). This
     is the dev/staging-against-production-data workflow every table
-    format ships (Delta SHALLOW CLONE, Iceberg snapshot refs)."""
-    df = spark.read.parquet(src_manifest)
+    format ships (Delta SHALLOW CLONE, Iceberg snapshot refs).
+
+    The source is read through the generation resolver: after the
+    source table's first ``expire_snapshots`` its manifest root holds
+    ``gen-*`` directories plus the grace-retained stale flat parquet,
+    and a raw root read would snapshot stale or duplicated rows
+    (resurrecting expired history in the clone)."""
+    df = spark.read.parquet(_mdd(src_manifest))
     df.coalesce(1).write.mode("overwrite").parquet(dst_manifest)
 
 
@@ -579,6 +597,7 @@ def merge_through_manifest(
     snapshot_id: int | None = None,
     partition_by: tuple[str, ...] = (),
     extra_commit_frames: list[DataFrame] | None = None,
+    pre_commit=None,
 ) -> tuple[int, int, int]:
     """MERGE committed THROUGH the manifest — the copy-on-write shape
     (Iceberg CoW, Delta MERGE): rewrite ONLY the data files whose
@@ -800,6 +819,26 @@ def merge_through_manifest(
     if intersecting:
         frames.append(_tombstone_rows(spark, manifest_dir, intersecting, snap))
     verify_claim(manifest_dir, snap)
+    if pre_commit is not None:
+        # the facade's post-claim constraint re-check seam (see
+        # append_stats_manifest): a raise here aborts BEFORE the
+        # manifest write — staged rewrite files become unreferenced
+        # orphans (vacuum-reclaimable), nothing is visible to readers
+        try:
+            pre_commit(snap)
+        except BaseException:
+            if snapshot_id is None:  # we claimed: nothing committed
+                from aws_seismic_data_pipeline_spark.sources.table.commit import (
+                    release_claim,
+                )
+
+                release_claim(manifest_dir, snap)
+            for p in new_paths:  # best-effort orphan cleanup
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            raise
     commit_manifest_rows(spark, manifest_dir, frames, snapshot_id=snap)
     return snap, len(intersecting), n_rewritten
 
@@ -936,6 +975,7 @@ def merge_evolve_through_manifest(
     cols: list[str],
     insert_files: int = 1,
     partition_by: tuple[str, ...] = (),
+    pre_commit=None,
 ) -> tuple[int, int, int, list[str]]:
     """MERGE **with schema evolution** in ONE snapshot — Delta's
     ``mergeSchema``-on-MERGE composition: a delta carrying columns the
@@ -976,22 +1016,29 @@ def merge_evolve_through_manifest(
         if c not in physical and c not in declared
     }
     snap = _claimed_next_snapshot(spark, manifest_dir)
-    extra = (
-        [schema_add_rows(spark, manifest_dir, evolved, snap)]
-        if evolved
-        else None
-    )
-    s, n_int, n_rw = merge_through_manifest(
-        spark,
-        manifest_dir,
-        delta,
-        key,
-        cols,
-        insert_files=insert_files,
-        snapshot_id=snap,
-        partition_by=partition_by,
-        extra_commit_frames=extra,
-    )
+    try:
+        extra = (
+            [schema_add_rows(spark, manifest_dir, evolved, snap)]
+            if evolved
+            else None
+        )
+        s, n_int, n_rw = merge_through_manifest(
+            spark,
+            manifest_dir,
+            delta,
+            key,
+            cols,
+            insert_files=insert_files,
+            snapshot_id=snap,
+            partition_by=partition_by,
+            extra_commit_frames=extra,
+            pre_commit=pre_commit,
+        )
+    except ConcurrentCommitError:
+        raise  # token taken over — it is the new owner's now
+    except BaseException:
+        release_claim(manifest_dir, snap)  # nothing committed at the id
+        raise
     return s, n_int, n_rw, sorted(evolved)
 
 

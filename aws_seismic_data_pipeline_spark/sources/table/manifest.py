@@ -133,6 +133,7 @@ def append_stats_manifest(
     columns: tuple[str, ...] = _MANIFEST_COLS,
     snapshot_id: int | None = None,
     partition_by: tuple[str, ...] = (),
+    pre_commit=None,
 ) -> int:
     """Incremental manifest maintenance: when new data files land
     (ingest batch, compaction output), footer-read ONLY them and append
@@ -145,10 +146,28 @@ def append_stats_manifest(
     stamp the same id — and the manifest keeps its whole version
     history — an as-of read (``manifest_pruned_scan(as_of=N)``) sees
     exactly the files visible at snapshot N, the table-format
-    time-travel contract. Returns the id written."""
+    time-travel contract. ``pre_commit(snapshot_id)``, when given, runs
+    INSIDE the claim, immediately before the manifest write — the seam
+    the facade's constraint gate uses to re-validate against
+    declarations that landed between its pre-claim read and this
+    commit (Delta enforces inside the transaction); a raise aborts the
+    commit and releases a claim taken in this call. Returns the id
+    written."""
+    from aws_seismic_data_pipeline_spark.sources.table.commit import (
+        release_claim,
+    )
+
+    claimed_here = snapshot_id is None
     if snapshot_id is None:
         snapshot_id = _claimed_next_snapshot(spark, manifest_dir)
     verify_claim(manifest_dir, int(snapshot_id))
+    if pre_commit is not None:
+        try:
+            pre_commit(int(snapshot_id))
+        except BaseException:
+            if claimed_here:  # nothing committed at the id
+                release_claim(manifest_dir, int(snapshot_id))
+            raise
     rows = _stats_add_rows(
         spark, new_paths, columns, int(snapshot_id), partition_by
     )
@@ -166,6 +185,7 @@ def append_stats_manifest_retry(
     columns: tuple[str, ...] = _MANIFEST_COLS,
     partition_by: tuple[str, ...] = (),
     max_retries: int = 5,
+    pre_commit=None,
 ) -> tuple[int, int]:
     """APPEND under optimistic concurrency: claim, commit, and on a
     lost CAS race back off and re-claim the NEXT id. Unlike MERGE
@@ -191,6 +211,7 @@ def append_stats_manifest_retry(
                 manifest_dir,
                 columns,
                 partition_by=partition_by,
+                pre_commit=pre_commit,
             )
             return snap, attempt
         except ConcurrentCommitError:

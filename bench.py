@@ -694,29 +694,51 @@ def main() -> None:
     result["host_factor"] = host_factor
     if regressions:
         result["regressions"] = regressions
+    rebase = None
     if not _admissible(host_factor):
-        # loaded-box run: inadmissible as gate evidence (see the
-        # constant's rationale) — print, don't record
-        result["not_recorded"] = (
-            f"host_factor {host_factor} > {HOST_FACTOR_RECORD_MAX}: "
-            "co-tenant load; re-run on a quiet box to record"
+        rebase = _boot_rebase_evidence(
+            history_path, sf_val, timings, spreads, host_factor
         )
-        print(json.dumps(result, separators=(",", ":")))
-        spark.stop()
-        return
-    with open(history_path, "a") as fh:
-        fh.write(
-            json.dumps(
-                {
-                    "ts": time.time(),
-                    "sf": sf_val,
-                    "queries": timings,
-                    "spread": spreads,
-                    "host_factor": host_factor,
-                }
+        if rebase is None:
+            # loaded-box run (or first run on a slower boot):
+            # inadmissible as gate evidence — print, and append as
+            # REFUSED EVIDENCE ONLY so the next quiet run on the same
+            # boot can prove persistence and record (see the
+            # BOOT_AGREE_* rationale)
+            result["not_recorded"] = (
+                f"host_factor {host_factor} > {HOST_FACTOR_RECORD_MAX}: "
+                "co-tenant load or first run on a slower boot; a second "
+                "agreeing quiet run records via boot rebase"
             )
-            + "\n"
-        )
+            with open(history_path, "a") as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "ts": time.time(),
+                            "sf": sf_val,
+                            "queries": timings,
+                            "spread": spreads,
+                            "host_factor": host_factor,
+                            "refused": True,
+                        }
+                    )
+                    + "\n"
+                )
+            print(json.dumps(result, separators=(",", ":")))
+            spark.stop()
+            return
+        result["boot_rebase"] = rebase
+    entry = {
+        "ts": time.time(),
+        "sf": sf_val,
+        "queries": timings,
+        "spread": spreads,
+        "host_factor": host_factor,
+    }
+    if rebase is not None:
+        entry["boot_rebase"] = rebase
+    with open(history_path, "a") as fh:
+        fh.write(json.dumps(entry) + "\n")
     print(json.dumps(result, separators=(",", ":")))
     spark.stop()
 
@@ -766,6 +788,96 @@ CALIBRATION_SLOTS = (
 #: The run still PRINTS its result — it is just not admissible as
 #: regression-gate evidence.
 HOST_FACTOR_RECORD_MAX = 1.3
+
+#: BOOT-AWARE RECALIBRATION (round-13 verdict item 1). The guard above
+#: compares calibration slots to their ALL-TIME best prior, so a box
+#: whose hypervisor-level speed PERSISTENTLY degrades below 1/1.3 of
+#: its best-ever boot can never record again — the r13 wedge: four
+#: refusals at host_factor 1.58-2.61, including the judge's run on a
+#: fully idle machine (load 0.10, host_factor 1.71). "Slower boot" and
+#: "co-tenant load" are distinguishable: a slow boot is UNIFORM within
+#: a run (best-of-5 minima are tight) and PERSISTENT across runs
+#: (consecutive idle runs re-measure the same per-slot times); load is
+#: spiky within a run (large max-min trial spread) and transient
+#: across runs. So a refused run is appended to bench_history.jsonl as
+#: EVIDENCE ONLY (``"refused": true`` — skipped by the best-prior
+#: table and the CI gate), and the NEXT refused run is admitted as a
+#: documented boot rebase iff BOTH runs are internally quiet and their
+#: per-calibration-slot minima agree within tolerance. Admitted
+#: entries carry ``"boot_rebase"`` naming the evidence run; the
+#: host-factor normalization is untouched (per-query ratios still
+#: divide out the measured factor against the all-time-best boot), and
+#: slow-boot timings can never lower the best-prior table (min only).
+BOOT_AGREE_MEDIAN = 0.10  # median per-slot cross-run agreement bound
+BOOT_AGREE_SLOT = 0.20  # per-slot bound; all but one slot must satisfy
+BOOT_RELSPREAD_MAX = 0.8  # median (max-min)/min over 5 trials, per slot
+BOOT_HF_AGREE = 0.15  # the two runs' host factors must also agree
+
+
+def _boot_rebase_evidence(
+    history_path: str,
+    sf_val,
+    timings: dict[str, float],
+    spreads: dict[str, float],
+    host_factor: float,
+) -> dict | None:
+    """Admit a host_factor-refused run as a PERSISTENT UNIFORM boot
+    slowdown, or return None (stay refused). Requires: (a) a prior
+    same-sf evidence entry — the latest ``refused`` or already
+    ``boot_rebase``-admitted run; (b) the current run internally quiet
+    (median relative trial spread over the calibration slots <=
+    BOOT_RELSPREAD_MAX — co-tenant spikes blow individual trials up,
+    a slow boot slows all five evenly); (c) per-slot agreement: this
+    run's calibration minima within BOOT_AGREE_SLOT of the evidence
+    run's (one outlier allowed), median within BOOT_AGREE_MEDIAN;
+    (d) the two runs' host factors within BOOT_HF_AGREE. Returns the
+    evidence record written into the admitted entry."""
+    ev = None
+    try:
+        with open(history_path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("sf") != sf_val or rec.get("ts") in POISONED_RUNS:
+                    continue
+                if rec.get("refused") or rec.get("boot_rebase"):
+                    ev = rec  # latest evidence wins
+    except OSError:
+        return None
+    if ev is None:
+        return None
+    rels = sorted(
+        spreads[c] / timings[c]
+        for c in CALIBRATION_SLOTS
+        if timings.get(c) and spreads.get(c) is not None
+    )
+    if not rels or rels[len(rels) // 2] > BOOT_RELSPREAD_MAX:
+        return None
+    ev_q = ev.get("queries", {})
+    ratios = sorted(
+        timings[c] / ev_q[c]
+        for c in CALIBRATION_SLOTS
+        if timings.get(c) and ev_q.get(c)
+    )
+    if len(ratios) < 6:
+        return None
+    med = ratios[len(ratios) // 2]
+    if abs(med - 1.0) > BOOT_AGREE_MEDIAN:
+        return None
+    outliers = sum(1 for v in ratios if abs(v - 1.0) > BOOT_AGREE_SLOT)
+    if outliers > 1:
+        return None
+    ev_hf = ev.get("host_factor")
+    if ev_hf and abs(host_factor / ev_hf - 1.0) > BOOT_HF_AGREE:
+        return None
+    return {
+        "factor": host_factor,
+        "evidence_ts": ev.get("ts"),
+        "median_agreement": round(med, 3),
+        "median_relspread": round(rels[len(rels) // 2], 3),
+    }
 
 #: History entries retro-adjudicated INADMISSIBLE as gate evidence and
 #: skipped by both the best-prior table and the gate's recent/prior
@@ -884,6 +996,8 @@ def _best_prior(history_path: str, sf_val) -> dict[str, float]:
                 except ValueError:
                     continue
                 if rec.get("sf") != sf_val:
+                    continue
+                if rec.get("refused"):  # boot-rebase evidence only
                     continue
                 ts = rec.get("ts", 0.0)
                 if ts in POISONED_RUNS:  # loaded-box entries (see const)

@@ -48,8 +48,10 @@ def _entries():
             except ValueError:
                 continue
             # retro-adjudicated loaded-box entries are not gate
-            # evidence (bench.POISONED_RUNS documents each)
-            if rec.get("ts") in POISONED_RUNS:
+            # evidence (bench.POISONED_RUNS documents each), and
+            # neither are boot-rebase EVIDENCE appends (refused runs
+            # persisted only so the next run can prove persistence)
+            if rec.get("ts") in POISONED_RUNS or rec.get("refused"):
                 continue
             out.append(rec)
     return out
@@ -151,8 +153,93 @@ def test_recorded_history_is_admissible():
     """Every ALREADY-RECORDED sf0.1 entry after the guard's landing must
     satisfy the admissibility bound — the guard is enforced at append
     time, so this pins the invariant going forward (pre-guard entries
-    are grandfathered: they are the measured record of rounds 1-12)."""
+    are grandfathered: they are the measured record of rounds 1-12).
+    Entries admitted above the bound must carry their documented
+    boot-rebase evidence (round-13 verdict item 1)."""
     GUARD_LANDED_TS = 1786865300.0  # r13: entries after this obey it
     for e in _entries():
         if e.get("ts", 0.0) >= GUARD_LANDED_TS and "host_factor" in e:
-            assert _admissible(e["host_factor"]), e["ts"]
+            assert _admissible(e["host_factor"]) or (
+                e.get("boot_rebase", {}).get("evidence_ts") is not None
+            ), e["ts"]
+
+
+def _write_history(path, entries):
+    with open(path, "w") as fh:
+        for e in entries:
+            fh.write(json.dumps(e) + "\n")
+
+
+def test_boot_rebase_admits_persistent_uniform_slowdown(tmp_path):
+    """Round-13 verdict item 1: a host_factor-refused run is admitted
+    iff a prior refused evidence run on the SAME boot agrees per
+    calibration slot (persistence) and the current run's trial spreads
+    are tight (quietness) — a permanently slower boot can record
+    again, while transient co-tenant load still cannot."""
+    from bench import _boot_rebase_evidence
+
+    cal = list(CALIBRATION_SLOTS)
+    hist = str(tmp_path / "h.jsonl")
+    # evidence: a refused run on the slow boot, ~1.6x uniform
+    ev_times = {c: 1.6 for c in cal}
+    _write_history(
+        hist,
+        [
+            {
+                "ts": 100.0,
+                "sf": 0.1,
+                "queries": ev_times,
+                "spread": {c: 0.3 for c in cal},
+                "host_factor": 1.6,
+                "refused": True,
+            }
+        ],
+    )
+    now = {c: 1.65 for c in cal}  # same boot: minima agree within ~3%
+    tight = {c: 0.4 for c in cal}  # relspread 0.24 — quiet
+    got = _boot_rebase_evidence(hist, 0.1, now, tight, 1.62)
+    assert got is not None and got["evidence_ts"] == 100.0
+    assert abs(got["median_agreement"] - 1.03) < 0.02
+
+    # spiky load: same minima but huge trial spreads -> refused
+    spiky = {c: 2.5 for c in cal}  # relspread ~1.5
+    assert _boot_rebase_evidence(hist, 0.1, now, spiky, 1.62) is None
+
+    # transient load: minima disagree with the evidence run -> refused
+    moved = {c: 1.65 * (1.5 if i % 2 else 0.8) for i, c in enumerate(cal)}
+    assert _boot_rebase_evidence(hist, 0.1, moved, tight, 1.62) is None
+
+    # host factors disagree (load on top of the slow boot) -> refused
+    assert _boot_rebase_evidence(hist, 0.1, now, tight, 2.2) is None
+
+    # no prior evidence at this sf -> refused (first run just records
+    # its evidence line)
+    assert _boot_rebase_evidence(hist, 1.0, now, tight, 1.62) is None
+
+    # one outlier slot is tolerated (per-slot host sensitivity is
+    # non-uniform even idle — r13 judge measured 1.19-1.75x on a
+    # load-0.10 box); two are not
+    one_off = dict(now)
+    one_off[cal[0]] = 1.65 * 1.3
+    assert _boot_rebase_evidence(hist, 0.1, one_off, tight, 1.62) is not None
+    two_off = dict(one_off)
+    two_off[cal[1]] = 1.65 * 1.3
+    assert _boot_rebase_evidence(hist, 0.1, two_off, tight, 1.62) is None
+
+    # an already-ADMITTED boot_rebase entry is itself evidence: the
+    # third run on the same boot keeps recording
+    _write_history(
+        hist,
+        [
+            {
+                "ts": 200.0,
+                "sf": 0.1,
+                "queries": now,
+                "spread": tight,
+                "host_factor": 1.62,
+                "boot_rebase": {"factor": 1.62, "evidence_ts": 100.0},
+            }
+        ],
+    )
+    got = _boot_rebase_evidence(hist, 0.1, ev_times, tight, 1.58)
+    assert got is not None and got["evidence_ts"] == 200.0

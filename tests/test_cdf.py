@@ -1,0 +1,176 @@
+"""Change Data Feed pins (round-13 verdict item 4): per-window change
+sets for merge / equality-delete / compaction commits, both window
+directions, and the no-double-report interaction between a delete and
+the compaction that later materializes it."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR
+
+
+def _changes_by_type(df):
+    return {
+        r._change_type: int(r.n)
+        for r in df.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+
+
+@pytest.fixture()
+def cdf_table(spark, tmp_path):
+    """documents governed at snapshot 0; MERGE (update %7 rows +100,
+    insert %13 rows under +1000000 ids) at 1; equality delete of %11
+    keys at 2."""
+    from aws_seismic_data_pipeline_spark.sources.table.facade import (
+        GovernedTable,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "doc_id",
+        n_files=4,
+    )
+    updates = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(100)
+    )
+    inserts = docs.filter(F.col("doc_id") % 13 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    t.merge(updates.unionByName(inserts), ["lang", "n_chars"])
+    del_keys = [
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % 11 == 0).select("doc_id").collect()
+    ]
+    t.delete_keys(del_keys)
+    counts = {
+        "upd": docs.filter(F.col("doc_id") % 7 == 0).count(),
+        "ins": docs.filter(F.col("doc_id") % 13 == 0).count(),
+        "del": len(del_keys),
+    }
+    return t, docs, counts
+
+
+def test_cdf_window_directions(spark, cdf_table):
+    """(0,1] carries exactly the merge's changes, (1,2] exactly the
+    delete's, (0,2] their union — and a delete preimage of a row the
+    merge updated carries the POST-update value (each commit diffs
+    against its own parent)."""
+    t, docs, c = cdf_table
+
+    merge_win = _changes_by_type(t.changes(0, 1))
+    assert merge_win == {
+        "update_preimage": c["upd"],
+        "update_postimage": c["upd"],
+        "insert": c["ins"],
+    }
+    del_win = _changes_by_type(t.changes(1, 2))
+    assert del_win == {"delete": c["del"]}
+    full = _changes_by_type(t.changes(0, 2))
+    assert full == {
+        "update_preimage": c["upd"],
+        "update_postimage": c["upd"],
+        "insert": c["ins"],
+        "delete": c["del"],
+    }
+    # empty window
+    assert t.changes(2, 2).count() == 0
+
+    # updated-then-deleted (%77) rows: the delete preimage must carry
+    # the post-update n_chars
+    both = t.changes(1, 2).filter(F.col("doc_id") % 77 == 0)
+    orig = {
+        r.doc_id: r.n_chars
+        for r in docs.filter(F.col("doc_id") % 77 == 0).collect()
+    }
+    got = {r.doc_id: r.n_chars for r in both.collect()}
+    assert got and all(got[k] == orig[k] + 100 for k in got)
+
+    # update preimages carry the ORIGINAL values
+    pre = {
+        r.doc_id: r.n_chars
+        for r in t.changes(0, 1)
+        .filter(
+            (F.col("_change_type") == "update_preimage")
+            & (F.col("doc_id") % 77 == 0)
+        )
+        .collect()
+    }
+    assert pre and all(pre[k] == orig[k] for k in pre)
+
+
+def test_cdf_maintenance_commits_feed_nothing(spark, cdf_table, tmp_path):
+    """A compaction (including one that materializes earlier deletes)
+    moves rows without changing them: its window adds NO feed rows —
+    the deleted rows were already reported at their delete_eq commit
+    and must not re-report when physically dropped."""
+    t, _docs, c = cdf_table
+    tip_before = max(int(r.snapshot_id) for r in t.history().collect())
+
+    snap_c, _n_cand, _n_rw, n_retired = t.compact_deletes()
+    assert n_retired == c["del"]
+    assert _changes_by_type(t.changes(tip_before, snap_c)) == {}
+
+    # a plain file compaction inside a window is also silent
+    files = t.visible_files()
+    assert len(files) > 1
+    _new_path, snap_fc = t.compact_files(files)
+    assert _changes_by_type(t.changes(snap_c, snap_fc)) == {}
+
+    # and the full window from 0 still reports each change exactly once
+    full = _changes_by_type(t.changes(0, snap_fc))
+    assert full == {
+        "update_preimage": c["upd"],
+        "update_postimage": c["upd"],
+        "insert": c["ins"],
+        "delete": c["del"],
+    }
+
+
+def test_cdf_append_and_retention_delete(spark, tmp_path):
+    """A pure append commit feeds every row as insert; a remove-only
+    retention delete feeds every removed-file row as delete."""
+    from aws_seismic_data_pipeline_spark.sources.table.facade import (
+        GovernedTable,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        remove_from_manifest,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "d"),
+        str(tmp_path / "m"),
+        "doc_id",
+        n_files=3,
+    )
+    extra = docs.limit(9).select(
+        (F.col("doc_id") + 700000).alias("doc_id"), "lang", "n_chars"
+    )
+    stage = str(tmp_path / "s")
+    extra.coalesce(1).write.parquet(stage)
+    new_path = sorted(glob.glob(stage + "/*.parquet"))[0]
+    snap_app = t.append([new_path])
+    ch = t.changes(snap_app - 1, snap_app)
+    assert _changes_by_type(ch) == {"insert": 9}
+    assert {r.doc_id for r in ch.collect()} == {
+        r.doc_id for r in extra.collect()
+    }
+
+    n_removed = spark.read.parquet(new_path).count()
+    snap_rm = remove_from_manifest(spark, t.manifest_dir, [new_path])
+    rm = t.changes(snap_app, snap_rm)
+    assert _changes_by_type(rm) == {"delete": n_removed}

@@ -777,3 +777,243 @@ def test_writes_after_expire_land_in_live_generation(spark, tmp_path):
     assert t.history().filter(
         (F.col("ops") == "delete_eq") & F.col("commit_ts").isNotNull()
     ).count() == 1
+
+
+def test_rename_remaps_live_constraints_drop_rejects(spark, tmp_path):
+    """Schema evolution x live constraints (round-13 verdict item 3):
+    RENAME rewrites every live CHECK expr referencing the column in
+    the SAME commit (Iceberg remaps; a stale expr would wedge every
+    gated write on AnalysisException), DROP of a referenced column is
+    REJECTED outright (Delta blocks), and in both directions the
+    table is never left unwritable."""
+    import glob as _glob
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.table import _verbs as R
+    from aws_seismic_data_pipeline_spark.sources.table.facade import (
+        GovernedTable,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "doc_id",
+        n_files=4,
+    )
+    t.add_constraint("chars_positive", "n_chars > 0")
+    t.add_not_null("lang")
+    snap_ren = t.rename_column("n_chars", "char_count")
+
+    # the referencing constraint was remapped IN the rename commit
+    # (same snapshot — no window where the gate names a dead column);
+    # the non-referencing one is untouched
+    live = dict((n, e) for n, _k, e in t.constraints())
+    assert live["chars_positive"] == "char_count > 0"
+    assert live["lang_not_null"] == "lang IS NOT NULL"
+    from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+        manifest_data_dir,
+    )
+
+    remap_snaps = [
+        int(r.snapshot_id)
+        for r in spark.read.parquet(manifest_data_dir(t.manifest_dir))
+        .filter(
+            (F.col("op") == "constraint_add")
+            & (F.col("column_name") == "chars_positive")
+        )
+        .collect()
+    ]
+    assert max(remap_snaps) == snap_ren, "remap must ride the rename commit"
+
+    def _land(df, name):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        return sorted(_glob.glob(stage + "/*.parquet"))[0]
+
+    # the gate still bites, now under the NEW name...
+    bad = _land(
+        docs.limit(5).select(
+            (F.col("doc_id") + 800000).alias("doc_id"),
+            F.col("lang"),
+            F.lit(0).cast("long").alias("char_count"),
+        ),
+        "bad",
+    )
+    with _pytest.raises(R.ConstraintViolationError, match="chars_positive"):
+        t.append([bad])
+    # ...and a clean post-rename batch commits: the table is NOT wedged
+    good = _land(
+        docs.limit(5).select(
+            (F.col("doc_id") + 810000).alias("doc_id"),
+            F.col("lang"),
+            F.col("n_chars").alias("char_count"),
+        ),
+        "good",
+    )
+    n0 = t.scan_evolved().count()
+    t.append([good])
+    assert t.scan_evolved().count() == n0 + 5
+
+    # DROP of a constraint-referenced column is blocked, loudly, and
+    # commits nothing (the next commit takes the immediately-next id)
+    with _pytest.raises(ValueError, match="chars_positive"):
+        t.drop_column("char_count")
+    snap_dropc = t.drop_constraint("chars_positive")
+    snap_drop = t.drop_column("char_count")
+    assert snap_drop == snap_dropc + 1, "rejected drop must not burn ids"
+    assert "char_count" not in t.scan_evolved().columns
+
+
+def test_constraint_recheck_inside_claim(spark, tmp_path):
+    """The write gate re-validates INSIDE the claim (ADVICE r13): a
+    constraint declared between the facade's pre-claim gate read and
+    the commit is enforced on that batch via the pre_commit seam, and
+    a pre_commit rejection releases the claim (the next writer takes
+    the immediately-next id — memory-rule leak trap)."""
+    import glob as _glob
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.table import _verbs as R
+    from aws_seismic_data_pipeline_spark.sources.table.facade import (
+        GovernedTable,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "doc_id",
+        n_files=3,
+    )
+    # a batch that violates a constraint NOT YET declared when the
+    # gate read ran: the recheck closure (what append/merge pass as
+    # pre_commit) must catch the concurrent declaration
+    bad_batch = docs.limit(5).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.col("lang"),
+        F.lit(-1).cast("long").alias("n_chars"),
+    )
+    recheck = t._gate(bad_batch)  # no constraints live -> passes
+    t.add_constraint("pos", "n_chars > 0")  # lands AFTER the gate read
+    with _pytest.raises(R.ConstraintViolationError, match="pos"):
+        recheck(0)
+
+    # verb-level: a pre_commit raise aborts the commit AND releases
+    # the claim taken in that call
+    def _land(df, name):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        return sorted(_glob.glob(stage + "/*.parquet"))[0]
+
+    ok = _land(
+        docs.limit(3).select(
+            (F.col("doc_id") + 910000).alias("doc_id"), "lang", "n_chars"
+        ),
+        "ok",
+    )
+
+    class _Abort(RuntimeError):
+        pass
+
+    def _veto(_snap):
+        raise _Abort("rejected inside the claim")
+
+    before = t.scan_with_deletes().count()
+    with _pytest.raises(_Abort):
+        R.append_stats_manifest(
+            spark, [ok], t.manifest_dir, ("doc_id",), pre_commit=_veto
+        )
+    assert t.scan_with_deletes().count() == before, "abort commits nothing"
+    snap_next = t.append([ok])
+    hist = [int(r.snapshot_id) for r in t.history().collect()]
+    assert snap_next == max(h for h in hist if h < snap_next) + 1, (
+        "vetoed commit must not burn/block ids"
+    )
+
+    # merge path: pre_commit veto releases the retry-loop's claim too
+    bad_delta = docs.limit(2).select(
+        "doc_id", "lang", F.lit(-7).cast("long").alias("n_chars")
+    )
+    with _pytest.raises(R.ConstraintViolationError):
+        # gate passes pre-claim only if constraint missing; here 'pos'
+        # is live so the PRE-claim gate already rejects — exercise the
+        # in-claim path directly instead
+        R.merge_with_conflict_retry(
+            spark,
+            t.manifest_dir,
+            bad_delta.withColumn("n_chars", F.lit(5).cast("long")),
+            "doc_id",
+            ["lang", "n_chars"],
+            pre_commit=lambda s: R.enforce_constraints(
+                spark, t.manifest_dir, bad_delta, [("pos", "check", "n_chars > 0")]
+            ),
+        )
+    snap_after = t.append([_land(
+        docs.limit(2).select(
+            (F.col("doc_id") + 920000).alias("doc_id"), "lang", "n_chars"
+        ),
+        "ok2",
+    )])
+    assert snap_after == snap_next + 1, "vetoed merge must not leak its claim"
+
+
+def test_clone_after_expire_reads_live_generation(spark, tmp_path):
+    """Shallow clone of an EXPIRED table (ADVICE r13): after the
+    source's expire the manifest root holds gen-* dirs plus the
+    grace-retained stale flat parquet — clone must read through the
+    generation resolver or it snapshots stale/duplicated rows
+    (resurrecting expired history in the clone)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.table.facade import (
+        GovernedTable,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.logstore import (
+        manifest_data_dir,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "d"),
+        str(tmp_path / "m"),
+        "doc_id",
+        n_files=3,
+    )
+    extra = docs.limit(6).select(
+        (F.col("doc_id") + 950000).alias("doc_id"), "lang"
+    )
+    stage = str(tmp_path / "s")
+    extra.coalesce(1).write.parquet(stage)
+    snap1 = t.append([sorted(_glob.glob(stage + "/*.parquet"))[0]])
+    t.expire(snap1)
+    assert manifest_data_dir(t.manifest_dir) != t.manifest_dir
+
+    clone = t.clone(str(tmp_path / "m_clone"))
+    # the clone sees exactly the source's live world: same files, same
+    # rows — no expired history resurrected, nothing duplicated
+    assert clone.visible_files() == t.visible_files()
+    assert clone.scan_with_deletes().count() == t.scan_with_deletes().count()
+    src_rows = spark.read.parquet(manifest_data_dir(t.manifest_dir)).count()
+    clone_rows = spark.read.parquet(
+        manifest_data_dir(clone.manifest_dir)
+    ).count()
+    assert clone_rows == src_rows, "clone must carry the LIVE manifest only"

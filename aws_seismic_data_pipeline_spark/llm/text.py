@@ -859,6 +859,175 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: merge rounds the BPE TRAINER runs (pinned: the oracle unrolls
+#: exactly this many CTE rounds)
+BPE_TRAIN_ROUNDS = 6
+
+
+def _bpe_merge_round_sql(k: int) -> str:
+    """One unrolled BPE training round as DuckDB CTEs: pair counts
+    over words{k-1}, the round's winning merge, and words{k} with the
+    merge applied greedily left-to-right. The merge fold encodes the
+    symbol sequence as a space-joined string so ``list_reduce``'s
+    same-type accumulator can carry it (symbols are space-split word
+    tokens — they never contain spaces)."""
+    toks = "string_split(acc, ' ')"
+    return f"""
+        pairs{k} AS (
+            SELECT l, r, CAST(SUM(wc) AS BIGINT) AS pair_count
+            FROM (
+                SELECT list_extract(syms, i) AS l,
+                       list_extract(syms, i + 1) AS r,
+                       wc
+                FROM words{k - 1}, unnest(range(1, len(syms))) AS t(i)
+                WHERE len(syms) >= 2
+            )
+            GROUP BY l, r
+        ),
+        win{k} AS (
+            SELECT CAST({k} AS BIGINT) AS merge_rank, l, r, pair_count
+            FROM pairs{k} ORDER BY pair_count DESC, l, r LIMIT 1
+        ),
+        words{k} AS (
+            SELECT CASE WHEN len(syms) < 2 THEN syms
+                ELSE string_split(list_reduce(syms, (acc, x) -> CASE
+                    WHEN list_extract({toks}, -1) = w.l AND x = w.r
+                    THEN CASE WHEN len({toks}) > 1
+                         THEN array_to_string(
+                                  list_slice({toks}, 1, len({toks}) - 1),
+                                  ' ') || ' ' || w.l || w.r
+                         ELSE w.l || w.r END
+                    ELSE acc || ' ' || x END), ' ')
+                END AS syms, wc
+            FROM words{k - 1}, win{k} w
+        )"""
+
+
+def _bpe_train_oracle() -> str:
+    rounds = ",".join(
+        _bpe_merge_round_sql(k) for k in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    finals = " UNION ALL ".join(
+        f"SELECT merge_rank, l AS lhs, r AS rhs, pair_count FROM win{k}"
+        for k in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    return f"""
+        WITH words0 AS (
+            SELECT list_transform(range(1, len(tok) + 1),
+                                  i -> substring(tok, i, 1)) AS syms,
+                   wc
+            FROM (
+                SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc
+                FROM (
+                    SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM documents
+                )
+                WHERE len(tok) >= 1
+                GROUP BY tok
+            )
+        ),
+        {rounds}
+        {finals}
+    """
+
+
+@register(
+    "text_bpe_train",
+    oracle=_bpe_train_oracle(),
+    tags=("llm", "text", "tokenizer", "iterative"),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL BPE tokenizer TRAINING LOOP (Sennrich et al. 2016) —
+    ``text_bpe_pair_counts`` is one candidate-ranking step; this runs
+    ``BPE_TRAIN_ROUNDS`` actual merge rounds and returns the ranked
+    MERGES TABLE (merge_rank, lhs, rhs, pair_count) every real
+    tokenizer pipeline trains and ships. Each round: count adjacent
+    symbol pairs over the word DICTIONARY weighted by word frequency
+    (the vocabulary trick — pair work is |vocab|-sized, never
+    |corpus|-sized), elect the winner (count desc, pair asc — the
+    deterministic tie-break both engines share), and apply the merge
+    greedily left-to-right inside every word's symbol sequence via a
+    single higher-order ``aggregate`` fold (pure JVM expressions, no
+    Python). The winner rides a 1-row broadcast crossJoin into the
+    merge expression, so no round collects anything to the driver;
+    the dictionary re-checkpoints per round (the ``graph_pagerank``
+    iteration pattern — lineage stays round-depth-1). The oracle
+    unrolls the SAME rounds as chained CTEs with the merge fold in
+    ``list_reduce``, so the driver hash pins every elected merge AND
+    its count at every round — a wrong round-k merge shifts rows k..N.
+
+    Scale shape: per round one |vocab|-keyed shuffle for pair counts
+    + one broadcast of a 1-row frame; at 100 TB the corpus is touched
+    ONCE (the initial word count), all training iterations run on the
+    dictionary. Seed: reference has no tokenizer; nearest is filename
+    token splitting (``app.py:328-330``)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") >= 1)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(tok)),"
+                " i -> substring(tok, i, 1))"
+            ).alias("syms"),
+            "wc",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merge_fold = F.expr(
+        """
+        IF(size(syms) < 2, syms,
+           aggregate(slice(syms, 2, size(syms) - 1),
+                     array(element_at(syms, 1)),
+                     (acc, x) -> IF(element_at(acc, -1) = _l AND x = _r,
+                                    concat(slice(acc, 1, size(acc) - 1),
+                                           array(concat(_l, _r))),
+                                    concat(acc, array(x)))))
+        """
+    )
+    winners = []
+    for k in range(1, BPE_TRAIN_ROUNDS + 1):
+        pairs = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) AS l,"
+                        "             element_at(syms, i + 1) AS r))"
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy(F.col("p.l").alias("_l"), F.col("p.r").alias("_r"))
+            .agg(F.sum("wc").cast("long").alias("pair_count"))
+        )
+        top = (
+            pairs.orderBy(F.col("pair_count").desc(), "_l", "_r")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        winners.append(
+            top.select(
+                F.lit(k).cast("long").alias("merge_rank"),
+                F.col("_l").alias("lhs"),
+                F.col("_r").alias("rhs"),
+                "pair_count",
+            )
+        )
+        if k < BPE_TRAIN_ROUNDS:  # last round's merge is never applied
+            words = (
+                words.crossJoin(F.broadcast(top.select("_l", "_r")))
+                .select(merge_fold.alias("syms"), "wc")
+                .localCheckpoint(eager=True)
+            )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionByName(b), winners)
+
+
 #: BM25 hyperparameters (Robertson's defaults) and the demo query
 BM25_K1 = 1.2
 BM25_B = 0.75

@@ -1045,6 +1045,10 @@ from aws_seismic_data_pipeline_spark.sources.table.cdf import (  # noqa: E402,F4
     plan_change_data_feed,
     table_changes,
 )
+from aws_seismic_data_pipeline_spark.sources.table.sqlface import (  # noqa: E402,F401
+    governed_sql,
+    sql_governed_time_travel,
+)
 from aws_seismic_data_pipeline_spark.sources.table.evolution import (  # noqa: E402,F401
     evolve_schema_add,
     plan_schema_evolve,

@@ -22,6 +22,7 @@ import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from aws_seismic_data_pipeline_spark.sources.table.logstore import (
     manifest_data_dir as _mdd,
 )
@@ -152,6 +153,29 @@ class GovernedTable:
         """CDC read: rows whose files arrived in (from, to]."""
         return R.manifest_incremental_scan(
             self.spark, self.manifest_dir, from_snapshot, to_snapshot
+        )
+
+    def sql(
+        self,
+        text: str,
+        args: dict | None = None,
+        name: str = "governed",
+        versions: dict[str, int] | None = None,
+        timestamps: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """Run SQL text against this table: ``<name>`` = current world,
+        ``<name>_history`` = DESCRIBE HISTORY, ``versions`` /
+        ``timestamps`` pin extra ``<name>_<suffix>`` views (VERSION /
+        TIMESTAMP AS OF); ``args`` bind as :named parameters. See
+        table/sqlface.py."""
+        return R.governed_sql(
+            self.spark,
+            self,
+            text,
+            args=args,
+            name=name,
+            versions=versions,
+            timestamps=timestamps,
         )
 
     def changes(self, from_snapshot: int, to_snapshot: int) -> DataFrame:
@@ -360,6 +384,39 @@ class GovernedTable:
             partition_by=self.partition_by,
             pre_commit=recheck,
         )
+
+    def merge_with_delete(
+        self,
+        delta: DataFrame,
+        cols: list[str],
+        delete_where: str,
+        insert_files: int = 1,
+    ) -> tuple[int, int, int, dict]:
+        """Three-clause MERGE (Delta's full form) in ONE snapshot:
+        WHEN MATCHED AND <delete_where> THEN DELETE, WHEN MATCHED THEN
+        UPDATE, WHEN NOT MATCHED (and not delete-flagged) THEN INSERT.
+        Returns (snapshot, n_intersecting, n_rewritten, accounting)
+        where accounting carries per-clause row counts {'updated',
+        'inserted', 'deleted'}. The constraint gate runs over the
+        update/insert rows only — delete rows write no values."""
+        writes = delta.filter(
+            ~F.coalesce(F.expr(delete_where), F.lit(False))
+        )
+        recheck = self._gate(writes)
+        stats: dict = {}
+        snap, n_int, n_rw = R.merge_through_manifest(
+            self.spark,
+            self.manifest_dir,
+            delta,
+            self.key,
+            cols,
+            insert_files=insert_files,
+            partition_by=self.partition_by,
+            pre_commit=recheck,
+            delete_where=delete_where,
+            stats_out=stats,
+        )
+        return snap, n_int, n_rw, stats
 
     def merge_concurrent(
         self, delta: DataFrame, cols: list[str], max_retries: int = 3

@@ -598,6 +598,8 @@ def merge_through_manifest(
     partition_by: tuple[str, ...] = (),
     extra_commit_frames: list[DataFrame] | None = None,
     pre_commit=None,
+    delete_where: str | None = None,
+    stats_out: dict | None = None,
 ) -> tuple[int, int, int]:
     """MERGE committed THROUGH the manifest — the copy-on-write shape
     (Iceberg CoW, Delta MERGE): rewrite ONLY the data files whose
@@ -627,6 +629,17 @@ def merge_through_manifest(
     (snapshot_id, n_files_intersecting, n_files_rewritten);
     rewritten ≤ intersecting is pytest-pinned
     (tests/test_catalog_scale.py).
+
+    ``delete_where`` adds Delta's third clause — ``WHEN MATCHED AND
+    <delete_where> THEN DELETE`` — in the SAME snapshot as the updates
+    and inserts (one transaction, not a merge followed by a separate
+    equality delete at a second snapshot): a boolean SQL expression
+    over the delta's selected columns (key, *cols, partition columns);
+    delta rows satisfying it DELETE their matched base row (the
+    rewrite omits it) and are NEVER inserted when unmatched (Delta's
+    matched-only semantics). ``stats_out``, when passed a dict, is
+    filled with per-clause row accounting: {'updated', 'inserted',
+    'deleted'} — the counts Delta reports as operationMetrics.
 
     Hive-partitioned tables pass ``partition_by``: intersecting files
     are then rewritten PER PARTITION DIRECTORY (a cross-dir rewrite
@@ -671,8 +684,17 @@ def merge_through_manifest(
         )
     )
     sel = [key, *cols] + [c for c in partition_by if c not in (key, *cols)]
-    d = delta.select(*sel).localCheckpoint(eager=True)
-    d_upd = d.select(key, *cols)  # the join never writes partition cols
+    # the matched-delete clause flag rides the checkpointed delta; it
+    # is dropped from every written file below
+    flag = (
+        F.coalesce(F.expr(delete_where), F.lit(False))
+        if delete_where
+        else F.lit(False)
+    )
+    d = delta.select(*sel, flag.alias("_mtm_del")).localCheckpoint(eager=True)
+    # the join never writes partition cols, nor deletes (delete rows
+    # contribute no update values — their matched base rows vanish)
+    d_upd = d.filter(~F.col("_mtm_del")).select(key, *cols)
     # Delta/Iceberg MERGE raises when multiple source rows match one
     # target row; a duplicate delta key here would silently multiply
     # matched base rows through the left join below (row-count inflation
@@ -720,8 +742,19 @@ def merge_through_manifest(
                 by_dir[os.path.dirname(p)].append(p)
         else:
             by_dir = {os.path.dirname(intersecting[0]): intersecting}
+        del_keys = (
+            d.filter(F.col("_mtm_del")).select(key).distinct()
+            if delete_where
+            else None
+        )
         for out_dir, group in by_dir.items():
             touched_g = spark.read.option("mergeSchema", "true").parquet(*group)
+            if del_keys is not None:
+                # WHEN MATCHED ... THEN DELETE: the rewrite simply
+                # omits the matched-deleted rows (anti-join; the key
+                # set is delta-scale — AQE picks broadcast when small,
+                # same policy as the update join)
+                touched_g = touched_g.join(del_keys, key, "left_anti")
             rewritten = (
                 touched_g.alias("b")
                 .join(
@@ -759,7 +792,13 @@ def merge_through_manifest(
             _shutil.rmtree(tmp, ignore_errors=True)
         n_rewritten = len(new_paths)
         touched_keys = spark.read.parquet(*intersecting).select(key)
-        inserts = d.join(touched_keys, key, "left_anti")
+        # unmatched delete-clause rows do nothing (matched-only
+        # semantics); the flag column never reaches a written file
+        inserts = (
+            d.filter(~F.col("_mtm_del"))
+            .join(touched_keys, key, "left_anti")
+            .drop("_mtm_del")
+        )
         sample_path = intersecting[0]
     else:
         # no file can contain any delta key: the whole delta inserts
@@ -767,7 +806,38 @@ def merge_through_manifest(
         if not any_path:
             raise ValueError(f"empty stats manifest at {manifest_dir}")
         sample_path = any_path[0].path
-        inserts = d
+        touched_keys = None
+        inserts = d.filter(~F.col("_mtm_del")).drop("_mtm_del")
+    if stats_out is not None:
+        # per-clause row accounting (Delta's operationMetrics): one
+        # delta-sized agg against the intersecting files' key set
+        if touched_keys is not None:
+            joined = d.join(
+                touched_keys.distinct().withColumn("_m", F.lit(1)),
+                key,
+                "left",
+            )
+        else:
+            joined = d.withColumn("_m", F.lit(None).cast("int"))
+        acc = joined.agg(
+            F.sum(
+                F.when(F.col("_m").isNotNull() & F.col("_mtm_del"), 1)
+                .otherwise(0)
+            ).alias("deleted"),
+            F.sum(
+                F.when(F.col("_m").isNotNull() & ~F.col("_mtm_del"), 1)
+                .otherwise(0)
+            ).alias("updated"),
+            F.sum(
+                F.when(F.col("_m").isNull() & ~F.col("_mtm_del"), 1)
+                .otherwise(0)
+            ).alias("inserted"),
+        ).collect()[0]
+        stats_out.update(
+            updated=int(acc.updated or 0),
+            inserted=int(acc.inserted or 0),
+            deleted=int(acc.deleted or 0),
+        )
     root = _strip_partition_dirs(os.path.dirname(sample_path), partition_by)
     tmp = os.path.join(root, f".merge_{snap}_ins_stage")
     # insert_files=1 suits the common daily-delta ≪ table case; a bulk
@@ -1244,6 +1314,91 @@ def plan_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("o_flag").cast("long").alias("n_flagged"),
                 F.sum("o_flag").alias("sum_flag"),
                 F.sum("o_orderkey").cast("long").alias("sum_key"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+
+@register(
+    "plan_merge_three_clause",
+    oracle="""
+        WITH merged AS (
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 7 = 0 THEN n_chars + 100
+                        ELSE n_chars END AS n_chars
+            FROM documents WHERE doc_id % 5 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000, lang, n_chars
+            FROM documents WHERE doc_id % 13 = 0
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM merged
+        GROUP BY lang
+    """,
+    tags=("plan", "layout", "maintenance"),
+)
+def plan_merge_three_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-CLAUSE MERGE end to end (round-13 verdict item 5): one
+    delta, ONE snapshot, all of Delta's clauses — WHEN MATCHED AND
+    doc_id%5=0 THEN DELETE, WHEN MATCHED THEN UPDATE (+100 chars on
+    doc_id%7 rows), WHEN NOT MATCHED THEN INSERT (doc_id%13 under
+    +1000000 ids). A row both update-shaped and delete-flagged
+    (doc_id%35) DELETES — the clause order Delta evaluates. Before
+    this verb a matched-delete needed a separate ``equality_delete``
+    at a second snapshot: two commits where one transaction is the
+    contract; time travel below the merge sees none of the three
+    clauses (pinned in tests/test_governed_table.py, with per-clause
+    row accounting). The oracle replays the same MERGE relationally,
+    so the driver hash pins deletes, updates, and inserts together.
+    Scale shape identical to ``plan_merge_upsert``: candidacy on the
+    manifest, rewrite O(intersecting + delta), deletes one anti-join
+    inside the already-required rewrite."""
+    import glob as _glob
+
+    from aws_seismic_data_pipeline_spark.catalog import (
+        scratch_cleanup,
+        scratch_path,
+    )
+
+    prepare(spark)
+    data_dir = scratch_path(spark, sf_dir, "merge3_data")
+    mpath = scratch_path(spark, sf_dir, "merge3_manifest")
+    with scratch_cleanup(data_dir, mpath):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        docs.repartition(4, "doc_id").write.mode("overwrite").parquet(
+            data_dir
+        )
+        files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
+        write_stats_manifest(spark, files, mpath, ("doc_id",))
+        delta = (
+            docs.filter(
+                (F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 5 == 0)
+            )
+            .withColumn("n_chars", F.col("n_chars") + F.lit(100))
+            .unionByName(
+                docs.filter(F.col("doc_id") % 13 == 0).withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(1000000)
+                )
+            )
+        )
+        merge_through_manifest(
+            spark,
+            mpath,
+            delta,
+            "doc_id",
+            ["lang", "n_chars"],
+            delete_where="doc_id % 5 = 0 AND doc_id < 1000000",
+        )
+        return (
+            manifest_pruned_scan(spark, mpath, "doc_id", 0, 2**62)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
             )
             .localCheckpoint(eager=True)
         )

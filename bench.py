@@ -187,6 +187,15 @@ HEADLINE = [
     "plan_merge_schema_evolution",
     "scan_manifest_pruned_rowgroup",
     "plan_optimize_hilbert",
+    # round-14: derived Change Data Feed (merge + delete staged in the
+    # window), three-clause MERGE (matched-delete in the same
+    # snapshot), the governed table's SQL face (time travel + history
+    # through spark.sql text), and the full BPE training loop
+    # (dictionary-sized rounds, corpus touched once)
+    "plan_change_data_feed",
+    "plan_merge_three_clause",
+    "sql_governed_time_travel",
+    "text_bpe_train",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

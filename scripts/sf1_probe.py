@@ -45,6 +45,13 @@ SLOTS = [
     "scan_manifest_count_only",
     "dedup_embedding_lsh",
     "text_kneser_ney_trigram",
+    # r14 (verdict item 7): the one multi-stage composition the r13
+    # probe didn't cover — its stages are individually probed above,
+    # this pins the COMPOSITION's scaling
+    "curate_release_pipeline",
+    # r14: the new iterative trainer — corpus touched once, rounds run
+    # on the dictionary, so the ratio should be well UNDER 10x
+    "text_bpe_train",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

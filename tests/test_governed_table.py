@@ -1017,3 +1017,155 @@ def test_clone_after_expire_reads_live_generation(spark, tmp_path):
         manifest_data_dir(clone.manifest_dir)
     ).count()
     assert clone_rows == src_rows, "clone must carry the LIVE manifest only"
+
+
+def test_merge_with_delete_three_clause(spark, tmp_path):
+    """Three-clause MERGE (round-13 verdict item 5): matched-delete,
+    matched-update, and unmatched-insert land at ONE snapshot with
+    per-clause row accounting; an unmatched delete-flagged row is a
+    no-op (Delta's matched-only semantics); time travel below the
+    commit sees none of the clauses; the Change Data Feed reports all
+    three change kinds at that single snapshot."""
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.table.facade import (
+        GovernedTable,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "doc_id",
+        n_files=4,
+    )
+    n0 = docs.count()
+    n_del = docs.filter(F.col("doc_id") % 5 == 0).count()
+    n_upd = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0)
+    ).count()
+    n_ins = docs.filter(F.col("doc_id") % 13 == 0).count()
+    delta = (
+        docs.filter((F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 5 == 0))
+        .withColumn("n_chars", F.col("n_chars") + F.lit(100))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1000000)
+            )
+        )
+        .unionByName(  # unmatched delete-flagged: must be a NO-OP
+            spark.createDataFrame(
+                [(999995, "xx", 1)], "doc_id long, lang string, n_chars long"
+            )
+        )
+    )
+    snap, n_int, n_rw, acc = t.merge_with_delete(
+        delta, ["lang", "n_chars"], "doc_id % 5 = 0 AND doc_id < 1000000"
+    )
+    # per-clause accounting: the unmatched flagged row (5000005, %5=0)
+    # is counted nowhere
+    assert acc == {"updated": n_upd, "inserted": n_ins, "deleted": n_del}
+    assert n_rw <= n_int
+
+    cur = t.scan()
+    assert cur.count() == n0 - n_del + n_ins
+    assert cur.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 1000000)).count() == 0
+    assert cur.filter(F.col("doc_id") == 999995).count() == 0, (
+        "unmatched delete-flagged row must not insert"
+    )
+    # updated rows carry +100; a %35 row (update-shaped AND flagged) is
+    # deleted — the delete clause wins
+    upd = cur.join(
+        docs.select("doc_id", F.col("n_chars").alias("orig")), "doc_id"
+    ).filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0))
+    assert upd.filter(F.col("n_chars") != F.col("orig") + 100).count() == 0
+
+    # time travel below the commit: none of the three clauses visible
+    before = t.scan(as_of=snap - 1)
+    assert before.count() == n0
+    assert before.filter(F.col("doc_id") >= 1000000).count() == 0
+
+    # CDF: all three change kinds at the one snapshot
+    ch = {
+        r._change_type: int(r.n)
+        for r in t.changes(snap - 1, snap)
+        .groupBy("_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert ch == {
+        "update_preimage": n_upd,
+        "update_postimage": n_upd,
+        "insert": n_ins,
+        "delete": n_del,
+    }
+
+
+def test_sql_face_matches_facade_paths(spark, tmp_path):
+    """The SQL face (round-13 verdict item 6) returns byte-identical
+    worlds to the facade calls it wraps: current, VERSION AS OF,
+    TIMESTAMP AS OF, and DESCRIBE HISTORY — plus :named parameter
+    binding through the sql_parameterized machinery."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.table.facade import (
+        GovernedTable,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "doc_id",
+        n_files=3,
+    )
+    extra = docs.limit(8).select(
+        (F.col("doc_id") + 650000).alias("doc_id"), "lang", "n_chars"
+    )
+    stage = str(tmp_path / "s")
+    extra.coalesce(1).write.parquet(stage)
+    snap1 = t.append([sorted(_glob.glob(stage + "/*.parquet"))[0]])
+    del_keys = [r.doc_id for r in docs.limit(4).select("doc_id").collect()]
+    t.delete_keys(del_keys)
+
+    # current world through SQL == facade scan_with_deletes
+    got = t.sql("SELECT COUNT(*) AS n FROM governed").collect()[0].n
+    assert got == t.scan_with_deletes().count()
+
+    # VERSION AS OF through SQL == facade as_of
+    v0 = t.sql(
+        "SELECT COUNT(*) AS n FROM governed_v0",
+        versions={"v0": 0},
+    ).collect()[0].n
+    assert v0 == docs.count()
+
+    # TIMESTAMP AS OF resolved through commit clocks
+    ts1 = (
+        t.history()
+        .filter(F.col("snapshot_id") == snap1)
+        .select("commit_ts")
+        .collect()[0][0]
+    )
+    at1 = t.sql(
+        "SELECT COUNT(*) AS n FROM governed_t1",
+        timestamps={"t1": float(ts1)},
+    ).collect()[0].n
+    assert at1 == docs.count() + 8
+
+    # DESCRIBE HISTORY + parameter binding
+    h = t.sql(
+        "SELECT COUNT(*) AS n FROM governed_history"
+        " WHERE snapshot_id >= :floor",
+        args={"floor": 0},
+    ).collect()[0].n
+    assert h == 3  # create, append, delete

@@ -51,6 +51,7 @@ COLLECT_ALLOWED = {
     "sources/table/commit.py",  # snapshot max() 1-row agg
     "sources/table/constraints.py",  # |constraints|-row pyarrow-fallback read + 1-row gate agg
     "sources/table/cdf.py",  # commit inventory + candidate path frames
+    "sources/table/sqlface.py",  # fixture delete keys + 1-row commit clock
     "sources/table/manifest.py",  # metadata-scale path/stats frames
     "sources/table/evolution.py",
     "sources/table/deletes.py",

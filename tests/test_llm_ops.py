@@ -1045,3 +1045,60 @@ def test_pairwise_library_verdict_matches_approx_similarity_join(spark):
     assert set(got) == set(truth)
     for p, s in truth.items():
         assert abs(got[p] - s) < 1e-9, (p, got[p], s)
+
+
+def test_bpe_train_greedy_merge_semantics(spark):
+    """The BPE trainer's merge fold is GREEDY LEFT-TO-RIGHT and
+    non-overlapping (Sennrich et al.): for pair (a,a), 'aaaa' merges
+    to [aa, aa] and 'aaa' to [aa, a]; merged symbols immediately
+    participate in later comparisons only as whole symbols."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(list("aaaa"),), (list("aaa"),), (list("baab"),), (["x"],)],
+        "syms array<string>",
+    ).crossJoin(
+        spark.createDataFrame([("a", "a")], "_l string, _r string")
+    )
+    merge_fold = F.expr(
+        """
+        IF(size(syms) < 2, syms,
+           aggregate(slice(syms, 2, size(syms) - 1),
+                     array(element_at(syms, 1)),
+                     (acc, x) -> IF(element_at(acc, -1) = _l AND x = _r,
+                                    concat(slice(acc, 1, size(acc) - 1),
+                                           array(concat(_l, _r))),
+                                    concat(acc, array(x)))))
+        """
+    )
+    got = {
+        tuple(r.before): r.after
+        for r in df.select(
+            F.col("syms").alias("before"), merge_fold.alias("after")
+        ).collect()
+    }
+    assert got[tuple("aaaa")] == ["aa", "aa"]
+    assert got[tuple("aaa")] == ["aa", "a"]
+    assert got[tuple("baab")] == ["b", "aa", "b"]
+    assert got[("x",)] == ["x"]
+
+
+def test_bpe_train_rounds_pinned(spark):
+    """text_bpe_train returns exactly BPE_TRAIN_ROUNDS merges, ranks
+    1..N, counts non-increasing is NOT required (later rounds count a
+    rewritten dictionary), but every (lhs, rhs) must be distinct and
+    every count positive."""
+    from aws_seismic_data_pipeline_spark.llm.text import (
+        BPE_TRAIN_ROUNDS,
+        text_bpe_train,
+    )
+
+    from .conftest import SF_DIR
+
+    rows = text_bpe_train(spark, SF_DIR).collect()
+    assert len(rows) == BPE_TRAIN_ROUNDS
+    assert sorted(r.merge_rank for r in rows) == list(
+        range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    assert len({(r.lhs, r.rhs) for r in rows}) == BPE_TRAIN_ROUNDS
+    assert all(r.pair_count > 0 for r in rows)

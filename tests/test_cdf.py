@@ -174,3 +174,46 @@ def test_cdf_append_and_retention_delete(spark, tmp_path):
     snap_rm = remove_from_manifest(spark, t.manifest_dir, [new_path])
     rm = t.changes(snap_app, snap_rm)
     assert _changes_by_type(rm) == {"delete": n_removed}
+
+
+def test_cdf_delete_preimages_prune_candidate_files(spark, tmp_path):
+    """The delete-preimage path must open only files whose footer-stats
+    key range can contain a deleted key (the merge candidacy pattern)
+    — on a range-clustered table a tight delete-key cluster reads a
+    strict subset of files. Also pins the diff plan: a full-outer
+    sort-merge join on the key, never a cartesian."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.table.facade import (
+        GovernedTable,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "d"),
+        str(tmp_path / "m"),
+        "doc_id",
+        n_files=8,  # range-clustered: keys cluster per file
+    )
+    lo = [r.doc_id for r in docs.orderBy("doc_id").limit(3).collect()]
+    snap = t.delete_keys(lo)  # keys from the LOWEST range file only
+    ch = t.changes(snap - 1, snap)
+    n_total_files = len(t.visible_files(as_of=snap - 1))
+    opened = {f for f in ch.inputFiles()}
+    assert len(opened) < n_total_files, (
+        f"delete preimages opened {len(opened)}/{n_total_files} files — "
+        "stats candidacy is not pruning"
+    )
+    assert ch.count() == 3
+
+    # diff plan shape: full-outer SMJ on the key, no cartesian
+    upd = docs.limit(5).withColumn("n_chars", F.col("n_chars") + F.lit(1))
+    t.merge(upd, ["lang", "n_chars"])
+    plan = t.changes(snap, snap + 1)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

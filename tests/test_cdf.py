@@ -205,7 +205,9 @@ def test_cdf_delete_preimages_prune_candidate_files(spark, tmp_path):
     snap = t.delete_keys(lo)  # keys from the LOWEST range file only
     ch = t.changes(snap - 1, snap)
     n_total_files = len(t.visible_files(as_of=snap - 1))
-    opened = {f for f in ch.inputFiles()}
+    # inputFiles() also lists the manifest's own parquet (the delete-
+    # record subtraction reads it) — count DATA files only
+    opened = {f for f in ch.inputFiles() if "/d/" in f}
     assert len(opened) < n_total_files, (
         f"delete preimages opened {len(opened)}/{n_total_files} files — "
         "stats candidacy is not pruning"

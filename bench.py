@@ -818,9 +818,26 @@ HOST_FACTOR_RECORD_MAX = 1.3
 #: divide out the measured factor against the all-time-best boot), and
 #: slow-boot timings can never lower the best-prior table (min only).
 BOOT_AGREE_MEDIAN = 0.10  # median per-slot cross-run agreement bound
-BOOT_AGREE_SLOT = 0.20  # per-slot bound; all but one slot must satisfy
-BOOT_RELSPREAD_MAX = 0.8  # median (max-min)/min over 5 trials, per slot
+BOOT_AGREE_SLOT = 0.20  # per-slot UPPER bound; all but one must satisfy
+#: Median (max-min)/min over the 5 trials, per calibration slot. The
+#: r14 measurements on this box: its stable ~1.4x phase shows medians
+#: 0.81/0.82/0.99 across three runs spanning hours, while genuinely
+#: loaded runs (host_factor 1.86/2.06 with per-slot spreads up to 6x
+#: the minimum) measure 1.04/1.64 — 1.0 splits the two populations.
+BOOT_RELSPREAD_MAX = 1.0
 BOOT_HF_AGREE = 0.15  # the two runs' host factors must also agree
+BOOT_EVIDENCE_LOOKBACK = 5  # evidence entries scanned, newest first
+
+
+def _median_relspread(
+    timings: dict[str, float], spreads: dict[str, float]
+) -> float | None:
+    rels = sorted(
+        spreads[c] / timings[c]
+        for c in CALIBRATION_SLOTS
+        if timings.get(c) and spreads.get(c) is not None
+    )
+    return rels[len(rels) // 2] if rels else None
 
 
 def _boot_rebase_evidence(
@@ -831,17 +848,25 @@ def _boot_rebase_evidence(
     host_factor: float,
 ) -> dict | None:
     """Admit a host_factor-refused run as a PERSISTENT UNIFORM boot
-    slowdown, or return None (stay refused). Requires: (a) a prior
-    same-sf evidence entry — the latest ``refused`` or already
-    ``boot_rebase``-admitted run; (b) the current run internally quiet
-    (median relative trial spread over the calibration slots <=
-    BOOT_RELSPREAD_MAX — co-tenant spikes blow individual trials up,
-    a slow boot slows all five evenly); (c) per-slot agreement: this
-    run's calibration minima within BOOT_AGREE_SLOT of the evidence
-    run's (one outlier allowed), median within BOOT_AGREE_MEDIAN;
-    (d) the two runs' host factors within BOOT_HF_AGREE. Returns the
-    evidence record written into the admitted entry."""
-    ev = None
+    slowdown, or return None (stay refused). Scans the last
+    BOOT_EVIDENCE_LOOKBACK same-sf evidence entries (``refused`` or
+    already ``boot_rebase``-admitted), newest first, skipping loud
+    ones — an interleaved co-tenant-loaded run must not reset the
+    chain two quiet runs establish. Admission against a candidate
+    requires: (a) BOTH runs internally quiet (median relative trial
+    spread over the calibration slots <= BOOT_RELSPREAD_MAX —
+    co-tenant spikes blow individual trials up, a slow boot slows all
+    five evenly); (b) per-slot minima agreement: median within
+    BOOT_AGREE_MEDIAN, and at most one slot SLOWER than the evidence
+    by more than BOOT_AGREE_SLOT — the bound is one-sided because
+    load only ever INFLATES a best-of-N minimum: a slot where this
+    run is faster proves the evidence run's floor was dirty, not this
+    one's (measured r14: two consecutive quiet runs agreed at median
+    1.003 with two slots 0.62x — spikes had hit all five of the older
+    run's trials on exactly those slots); (c) host factors within
+    BOOT_HF_AGREE. Returns the evidence record written into the
+    admitted entry."""
+    candidates: list[dict] = []
     try:
         with open(history_path) as fh:
             for line in fh:
@@ -852,41 +877,42 @@ def _boot_rebase_evidence(
                 if rec.get("sf") != sf_val or rec.get("ts") in POISONED_RUNS:
                     continue
                 if rec.get("refused") or rec.get("boot_rebase"):
-                    ev = rec  # latest evidence wins
+                    candidates.append(rec)
     except OSError:
         return None
-    if ev is None:
+    own_rel = _median_relspread(timings, spreads)
+    if own_rel is None or own_rel > BOOT_RELSPREAD_MAX:
         return None
-    rels = sorted(
-        spreads[c] / timings[c]
-        for c in CALIBRATION_SLOTS
-        if timings.get(c) and spreads.get(c) is not None
-    )
-    if not rels or rels[len(rels) // 2] > BOOT_RELSPREAD_MAX:
-        return None
-    ev_q = ev.get("queries", {})
-    ratios = sorted(
-        timings[c] / ev_q[c]
-        for c in CALIBRATION_SLOTS
-        if timings.get(c) and ev_q.get(c)
-    )
-    if len(ratios) < 6:
-        return None
-    med = ratios[len(ratios) // 2]
-    if abs(med - 1.0) > BOOT_AGREE_MEDIAN:
-        return None
-    outliers = sum(1 for v in ratios if abs(v - 1.0) > BOOT_AGREE_SLOT)
-    if outliers > 1:
-        return None
-    ev_hf = ev.get("host_factor")
-    if ev_hf and abs(host_factor / ev_hf - 1.0) > BOOT_HF_AGREE:
-        return None
-    return {
-        "factor": host_factor,
-        "evidence_ts": ev.get("ts"),
-        "median_agreement": round(med, 3),
-        "median_relspread": round(rels[len(rels) // 2], 3),
-    }
+    for ev in reversed(candidates[-BOOT_EVIDENCE_LOOKBACK:]):
+        ev_rel = _median_relspread(
+            ev.get("queries", {}), ev.get("spread", {})
+        )
+        if ev_rel is not None and ev_rel > BOOT_RELSPREAD_MAX:
+            continue  # loud evidence: skip, keep scanning older
+        ev_q = ev.get("queries", {})
+        ratios = sorted(
+            timings[c] / ev_q[c]
+            for c in CALIBRATION_SLOTS
+            if timings.get(c) and ev_q.get(c)
+        )
+        if len(ratios) < 6:
+            continue
+        med = ratios[len(ratios) // 2]
+        if abs(med - 1.0) > BOOT_AGREE_MEDIAN:
+            continue
+        slower = sum(1 for v in ratios if v - 1.0 > BOOT_AGREE_SLOT)
+        if slower > 1:
+            continue
+        ev_hf = ev.get("host_factor")
+        if ev_hf and abs(host_factor / ev_hf - 1.0) > BOOT_HF_AGREE:
+            continue
+        return {
+            "factor": host_factor,
+            "evidence_ts": ev.get("ts"),
+            "median_agreement": round(med, 3),
+            "median_relspread": round(own_rel, 3),
+        }
+    return None
 
 #: History entries retro-adjudicated INADMISSIBLE as gate evidence and
 #: skipped by both the best-prior table and the gate's recent/prior

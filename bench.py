@@ -934,6 +934,76 @@ def _boot_rebase_evidence(
 POISONED_RUNS = {1786854354.8555055, 1786860546.5076127}
 
 
+def retro_admit_refused(history_path: str) -> list[dict]:
+    """One-shot documented retro-adjudication (the data-driven mirror
+    of POISONED_RUNS): re-evaluate every stored ``refused`` evidence
+    entry with the SAME admission predicate live runs use
+    (:func:`_boot_rebase_evidence`), against strictly OLDER evidence
+    only, and promote entries that satisfy it to recorded
+    ``boot_rebase`` entries (marked ``"retro": true``).
+
+    Why this exists: the two-quiet-runs-agree condition can be
+    SATISFIED BY entries that were refused before the predicate (or a
+    fix to it) landed — r14 measured runs 3 and 5 agreeing at median
+    1.003 with relspreads 0.81/0.82, but run 5 was refused because
+    the then-current scan compared only against the latest evidence
+    (the LOUD run 4); the lookback fix landed one commit later. The
+    timings are already the stored measurement; only the admission
+    decision is re-run. Returns the promoted entries."""
+    import tempfile
+
+    lines: list[str] = []
+    with open(history_path) as fh:
+        lines = fh.readlines()
+    promoted: list[dict] = []
+    out_lines: list[str] = []
+    prefix_path = None
+    with tempfile.NamedTemporaryFile(
+        "w", dir=os.path.dirname(os.path.abspath(history_path)),
+        suffix=".prefix", delete=False,
+    ) as pf:
+        prefix_path = pf.name
+    try:
+        for line in lines:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                out_lines.append(line)
+                continue
+            if rec.get("refused") and rec.get("ts") not in POISONED_RUNS:
+                # evidence visible to this entry = everything ALREADY
+                # written to the prefix file (strictly older lines,
+                # with earlier promotions applied, as a live run at
+                # that moment would have seen)
+                with open(prefix_path, "w") as pf:
+                    pf.writelines(out_lines)
+                got = _boot_rebase_evidence(
+                    prefix_path,
+                    rec.get("sf"),
+                    rec.get("queries", {}),
+                    rec.get("spread", {}),
+                    rec.get("host_factor", 0.0),
+                )
+                if got is not None:
+                    rec.pop("refused", None)
+                    rec["boot_rebase"] = dict(got, retro=True)
+                    promoted.append(rec)
+                    out_lines.append(json.dumps(rec) + "\n")
+                    continue
+            out_lines.append(line)
+    finally:
+        try:
+            os.remove(prefix_path)
+        except OSError:
+            pass
+    if promoted:
+        tmp = history_path + ".retro_tmp"
+        with open(tmp, "w") as fh:
+            fh.writelines(out_lines)
+        os.replace(tmp, history_path)
+    return promoted
+
+
 def _admissible(host_factor: float) -> bool:
     """Is a run recorded at this host factor admissible as
     regression-gate evidence? (See HOST_FACTOR_RECORD_MAX.)"""

@@ -278,3 +278,47 @@ def test_boot_rebase_admits_persistent_uniform_slowdown(tmp_path):
     )
     got = _boot_rebase_evidence(hist, 0.1, ev_times, tight, 1.58)
     assert got is not None and got["evidence_ts"] == 200.0
+
+
+def test_retro_admit_refused_promotes_agreeing_quiet_pair(tmp_path):
+    """retro_admit_refused applies the SAME admission predicate to
+    stored refused entries against strictly-older evidence: in a
+    quiet / loud / quiet history where the second quiet run agrees
+    with the first, the second is promoted (marked retro) and the
+    loud one stays refused; re-running is idempotent."""
+    import json as _json
+
+    from bench import retro_admit_refused
+
+    cal = list(CALIBRATION_SLOTS)
+    hist = str(tmp_path / "h.jsonl")
+    quiet1 = {
+        "ts": 100.0, "sf": 0.1,
+        "queries": {c: 1.6 for c in cal},
+        "spread": {c: 0.4 for c in cal},
+        "host_factor": 1.6, "refused": True,
+    }
+    loud = {
+        "ts": 150.0, "sf": 0.1,
+        "queries": {c: 3.2 for c in cal},
+        "spread": {c: 6.0 for c in cal},
+        "host_factor": 2.2, "refused": True,
+    }
+    quiet2 = {
+        "ts": 200.0, "sf": 0.1,
+        "queries": {c: 1.65 for c in cal},
+        "spread": {c: 0.45 for c in cal},
+        "host_factor": 1.62, "refused": True,
+    }
+    _write_history(hist, [quiet1, loud, quiet2])
+    promoted = retro_admit_refused(hist)
+    assert [p["ts"] for p in promoted] == [200.0]
+    assert promoted[0]["boot_rebase"]["retro"] is True
+    assert promoted[0]["boot_rebase"]["evidence_ts"] == 100.0
+    recs = [_json.loads(l) for l in open(hist)]
+    assert [bool(r.get("refused")) for r in recs] == [True, True, False]
+    assert recs[2].get("boot_rebase", {}).get("retro") is True
+    # idempotent: nothing left to promote
+    assert retro_admit_refused(hist) == []
+    # the first quiet run (no older evidence) was NOT promoted
+    assert recs[0].get("boot_rebase") is None

@@ -1927,17 +1927,46 @@ def curate_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(F.broadcast(near))
 
 
-#: sign-LSH geometry for dedup_embedding_lsh: 6 bands of 3 hyperplane
-#: bits each (18 hyperplanes total) over the 64-dim embeddings — the
-#: banded OR-of-ANDs construction: vectors are candidates if ANY band's
-#: 3-bit bucket matches. At the fixture's tau=0.18 (theta ~ 80deg) a
-#: single band collides with p=(1-theta/pi)^3 ~ 0.18 and six bands
-#: lift recall to ~0.69 — a SINGLE 8-bit signature (the first landing)
-#: collides at 0.56^8 ~ 1%, measured 2.6% recall, hence the bands.
+#: sign-LSH geometry for dedup_embedding_lsh: BANDS bands of ROWS
+#: hyperplane bits each over the 64-dim embeddings — the banded
+#: OR-of-ANDs construction: vectors are candidates if ANY band's
+#: ROWS-bit bucket matches. The geometry SCALES WITH CORPUS SIZE
+#: (r14 verdict item 1 — a fixed 3-bit bucket space makes the
+#: in-bucket pair join Θ(n²/8)): ROWS is the smallest b >= 3 with
+#: _SLSH_TARGET * 2**b >= n (so the average band bucket holds about
+#: _SLSH_TARGET/2 .. _SLSH_TARGET vectors no matter how big the
+#: corpus gets, and the per-band pair work is O(n * TARGET), linear
+#: in n), capped at 20 bits; BANDS = ROWS + 3 recovers part of the
+#: recall the extra bits cost (one extra OR per extra AND-bit — the
+#: standard Charikar banding trade; holding the FULL ~0.69 recall at
+#: tau=0.18 (theta ~ 80deg, per-plane p=0.558 vs 0.5 for random
+#: pairs) would need bands ~ 0.558^-b, i.e. total work n^(1+rho)
+#: with rho = ln .558/ln .5 ~ 0.84 — near-quadratic, the documented
+#: LSH lower bound for so loose a threshold. The linear-work
+#: geometry instead GRADES recall by similarity: at b=7/B=10 a
+#: cosine-0.9 pair survives w.p. ~0.99, cosine-0.7 ~0.75, while
+#: threshold-marginal 0.18-pairs fall to ~0.16 — the actually-
+#: duplicate mass is retained, the near-random tail is shed.)
+#: At the fixture scales (n <= 2000 => b=3, B=6) the geometry is
+#: bit-identical to the original 6x3 design: a single band collides
+#: at tau with p=0.558^3 ~ 0.18, six bands lift recall to ~0.69 —
+#: a SINGLE 8-bit signature (the first landing) collides at
+#: 0.56^8 ~ 1%, measured 2.6% recall, hence the bands.
 #: LCG constants are glibc's.
-_SLSH_BANDS = 6
-_SLSH_ROWS = 3
+_SLSH_TARGET = 250
 _SLSH_DIM = 64
+
+
+def _slsh_geometry(n_vectors: int) -> tuple[int, int]:
+    """(bands, rows) for a corpus of ``n_vectors`` — the same integer
+    arithmetic the DuckDB oracle runs inline (``_SLSH_DUCK_GEO``), so
+    both engines always agree exactly: rows = smallest b in [3, 20]
+    with TARGET * 2^b >= n; bands = rows + 3."""
+    rows = 3
+    while rows < 20 and _SLSH_TARGET * (1 << rows) < n_vectors:
+        rows += 1
+    return rows + 3, rows
+
 
 #: the engine-portable band buckets: hyperplane h = j*ROWS + i feeds
 #: band j's bit i; components derive from an LCG over (h*D + d) —
@@ -1946,7 +1975,7 @@ _SLSH_DIM = 64
 #: fold in BOTH engines (Spark ``aggregate``, DuckDB ``list_reduce``),
 #: making the dot — and hence the sign — bit-identical too, not merely
 #: close (prototyped: all sf0.01 signatures agree exactly)
-_SLSH_SPARK = """
+_SLSH_SPARK_TPL = """
   transform(sequence(0,{l1}), j ->
     aggregate(sequence(0,{r1}), 0L, (acc, i) -> acc +
       CASE WHEN aggregate(
@@ -1956,33 +1985,52 @@ _SLSH_SPARK = """
                / cast(2147483648 as double) - cast(0.5 as double))),
           cast(0 as double), (a, x) -> a + x) >= cast(0 as double)
       THEN shiftleft(1L, i) ELSE 0L END))
-""".format(l1=_SLSH_BANDS - 1, r1=_SLSH_ROWS - 1, d1=_SLSH_DIM - 1,
-           r=_SLSH_ROWS, d=_SLSH_DIM)
+"""
 
+
+def _slsh_spark_expr(bands: int, rows: int) -> str:
+    return _SLSH_SPARK_TPL.format(
+        l1=bands - 1, r1=rows - 1, d1=_SLSH_DIM - 1, r=rows, d=_SLSH_DIM
+    )
+
+
+#: oracle-side geometry: nrows derived from COUNT(*) with the exact
+#: integer recurrence of ``_slsh_geometry`` (count the doublings of
+#: TARGET*2^3 that stay below n); referenced as the ``geo`` CTE
+_SLSH_DUCK_GEO = f"""
+        geo AS (
+            SELECT 3 + (SELECT COUNT(*) FROM generate_series(0, 16) g(k)
+                        WHERE {_SLSH_TARGET} * (1::BIGINT << (3 + k)) <
+                              (SELECT COUNT(*) FROM embeddings)) AS nrows
+        )
+"""
+
+#: band signatures with the dynamic geometry: bands = nrows + 3, so
+#: every loop bound is an expression over the geo CTE's nrows column
 _SLSH_DUCK = """
-  list_transform(generate_series(0,{l1}), j ->
-    CAST(list_sum(list_transform(generate_series(0,{r1}), i ->
+  list_transform(generate_series(0, nrows + 2), j ->
+    CAST(list_sum(list_transform(generate_series(0, nrows - 1), i ->
       CASE WHEN list_reduce(
           list_transform(generate_series(0,{d1}), d ->
             CAST(embedding[d+1] AS DOUBLE) *
-            (((1103515245*((j*{r}+i)*{d}+d)+12345) % 2147483648)
+            (((1103515245*((j*nrows+i)*{d}+d)+12345) % 2147483648)
                / CAST(2147483648 AS DOUBLE) - CAST(0.5 AS DOUBLE))),
           (a,b) -> a+b) >= 0
       THEN (1<<i) ELSE 0 END)) AS BIGINT))
-""".format(l1=_SLSH_BANDS - 1, r1=_SLSH_ROWS - 1, d1=_SLSH_DIM - 1,
-           r=_SLSH_ROWS, d=_SLSH_DIM)
+""".format(d1=_SLSH_DIM - 1, d=_SLSH_DIM)
 
 
 @register(
     "dedup_embedding_lsh",
     oracle=f"""
-        WITH sig AS (
-            SELECT vec_id, embedding, {_SLSH_DUCK} AS bands
-            FROM embeddings
+        WITH {_SLSH_DUCK_GEO},
+        sig AS (
+            SELECT vec_id, embedding, nrows, {_SLSH_DUCK} AS bands
+            FROM embeddings, geo
         ),
         exploded AS (
             SELECT vec_id, embedding, j AS band, bands[j+1] AS bucket
-            FROM sig, unnest(generate_series(0, {_SLSH_BANDS - 1})) t(j)
+            FROM sig, unnest(generate_series(0, nrows + 2)) t(j)
         )
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
                ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
@@ -2002,34 +2050,52 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding column — the DATA-INDEPENDENT sibling of
     ``dedup_embedding_cosine``: that operator blocks on the fixture's
     cluster label (an IVF-style crutch a raw corpus doesn't have);
-    this one derives 6 banded 3-bit buckets from the signs of 18
-    pseudo-random hyperplane projections (Charikar 2002; the banded
-    OR-construction of ``dedup_minhash_banded``), scores each band
-    bucket's pairs with the exact gram kernel, keeps cosine ≥ 0.18,
-    and dedups pairs surfaced by several bands. Hyperplanes come from
-    an integer LCG scaled by exact 2^31, and both engines fold the
-    projection strictly left-to-right, so signatures are BIT-identical
-    cross-engine — the oracle checks the complete LSH pipeline, not a
-    rounded approximation of it. tests/test_llm_ops.py pins recall of
-    the true (label-blocked) near-dup pairs (measured 0.59/0.62 at
-    sf0.001/0.01 vs the ~0.69 Charikar bound) AND the reverse: the
-    label blocker structurally misses cross-label near-dups, which the
+    this one derives banded sign buckets from pseudo-random hyperplane
+    projections (Charikar 2002; the banded OR-construction of
+    ``dedup_minhash_banded``), scores each band bucket's pairs with
+    the exact gram kernel, keeps cosine ≥ 0.18, and dedups pairs
+    surfaced by several bands. The geometry scales with the corpus
+    (``_slsh_geometry``): bits-per-band b is the smallest value with
+    TARGET·2^b ≥ n (so band buckets hold ~TARGET vectors at ANY n and
+    the in-bucket pair work is O(n·TARGET) per band — never Θ(n²/8)),
+    bands = b+3 trade one extra OR per extra AND-bit; at the fixture
+    scales (n ≤ 2000) this is exactly the original 6 bands × 3 bits.
+    Hyperplanes come from an integer LCG scaled by exact 2^31, and
+    both engines fold the projection strictly left-to-right, so
+    signatures are BIT-identical cross-engine at every geometry — the
+    oracle recomputes b from COUNT(*) with the same integer recurrence
+    and checks the complete LSH pipeline, not a rounded approximation
+    of it. tests/test_llm_ops.py pins recall of the true
+    (label-blocked) near-dup pairs (measured 0.59/0.62 at sf0.001/0.01
+    vs the ~0.69 Charikar bound) AND the reverse: the label blocker
+    structurally misses cross-label near-dups, which the
     data-independent bands surface at ~6x the label-blocked pair count
     — every one exact-verified before emission.
 
-    Scale shape: signatures are one map-only expression pass (~1.2k
-    fused multiply-adds per row inside codegen, no Python); the band
-    explode is ×6; the pair space collapses from n² to
-    Σ_bands Σ bucket², scored by one Arrow-batched gram matrix per
+    Scale shape: signatures are one map-only expression pass (B·b·64
+    fused multiply-adds per row inside codegen, no Python — 1.2k at
+    the base geometry, ~4.5k at n=20k); the band explode is ×B; the
+    pair space collapses from n² to Σ_bands Σ bucket² ≈ B·n·TARGET
+    (linear in n by construction — the bucket space doubles whenever
+    the corpus does), scored by one Arrow-batched gram matrix per
     (band, bucket) cell; the pair-level DISTINCT shuffles only
-    surviving candidates. Recall/bucket-size trades tune (BANDS, ROWS)
-    exactly as in the MinHash family."""
+    surviving candidates. Holding the full 0.69 recall at so loose a
+    threshold (tau=0.18 is barely off random) would cost n^1.84 by
+    the LSH rho-exponent — the linear geometry instead grades recall
+    by similarity (cosine-0.9 pairs ~0.99, threshold-marginal ~0.16
+    at b=7), the right trade for dedup where the high-cosine mass is
+    the target; see the geometry comment above."""
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # geometry from the corpus size (one metadata-cheap count job);
+    # the oracle derives the SAME integers from COUNT(*) inline
+    bands_n, rows_n = _slsh_geometry(emb.count())
     sig = emb.select(
-        "vec_id", "embedding", F.expr(_SLSH_SPARK).alias("bands")
+        "vec_id",
+        "embedding",
+        F.expr(_slsh_spark_expr(bands_n, rows_n)).alias("bands"),
     )
     exploded = sig.select(
         "vec_id", "embedding", F.posexplode("bands").alias("band", "bucket")
@@ -2063,13 +2129,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_canonical",
     oracle=f"""
-        WITH RECURSIVE sig AS (
-            SELECT vec_id, embedding, {_SLSH_DUCK} AS bands
-            FROM embeddings
+        WITH RECURSIVE {_SLSH_DUCK_GEO},
+        sig AS (
+            SELECT vec_id, embedding, nrows, {_SLSH_DUCK} AS bands
+            FROM embeddings, geo
         ),
         exploded AS (
             SELECT vec_id, embedding, j AS band, bands[j+1] AS bucket
-            FROM sig, unnest(generate_series(0, {_SLSH_BANDS - 1})) t(j)
+            FROM sig, unnest(generate_series(0, nrows + 2)) t(j)
         ),
         edges AS (
             SELECT DISTINCT a.vec_id AS a, b.vec_id AS b

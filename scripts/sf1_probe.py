@@ -33,6 +33,23 @@ SRC = "/root/testdata/sf0.1"
 DST = "/tmp/spark_graft_sf1_probe"
 COPIES = 10
 
+#: bump when the derivation logic changes so a cached /tmp dataset
+#: from an older probe version is rebuilt, not reused.
+#: v2 (r15): embeddings get a per-copy SIGNED PERMUTATION of the 64
+#: dims — exact float arithmetic (reorder + negate only), so each
+#: copy keeps the original's internal cosine structure BIT-exactly
+#: while cross-copy cosines decorrelate. v1 copied embeddings
+#: verbatim, so every vector had 10 exact clones across copies and
+#: the TRUE near-dup pair count grew quadratically in copies —
+#: violating this file's own "dup pairs scale linearly" contract and
+#: making any correct data-independent dedup measure super-linear.
+FIXTURE_VERSION = 2
+
+#: a slot whose sf1/sf0.1 wall ratio exceeds 1.2x linear fails the
+#: probe loudly (r14 verdict item 7) — the next super-linear
+#: regression is caught here, not by the judge.
+RED_LINE = 1.2 * COPIES
+
 #: the slowest distinct registered slots from BENCH_r11 (best-of-5 sec)
 SLOTS = [
     "plan_optimize_zorder_incremental",
@@ -63,7 +80,17 @@ def build_sf1(spark) -> None:
 
     from aws_seismic_data_pipeline_spark.catalog import load_table
 
+    marker = os.path.join(DST, "_FIXTURE_VERSION")
+    if os.path.exists(DST):
+        stamped = None
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                stamped = fh.read().strip()
+        if stamped != str(FIXTURE_VERSION):
+            shutil.rmtree(DST)
     os.makedirs(DST, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write(str(FIXTURE_VERSION))
     for t in DIMS:
         dst = os.path.join(DST, f"{t}.parquet")
         if not os.path.exists(dst):
@@ -107,11 +134,37 @@ def build_sf1(spark) -> None:
             ),
         )
 
+    def perturb_embedding(df, i):
+        if i == 0:
+            return df
+        # per-copy signed permutation of the 64 dims: rotate by 11*i
+        # (offsets pairwise distinct for i < 10) and flip the sign of
+        # exactly half the dims ((d+i)*odd mod 64 is a bijection in
+        # d). Reordering and negating floats is EXACT, so within-copy
+        # cosines — and hence each copy's internal near-dup structure
+        # — are preserved bit-for-bit, while cross-copy inner
+        # products become signed scrambled correlations (~0): dup
+        # pairs scale linearly, per this file's contract.
+        rot = (11 * i) % 64
+        return df.withColumn(
+            "embedding",
+            F.expr(
+                f"transform(sequence(0,63), d -> "
+                f"IF(pmod((d + {i}) * 2654435761L, 64) < 32, "
+                f"element_at(embedding, pmod(d + {rot}, 64) + 1), "
+                f"-element_at(embedding, pmod(d + {rot}, 64) + 1)))"
+            ),
+        )
+
     tenfold("orders", {"o_orderkey": 10**10, "o_custkey": 10**10})
     tenfold("lineitem", {"l_orderkey": 10**10})
     tenfold("events", {"event_id": 10**12, "user_id": 10**9})
     tenfold("documents", {"doc_id": 10**10}, extra=perturb_text)
-    tenfold("embeddings", {"vec_id": 10**10, "label": 10**6})
+    tenfold(
+        "embeddings",
+        {"vec_id": 10**10, "label": 10**6},
+        extra=perturb_embedding,
+    )
 
 
 def main() -> None:
@@ -143,22 +196,36 @@ def main() -> None:
         results[name] = row
         print(f"# {name}: {row}", flush=True)
 
+    red_flags = sorted(
+        name for name, row in results.items() if row["ratio"] > RED_LINE
+    )
     out = {
         "metric": "sf1_headroom_probe",
         "unit": "sec",
         "copies": COPIES,
+        "fixture_version": FIXTURE_VERSION,
+        "red_line": RED_LINE,
+        "red_flags": red_flags,
         "note": (
             "best-of-2 per slot per scale, one session; sf1 = 10x sf0.1 "
-            "with shifted keys / perturbed texts / fresh label spaces "
-            "(see scripts/sf1_probe.py docstring). Expect ratio ~<= 10; "
-            "sub-linear ratios reflect fixed per-query overhead "
-            "amortizing; super-linear ratios are scale bugs."
+            "with shifted keys / perturbed texts+embeddings / fresh "
+            "label spaces (see scripts/sf1_probe.py docstring). Expect "
+            "ratio ~<= 10; sub-linear ratios reflect fixed per-query "
+            "overhead amortizing; ratios above red_line (1.2x linear) "
+            "fail the probe: they are scale bugs."
         ),
         "slots": results,
     }
     with open("/root/repo/BENCH_sf1_probe.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
+    if red_flags:
+        print(
+            f"# RED: super-linear slots (ratio > {RED_LINE}): "
+            f"{', '.join(red_flags)}",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -652,6 +652,85 @@ def test_embedding_lsh_recall_of_true_pairs(spark):
     assert len(got_pairs - truth) > len(truth)
 
 
+def test_slsh_geometry_scales_with_corpus():
+    """The sign-LSH bucket space must DOUBLE whenever the corpus does
+    (r14 verdict item 1: a fixed 8-bucket space makes the in-bucket
+    join quadratic): rows = smallest b>=3 with 250*2^b >= n, bands =
+    rows+3, and the fixture scales keep the original 6x3 geometry."""
+    from aws_seismic_data_pipeline_spark.llm.dedup import _slsh_geometry
+
+    assert _slsh_geometry(500) == (6, 3)      # sf0.001 / sf0.01
+    assert _slsh_geometry(2000) == (6, 3)     # sf0.1 — bit-identical
+    assert _slsh_geometry(2001) == (7, 4)
+    assert _slsh_geometry(20_000) == (10, 7)  # sf1 probe scale
+    assert _slsh_geometry(200_000) == (13, 10)
+    # per-band bucket space tracks n: n / (250 * 2^rows) stays in (0.5, 1]
+    for n in (3000, 50_000, 1_000_000, 10_000_000):
+        bands, rows = _slsh_geometry(n)
+        assert 250 * (1 << rows) >= n > 250 * (1 << (rows - 1))
+        assert bands == rows + 3
+    # saturation cap: 20 bits
+    assert _slsh_geometry(10**12) == (23, 20)
+
+
+def test_slsh_oracle_geometry_matches_python():
+    """The DuckDB-side COUNT(*)-driven geometry recurrence must equal
+    ``_slsh_geometry`` exactly — any drift silently desyncs the oracle
+    from the engine at large corpus sizes."""
+    import duckdb
+
+    from aws_seismic_data_pipeline_spark.llm.dedup import (
+        _SLSH_DUCK_GEO,
+        _slsh_geometry,
+    )
+
+    con = duckdb.connect()
+    for n in (1, 499, 500, 2000, 2001, 4000, 20_000, 123_457, 10**7):
+        con.execute("CREATE OR REPLACE VIEW embeddings AS "
+                    f"SELECT * FROM range({n})")
+        got = con.execute(
+            f"WITH {_SLSH_DUCK_GEO} SELECT nrows FROM geo"
+        ).fetchone()[0]
+        assert got == _slsh_geometry(n)[1], (n, got)
+
+
+def test_slsh_signatures_bit_identical_at_scaled_geometry(spark):
+    """Cross-engine bit-identity of the band signatures at a NON-base
+    geometry (rows=5, bands=8) — the driver only exercises rows=3, so
+    this pins the dynamic template's LCG indexing (h = j*rows + i)
+    agrees between Spark and DuckDB when rows grows."""
+    import duckdb
+
+    from aws_seismic_data_pipeline_spark.llm.dedup import (
+        _SLSH_DUCK,
+        _slsh_spark_expr,
+    )
+
+    sf = SF_DIR
+    spark_sig = {
+        r.vec_id: r.bands
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select("vec_id", F.expr(_slsh_spark_expr(8, 5)).alias("bands"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS "
+                f"SELECT * FROM '{sf}/embeddings.parquet'")
+    duck_sig = {
+        vid: bands
+        for vid, bands in con.execute(
+            "WITH geo AS (SELECT 5 AS nrows) "
+            f"SELECT vec_id, {_SLSH_DUCK} AS bands FROM embeddings, geo"
+        ).fetchall()
+    }
+    assert spark_sig.keys() == duck_sig.keys()
+    for vid, bands in spark_sig.items():
+        assert list(bands) == list(duck_sig[vid]), vid
+    # 8 bands of 5 bits: every bucket fits the advertised space
+    assert all(0 <= b < 32 for bs in spark_sig.values() for b in bs)
+    assert len(next(iter(spark_sig.values()))) == 8
+
+
 def test_bigram_perplexity_separates_transitions(spark, monkeypatch):
     """The bigram LM must rank a doc with REPEATED transitions below
     (lower surprisal) a doc whose unigrams are identical but whose

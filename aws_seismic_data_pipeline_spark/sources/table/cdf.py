@@ -60,8 +60,16 @@ _CT_UPDATE_POST = "update_postimage"
 
 def _normalized_input_file() -> "F.Column":
     """`input_file_name()` as the POSIX path the manifest records
-    (local URIs arrive as file:/... or file:///...)."""
-    return F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+    (local URIs arrive as file:/... or file:///...). The URI is
+    percent-encoded (a space in a data path arrives as %20) while the
+    manifest stores raw POSIX paths, so the name must be URL-DECODED
+    before the isin() routing or the file's rows silently match
+    neither diff side and vanish from the feed. A literal '+' is kept
+    literal (escaped to %2B first — Spark's url_decode applies
+    form-encoding semantics where a bare '+' would decode to space;
+    path URIs never encode space as '+')."""
+    posix = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+    return F.url_decode(F.regexp_replace(posix, r"\+", "%2B"))
 
 
 def _subtract_live_deletes(
@@ -211,13 +219,9 @@ def table_changes(
         removes = sorted(set(per_snap[snap]["remove"]))
         dels = sorted(set(per_snap[snap]["delete_eq"]))
         if dels:
-            frames.append(
-                _tag(
-                    _delete_preimages(spark, man, manifest_dir, key, dels, snap),
-                    _CT_DELETE,
-                    snap,
-                )
-            )
+            pre = _delete_preimages(spark, man, manifest_dir, key, dels, snap)
+            if pre is not None:  # no-op delete: zero feed rows (Delta)
+                frames.append(_tag(pre, _CT_DELETE, snap))
         if not adds and not removes:
             continue
         # ONE mergeSchema read over the commit's touched files keeps
@@ -259,8 +263,29 @@ def table_changes(
                 )
             )
     if not frames:
+        # the empty frame must carry the key's REAL type (a window
+        # that happened to contain no changes must union/schema-match
+        # with one that did) — read it from any committed data file's
+        # footer; double only for a table that never had a file
+        key_type = "double"
+        paths = (
+            man.filter(F.col("op") == "add")
+            .select("path")
+            .limit(1)
+            .collect()
+        )
+        if paths:
+            try:
+                key_type = (
+                    spark.read.parquet(paths[0].path)
+                    .schema[key]
+                    .dataType.simpleString()
+                )
+            except Exception:
+                pass  # evolved-away key: the double fallback stands
         return spark.createDataFrame(
-            [], f"{key} double, _change_type string, _commit_snapshot long"
+            [],
+            f"{key} {key_type}, _change_type string, _commit_snapshot long",
         )
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
@@ -274,13 +299,17 @@ def _delete_preimages(
     key: str,
     del_keys: list[float],
     snap: int,
-) -> DataFrame:
+) -> DataFrame | None:
     """The rows an equality-delete commit at ``snap`` removed: the
     deleted keys' rows as visible at the PARENT snapshot. Candidacy is
     decided on the manifest's footer stats (only files whose key range
     can contain a deleted key are opened — the
     ``merge_through_manifest`` pattern), then the metadata-scale key
-    set broadcasts into a semi-join."""
+    set broadcasts into a semi-join. Returns None when NO visible file
+    can contain any deleted key — a legal no-op delete (key absent
+    from the table, or outside every file's stats range) produces
+    zero feed rows, exactly Delta's CDF behavior; raising here would
+    permanently wedge every window covering the commit."""
     from aws_seismic_data_pipeline_spark.sources.table.manifest import (
         _visible_stats,
     )
@@ -315,11 +344,7 @@ def _delete_preimages(
         .collect()
     )
     if not candidates:
-        raise ValueError(
-            f"table_changes: delete_eq keys at snapshot {snap} match no "
-            f"visible file at {manifest_dir} — manifest and delete "
-            "records disagree"
-        )
+        return None
     rows = spark.read.option("mergeSchema", "true").parquet(*candidates)
     # subtract deletes already in force BEFORE this commit, then keep
     # exactly this commit's keys

@@ -29,6 +29,23 @@ from aws_seismic_data_pipeline_spark.sources.table.manifest import (
 )
 
 
+def _ident_pattern(name: str) -> "object":
+    """Compiled regex matching ``name`` as a standalone identifier in
+    stored constraint SQL — BOTH the bare form (identifier-boundary
+    lookarounds; backtick excluded from the lookbehind so a hit can't
+    start inside a longer backquoted identifier) and the exact
+    backquoted form (``\\`name\\```). Rename remaps and drop-blocking
+    must see the quoted spelling too, or a constraint written as
+    ``\\`old\\` > 0`` survives a rename with a stale name and wedges
+    every subsequent gated write."""
+    import re
+
+    esc = re.escape(name)
+    return re.compile(
+        rf"`{esc}`|(?<![A-Za-z0-9_`]){esc}(?![A-Za-z0-9_])"
+    )
+
+
 def evolve_schema_add(
     spark: SparkSession, manifest_dir: str, column: str, sql_type: str
 ) -> int:
@@ -199,8 +216,6 @@ def evolve_schema_rename(
     remap every subsequent gated write would fail analysis on the
     stale name, wedging the table unwritable). Returns the snapshot
     id written."""
-    import re as _re
-
     from aws_seismic_data_pipeline_spark.sources.table.commit import (
         release_claim,
     )
@@ -224,12 +239,23 @@ def evolve_schema_rename(
                 f"rename: column {new!r} already exists at {manifest_dir}"
             )
         # identifier-boundary match: `old` as a standalone name in the
-        # stored SQL, not as a substring of a longer identifier
-        pat = _re.compile(
-            rf"(?<![A-Za-z0-9_`]){_re.escape(old)}(?![A-Za-z0-9_])"
-        )
+        # stored SQL, not as a substring of a longer identifier; the
+        # backquoted form (`old`) is matched explicitly — the bare
+        # alternation's lookbehind excludes backtick so it can't fire
+        # INSIDE a longer quoted identifier, which would otherwise
+        # leave a stale name that wedges every gated write
+        pat = _ident_pattern(old)
         remapped = [
-            (cname, kind, pat.sub(new, expr))
+            (
+                cname,
+                kind,
+                pat.sub(
+                    lambda m: f"`{new}`"
+                    if m.group(0).startswith("`")
+                    else new,
+                    expr,
+                ),
+            )
             for cname, kind, expr in active_constraints(spark, manifest_dir)
             if pat.search(expr)
         ]
@@ -278,8 +304,6 @@ def evolve_schema_drop(
     drop): committing it would wedge every subsequent gated write on
     an unresolvable name — drop the constraint first. Returns the
     snapshot id written."""
-    import re as _re
-
     from aws_seismic_data_pipeline_spark.sources.table.commit import (
         release_claim,
     )
@@ -298,9 +322,7 @@ def evolve_schema_drop(
                 f"drop: column {column!r} does not exist at {manifest_dir} "
                 f"(effective columns: {sorted(effective)})"
             )
-        pat = _re.compile(
-            rf"(?<![A-Za-z0-9_`]){_re.escape(column)}(?![A-Za-z0-9_])"
-        )
+        pat = _ident_pattern(column)
         referencing = sorted(
             cname
             for cname, _kind, expr in active_constraints(spark, manifest_dir)

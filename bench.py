@@ -628,6 +628,7 @@ def main() -> None:
 
     registry = load_all()
     spark = get_spark(app_name="bench")
+    steal_start = _cpu_steal_snapshot()
 
     # warm the page cache + JIT so per-query numbers reflect steady state
     for t in ("lineitem", "orders", "events"):
@@ -648,7 +649,7 @@ def main() -> None:
         timings[name] = round(min(trial_times), 3)
         spreads[name] = round(max(trial_times) - min(trial_times), 3)
 
-    for name in HEADLINE:
+    def run_headline(name: str) -> list[float]:
         spec = registry[name]
         trial_times = []
         for _ in range(TRIALS):
@@ -656,14 +657,46 @@ def main() -> None:
             df = spec.builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             trial_times.append(time.perf_counter() - t0)
-        record(name, trial_times)
-    for fn_name in PHASED.values():
+        return trial_times
+
+    def run_phased(fn_name: str) -> dict[str, list[float]]:
         phase_trials: dict[str, list[float]] = {}
         for _ in range(TRIALS):
             for phase, sec in globals()[fn_name](spark, sf_dir).items():
                 phase_trials.setdefault(phase, []).append(sec)
-        for phase, trial_times in phase_trials.items():
+        return phase_trials
+
+    phase_owner: dict[str, str] = {}
+    for name in HEADLINE:
+        record(name, run_headline(name))
+    for fn_name in PHASED.values():
+        for phase, trial_times in run_phased(fn_name).items():
+            phase_owner[phase] = fn_name
             record(phase, trial_times)
+
+    # Spike quarantine (r14: a 68 s co-tenant spread sat inside a
+    # recorded min): re-trial any slot whose spread breaks the sanity
+    # bound — min merges (load only ever inflates a minimum), spread
+    # comes from the clean pass. A slot still loud after the re-trial
+    # refuses the whole entry below.
+    spiked = _spiked_slots(timings, spreads)
+    if spiked and TRIALS >= 2:
+        redo_fns = sorted(
+            {phase_owner[n] for n in spiked if n in phase_owner}
+        )
+        redone: dict[str, list[float]] = {}
+        for name in spiked:
+            if name not in phase_owner:
+                redone[name] = run_headline(name)
+        for fn_name in redo_fns:
+            redone.update(run_phased(fn_name))
+        for name in spiked:
+            trial_times = redone.get(name)
+            if not trial_times:
+                continue
+            old_min = timings[name]
+            record(name, trial_times)
+            timings[name] = min(old_min, timings[name])
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -701,12 +734,45 @@ def main() -> None:
     best_prior = _best_prior(history_path, sf_val)
     regressions, host_factor = _normalized_regressions(timings, best_prior)
     result["host_factor"] = host_factor
+    steal_pct = _steal_pct(steal_start, _cpu_steal_snapshot())
+    if steal_pct is not None:
+        result["steal_pct"] = steal_pct
     if regressions:
         result["regressions"] = regressions
+    still_spiked = _spiked_slots(timings, spreads)
+    if still_spiked:
+        # a slot stayed spike-poisoned through its re-trial: the box
+        # is being hit hard enough that even 10 trials never ran
+        # clean — refuse the entry as evidence, like a loaded run
+        result["not_recorded"] = (
+            f"slot spread > {SLOT_RELSPREAD_SANITY}x min after re-trial: "
+            f"{', '.join(still_spiked)}"
+        )
+        refused_entry = {
+            "ts": time.time(),
+            "sf": sf_val,
+            "queries": timings,
+            "spread": spreads,
+            "host_factor": host_factor,
+            "refused": True,
+            "spiked": still_spiked,
+        }
+        if steal_pct is not None:
+            refused_entry["steal_pct"] = steal_pct
+        with open(history_path, "a") as fh:
+            fh.write(json.dumps(refused_entry) + "\n")
+        print(json.dumps(result, separators=(",", ":")))
+        spark.stop()
+        return
     rebase = None
     if not _admissible(host_factor):
         rebase = _boot_rebase_evidence(
-            history_path, sf_val, timings, spreads, host_factor
+            history_path,
+            sf_val,
+            timings,
+            spreads,
+            host_factor,
+            own_steal=steal_pct,
         )
         if rebase is None:
             # loaded-box run (or first run on a slower boot):
@@ -719,20 +785,18 @@ def main() -> None:
                 "co-tenant load or first run on a slower boot; a second "
                 "agreeing quiet run records via boot rebase"
             )
+            refused_entry = {
+                "ts": time.time(),
+                "sf": sf_val,
+                "queries": timings,
+                "spread": spreads,
+                "host_factor": host_factor,
+                "refused": True,
+            }
+            if steal_pct is not None:
+                refused_entry["steal_pct"] = steal_pct
             with open(history_path, "a") as fh:
-                fh.write(
-                    json.dumps(
-                        {
-                            "ts": time.time(),
-                            "sf": sf_val,
-                            "queries": timings,
-                            "spread": spreads,
-                            "host_factor": host_factor,
-                            "refused": True,
-                        }
-                    )
-                    + "\n"
-                )
+                fh.write(json.dumps(refused_entry) + "\n")
             print(json.dumps(result, separators=(",", ":")))
             spark.stop()
             return
@@ -744,6 +808,8 @@ def main() -> None:
         "spread": spreads,
         "host_factor": host_factor,
     }
+    if steal_pct is not None:
+        entry["steal_pct"] = steal_pct
     if rebase is not None:
         entry["boot_rebase"] = rebase
     with open(history_path, "a") as fh:
@@ -819,6 +885,72 @@ HOST_FACTOR_RECORD_MAX = 1.3
 #: slow-boot timings can never lower the best-prior table (min only).
 BOOT_AGREE_MEDIAN = 0.10  # median per-slot cross-run agreement bound
 BOOT_AGREE_SLOT = 0.20  # per-slot UPPER bound; all but one must satisfy
+#: Orthogonal quietness signals for boot-rebase admission (r14 ADVICE:
+#: a PERSISTENTLY steady co-tenant load has tight spreads and agreeing
+#: minima across two back-to-back runs, so the spread/agreement tests
+#: alone can self-admit an inflated host factor as a "boot"):
+#: (a) hypervisor CPU-steal measured across the run from /proc/stat —
+#:     a co-tenant VM shows as steal time even when loadavg is 0.1
+#:     (the r13 idle-box refusals); a genuinely slower boot steals
+#:     nothing. Entries lacking the field (pre-r15 history) pass — the
+#:     signal cannot be measured retroactively.
+#: (b) minimum wall-clock separation between the two agreeing
+#:     evidence runs — one burst session under constant load proves
+#:     persistence of the LOAD, not of the boot.
+BOOT_STEAL_PCT_MAX = 2.0
+BOOT_MIN_SEPARATION_SEC = 900.0
+
+#: A slot whose max-min trial spread exceeds this many times its own
+#: minimum inside ONE run is spike-poisoned: quiet-run relspreads sit
+#: at ~0.5-1.0 and even loaded refused runs measured <= 6x, while the
+#: r14 recorded entry's keyword_index_build carried a 68 s spread on a
+#: 5.71 s min (12x) — a co-tenant spike that hit all five trials and
+#: sat INSIDE a recorded minimum. Such slots are re-trialed once
+#: (TRIALS fresh trials; min merged, spread taken from the clean
+#: pass); a slot still above the bound refuses the whole entry (it is
+#: appended as refused evidence, like a loaded run).
+SLOT_RELSPREAD_SANITY = 8.0
+
+
+def _spiked_slots(
+    timings: dict[str, float], spreads: dict[str, float]
+) -> list[str]:
+    """Slots whose trial spread exceeds SLOT_RELSPREAD_SANITY x their
+    minimum (sub-noise-floor slots exempt: launch jitter dominates)."""
+    return sorted(
+        n
+        for n, t in timings.items()
+        if t >= NOISE_FLOOR_SEC
+        and spreads.get(n, 0.0) > SLOT_RELSPREAD_SANITY * t
+    )
+
+
+def _cpu_steal_snapshot() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu
+    line, or None where unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        if parts and parts[0] == "cpu":
+            vals = [int(v) for v in parts[1:]]
+            steal = vals[7] if len(vals) > 7 else 0
+            return steal, sum(vals)
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def _steal_pct(
+    start: tuple[int, int] | None, end: tuple[int, int] | None
+) -> float | None:
+    """Percent of CPU time stolen by the hypervisor between two
+    snapshots; None when either snapshot is unavailable."""
+    if start is None or end is None:
+        return None
+    dsteal, dtotal = end[0] - start[0], end[1] - start[1]
+    if dtotal <= 0:
+        return None
+    return round(100.0 * dsteal / dtotal, 2)
 #: Median (max-min)/min over the 5 trials, per calibration slot. The
 #: r14 measurements on this box: its stable ~1.4x phase shows medians
 #: 0.81/0.82/0.99 across three runs spanning hours, while genuinely
@@ -846,6 +978,9 @@ def _boot_rebase_evidence(
     timings: dict[str, float],
     spreads: dict[str, float],
     host_factor: float,
+    *,
+    own_steal: float | None = None,
+    own_ts: float | None = None,
 ) -> dict | None:
     """Admit a host_factor-refused run as a PERSISTENT UNIFORM boot
     slowdown, or return None (stay refused). Scans the last
@@ -864,8 +999,17 @@ def _boot_rebase_evidence(
     one's (measured r14: two consecutive quiet runs agreed at median
     1.003 with two slots 0.62x — spikes had hit all five of the older
     run's trials on exactly those slots); (c) host factors within
-    BOOT_HF_AGREE. Returns the evidence record written into the
-    admitted entry."""
+    BOOT_HF_AGREE. Additionally (r14 ADVICE — the spread/agreement
+    tests alone cannot distinguish a persistently STEADY co-tenant
+    load from a slower boot): (d) neither run may show hypervisor CPU
+    steal above BOOT_STEAL_PCT_MAX (entries without the field pass —
+    it cannot be measured retroactively), and (e) the two runs must be
+    separated by at least BOOT_MIN_SEPARATION_SEC of wall clock.
+    Returns the evidence record written into the admitted entry."""
+    if own_steal is not None and own_steal > BOOT_STEAL_PCT_MAX:
+        return None
+    if own_ts is None:
+        own_ts = time.time()
     candidates: list[dict] = []
     try:
         with open(history_path) as fh:
@@ -889,6 +1033,12 @@ def _boot_rebase_evidence(
         )
         if ev_rel is not None and ev_rel > BOOT_RELSPREAD_MAX:
             continue  # loud evidence: skip, keep scanning older
+        ev_steal = ev.get("steal_pct")
+        if ev_steal is not None and ev_steal > BOOT_STEAL_PCT_MAX:
+            continue  # stolen-CPU evidence: a loaded box, not a boot
+        ev_ts = ev.get("ts")
+        if ev_ts is not None and own_ts - ev_ts < BOOT_MIN_SEPARATION_SEC:
+            continue  # same-burst pair proves load persistence only
         ev_q = ev.get("queries", {})
         ratios = sorted(
             timings[c] / ev_q[c]
@@ -983,6 +1133,8 @@ def retro_admit_refused(history_path: str) -> list[dict]:
                     rec.get("queries", {}),
                     rec.get("spread", {}),
                     rec.get("host_factor", 0.0),
+                    own_steal=rec.get("steal_pct"),
+                    own_ts=rec.get("ts"),
                 )
                 if got is not None:
                     rec.pop("refused", None)

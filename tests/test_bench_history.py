@@ -299,20 +299,20 @@ def test_retro_admit_refused_promotes_agreeing_quiet_pair(tmp_path):
         "host_factor": 1.6, "refused": True,
     }
     loud = {
-        "ts": 150.0, "sf": 0.1,
+        "ts": 1500.0, "sf": 0.1,
         "queries": {c: 3.2 for c in cal},
         "spread": {c: 6.0 for c in cal},
         "host_factor": 2.2, "refused": True,
     }
     quiet2 = {
-        "ts": 200.0, "sf": 0.1,
+        "ts": 2000.0, "sf": 0.1,  # > BOOT_MIN_SEPARATION_SEC after quiet1
         "queries": {c: 1.65 for c in cal},
         "spread": {c: 0.45 for c in cal},
         "host_factor": 1.62, "refused": True,
     }
     _write_history(hist, [quiet1, loud, quiet2])
     promoted = retro_admit_refused(hist)
-    assert [p["ts"] for p in promoted] == [200.0]
+    assert [p["ts"] for p in promoted] == [2000.0]
     assert promoted[0]["boot_rebase"]["retro"] is True
     assert promoted[0]["boot_rebase"]["evidence_ts"] == 100.0
     recs = [_json.loads(l) for l in open(hist)]
@@ -322,3 +322,85 @@ def test_retro_admit_refused_promotes_agreeing_quiet_pair(tmp_path):
     assert retro_admit_refused(hist) == []
     # the first quiet run (no older evidence) was NOT promoted
     assert recs[0].get("boot_rebase") is None
+
+
+def test_boot_rebase_quietness_signals(tmp_path):
+    """r14 ADVICE: two tight-spread agreeing runs under a PERSISTENTLY
+    steady co-tenant load must not self-admit as a boot rebase. Two
+    orthogonal gates: measured hypervisor CPU steal above the bound
+    (either run) blocks admission, and so does a same-burst pair
+    (wall-clock separation below BOOT_MIN_SEPARATION_SEC). Entries
+    without a steal field (pre-r15 history) still pass the steal gate."""
+    import time as _time
+
+    from bench import (
+        BOOT_MIN_SEPARATION_SEC,
+        BOOT_STEAL_PCT_MAX,
+        _boot_rebase_evidence,
+    )
+
+    cal = list(CALIBRATION_SLOTS)
+    hist = str(tmp_path / "h.jsonl")
+    base_ev = {
+        "sf": 0.1,
+        "queries": {c: 1.6 for c in cal},
+        "spread": {c: 0.3 for c in cal},
+        "host_factor": 1.6,
+        "refused": True,
+    }
+    now = {c: 1.65 for c in cal}
+    tight = {c: 0.4 for c in cal}
+
+    # separation gate: evidence from the same burst is skipped
+    _write_history(hist, [dict(base_ev, ts=_time.time() - 60.0)])
+    assert _boot_rebase_evidence(hist, 0.1, now, tight, 1.62) is None
+    # ...but the same evidence, separated, admits
+    _write_history(
+        hist, [dict(base_ev, ts=_time.time() - BOOT_MIN_SEPARATION_SEC - 60)]
+    )
+    assert _boot_rebase_evidence(hist, 0.1, now, tight, 1.62) is not None
+
+    # own-run steal above the bound blocks admission outright
+    assert (
+        _boot_rebase_evidence(
+            hist, 0.1, now, tight, 1.62, own_steal=BOOT_STEAL_PCT_MAX + 1
+        )
+        is None
+    )
+    # clean own steal still admits
+    assert (
+        _boot_rebase_evidence(hist, 0.1, now, tight, 1.62, own_steal=0.3)
+        is not None
+    )
+
+    # stolen-CPU evidence entries are skipped; pre-r15 entries
+    # (no steal field) pass
+    _write_history(
+        hist,
+        [
+            dict(
+                base_ev,
+                ts=_time.time() - BOOT_MIN_SEPARATION_SEC - 60,
+                steal_pct=9.9,
+            )
+        ],
+    )
+    assert _boot_rebase_evidence(hist, 0.1, now, tight, 1.62) is None
+
+
+def test_spiked_slots_bound():
+    """Per-slot spike quarantine (r14: a 68 s trial spread sat inside
+    a recorded 5.71 s min): slots whose spread exceeds
+    SLOT_RELSPREAD_SANITY x their min are flagged; sub-noise-floor
+    slots are exempt (launch jitter dominates them)."""
+    from bench import NOISE_FLOOR_SEC, SLOT_RELSPREAD_SANITY, _spiked_slots
+
+    t = {"a": 5.71, "b": 2.0, "c": 0.2}
+    s = {
+        "a": 5.71 * SLOT_RELSPREAD_SANITY + 1,  # the r14 shape: spiked
+        "b": 2.0 * SLOT_RELSPREAD_SANITY - 0.1,  # loud but inside bound
+        "c": 0.2 * SLOT_RELSPREAD_SANITY + 5,  # sub-floor: exempt
+    }
+    assert t["c"] < NOISE_FLOOR_SEC
+    assert _spiked_slots(t, s) == ["a"]
+    assert _spiked_slots(t, {k: 0.1 for k in t}) == []

@@ -219,3 +219,61 @@ def test_cdf_delete_preimages_prune_candidate_files(spark, tmp_path):
     t.merge(upd, ["lang", "n_chars"])
     plan = t.changes(snap, snap + 1)._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_cdf_noop_delete_feeds_zero_rows(spark, cdf_table):
+    """A legal no-op equality delete (keys absent from the table /
+    outside every file's stats range) must feed ZERO rows for its
+    commit — Delta CDF behavior — not permanently break every window
+    covering it (r14 ADVICE: _delete_preimages raised ValueError)."""
+    t, _docs, c = cdf_table
+    tip = max(int(r.snapshot_id) for r in t.history().collect())
+    snap = t.delete_keys([-123456789, -987654321])
+    ch = t.changes(tip, snap)
+    assert ch.count() == 0
+    # the full window still reads and still reports the REAL changes
+    full = _changes_by_type(t.changes(0, snap))
+    assert full == {
+        "update_preimage": c["upd"],
+        "update_postimage": c["upd"],
+        "insert": c["ins"],
+        "delete": c["del"],
+    }
+
+
+def test_cdf_empty_window_schema_matches_nonempty(spark, cdf_table):
+    """An empty window's frame must carry the key's REAL type (here
+    doc_id: bigint), not a hardcoded double — consumers union windowed
+    reads and a type flapping on 'did the window contain changes' breaks
+    schema-matching (r14 ADVICE)."""
+    t, _docs, _c = cdf_table
+    empty = t.changes(2, 2)
+    assert empty.count() == 0
+    assert dict(empty.dtypes)["doc_id"] == "bigint"
+
+
+def test_cdf_survives_percent_encoded_data_paths(spark, tmp_path):
+    """input_file_name() returns a percent-encoded URI; the manifest
+    stores raw POSIX paths. A data dir with a space (or other encoded
+    character) must still route every row to its diff side — before
+    the url_decode fix such rows matched neither isin() filter and
+    silently vanished from the feed (r14 ADVICE)."""
+    from aws_seismic_data_pipeline_spark.sources.table.facade import (
+        GovernedTable,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "data dir+x" / "d"),
+        str(tmp_path / "data dir+x" / "m"),
+        "doc_id",
+        n_files=3,
+    )
+    upd = docs.limit(7).withColumn("n_chars", F.col("n_chars") + F.lit(5))
+    t.merge(upd, ["lang", "n_chars"])
+    got = _changes_by_type(t.changes(0, 1))
+    assert got == {"update_preimage": 7, "update_postimage": 7}

@@ -871,6 +871,52 @@ def test_rename_remaps_live_constraints_drop_rejects(spark, tmp_path):
     assert "char_count" not in t.scan_evolved().columns
 
 
+def test_rename_remaps_backquoted_constraint_exprs(spark, tmp_path):
+    """A constraint stored with a BACKQUOTED identifier (`n_chars` > 0)
+    must still be remapped on rename and detected on drop — the bare
+    identifier-boundary regex's lookbehind excludes backtick, so
+    without the quoted alternation the stale name would survive the
+    rename and wedge every subsequent gated write (r14 ADVICE)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.table.facade import (
+        GovernedTable,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "doc_id",
+        n_files=2,
+    )
+    t.add_constraint("chars_positive", "`n_chars` > 0")
+    t.rename_column("n_chars", "char_count")
+    live = dict((n, e) for n, _k, e in t.constraints())
+    # quoting style is preserved through the remap
+    assert live["chars_positive"] == "`char_count` > 0"
+    # drop-blocking sees the quoted reference too
+    with _pytest.raises(ValueError, match="chars_positive"):
+        t.drop_column("char_count")
+    # and the remapped gate still analyzes: a clean append commits
+    import glob as _glob
+
+    stage = str(tmp_path / "stage_bq")
+    docs.limit(3).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        "lang",
+        F.col("n_chars").alias("char_count"),
+    ).coalesce(1).write.parquet(stage)
+    n0 = t.scan_evolved().count()
+    t.append(sorted(_glob.glob(stage + "/*.parquet")))
+    assert t.scan_evolved().count() == n0 + 3
+
+
 def test_constraint_recheck_inside_claim(spark, tmp_path):
     """The write gate re-validates INSIDE the claim (ADVICE r13): a
     constraint declared between the facade's pre-claim gate read and
@@ -1169,3 +1215,98 @@ def test_sql_face_matches_facade_paths(spark, tmp_path):
         args={"floor": 0},
     ).collect()[0].n
     assert h == 3  # create, append, delete
+
+
+def test_sql_write_face_gates_and_rejects(spark, tmp_path):
+    """The SQL write face (r14 verdict item 3) must route every verb
+    through the facade's gated commit protocol: a constraint-violating
+    SQL INSERT raises and commits NOTHING (no snapshot, no orphan
+    manifest row), a clean INSERT/MERGE/DELETE statement sequence
+    commits one snapshot each, and out-of-grammar statements raise
+    loudly instead of silently writing."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from aws_seismic_data_pipeline_spark.sources.table import _verbs as R
+    from aws_seismic_data_pipeline_spark.sources.table.facade import (
+        GovernedTable,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.sqlface import (
+        governed_sql_write,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "data"),
+        str(tmp_path / "manifest"),
+        "doc_id",
+        n_files=3,
+    )
+    t.add_constraint("chars_positive", "n_chars > 0")
+    n0 = t.scan_with_deletes().count()
+    tip0 = max(int(r.snapshot_id) for r in t.history().collect())
+
+    # violating INSERT: raises, commits nothing
+    with _pytest.raises(R.ConstraintViolationError, match="chars_positive"):
+        governed_sql_write(
+            spark,
+            t,
+            "INSERT INTO t SELECT doc_id + 90000 AS doc_id, lang, "
+            "CAST(-5 AS BIGINT) AS n_chars FROM t WHERE doc_id < 3",
+            name="t",
+        )
+    assert t.scan_with_deletes().count() == n0
+    assert max(int(r.snapshot_id) for r in t.history().collect()) == tip0
+
+    # clean INSERT commits exactly one snapshot, rows visible
+    s1 = governed_sql_write(
+        spark,
+        t,
+        "INSERT INTO t SELECT doc_id + 90000 AS doc_id, lang, n_chars "
+        "FROM t WHERE doc_id % 17 = 0",
+        name="t",
+    )
+    n_ins = docs.filter(F.col("doc_id") % 17 == 0).count()
+    assert s1 == tip0 + 1
+    assert t.scan_with_deletes().count() == n0 + n_ins
+
+    # MERGE through SQL: update + insert, gated
+    docs.limit(4).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(7)
+    ).createOrReplaceTempView("mrg_src")
+    s2 = governed_sql_write(
+        spark,
+        t,
+        "MERGE INTO t USING mrg_src AS s ON t.doc_id = s.doc_id "
+        "WHEN MATCHED THEN UPDATE SET lang = s.lang, n_chars = s.n_chars "
+        "WHEN NOT MATCHED THEN INSERT *",
+        name="t",
+    )
+    assert s2 == s1 + 1
+
+    # DELETE FROM with predicate: keys resolved over current world
+    before = t.scan_with_deletes().count()
+    doomed = t.scan_with_deletes().filter("doc_id % 19 = 0").count()
+    s3 = governed_sql_write(
+        spark, t, "DELETE FROM t WHERE doc_id % 19 = 0", name="t"
+    )
+    assert s3 == s2 + 1
+    assert t.scan_with_deletes().count() == before - doomed
+
+    # out-of-grammar statements raise, never write silently
+    for bad in (
+        "UPDATE t SET n_chars = 1",
+        "MERGE INTO t USING mrg_src AS s ON t.doc_id = s.other "
+        "WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars "
+        "WHEN NOT MATCHED THEN INSERT *",
+        "MERGE INTO t USING mrg_src AS s ON t.doc_id = s.doc_id "
+        "WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 1 "
+        "WHEN NOT MATCHED THEN INSERT *",
+        "INSERT INTO other_table SELECT * FROM t",
+    ):
+        with _pytest.raises(ValueError):
+            governed_sql_write(spark, t, bad, name="t")

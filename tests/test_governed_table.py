@@ -1310,3 +1310,79 @@ def test_sql_write_face_gates_and_rejects(spark, tmp_path):
     ):
         with _pytest.raises(ValueError):
             governed_sql_write(spark, t, bad, name="t")
+
+
+def test_vacuum_is_clone_aware(spark, tmp_path):
+    """clone_manifest's vacuum-safety contract is ENFORCED (r14
+    verdict item 5): a file tombstoned in the source but still visible
+    in a live clone is neither reported as an orphan nor deleted by
+    vacuum; dropping the clone's manifest dir releases the pin; and an
+    explicit sibling_manifests override works without the registry."""
+    import os
+    import shutil
+
+    from aws_seismic_data_pipeline_spark.sources.table.facade import (
+        GovernedTable,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
+        live_manifests,
+        vacuum_orphans_report,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = GovernedTable.create(
+        spark,
+        docs,
+        str(tmp_path / "d"),
+        str(tmp_path / "m"),
+        "doc_id",
+        n_files=4,
+    )
+    c = t.clone(str(tmp_path / "m_clone"))
+    assert set(live_manifests(t.manifest_dir)) == {
+        os.path.abspath(t.manifest_dir),
+        os.path.abspath(c.manifest_dir),
+    }
+
+    # retire files in the SOURCE only: a compaction tombstones every
+    # original file, so without clone-awareness they'd all be orphans
+    files_before = t.visible_files()
+    t.compact_files(files_before)
+    assert t.vacuum_report().count() == 0  # clone still pins them
+    n_del, _ = t.vacuum(older_than_seconds=0)
+    assert n_del == 0
+    assert c.scan().count() == docs.count()  # clone still readable
+
+    # the compacted file is new and untracked BY THE CLONE — it must
+    # not be reclaimable from the clone's side either (source sees it)
+    assert c.vacuum_report().count() == 0
+
+    # explicit sibling override (no registry consultation)
+    rep = vacuum_orphans_report(
+        spark,
+        t.data_dir,
+        t.manifest_dir,
+        sibling_manifests=[c.manifest_dir],
+    )
+    assert rep.count() == 0
+
+    # dropping the clone releases its pins: the tombstoned originals
+    # become reclaimable again
+    shutil.rmtree(c.manifest_dir)
+    assert set(live_manifests(t.manifest_dir)) == {
+        os.path.abspath(t.manifest_dir)
+    }
+    reclaimable = {
+        os.path.basename(f)
+        for f in t.vacuum_report()
+        .withColumn("_f", F.input_file_name())
+        .select("_f")
+        .distinct()
+        .toPandas()["_f"]
+    }
+    assert reclaimable == {os.path.basename(p) for p in files_before}
+    n_del2, _ = t.vacuum(older_than_seconds=0)
+    assert n_del2 == len(files_before)
+    assert t.scan().count() == docs.count()  # current read intact

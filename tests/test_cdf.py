@@ -277,3 +277,116 @@ def test_cdf_survives_percent_encoded_data_paths(spark, tmp_path):
     t.merge(upd, ["lang", "n_chars"])
     got = _changes_by_type(t.changes(0, 1))
     assert got == {"update_preimage": 7, "update_postimage": 7}
+
+
+def test_cdf_under_concurrent_merge_retry(spark, tmp_path):
+    """r14 verdict item 6: two CONTENDING writers — writer B's claim
+    loses to an in-flight writer A and replays via
+    merge_with_conflict_retry — must leave a feed identical to the
+    serial recompute: each writer's changes reported EXACTLY once at
+    its committed snapshot, nothing from B's aborted attempt, no
+    double-reports when B's rewrite touches files A just rewrote."""
+    import glob
+    import threading
+    import time as _time
+
+    from aws_seismic_data_pipeline_spark.sources.table.cdf import (
+        table_changes,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.commit import (
+        claim_commit,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.deletes import (
+        read_with_deletes,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.maintenance import (
+        merge_through_manifest,
+        merge_with_conflict_retry,
+    )
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        write_stats_manifest,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    data_dir = str(tmp_path / "d")
+    docs.repartition(3, "doc_id").write.parquet(data_dir)
+    files = sorted(glob.glob(data_dir + "/*.parquet"))
+    mpath = str(tmp_path / "m")
+    write_stats_manifest(spark, files, mpath, ("doc_id",))
+
+    # overlapping FILE ranges, disjoint KEYS: both writers rewrite the
+    # same region, so B's diff runs over files A just rewrote
+    delta_a = docs.filter(F.col("doc_id") % 10 == 3).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    delta_b = docs.filter(F.col("doc_id") % 10 == 4).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(2000)
+    ).unionByName(
+        docs.limit(3).select(
+            (F.col("doc_id") + 600000).alias("doc_id"), "lang", "n_chars"
+        )
+    )
+    n_a = delta_a.count()
+    n_b_upd = docs.filter(F.col("doc_id") % 10 == 4).count()
+    n_b_ins = 3
+
+    # writer A claims snapshot 1 and holds it in flight; writer B
+    # starts concurrently, loses the claim, and replays
+    snap_claimed = claim_commit(spark, mpath, 0)
+    assert snap_claimed == 1
+    b_result: dict = {}
+
+    def writer_b() -> None:
+        b_result["out"] = merge_with_conflict_retry(
+            spark, mpath, delta_b, "doc_id", ["lang", "n_chars"],
+            max_retries=25,
+        )
+
+    tb = threading.Thread(target=writer_b)
+    tb.start()
+    _time.sleep(0.3)  # let B lose at least one claim to A's token
+    merge_through_manifest(
+        spark, mpath, delta_a, "doc_id", ["lang", "n_chars"],
+        snapshot_id=snap_claimed,
+    )
+    tb.join(timeout=300)
+    assert "out" in b_result, "writer B never committed"
+    snap_b, _ni, _nr, retries_b = b_result["out"]
+    assert snap_b == 2 and retries_b >= 1, (snap_b, retries_b)
+
+    # the feed over the contended window equals the serial recompute:
+    # one pre+post pair per A update at 1, per B update at 2, one
+    # insert per B insert at 2 — and no row reported twice
+    ch = table_changes(spark, mpath, "doc_id", 0, 2)
+    assert ch.count() == ch.distinct().count()
+    by = {
+        (r._commit_snapshot, r._change_type): int(r.n)
+        for r in ch.groupBy("_commit_snapshot", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by == {
+        (1, "update_preimage"): n_a,
+        (1, "update_postimage"): n_a,
+        (2, "update_preimage"): n_b_upd,
+        (2, "update_postimage"): n_b_upd,
+        (2, "insert"): n_b_ins,
+    }, by
+
+    # additive replay of the feed onto the base state reproduces the
+    # final table exactly (value-level, not just counts)
+    base = {r.doc_id: r.n_chars for r in docs.collect()}
+    for r in ch.orderBy("_commit_snapshot").collect():
+        if r._change_type in ("insert", "update_postimage"):
+            base[r.doc_id] = r.n_chars
+        elif r._change_type == "update_preimage":
+            assert base[r.doc_id] == r.n_chars  # preimage matches state
+        else:
+            base.pop(r.doc_id)
+    final = {
+        r.doc_id: r.n_chars
+        for r in read_with_deletes(spark, mpath, "doc_id").collect()
+    }
+    assert base == final

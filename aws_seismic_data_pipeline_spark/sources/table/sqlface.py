@@ -47,6 +47,7 @@ def governed_sql(
     name: str = "governed",
     versions: dict[str, int] | None = None,
     timestamps: dict[str, float] | None = None,
+    changes: dict[str, tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Run SQL ``text`` against a :class:`..facade.GovernedTable`:
 
@@ -56,6 +57,11 @@ def governed_sql(
       ``<name>_<suffix>`` pinned VERSION AS OF that snapshot) and per
       ``timestamps`` entry (epoch seconds, resolved through
       ``snapshot_for_timestamp`` — TIMESTAMP AS OF semantics)
+    - one CHANGE-FEED view per ``changes`` entry
+      (``{suffix: (from, to)}`` → ``<name>_<suffix>`` over
+      ``table_changes`` for that half-open window, rows tagged with
+      ``_change_type`` / ``_commit_snapshot`` — Delta's
+      ``table_changes`` TVF, reachable from SQL text)
     - ``args`` bind as ``:named`` parameters (injection-safe, bound
       before optimization so they still push down)
 
@@ -71,6 +77,10 @@ def governed_sql(
         table.scan_with_deletes(
             as_of=table.snapshot_at(float(ts))
         ).createOrReplaceTempView(f"{name}_{suffix}")
+    for suffix, (lo, hi) in (changes or {}).items():
+        table.changes(int(lo), int(hi)).createOrReplaceTempView(
+            f"{name}_{suffix}"
+        )
     return spark.sql(text, args=args or {})
 
 

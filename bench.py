@@ -196,6 +196,11 @@ HEADLINE = [
     "plan_merge_three_clause",
     "sql_governed_time_travel",
     "text_bpe_train",
+    # round-15: the SQL WRITE face (insert+merge+delete routed through
+    # the gated commit protocol) and the streaming CDF consumer (three
+    # incremental windows driving a downstream aggregate)
+    "sql_write_face",
+    "stream_cdf_consumer",
 ]
 
 # Queries benched as named phases instead of one opaque timing. The

@@ -69,6 +69,15 @@ SLOTS = [
     # r14: the new iterative trainer — corpus touched once, rounds run
     # on the dictionary, so the ratio should be well UNDER 10x
     "text_bpe_train",
+    # r15: the governed-table lifecycle verbs added since — CDF
+    # derivation is O(bytes rewritten in window), the SQL write face
+    # stages insert+merge+delete through the gated commit protocol,
+    # and the streaming consumer's ticks are window-sized; all three
+    # stage their own 10x fixture in-slot, so the ratio folds the
+    # commit protocol's scaling in with the query's
+    "plan_change_data_feed",
+    "sql_write_face",
+    "stream_cdf_consumer",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]

@@ -390,3 +390,31 @@ def test_cdf_under_concurrent_merge_retry(spark, tmp_path):
         for r in read_with_deletes(spark, mpath, "doc_id").collect()
     }
     assert base == final
+
+
+def test_cdf_reachable_from_sql_text(spark, cdf_table):
+    """The change feed joins the SQL face: a `changes={suffix: (from,
+    to)}` entry registers the window as a view, so a SQL-only client
+    can consume CDF through spark.sql text (Delta's table_changes TVF
+    shape) — counts must match the facade route exactly."""
+    from aws_seismic_data_pipeline_spark.sources.table.sqlface import (
+        governed_sql,
+    )
+
+    t, _docs, c = cdf_table
+    out = governed_sql(
+        spark,
+        t,
+        """
+        SELECT _change_type, COUNT(*) AS n
+        FROM t_w GROUP BY _change_type
+        """,
+        name="t",
+        changes={"w": (0, 2)},
+    )
+    assert {r._change_type: int(r.n) for r in out.collect()} == {
+        "update_preimage": c["upd"],
+        "update_postimage": c["upd"],
+        "insert": c["ins"],
+        "delete": c["del"],
+    }

@@ -50,6 +50,7 @@ from aws_seismic_data_pipeline_spark.sources.table.deletes import (
 from aws_seismic_data_pipeline_spark.sources.table.logstore import (
     manifest_data_dir as _mdd,
 )
+from aws_seismic_data_pipeline_spark.sources.table import localman
 
 #: change-type tags, Delta CDF vocabulary
 _CT_INSERT = "insert"
@@ -73,18 +74,29 @@ def _normalized_input_file() -> "F.Column":
 
 
 def _subtract_live_deletes(
-    df: DataFrame, man: DataFrame, key: str, as_of: int
+    df: DataFrame, man, key: str, as_of: int, lman=None
 ) -> DataFrame:
     """Rows of ``df`` minus the equality-delete keys in force at
     ``as_of`` (broadcast anti-join; the delete set is metadata-scale)
     — the 'visible state' both diff sides must be expressed in, or a
     delete-materializing compaction would re-report rows the
-    delete_eq commit already fed."""
-    dels = (
-        _live_delete_records(man, key, as_of)
-        .select(F.col("min_val").alias("__del_key"))
-        .distinct()
-    )
+    delete_eq commit already fed. With a localman frame (``lman``)
+    the key set resolves DRIVER-SIDE and an empty set skips the
+    anti-join outright; ``man`` (Spark) is the fallback."""
+    if lman is not None:
+        keys = localman.live_delete_keys(lman, key, as_of)
+        if not keys:
+            return df
+        spark = df.sparkSession
+        dels = spark.createDataFrame(
+            [(k,) for k in keys], "__del_key double"
+        )
+    else:
+        dels = (
+            _live_delete_records(man, key, as_of)
+            .select(F.col("min_val").alias("__del_key"))
+            .distinct()
+        )
     return df.join(
         F.broadcast(dels),
         df[key].cast("double") == dels["__del_key"],
@@ -193,33 +205,57 @@ def table_changes(
         raise ValueError(
             f"table_changes: to={to_snapshot} < from={from_snapshot}"
         )
-    man = spark.read.parquet(_mdd(manifest_dir))
-    inv = (
-        man.filter(
-            (F.col("snapshot_id") > int(from_snapshot))
-            & (F.col("snapshot_id") <= int(to_snapshot))
-            & F.col("op").isin("add", "remove", "delete_eq")
-        )
-        .select("snapshot_id", "op", "path", "column_name", "min_val")
-        .collect()  # commit inventory: metadata-scale (|window files|)
-    )
+    # the commit inventory is metadata-scale: resolve it DRIVER-SIDE
+    # via localman (Spark fallback) — every per-commit question below
+    # (delete candidacy, live-delete subtraction) reuses the same frame
+    lman = localman.load(manifest_dir)
+    if lman is not None:
+        man = None
+        w = lman[
+            (lman["snapshot_id"] > int(from_snapshot))
+            & (lman["snapshot_id"] <= int(to_snapshot))
+            & lman["op"].isin(("add", "remove", "delete_eq"))
+        ]
+        inv = [
+            (int(r["snapshot_id"]), r["op"], r["path"], r["column_name"],
+             r["min_val"])
+            for _i, r in w.iterrows()
+        ]
+    else:
+        man = spark.read.parquet(_mdd(manifest_dir))
+        inv = [
+            (int(r.snapshot_id), r.op, r.path, r.column_name, r.min_val)
+            for r in man.filter(
+                (F.col("snapshot_id") > int(from_snapshot))
+                & (F.col("snapshot_id") <= int(to_snapshot))
+                & F.col("op").isin("add", "remove", "delete_eq")
+            )
+            .select("snapshot_id", "op", "path", "column_name", "min_val")
+            .collect()  # commit inventory: metadata-scale
+        ]
+    import pandas as _pd
+
     per_snap: dict[int, dict[str, list]] = {}
-    for r in inv:
+    for snap_id, op, path, column_name, min_val in inv:
         slot = per_snap.setdefault(
-            int(r.snapshot_id), {"add": [], "remove": [], "delete_eq": []}
+            snap_id, {"add": [], "remove": [], "delete_eq": []}
         )
-        if r.op == "delete_eq":
-            if r.column_name == key and r.min_val is not None:
-                slot["delete_eq"].append(float(r.min_val))
+        if op == "delete_eq":
+            if column_name == key and min_val is not None and not (
+                isinstance(min_val, float) and _pd.isna(min_val)
+            ):
+                slot["delete_eq"].append(float(min_val))
         else:
-            slot[r.op].append(r.path)
+            slot[op].append(path)
     frames: list[DataFrame] = []
     for snap in sorted(per_snap):
         adds = sorted(set(per_snap[snap]["add"]))
         removes = sorted(set(per_snap[snap]["remove"]))
         dels = sorted(set(per_snap[snap]["delete_eq"]))
         if dels:
-            pre = _delete_preimages(spark, man, manifest_dir, key, dels, snap)
+            pre = _delete_preimages(
+                spark, man, manifest_dir, key, dels, snap, lman=lman
+            )
             if pre is not None:  # no-op delete: zero feed rows (Delta)
                 frames.append(_tag(pre, _CT_DELETE, snap))
         if not adds and not removes:
@@ -233,17 +269,19 @@ def table_changes(
         path_col = _normalized_input_file()
         if adds and removes:
             old = _subtract_live_deletes(
-                both.filter(path_col.isin(removes)), man, key, snap - 1
+                both.filter(path_col.isin(removes)), man, key, snap - 1,
+                lman=lman,
             )
             new = _subtract_live_deletes(
-                both.filter(path_col.isin(adds)), man, key, snap
+                both.filter(path_col.isin(adds)), man, key, snap, lman=lman
             )
             frames.append(_diff_changes(old, new, key, snap))
         elif adds:  # pure append commit: every row is an insert
             frames.append(
                 _tag(
                     _subtract_live_deletes(
-                        both.filter(path_col.isin(adds)), man, key, snap
+                        both.filter(path_col.isin(adds)), man, key, snap,
+                        lman=lman,
                     ),
                     _CT_INSERT,
                     snap,
@@ -257,6 +295,7 @@ def table_changes(
                         man,
                         key,
                         snap - 1,
+                        lman=lman,
                     ),
                     _CT_DELETE,
                     snap,
@@ -268,16 +307,23 @@ def table_changes(
         # with one that did) — read it from any committed data file's
         # footer; double only for a table that never had a file
         key_type = "double"
-        paths = (
-            man.filter(F.col("op") == "add")
-            .select("path")
-            .limit(1)
-            .collect()
-        )
-        if paths:
+        if lman is not None:
+            add_paths = sorted(
+                lman.loc[lman["op"] == "add", "path"].unique()
+            )
+            first_add = add_paths[0] if add_paths else None
+        else:
+            paths = (
+                man.filter(F.col("op") == "add")
+                .select("path")
+                .limit(1)
+                .collect()
+            )
+            first_add = paths[0].path if paths else None
+        if first_add is not None:
             try:
                 key_type = (
-                    spark.read.parquet(paths[0].path)
+                    spark.read.parquet(first_add)
                     .schema[key]
                     .dataType.simpleString()
                 )
@@ -294,11 +340,12 @@ def table_changes(
 
 def _delete_preimages(
     spark: SparkSession,
-    man: DataFrame,
+    man,
     manifest_dir: str,
     key: str,
     del_keys: list[float],
     snap: int,
+    lman=None,
 ) -> DataFrame | None:
     """The rows an equality-delete commit at ``snap`` removed: the
     deleted keys' rows as visible at the PARENT snapshot. Candidacy is
@@ -317,38 +364,45 @@ def _delete_preimages(
     keys_df = spark.createDataFrame(
         [(float(v),) for v in del_keys], "_k double"
     )
-    per_file = (
-        _visible_stats(man, snap - 1)
-        .filter(F.col("column_name") == key)
-        .groupBy("path")
-        .agg(
-            F.min("min_val").alias("fmin"),
-            F.max("max_val").alias("fmax"),
-            F.sum(
-                F.when(F.col("min_val").isNull(), 1).otherwise(0)
-            ).alias("n_statless"),
+    if lman is not None:
+        # candidacy resolved DRIVER-SIDE: delete keys and per-file
+        # stats are both metadata-scale (see localman)
+        candidates = localman.candidate_paths_for_keys(
+            localman.visible(lman, snap - 1), key, del_keys
         )
-    )
-    candidates = sorted(
-        r.path
-        for r in keys_df.join(
-            F.broadcast(per_file),
-            (F.col("n_statless") > 0)
-            | (
-                (F.col("_k") >= F.col("fmin"))
-                & (F.col("_k") <= F.col("fmax"))
-            ),
+    else:
+        per_file = (
+            _visible_stats(man, snap - 1)
+            .filter(F.col("column_name") == key)
+            .groupBy("path")
+            .agg(
+                F.min("min_val").alias("fmin"),
+                F.max("max_val").alias("fmax"),
+                F.sum(
+                    F.when(F.col("min_val").isNull(), 1).otherwise(0)
+                ).alias("n_statless"),
+            )
         )
-        .select("path")
-        .distinct()
-        .collect()
-    )
+        candidates = sorted(
+            r.path
+            for r in keys_df.join(
+                F.broadcast(per_file),
+                (F.col("n_statless") > 0)
+                | (
+                    (F.col("_k") >= F.col("fmin"))
+                    & (F.col("_k") <= F.col("fmax"))
+                ),
+            )
+            .select("path")
+            .distinct()
+            .collect()
+        )
     if not candidates:
         return None
     rows = spark.read.option("mergeSchema", "true").parquet(*candidates)
     # subtract deletes already in force BEFORE this commit, then keep
     # exactly this commit's keys
-    rows = _subtract_live_deletes(rows, man, key, snap - 1)
+    rows = _subtract_live_deletes(rows, man, key, snap - 1, lman=lman)
     return rows.join(
         F.broadcast(keys_df),
         rows[key].cast("double") == keys_df["_k"],

@@ -163,7 +163,6 @@ def _commit_constraint_row(
     op: str,
     pv: dict[str, str],
 ) -> None:
-    man_schema = spark.read.parquet(_mdd(manifest_dir)).schema
     fixed = {
         "path": "",
         "file_name": "",
@@ -177,6 +176,17 @@ def _commit_constraint_row(
     )
 
     ts_row = _commit_ts_fixed(snap)
+    # metadata-only commit: one driver-side parquet write via localman
+    # (Spark createDataFrame+write job as fallback)
+    import pandas as _pd
+
+    from aws_seismic_data_pipeline_spark.sources.table import localman
+
+    if localman.write_rows(
+        manifest_dir, _pd.DataFrame([fixed, ts_row])
+    ):
+        return
+    man_schema = spark.read.parquet(_mdd(manifest_dir)).schema
     spark.createDataFrame(
         [
             tuple(fixed.get(f.name) for f in man_schema),

@@ -140,13 +140,18 @@ def equality_delete(
     ts = _commit_ts_fixed(int(snapshot_id))
     ts["row_group"], ts["n_rows"] = -1, 0
     ts["partition_values"] = None  # pandas path: match the delete rows
-    pdf = _pd.concat(
-        [pdf, _pd.DataFrame([{k: ts.get(k) for k in pdf.columns}])],
-        ignore_index=True,
+    from aws_seismic_data_pipeline_spark.sources.table import localman
+
+    pdf = localman.concat_rows(
+        [pdf, _pd.DataFrame([{k: ts.get(k) for k in pdf.columns}])]
     )
-    # write through the generation resolver: on a post-expire manifest
-    # the live parquet is <manifest>/gen-N — a root write would make
-    # these delete records invisible to every read
+    # metadata-only commit: one driver-side parquet write via localman
+    # (no Spark job); the Spark write below is the fallback. Both write
+    # through the generation resolver: on a post-expire manifest the
+    # live parquet is <manifest>/gen-N — a root write would make these
+    # delete records invisible to every read
+    if localman.write_rows(manifest_dir, pdf):
+        return int(snapshot_id)
     spark.createDataFrame(pdf, _MANIFEST_SCHEMA).write.mode("append").parquet(
         _mdd(manifest_dir)
     )
@@ -194,15 +199,28 @@ def read_with_deletes(
     ``compact_equality_deletes`` is the maintenance step that
     physically drops the rows, retires the records, and keeps the
     delete set from growing unboundedly."""
-    manifest = spark.read.parquet(_mdd(manifest_dir))
-    dels = (
-        _live_delete_records(manifest, column, as_of)
-        .select(F.col("min_val").alias("__del_key"))
-        .distinct()
-    )
+    from aws_seismic_data_pipeline_spark.sources.table import localman
+
     data = manifest_pruned_scan(
         spark, manifest_dir, column, -float("inf"), float("inf"), as_of=as_of
     )
+    lman = localman.load(manifest_dir)
+    if lman is not None:
+        # delete keys resolved DRIVER-SIDE (metadata-scale by contract);
+        # a window with no live deletes skips the anti-join outright
+        keys = localman.live_delete_keys(lman, column, as_of)
+        if not keys:
+            return data
+        dels = spark.createDataFrame(
+            [(k,) for k in keys], "__del_key double"
+        )
+    else:
+        manifest = spark.read.parquet(_mdd(manifest_dir))
+        dels = (
+            _live_delete_records(manifest, column, as_of)
+            .select(F.col("min_val").alias("__del_key"))
+            .distinct()
+        )
     return data.join(
         F.broadcast(dels),
         data[column].cast("double") == dels["__del_key"],
@@ -284,54 +302,76 @@ def compact_equality_deletes(
     import glob as _glob
     import shutil as _shutil
 
-    manifest = spark.read.parquet(_mdd(manifest_dir))
-    live = _live_delete_records(manifest, column, None).localCheckpoint(
-        eager=True
-    )
-    n_live = live.count()
-    if n_live == 0:
-        raise ValueError(
-            f"compact_equality_deletes: no live delete records for "
-            f"{column} in {manifest_dir}"
-        )
-    ceiling = live.agg(F.max("snapshot_id")).collect()[0][0]
-    dkeys = live.select(F.col("min_val").alias("_k")).distinct()
+    from aws_seismic_data_pipeline_spark.sources.table import localman
 
-    visible = _visible_stats(manifest, None)
-    # rewritten files must keep the TABLE's full tracked-stats column
-    # set, not just the delete column — appending (column,) alone would
-    # leave the rewrites invisible to scans probing any other tracked
-    # column (manifest_pruned_scan lists a file only via its stats rows)
-    tracked = tuple(
-        sorted(
-            r.column_name
-            for r in visible.select("column_name").distinct().collect()
+    # the ENTIRE compaction plan (live records, ceiling, tracked
+    # columns, candidate files) is metadata-scale and resolves
+    # driver-side via localman — delete keys are driver-resident by
+    # the targeted-delete contract; Spark path = fallback
+    lman = localman.load(manifest_dir)
+    if lman is not None:
+        live_pd = localman.live_delete_records(lman, column, None)
+        n_live = len(live_pd)
+        if n_live == 0:
+            raise ValueError(
+                f"compact_equality_deletes: no live delete records for "
+                f"{column} in {manifest_dir}"
+            )
+        ceiling = int(live_pd["snapshot_id"].max())
+        keys = sorted(float(k) for k in live_pd["min_val"].dropna().unique())
+        dkeys = spark.createDataFrame([(k,) for k in keys], "_k double")
+        vis_pd = localman.visible(lman, None)
+        tracked = tuple(sorted(vis_pd["column_name"].unique()))
+        candidates = localman.candidate_paths_for_keys(vis_pd, column, keys)
+    else:
+        manifest = spark.read.parquet(_mdd(manifest_dir))
+        live = _live_delete_records(manifest, column, None).localCheckpoint(
+            eager=True
         )
-    )
-    per_file = (
-        visible.filter(F.col("column_name") == column)
-        .groupBy("path")
-        .agg(
-            F.min("min_val").alias("fmin"),
-            F.max("max_val").alias("fmax"),
-            F.sum(
-                F.when(F.col("min_val").isNull(), 1).otherwise(0)
-            ).alias("n_statless"),
+        n_live = live.count()
+        if n_live == 0:
+            raise ValueError(
+                f"compact_equality_deletes: no live delete records for "
+                f"{column} in {manifest_dir}"
+            )
+        ceiling = live.agg(F.max("snapshot_id")).collect()[0][0]
+        dkeys = live.select(F.col("min_val").alias("_k")).distinct()
+
+        visible = _visible_stats(manifest, None)
+        # rewritten files must keep the TABLE's full tracked-stats column
+        # set, not just the delete column — appending (column,) alone would
+        # leave the rewrites invisible to scans probing any other tracked
+        # column (manifest_pruned_scan lists a file only via its stats rows)
+        tracked = tuple(
+            sorted(
+                r.column_name
+                for r in visible.select("column_name").distinct().collect()
+            )
         )
-    )
-    # same broadcast orientation as merge_through_manifest: stats side
-    # (metadata-scale) broadcasts, the key set stays distributed
-    candidates = sorted(
-        r.path
-        for r in dkeys.join(
-            F.broadcast(per_file),
-            (F.col("n_statless") > 0)
-            | ((F.col("_k") >= F.col("fmin")) & (F.col("_k") <= F.col("fmax"))),
+        per_file = (
+            visible.filter(F.col("column_name") == column)
+            .groupBy("path")
+            .agg(
+                F.min("min_val").alias("fmin"),
+                F.max("max_val").alias("fmax"),
+                F.sum(
+                    F.when(F.col("min_val").isNull(), 1).otherwise(0)
+                ).alias("n_statless"),
+            )
         )
-        .select("path")
-        .distinct()
-        .collect()
-    )
+        # same broadcast orientation as merge_through_manifest: stats side
+        # (metadata-scale) broadcasts, the key set stays distributed
+        candidates = sorted(
+            r.path
+            for r in dkeys.join(
+                F.broadcast(per_file),
+                (F.col("n_statless") > 0)
+                | ((F.col("_k") >= F.col("fmin")) & (F.col("_k") <= F.col("fmax"))),
+            )
+            .select("path")
+            .distinct()
+            .collect()
+        )
     snap = _claimed_next_snapshot(spark, manifest_dir)
     new_paths: list[str] = []
     if candidates:
@@ -352,7 +392,12 @@ def compact_equality_deletes(
         for i, part in enumerate(
             sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
         ):
-            if spark.read.parquet(part).limit(1).count() == 0:
+            _n = localman.parquet_num_rows(part)
+            if (
+                _n
+                if _n is not None
+                else spark.read.parquet(part).limit(1).count()
+            ) == 0:
                 continue  # a fully-deleted range: no file, no stats row
             dst = os.path.join(
                 out_dir, f"delcompact-{snap}-{i:05d}.parquet"
@@ -364,15 +409,33 @@ def compact_equality_deletes(
     # ONE append: the retire record in particular must never become
     # visible before the rewrites (reads would stop subtracting while
     # the deleted rows are still on disk)
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        _LOCAL_COMMIT_MAX,
+        _tombstone_rows_pd,
+    )
+
     frames = []
     if new_paths:
-        frames.append(_stats_add_rows(spark, new_paths, tracked, snap))
+        add_pdf = (
+            localman.footer_stats_rows(new_paths, tracked, snap)
+            if len(new_paths) <= _LOCAL_COMMIT_MAX
+            else None
+        )
+        frames.append(
+            add_pdf
+            if add_pdf is not None
+            else _stats_add_rows(spark, new_paths, tracked, snap)
+        )
     if candidates:
-        frames.append(_tombstone_rows(spark, manifest_dir, candidates, snap))
+        tomb_pdf = _tombstone_rows_pd(manifest_dir, candidates, snap)
+        frames.append(
+            tomb_pdf
+            if tomb_pdf is not None
+            else _tombstone_rows(spark, manifest_dir, candidates, snap)
+        )
     # retire the records THROUGH the ceiling at the same snapshot: a
     # pinned read in (ceiling, snap) still subtracts; at >= snap the
     # live set is empty and reads stop paying for history
-    schema = spark.read.parquet(_mdd(manifest_dir)).schema
     fixed = {
         "path": "",
         "file_name": "",
@@ -382,8 +445,14 @@ def compact_equality_deletes(
         "snapshot_id": int(snap),
         "op": "delete_retire",
     }
-    row = tuple(fixed.get(f.name) for f in schema)
-    frames.append(spark.createDataFrame([row], schema))
+    import pandas as _pd2
+
+    if all(isinstance(f, _pd2.DataFrame) for f in frames):
+        frames.append(_pd2.DataFrame([fixed]))
+    else:
+        schema = spark.read.parquet(_mdd(manifest_dir)).schema
+        row = tuple(fixed.get(f.name) for f in schema)
+        frames.append(spark.createDataFrame([row], schema))
     verify_claim(manifest_dir, snap)
     commit_manifest_rows(spark, manifest_dir, frames, snapshot_id=snap)
     return snap, len(candidates), len(new_paths), int(n_live)

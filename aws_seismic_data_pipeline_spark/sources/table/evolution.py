@@ -64,17 +64,92 @@ def evolve_schema_add(
 
     snap = _claimed_next_snapshot(spark, manifest_dir)
     try:
-        rows = schema_add_rows(spark, manifest_dir, {column: sql_type}, snap)
+        # metadata-only commit: validated and landed DRIVER-SIDE via
+        # localman (one parquet file, no Spark job); Spark fallback
+        pdf = schema_add_rows_pd(manifest_dir, {column: sql_type}, snap)
+        rows = (
+            schema_add_rows(spark, manifest_dir, {column: sql_type}, snap)
+            if pdf is None
+            else None
+        )
     except BaseException:
         # nothing committed at the id: release the lease so the raise
         # (re-declaration) doesn't block the NEXT writer for stale_after
         release_claim(manifest_dir, snap)
         raise
     verify_claim(manifest_dir, snap)  # lease still ours at commit time
+    if pdf is not None:
+        if _commit_metadata_rows_local(manifest_dir, pdf, snap):
+            return snap
+        rows = schema_add_rows(spark, manifest_dir, {column: sql_type}, snap)
     rows.unionByName(
         _commit_ts_rows(spark, rows.schema, snap), allowMissingColumns=True
     ).write.mode("append").parquet(_mdd(manifest_dir))
     return snap
+
+
+def _commit_metadata_rows_local(manifest_dir: str, pdf, snap: int) -> bool:
+    """Land ``pdf`` (declaration rows) plus the commit_ts marker as ONE
+    driver-side parquet file — the localman twin of the evolution
+    verbs' union+append write. False → caller runs the Spark path."""
+    import pandas as _pd
+
+    from aws_seismic_data_pipeline_spark.sources.table import localman
+    from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+        _commit_ts_fixed,
+    )
+
+    out = localman.concat_rows(
+        [pdf, _pd.DataFrame([_commit_ts_fixed(int(snap))])]
+    )
+    return localman.write_rows(manifest_dir, out)
+
+
+def _declared_names_pd(lman) -> set:
+    """The names a schema_add may not reuse (adds, rename sources AND
+    targets, dropped names) from a localman manifest frame — the
+    pandas twin of :func:`schema_add_rows`'s validation read."""
+    declared = set()
+    ops = lman[lman["op"].isin(("schema_add", "schema_rename", "schema_drop"))]
+    for _idx, r in ops.iterrows():
+        declared.add(r["column_name"])
+        if r["op"] == "schema_rename":
+            declared.add((r["partition_values"] or {}).get("to"))
+    return declared
+
+
+def schema_add_rows_pd(
+    manifest_dir: str, columns: dict[str, str], snapshot_id: int
+):
+    """Driver-side twin of :func:`schema_add_rows`: same validation,
+    same raise, rows as a pandas frame for a localman single-file
+    commit. None when the manifest cannot be read locally."""
+    from aws_seismic_data_pipeline_spark.sources.table import localman
+
+    lman = localman.load(manifest_dir)
+    if lman is None:
+        return None
+    import pandas as _pd
+
+    dupes = sorted(set(columns) & _declared_names_pd(lman))
+    if dupes:
+        raise ValueError(
+            f"column(s) {dupes} are already declared (or were renamed/"
+            f"dropped — re-using such a name would resurface old files' "
+            f"values) at {manifest_dir}"
+        )
+    rows = [
+        {
+            "path": "",
+            "file_name": "",
+            "column_name": column,
+            "snapshot_id": int(snapshot_id),
+            "op": "schema_add",
+            "partition_values": {"type": str(sql_type)},
+        }
+        for column, sql_type in sorted(columns.items())
+    ]
+    return _pd.DataFrame(rows)
 
 
 def schema_add_rows(
@@ -117,6 +192,65 @@ def schema_add_rows(
         }
         rows.append(tuple(fixed.get(f.name) for f in schema))
     return spark.createDataFrame(rows, schema)
+
+
+def _schema_ops_pd(lman, as_of: int | None) -> list:
+    """Pandas twin of :func:`_schema_ops` over a localman frame —
+    identical tuples, identical order."""
+    ops = lman[
+        lman["op"].isin(("schema_add", "schema_rename", "schema_drop"))
+    ]
+    if as_of is not None:
+        ops = ops[ops["snapshot_id"] <= as_of]
+    out = []
+    for _i, r in ops.iterrows():
+        pv = r["partition_values"] or {}
+        arg = pv.get("type") if r["op"] == "schema_add" else pv.get("to")
+        out.append((int(r["snapshot_id"]), r["op"], r["column_name"], arg))
+    out.sort(key=lambda t: (t[0], t[1], t[2]))
+    return out
+
+
+def _effective_columns_pd(lman, ensure: tuple[str, ...] = ()) -> set[str]:
+    """Pandas twin of :func:`_effective_columns`: the same newest-64
+    footer walk (pyarrow, driver-side) ordered off the localman frame
+    instead of a Spark sort+iterate."""
+    import pyarrow.parquet as _pq
+
+    from aws_seismic_data_pipeline_spark.sources.table import localman
+
+    ops = _schema_ops_pd(lman, None)
+
+    def _apply(phys: set[str]) -> set[str]:
+        cols = set(phys)
+        for _snap, op, name, arg in ops:
+            if op == "schema_add":
+                cols.add(name)
+            elif op == "schema_rename":
+                if name in cols:
+                    cols.discard(name)
+                    cols.add(arg)
+            elif op == "schema_drop":
+                cols.discard(name)
+        return cols
+
+    ordered = (
+        localman.visible(lman, None)[["path", "snapshot_id"]]
+        .drop_duplicates()
+        .sort_values(
+            ["snapshot_id", "path"], ascending=[False, True]
+        )
+    )
+    phys: set[str] = set()
+    want = set(ensure)
+    for i, (_idx, r) in enumerate(ordered.iterrows()):
+        try:
+            phys.update(_pq.read_schema(r["path"]).names)
+        except Exception:
+            continue
+        if i + 1 >= 64 and (not want or want <= _apply(phys)):
+            break
+    return _apply(phys)
 
 
 def _schema_ops(man: DataFrame, as_of: int | None) -> list:
@@ -223,12 +357,18 @@ def evolve_schema_rename(
         active_constraints,
     )
 
+    from aws_seismic_data_pipeline_spark.sources.table import localman
+
     snap = _claimed_next_snapshot(spark, manifest_dir)
     try:
-        man = spark.read.parquet(_mdd(manifest_dir))
-        effective = _effective_columns(
-            spark, manifest_dir, man, ensure=(old,)
-        )
+        lman = localman.load(manifest_dir)
+        if lman is not None:  # driver-side validation (Spark fallback)
+            effective = _effective_columns_pd(lman, ensure=(old,))
+        else:
+            man = spark.read.parquet(_mdd(manifest_dir))
+            effective = _effective_columns(
+                spark, manifest_dir, man, ensure=(old,)
+            )
         if old not in effective:
             raise ValueError(
                 f"rename: column {old!r} does not exist at {manifest_dir} "
@@ -259,31 +399,39 @@ def evolve_schema_rename(
             for cname, kind, expr in active_constraints(spark, manifest_dir)
             if pat.search(expr)
         ]
-        schema = man.schema
-        fixed = {
-            "path": "",
-            "file_name": "",
-            "column_name": old,
-            "snapshot_id": int(snap),
-            "op": "schema_rename",
-            "partition_values": {"to": str(new)},
-        }
-        tuples = [tuple(fixed.get(f.name) for f in schema)]
-        for cname, kind, expr in remapped:
-            crow = {
+        dicts = [
+            {
                 "path": "",
                 "file_name": "",
-                "column_name": cname,
+                "column_name": old,
                 "snapshot_id": int(snap),
-                "op": "constraint_add",
-                "partition_values": {"kind": kind, "expr": expr},
+                "op": "schema_rename",
+                "partition_values": {"to": str(new)},
             }
-            tuples.append(tuple(crow.get(f.name) for f in schema))
-        rows = spark.createDataFrame(tuples, schema)
+        ]
+        for cname, kind, expr in remapped:
+            dicts.append(
+                {
+                    "path": "",
+                    "file_name": "",
+                    "column_name": cname,
+                    "snapshot_id": int(snap),
+                    "op": "constraint_add",
+                    "partition_values": {"kind": kind, "expr": expr},
+                }
+            )
     except BaseException:
         release_claim(manifest_dir, snap)  # nothing committed at the id
         raise
     verify_claim(manifest_dir, snap)  # lease still ours at commit time
+    import pandas as _pd
+
+    if _commit_metadata_rows_local(manifest_dir, _pd.DataFrame(dicts), snap):
+        return snap
+    schema = spark.read.parquet(_mdd(manifest_dir)).schema
+    rows = spark.createDataFrame(
+        [tuple(d.get(f.name) for f in schema) for d in dicts], schema
+    )
     rows.unionByName(
         _commit_ts_rows(spark, rows.schema, snap), allowMissingColumns=True
     ).write.mode("append").parquet(_mdd(manifest_dir))
@@ -311,12 +459,18 @@ def evolve_schema_drop(
         active_constraints,
     )
 
+    from aws_seismic_data_pipeline_spark.sources.table import localman
+
     snap = _claimed_next_snapshot(spark, manifest_dir)
     try:
-        man = spark.read.parquet(_mdd(manifest_dir))
-        effective = _effective_columns(
-            spark, manifest_dir, man, ensure=(column,)
-        )
+        lman = localman.load(manifest_dir)
+        if lman is not None:  # driver-side validation (Spark fallback)
+            effective = _effective_columns_pd(lman, ensure=(column,))
+        else:
+            man = spark.read.parquet(_mdd(manifest_dir))
+            effective = _effective_columns(
+                spark, manifest_dir, man, ensure=(column,)
+            )
         if column not in effective:
             raise ValueError(
                 f"drop: column {column!r} does not exist at {manifest_dir} "
@@ -335,7 +489,6 @@ def evolve_schema_drop(
                 f"the constraint(s) first (committing would wedge every "
                 f"gated write on an unresolvable name)"
             )
-        schema = man.schema
         fixed = {
             "path": "",
             "file_name": "",
@@ -344,13 +497,18 @@ def evolve_schema_drop(
             "op": "schema_drop",
             "partition_values": {},
         }
-        rows = spark.createDataFrame(
-            [tuple(fixed.get(f.name) for f in schema)], schema
-        )
     except BaseException:
         release_claim(manifest_dir, snap)  # nothing committed at the id
         raise
     verify_claim(manifest_dir, snap)  # lease still ours at commit time
+    import pandas as _pd
+
+    if _commit_metadata_rows_local(manifest_dir, _pd.DataFrame([fixed]), snap):
+        return snap
+    schema = spark.read.parquet(_mdd(manifest_dir)).schema
+    rows = spark.createDataFrame(
+        [tuple(fixed.get(f.name) for f in schema)], schema
+    )
     rows.unionByName(
         _commit_ts_rows(spark, rows.schema, snap), allowMissingColumns=True
     ).write.mode("append").parquet(_mdd(manifest_dir))
@@ -371,7 +529,13 @@ def read_evolved(
     neither the declaration nor any post-commit file, so the OLD schema
     emerges exactly — schema history is as time-travelable as data
     history. Metadata-only cost on top of the pruned scan."""
-    man = spark.read.parquet(_mdd(manifest_dir))
+    from aws_seismic_data_pipeline_spark.sources.table import localman
+
+    lman = localman.load(manifest_dir)
+    if lman is not None:  # driver-side schema-history read
+        ops = _schema_ops_pd(lman, as_of)
+    else:
+        ops = _schema_ops(spark.read.parquet(_mdd(manifest_dir)), as_of)
     df = manifest_pruned_scan(
         spark,
         manifest_dir,
@@ -385,7 +549,7 @@ def read_evolved(
     # physical union — each op transforms the name space the next op
     # sees, so chained renames/adds-then-renames resolve exactly as
     # they were declared
-    for _snap, op, name, arg in _schema_ops(man, as_of):
+    for _snap, op, name, arg in ops:
         if op == "schema_add":
             if name not in df.columns:
                 df = df.withColumn(name, F.lit(None).cast(arg or "string"))

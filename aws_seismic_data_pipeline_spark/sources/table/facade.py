@@ -540,7 +540,13 @@ class GovernedTable:
         return R.describe_history(self.spark, self.manifest_dir)
 
     def visible_files(self, as_of: int | None = None) -> list[str]:
-        """The file list a scan at ``as_of`` would consider."""
+        """The file list a scan at ``as_of`` would consider —
+        driver-side via localman (Spark fallback)."""
+        from aws_seismic_data_pipeline_spark.sources.table import localman
+
+        lman = localman.load(self.manifest_dir)
+        if lman is not None:
+            return sorted(localman.visible(lman, as_of)["path"].unique())
         return sorted(
             r.path
             for r in R._visible_stats(

@@ -32,11 +32,14 @@ from aws_seismic_data_pipeline_spark.sources.table.deletes import (
 from aws_seismic_data_pipeline_spark.sources.table.logstore import (
     log_store_for,
 )
+from aws_seismic_data_pipeline_spark.sources.table import localman
 from aws_seismic_data_pipeline_spark.sources.table.manifest import (
+    _LOCAL_COMMIT_MAX,
     _MANIFEST_COLS,
     _PART_PRUNE_RANGE,
     _stats_add_rows,
     _tombstone_rows,
+    _tombstone_rows_pd,
     _visible_stats,
     append_stats_manifest,
     commit_manifest_rows,
@@ -155,6 +158,26 @@ def live_manifests(manifest_dir: str) -> list[str]:
     return out
 
 
+def _union_tracked_paths_local(
+    manifest_dir: str, sibling_manifests: list[str] | None
+) -> set[str] | None:
+    """Driver-side twin of :func:`_union_tracked_paths` (the union of
+    visible paths across live manifests) as a plain set; None when any
+    member manifest cannot be read locally (caller falls back)."""
+    members = (
+        [manifest_dir, *sibling_manifests]
+        if sibling_manifests is not None
+        else live_manifests(manifest_dir)
+    )
+    out: set[str] = set()
+    for m in dict.fromkeys(os.path.abspath(m) for m in members):
+        lman = localman.load(m)
+        if lman is None:
+            return None
+        out |= set(localman.visible(lman, None)["path"].unique())
+    return out
+
+
 def _union_tracked_paths(
     spark: SparkSession,
     manifest_dir: str,
@@ -215,16 +238,23 @@ def vacuum_orphans_report(
     )
     if not all_files:
         raise ValueError(f"vacuum_orphans_report: no files under {data_dir}")
-    listing = spark.createDataFrame(
-        _pd.DataFrame({"path": all_files}), "path string"
-    )
     # VISIBLE paths only (unioned across live sibling manifests): a
     # file tombstoned EVERYWHERE (compaction input, retention delete)
-    # is exactly what vacuum exists to reclaim
-    tracked = _union_tracked_paths(spark, manifest_dir, sibling_manifests)
-    orphans = [
-        r.path for r in listing.join(tracked, "path", "left_anti").collect()
-    ]
+    # is exactly what vacuum exists to reclaim. Both sides are
+    # metadata-scale, so the anti-join runs DRIVER-SIDE via localman
+    # (Spark fallback).
+    tracked_set = _union_tracked_paths_local(manifest_dir, sibling_manifests)
+    if tracked_set is not None:
+        orphans = [p for p in all_files if p not in tracked_set]
+    else:
+        listing = spark.createDataFrame(
+            _pd.DataFrame({"path": all_files}), "path string"
+        )
+        tracked = _union_tracked_paths(spark, manifest_dir, sibling_manifests)
+        orphans = [
+            r.path
+            for r in listing.join(tracked, "path", "left_anti").collect()
+        ]
     if not orphans:
         return (
             spark.read.option("basePath", data_dir)
@@ -276,22 +306,35 @@ def vacuum_orphans(
         raise ValueError(f"vacuum_orphans: no files under {data_dir}")
     import pandas as _pd
 
-    listing = spark.createDataFrame(
-        _pd.DataFrame({"path": all_files}), "path string"
-    )
-    manifest = spark.read.parquet(_mdd(manifest_dir))
-    tracked = _union_tracked_paths(spark, manifest_dir, sibling_manifests)
-    orphans = [
-        r.path for r in listing.join(tracked, "path", "left_anti").collect()
-    ]
-    tombstoned_at = {
-        r.path: r.t
-        for r in manifest.filter(F.col("op") == "remove")
-        .groupBy("path")
-        .agg(F.max("min_val").alias("t"))
-        .collect()
-        if r.t is not None
-    }
+    # orphan resolution + tombstone clocks are metadata-scale:
+    # driver-side via localman (Spark fallback)
+    tracked_set = _union_tracked_paths_local(manifest_dir, sibling_manifests)
+    lman = localman.load(manifest_dir)
+    if tracked_set is not None and lman is not None:
+        orphans = [p for p in all_files if p not in tracked_set]
+        rem = lman[lman["op"] == "remove"]
+        tmax = rem.groupby("path")["min_val"].max()
+        tombstoned_at = {
+            pth: float(t) for pth, t in tmax.items() if _pd.notna(t)
+        }
+    else:
+        listing = spark.createDataFrame(
+            _pd.DataFrame({"path": all_files}), "path string"
+        )
+        manifest = spark.read.parquet(_mdd(manifest_dir))
+        tracked = _union_tracked_paths(spark, manifest_dir, sibling_manifests)
+        orphans = [
+            r.path
+            for r in listing.join(tracked, "path", "left_anti").collect()
+        ]
+        tombstoned_at = {
+            r.path: r.t
+            for r in manifest.filter(F.col("op") == "remove")
+            .groupBy("path")
+            .agg(F.max("min_val").alias("t"))
+            .collect()
+            if r.t is not None
+        }
     cutoff = _time.time() - float(older_than_seconds)
     n_deleted = 0
     reclaimed = 0
@@ -407,14 +450,25 @@ def commit_data_compaction(
     if not paths:
         raise ValueError("commit_data_compaction: empty path list")
     if columns is None:
-        tracked = sorted(
-            r.column_name
-            for r in spark.read.parquet(_mdd(manifest_dir))
-            .filter((F.col("op") == "add") & F.col("path").isin(list(paths)))
-            .select("column_name")
-            .distinct()
-            .collect()
-        )
+        lman = localman.load(manifest_dir)
+        if lman is not None:  # driver-side tracked-column read
+            tracked = sorted(
+                lman.loc[
+                    (lman["op"] == "add") & lman["path"].isin(list(paths)),
+                    "column_name",
+                ].unique()
+            )
+        else:
+            tracked = sorted(
+                r.column_name
+                for r in spark.read.parquet(_mdd(manifest_dir))
+                .filter(
+                    (F.col("op") == "add") & F.col("path").isin(list(paths))
+                )
+                .select("column_name")
+                .distinct()
+                .collect()
+            )
         columns = tuple(tracked) or _MANIFEST_COLS
     out_dir = os.path.dirname(sorted(paths)[0])
     snap = _claimed_next_snapshot(spark, manifest_dir)
@@ -432,12 +486,22 @@ def commit_data_compaction(
     # add(compacted) + remove(fragments) commit as ONE append — a reader
     # between two appends would double-count (or lose) the fragment rows
     verify_claim(manifest_dir, snap)
+    add_pdf = localman.footer_stats_rows(
+        [new_path], columns, snap, partition_by=partition_by
+    )
+    tomb_pdf = _tombstone_rows_pd(manifest_dir, paths, snap)
     commit_manifest_rows(
         spark,
         manifest_dir,
         [
-            _stats_add_rows(spark, [new_path], columns, snap, partition_by),
-            _tombstone_rows(spark, manifest_dir, paths, snap),
+            add_pdf
+            if add_pdf is not None
+            else _stats_add_rows(
+                spark, [new_path], columns, snap, partition_by
+            ),
+            tomb_pdf
+            if tomb_pdf is not None
+            else _tombstone_rows(spark, manifest_dir, paths, snap),
         ],
         snapshot_id=snap,
     )
@@ -524,8 +588,10 @@ def clone_manifest(
     ``gen-*`` directories plus the grace-retained stale flat parquet,
     and a raw root read would snapshot stale or duplicated rows
     (resurrecting expired history in the clone)."""
-    df = spark.read.parquet(_mdd(src_manifest))
-    df.coalesce(1).write.mode("overwrite").parquet(dst_manifest)
+    # KB-scale metadata copy: driver-side via pyarrow (Spark fallback)
+    if not localman.clone_manifest_local(src_manifest, dst_manifest):
+        df = spark.read.parquet(_mdd(src_manifest))
+        df.coalesce(1).write.mode("overwrite").parquet(dst_manifest)
     register_sibling_manifests(src_manifest, dst_manifest)
 
 
@@ -603,15 +669,21 @@ def rollback_manifest(
     the target and now (a compaction input) cannot be resurrected — a
     rollback across such maintenance raises instead of silently
     restoring a state with missing files."""
-    m = spark.read.parquet(_mdd(manifest_dir))
-    target = {
-        r.path
-        for r in _visible_stats(m, to_snapshot).select("path").distinct().collect()
-    }
-    current = {
-        r.path
-        for r in _visible_stats(m, None).select("path").distinct().collect()
-    }
+    lman = localman.load(manifest_dir)
+    if lman is not None:  # driver-side path sets (see localman)
+        target = set(localman.visible(lman, to_snapshot)["path"].unique())
+        current = set(localman.visible(lman, None)["path"].unique())
+    else:
+        m = spark.read.parquet(_mdd(manifest_dir))
+        target = {
+            r.path
+            for r in _visible_stats(m, to_snapshot)
+            .select("path").distinct().collect()
+        }
+        current = {
+            r.path
+            for r in _visible_stats(m, None).select("path").distinct().collect()
+        }
     missing = sorted(target - current)
     if missing:
         raise ValueError(
@@ -761,28 +833,51 @@ def merge_through_manifest(
                 f"must carry the partition column(s) {missing} so insert "
                 "rows can land in their Hive partition dirs"
             )
-    manifest = _visible_stats(spark.read.parquet(_mdd(manifest_dir)), None)
-    # preserve every tracked stats column present in the rewritten
-    # schema (key, *cols) — appending key-only stats would hide the
-    # rewrites from scans probing the other tracked columns
-    tracked = tuple(
-        sorted(
-            r.column_name
-            for r in manifest.select("column_name").distinct().collect()
-            if r.column_name in {key, *cols}
+    # planning metadata (tracked columns, per-file key stats, the
+    # empty-delta sample path) resolves DRIVER-SIDE via localman —
+    # the per-merge Spark-job chain over KB manifests was the dominant
+    # cost of every merge slot (r15 profiling); Spark path = fallback
+    lman = localman.load(manifest_dir)
+    if lman is not None:
+        vis_pd = localman.visible(lman, None)
+        manifest = None
+        tracked = tuple(
+            sorted(set(vis_pd["column_name"].unique()) & {key, *cols})
+        ) or (key,)
+        pf = localman.per_file_stats(vis_pd, key).reset_index()
+        pf = pf.astype(object).where(pf.notna(), None)
+        per_file = F.broadcast(
+            spark.createDataFrame(
+                pf[["path", "fmin", "fmax", "n_statless"]],
+                "path string, fmin double, fmax double, n_statless long",
+            )
         )
-    ) or (key,)
-    per_file = (
-        manifest.filter(F.col("column_name") == key)
-        .groupBy("path")
-        .agg(
-            F.min("min_val").alias("fmin"),
-            F.max("max_val").alias("fmax"),
-            F.sum(
-                F.when(F.col("min_val").isNull(), 1).otherwise(0)
-            ).alias("n_statless"),
+    else:
+        vis_pd = None
+        manifest = _visible_stats(
+            spark.read.parquet(_mdd(manifest_dir)), None
         )
-    )
+        # preserve every tracked stats column present in the rewritten
+        # schema (key, *cols) — appending key-only stats would hide the
+        # rewrites from scans probing the other tracked columns
+        tracked = tuple(
+            sorted(
+                r.column_name
+                for r in manifest.select("column_name").distinct().collect()
+                if r.column_name in {key, *cols}
+            )
+        ) or (key,)
+        per_file = (
+            manifest.filter(F.col("column_name") == key)
+            .groupBy("path")
+            .agg(
+                F.min("min_val").alias("fmin"),
+                F.max("max_val").alias("fmax"),
+                F.sum(
+                    F.when(F.col("min_val").isNull(), 1).otherwise(0)
+                ).alias("n_statless"),
+            )
+        )
     sel = [key, *cols] + [c for c in partition_by if c not in (key, *cols)]
     # the matched-delete clause flag rides the checkpointed delta; it
     # is dropped from every written file below
@@ -902,10 +997,16 @@ def merge_through_manifest(
         sample_path = intersecting[0]
     else:
         # no file can contain any delta key: the whole delta inserts
-        any_path = manifest.select("path").limit(1).collect()
-        if not any_path:
-            raise ValueError(f"empty stats manifest at {manifest_dir}")
-        sample_path = any_path[0].path
+        if vis_pd is not None:
+            sample_paths = sorted(vis_pd["path"].unique())
+            if not sample_paths:
+                raise ValueError(f"empty stats manifest at {manifest_dir}")
+            sample_path = sample_paths[0]
+        else:
+            any_path = manifest.select("path").limit(1).collect()
+            if not any_path:
+                raise ValueError(f"empty stats manifest at {manifest_dir}")
+            sample_path = any_path[0].path
         touched_keys = None
         inserts = d.filter(~F.col("_mtm_del")).drop("_mtm_del")
     if stats_out is not None:
@@ -964,7 +1065,11 @@ def merge_through_manifest(
             )
         )
     ):
-        if spark.read.parquet(part).limit(1).count() > 0:
+        # footer-only row-count probe (a Spark job per part file before)
+        _n = localman.parquet_num_rows(part)
+        if (
+            _n if _n is not None else spark.read.parquet(part).limit(1).count()
+        ) > 0:
             rel_dir = os.path.relpath(os.path.dirname(part), tmp)
             dst_dir = root if rel_dir == "." else os.path.join(root, rel_dir)
             os.makedirs(dst_dir, exist_ok=True)
@@ -981,13 +1086,27 @@ def merge_through_manifest(
     # rewritten files alongside the still-untombstoned originals
     frames = list(extra_commit_frames or [])
     if new_paths:
+        add_pdf = (
+            localman.footer_stats_rows(
+                new_paths, tracked, snap, partition_by=partition_by
+            )
+            if len(new_paths) <= _LOCAL_COMMIT_MAX
+            else None
+        )
         frames.append(
-            _stats_add_rows(
+            add_pdf
+            if add_pdf is not None
+            else _stats_add_rows(
                 spark, new_paths, tracked, snap, partition_by=partition_by
             )
         )
     if intersecting:
-        frames.append(_tombstone_rows(spark, manifest_dir, intersecting, snap))
+        tomb_pdf = _tombstone_rows_pd(manifest_dir, intersecting, snap)
+        frames.append(
+            tomb_pdf
+            if tomb_pdf is not None
+            else _tombstone_rows(spark, manifest_dir, intersecting, snap)
+        )
     verify_claim(manifest_dir, snap)
     if pre_commit is not None:
         # the facade's post-claim constraint re-check seam (see
@@ -1163,22 +1282,42 @@ def merge_evolve_through_manifest(
     evolved_columns)."""
     from aws_seismic_data_pipeline_spark.sources.table.evolution import (
         schema_add_rows,
+        schema_add_rows_pd,
     )
 
-    man = spark.read.parquet(_mdd(manifest_dir))
-    sample = (
-        _visible_stats(man, None).select("path").limit(1).collect()
-    )
-    if not sample:
-        raise ValueError(f"empty stats manifest at {manifest_dir}")
-    physical = set(spark.read.parquet(sample[0].path).columns)
-    declared = {
-        r.column_name
-        for r in man.filter(F.col("op") == "schema_add")
-        .select("column_name")
-        .distinct()
-        .collect()
-    }
+    # the evolved-column decision (sample file's physical schema +
+    # declared adds) is metadata-scale: driver-side via localman, with
+    # the Spark read as fallback
+    lman = localman.load(manifest_dir)
+    physical = None
+    if lman is not None:
+        vis_paths = sorted(localman.visible(lman, None)["path"].unique())
+        if not vis_paths:
+            raise ValueError(f"empty stats manifest at {manifest_dir}")
+        try:
+            import pyarrow.parquet as _pq
+
+            physical = set(_pq.read_schema(vis_paths[0]).names)
+        except Exception:
+            physical = None
+        declared = set(
+            lman.loc[lman["op"] == "schema_add", "column_name"].unique()
+        )
+    if physical is None:
+        man = spark.read.parquet(_mdd(manifest_dir))
+        sample = (
+            _visible_stats(man, None).select("path").limit(1).collect()
+        )
+        if not sample:
+            raise ValueError(f"empty stats manifest at {manifest_dir}")
+        physical = set(spark.read.parquet(sample[0].path).columns)
+        declared = {
+            r.column_name
+            for r in man.filter(F.col("op") == "schema_add")
+            .select("column_name")
+            .distinct()
+            .collect()
+        }
     dtypes = dict(delta.dtypes)
     evolved = {
         c: dtypes[c]
@@ -1187,11 +1326,14 @@ def merge_evolve_through_manifest(
     }
     snap = _claimed_next_snapshot(spark, manifest_dir)
     try:
-        extra = (
-            [schema_add_rows(spark, manifest_dir, evolved, snap)]
-            if evolved
-            else None
-        )
+        extra = None
+        if evolved:
+            extra_pdf = schema_add_rows_pd(manifest_dir, evolved, snap)
+            extra = [
+                extra_pdf
+                if extra_pdf is not None
+                else schema_add_rows(spark, manifest_dir, evolved, snap)
+            ]
         s, n_int, n_rw = merge_through_manifest(
             spark,
             manifest_dir,

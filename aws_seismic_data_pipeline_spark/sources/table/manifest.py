@@ -36,10 +36,19 @@ from aws_seismic_data_pipeline_spark.sources.table.commit import (
     _claimed_next_snapshot,
     verify_claim,
 )
+from aws_seismic_data_pipeline_spark.sources.table import localman
 
 
 #: leaf columns the demo manifests carry stats for
 _MANIFEST_COLS = ("o_orderkey", "o_custkey")
+
+
+#: commit-scale ceiling for the driver-side footer-stats path: a commit
+#: touching at most this many files reads their footers on the driver
+#: (KBs each, ~1 ms/file) instead of fanning a Spark stage out over
+#: them; bulk builds/backfills above it stay distributed. Overridable
+#: for deployments whose driver is far from storage.
+_LOCAL_COMMIT_MAX = int(os.environ.get("SPARK_GRAFT_LOCAL_COMMIT_MAX", "64"))
 
 
 #: price band for the float-stats pruning demo (~central slice of
@@ -111,7 +120,27 @@ def write_stats_manifest(
     appends stamp successive ids, giving the manifest a version axis
     (``manifest_pruned_scan(as_of=...)`` time-travels on it).
     ``partition_by`` records Hive-style partition values per row (see
-    ``_partition_values_col``) for combined partition+stats pruning."""
+    ``_partition_values_col``) for combined partition+stats pruning.
+
+    SIZE-ADAPTIVE: a build over at most ``_LOCAL_COMMIT_MAX`` files
+    runs DRIVER-SIDE (one pyarrow footer read per file, one parquet
+    write — :mod:`.localman`; identical rows, pytest-pinned) because
+    fanning a handful of footer KBs over a Spark stage costs ~2 s of
+    scheduler+worker overhead; a bulk build keeps the distributed
+    fan-out — at 100 TB the file list is the thing that scales."""
+    if len(paths) <= _LOCAL_COMMIT_MAX:
+        pdf = localman.footer_stats_rows(
+            paths, columns, 0, partition_by=partition_by
+        )
+        if pdf is not None:
+            import pandas as _pd
+
+            ts = _commit_ts_fixed(0)
+            pdf = localman.concat_rows(
+                [pdf, _pd.DataFrame([{k: ts.get(k) for k in pdf.columns}])]
+            )
+            if localman.write_rows(manifest_dir, pdf, overwrite=True):
+                return
     rows = (
         read_footer_stats_multi(spark, paths, columns)
         .withColumn("snapshot_id", F.lit(0).cast("int"))
@@ -168,6 +197,21 @@ def append_stats_manifest(
             if claimed_here:  # nothing committed at the id
                 release_claim(manifest_dir, int(snapshot_id))
             raise
+    if len(new_paths) <= _LOCAL_COMMIT_MAX:
+        # commit-scale append: driver-side footer stats + one local
+        # parquet write (see write_stats_manifest) — Spark fallback below
+        pdf = localman.footer_stats_rows(
+            new_paths, columns, int(snapshot_id), partition_by=partition_by
+        )
+        if pdf is not None:
+            import pandas as _pd
+
+            ts = _commit_ts_fixed(int(snapshot_id))
+            pdf = localman.concat_rows(
+                [pdf, _pd.DataFrame([{k: ts.get(k) for k in pdf.columns}])]
+            )
+            if localman.write_rows(manifest_dir, pdf):
+                return int(snapshot_id)
     rows = _stats_add_rows(
         spark, new_paths, columns, int(snapshot_id), partition_by
     )
@@ -287,7 +331,12 @@ def snapshot_for_timestamp(
     when ``ts`` precedes every recorded commit — including when the
     matching history was EXPIRED (commit_ts markers below the floor
     are dropped with it, so a pre-floor timestamp fails loudly exactly
-    like a pre-floor snapshot pin). KB-scale manifest read."""
+    like a pre-floor snapshot pin). KB-scale manifest read — resolved
+    DRIVER-SIDE through :mod:`.localman` (Spark fallback), the
+    ``commit._next_snapshot`` rationale."""
+    lman = localman.load(manifest_dir)
+    if lman is not None:
+        return localman.snapshot_for_timestamp(lman, manifest_dir, ts)
     man = spark.read.parquet(_mdd(manifest_dir))
     rows = (
         man.filter(F.col("op") == "commit_ts")
@@ -326,7 +375,29 @@ def commit_manifest_rows(
     Frames are aligned by name (missing columns NULL-filled) and cast
     to the target manifest's schema so the append never forks it.
     ``snapshot_id`` (when the caller passes its claimed id) rides a
-    commit_ts wall-clock marker inside the SAME write."""
+    commit_ts wall-clock marker inside the SAME write.
+
+    Frames may be PANDAS frames (driver-resident metadata — footer
+    stats, tombstones, declarations): when every frame is pandas the
+    whole commit lands as ONE driver-side parquet write
+    (:func:`localman.write_rows` — still a single atomic file, the
+    same one-append contract), skipping the Spark job entirely; any
+    Spark frame in the list, or a failed local write, falls back to
+    the original single Spark write with pandas frames converted."""
+    import pandas as _pd
+
+    if frames and all(isinstance(f, _pd.DataFrame) for f in frames):
+        out = localman.concat_rows(frames)
+        if snapshot_id is not None:
+            out = localman.concat_rows(
+                [out, _pd.DataFrame([_commit_ts_fixed(int(snapshot_id))])]
+            )
+        if localman.write_rows(manifest_dir, out):
+            return
+    frames = [
+        _pd_frame_to_spark(spark, f) if isinstance(f, _pd.DataFrame) else f
+        for f in frames
+    ]
     out = frames[0]
     for fdf in frames[1:]:
         out = out.unionByName(fdf, allowMissingColumns=True)
@@ -347,6 +418,23 @@ _MANIFEST_SCHEMA = (
     " n_rows long, min_val double, max_val double, snapshot_id int,"
     " op string, partition_values map<string,string>"
 )
+
+
+def _pd_frame_to_spark(spark: SparkSession, pdf) -> DataFrame:
+    """A pandas metadata frame as a Spark frame for the fallback write
+    path: canonical manifest columns get the canonical schema (NaN →
+    NULL); anything else lets Spark infer."""
+    clean = pdf.astype(object).where(pdf.notna(), None)
+    canonical = [
+        "path", "file_name", "row_group", "column_name", "n_rows",
+        "min_val", "max_val", "snapshot_id", "op", "partition_values",
+    ]
+    if set(clean.columns) <= set(canonical):
+        for c in canonical:
+            if c not in clean.columns:
+                clean[c] = None
+        return spark.createDataFrame(clean[canonical], _MANIFEST_SCHEMA)
+    return spark.createDataFrame(clean)
 
 
 def remove_from_manifest(
@@ -381,6 +469,16 @@ def remove_from_manifest(
     if snapshot_id is None:
         snapshot_id = _claimed_next_snapshot(spark, manifest_dir)
     verify_claim(manifest_dir, int(snapshot_id))
+    pdf = _tombstone_rows_pd(manifest_dir, paths, int(snapshot_id))
+    if pdf is not None:
+        import pandas as _pd
+
+        ts = _commit_ts_fixed(int(snapshot_id))
+        pdf = localman.concat_rows(
+            [pdf, _pd.DataFrame([{k: ts.get(k) for k in pdf.columns}])]
+        )
+        if localman.write_rows(manifest_dir, pdf):
+            return int(snapshot_id)
     rows = _tombstone_rows(spark, manifest_dir, paths, int(snapshot_id))
     rows.unionByName(
         _commit_ts_rows(spark, rows.schema, int(snapshot_id)),
@@ -422,6 +520,40 @@ def _tombstone_rows(
     return spark.createDataFrame(rows, schema)
 
 
+def _tombstone_rows_pd(
+    manifest_dir: str, paths: list[str], snapshot_id: int
+):
+    """Driver-side twin of :func:`_tombstone_rows` — rows shaped by the
+    TARGET manifest's on-disk schema (read from a footer, no Spark
+    job), returned as pandas for a :func:`localman.write_rows` commit.
+    None when the schema cannot be read (caller falls back)."""
+    import os as _os
+    import time as _time
+
+    schema = localman._existing_schema(manifest_dir)
+    if schema is None:
+        return None
+    import pandas as _pd
+
+    names = list(schema.names)
+    now = float(_time.time())
+    has_stats_slots = {"min_val", "max_val"} <= set(names)
+    rows = []
+    for p in sorted(paths):
+        d = {
+            "path": p,
+            "file_name": _os.path.basename(p),
+            "column_name": "__remove__",
+            "snapshot_id": int(snapshot_id),
+            "op": "remove",
+        }
+        if has_stats_slots:
+            d["min_val"] = now
+            d["max_val"] = now
+        rows.append({n: d.get(n) for n in names})
+    return _pd.DataFrame(rows, columns=names)
+
+
 def _visible_stats(manifest: DataFrame, as_of: int | None) -> DataFrame:
     """The stats rows of files VISIBLE at ``as_of`` (latest snapshot if
     None): 'add' rows whose path has no 'remove' tombstone at or below
@@ -450,7 +582,11 @@ def manifest_row_count(
     second pass over the fact table. Seed: the reference treats its
     paginated listing as the statistic itself
     (``/root/reference/upload_to_rfs.py:16-35``); the manifest keeps
-    the same answer one metadata agg away."""
+    the same answer one metadata agg away — computed DRIVER-SIDE via
+    :mod:`.localman` (Spark fallback)."""
+    lman = localman.load(manifest_dir)
+    if lman is not None:
+        return localman.row_count(lman, as_of)
     visible = _visible_stats(spark.read.parquet(_mdd(manifest_dir)), as_of)
     n = (
         visible.groupBy("path", "row_group")
@@ -493,7 +629,35 @@ def manifest_pruned_scan(
     ``partition_values`` entry AND its key stats overlap [lo, hi].
     Files with no recorded entry for a filtered column are kept
     conservatively (scanned, never silently dropped), so the filter is
-    always sound over mixed/legacy manifests."""
+    always sound over mixed/legacy manifests.
+
+    The metadata decision (floor check, visibility, partition filter,
+    per-file stats aggregate, matching list) runs DRIVER-SIDE via
+    :mod:`.localman` — the pruning question is over kilobytes of local
+    metadata and a Spark job chain per scan was the dominant cost of
+    every governed verb (r15 profiling); the Spark path remains as the
+    fallback and only the surviving files' DATA scan is distributed."""
+    lman = localman.load(manifest_dir)
+    if lman is not None:
+        localman.check_floor(lman, as_of, manifest_dir)
+        vis = localman.visible(lman, as_of)
+        vis = localman.apply_partition_filter(
+            vis, partition_filter, manifest_dir
+        )
+        matching = localman.matching_paths(vis, column, lo, hi)
+        if not matching:
+            any_paths = vis["path"].unique()
+            if len(any_paths) == 0:
+                raise ValueError(f"empty stats manifest at {manifest_dir}")
+            return spark.read.parquet(
+                sorted(any_paths)[0]
+            ).filter(F.lit(False))
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*matching).filter(
+            F.col(column).between(lo, hi)
+        )
     raw = spark.read.parquet(_mdd(manifest_dir))
     if as_of is not None:
         floor = _history_floor(raw)
@@ -575,6 +739,28 @@ def manifest_pruned_scan_multi(
     (``/root/reference/app.py:449-456``: date prefix + station)."""
     if not predicates:
         raise ValueError("manifest_pruned_scan_multi: empty predicate map")
+    lman = localman.load(manifest_dir)
+    if lman is not None:  # driver-side metadata pass (see pruned_scan)
+        localman.check_floor(lman, as_of, manifest_dir)
+        vis = localman.visible(lman, as_of)
+        vis = localman.apply_partition_filter(
+            vis, partition_filter, manifest_dir
+        )
+        matching = localman.surviving_paths_multi(vis, predicates)
+        if not matching:
+            any_paths = vis["path"].unique()
+            if len(any_paths) == 0:
+                raise ValueError(f"empty stats manifest at {manifest_dir}")
+            return spark.read.parquet(
+                sorted(any_paths)[0]
+            ).filter(F.lit(False))
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        out = reader.parquet(*matching)
+        for column, (lo, hi) in predicates.items():
+            out = out.filter(F.col(column).between(lo, hi))
+        return out
     raw = spark.read.parquet(_mdd(manifest_dir))
     if as_of is not None:
         floor = _history_floor(raw)
@@ -662,6 +848,28 @@ def manifest_pruned_scan_multi_rowgroup(
         raise ValueError(
             "manifest_pruned_scan_multi_rowgroup: empty predicate map"
         )
+    lman = localman.load(manifest_dir)
+    if lman is not None:  # driver-side metadata pass (see pruned_scan)
+        localman.check_floor(lman, as_of, manifest_dir)
+        vis = localman.visible(lman, as_of)
+        vis = localman.apply_partition_filter(
+            vis, partition_filter, manifest_dir
+        )
+        matching = localman.surviving_paths_multi_rowgroup(vis, predicates)
+        if not matching:
+            any_paths = vis["path"].unique()
+            if len(any_paths) == 0:
+                raise ValueError(f"empty stats manifest at {manifest_dir}")
+            return spark.read.parquet(
+                sorted(any_paths)[0]
+            ).filter(F.lit(False))
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        out = reader.parquet(*matching)
+        for column, (lo, hi) in predicates.items():
+            out = out.filter(F.col(column).between(lo, hi))
+        return out
     raw = spark.read.parquet(_mdd(manifest_dir))
     if as_of is not None:
         floor = _history_floor(raw)
@@ -1457,23 +1665,35 @@ def manifest_incremental_scan(
         raise ValueError(
             f"incremental scan: to={to_snapshot} < from={from_snapshot}"
         )
-    m = spark.read.parquet(_mdd(manifest_dir))
-    window_rows = m.filter(
-        (F.col("snapshot_id") > from_snapshot)
-        & (F.col("snapshot_id") <= to_snapshot)
-    )
-    maintenance = (
-        window_rows.filter(F.col("op") == "remove")
-        .select("snapshot_id")
-        .distinct()
-    )
-    added = (
-        window_rows.filter(F.col("op") == "add")
-        .join(maintenance, "snapshot_id", "left_anti")
-        .select("path")
-        .distinct()
-    )
-    paths = [r.path for r in added.collect()]
+    lman = localman.load(manifest_dir)
+    if lman is not None:  # driver-side interval listing (see pruned_scan)
+        w = lman[
+            (lman["snapshot_id"] > from_snapshot)
+            & (lman["snapshot_id"] <= to_snapshot)
+        ]
+        maintenance = set(w.loc[w["op"] == "remove", "snapshot_id"])
+        adds = w[w["op"] == "add"]
+        paths = sorted(
+            adds.loc[~adds["snapshot_id"].isin(maintenance), "path"].unique()
+        )
+    else:
+        m = spark.read.parquet(_mdd(manifest_dir))
+        window_rows = m.filter(
+            (F.col("snapshot_id") > from_snapshot)
+            & (F.col("snapshot_id") <= to_snapshot)
+        )
+        maintenance = (
+            window_rows.filter(F.col("op") == "remove")
+            .select("snapshot_id")
+            .distinct()
+        )
+        added = (
+            window_rows.filter(F.col("op") == "add")
+            .join(maintenance, "snapshot_id", "left_anti")
+            .select("path")
+            .distinct()
+        )
+        paths = [r.path for r in added.collect()]
     if not paths:
         return spark.createDataFrame([], "doc_id long")
     return spark.read.parquet(*paths)
@@ -1570,7 +1790,53 @@ def manifest_count_range(
     same footer stats). On a 100 TB range-clustered table a count
     query reads two boundary files instead of the table. Stats-less
     row groups are conservatively counted by scan. Returns
-    (n_total, n_from_metadata, n_files_scanned)."""
+    (n_total, n_from_metadata, n_files_scanned).
+
+    The row-group CLASSIFICATION (inside / partial / statless) is a
+    question about the KB-scale stats table and runs DRIVER-SIDE via
+    :mod:`.localman` (Spark fallback); only the boundary files'
+    residual count is a Spark scan."""
+    lman = localman.load(manifest_dir)
+    if lman is not None:
+        vis = localman.visible(lman, as_of)
+        sub = vis[vis["column_name"] == column]
+        statless = sub["min_val"].isna()
+        inside = (
+            ~statless & (sub["min_val"] >= lo) & (sub["max_val"] <= hi)
+        )
+        partial = (
+            ~statless
+            & ~inside
+            & (sub["max_val"] >= lo)
+            & (sub["min_val"] <= hi)
+        )
+        n_meta = int(sub.loc[inside, "n_rows"].sum())
+        scan_paths = sorted(sub.loc[partial | statless, "path"].unique())
+        n_scanned = 0
+        if scan_paths:
+            per_file_inside = (
+                sub.loc[inside & sub["path"].isin(scan_paths)]
+                .groupby("path")["n_rows"]
+                .sum()
+                .to_dict()
+            )
+            in_range = (
+                spark.read.parquet(*scan_paths)
+                .filter(F.col(column).between(lo, hi))
+                .groupBy(_decode_input_file().alias("path"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            known = set(scan_paths)
+            for r in in_range:
+                if r.path not in known:
+                    raise ValueError(
+                        f"manifest_count_range: scanned file {r.path!r} "
+                        "did not resolve to a manifest path — count "
+                        "would be wrong"
+                    )
+                n_scanned += int(r.n) - int(per_file_inside.get(r.path, 0))
+        return n_meta + n_scanned, n_meta, len(scan_paths)
     manifest = _visible_stats(spark.read.parquet(_mdd(manifest_dir)), as_of).filter(
         F.col("column_name") == column
     )

@@ -2830,18 +2830,28 @@ def test_compound_commit_is_one_write_job(spark, tmp_path):
     files = sorted(glob.glob(data_dir + "/*.parquet"))
     mpath = str(tmp_path / "manifest")
     R.write_stats_manifest(spark, files, mpath, ("doc_id",))
-    before = set(glob.glob(os.path.join(mpath, "part-*.parquet")))
+    before = set(glob.glob(os.path.join(mpath, "*.parquet")))
     new_path, snap = R.commit_data_compaction(spark, mpath, files[:3])
-    added = sorted(set(glob.glob(os.path.join(mpath, "part-*.parquet"))) - before)
+    added = sorted(set(glob.glob(os.path.join(mpath, "*.parquet"))) - before)
     assert added, "the commit must append manifest files"
-    job_ids = {
-        re.match(r"part-\d+-([0-9a-f-]{36})", os.path.basename(p)).group(1)
-        for p in added
-    }
-    assert len(job_ids) == 1, (
-        f"adds and removes landed via {len(job_ids)} write jobs — "
-        f"the commit is not atomic: {added}"
-    )
+    # atomicity holds in either landing form: the driver-side localman
+    # path writes exactly ONE file; the Spark fallback writes part-*
+    # files that must all share a single write-job uuid
+    if all(os.path.basename(p).startswith("local-") for p in added):
+        assert len(added) == 1, (
+            f"local commit must be one file, got: {added}"
+        )
+    else:
+        job_ids = {
+            re.match(
+                r"part-\d+-([0-9a-f-]{36})", os.path.basename(p)
+            ).group(1)
+            for p in added
+        }
+        assert len(job_ids) == 1, (
+            f"adds and removes landed via {len(job_ids)} write jobs — "
+            f"the commit is not atomic: {added}"
+        )
     # and the committed snapshot carries BOTH row kinds
     snap_rows = (
         spark.read.parquet(_mdd(mpath))

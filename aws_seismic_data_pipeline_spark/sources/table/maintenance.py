@@ -49,6 +49,15 @@ from aws_seismic_data_pipeline_spark.sources.table.manifest import (
 )
 
 
+#: driver-side selection ceiling for incremental OPTIMIZE: below this
+#: many visible files the scattered-file selection runs in pandas on
+#: the driver; above it the per-file rectangle widths stay a
+#: distributed frame (a 10⁷-file table must not become a driver dict).
+_LOCAL_SELECT_MAX = int(
+    os.environ.get("SPARK_GRAFT_LOCAL_SELECT_MAX", "100000")
+)
+
+
 def merge_with_conflict_retry(
     spark: SparkSession,
     manifest_dir: str,
@@ -1646,6 +1655,86 @@ def plan_merge_three_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+def _expire_rewrite_local(
+    manifest_dir: str, lman, e: int, marker_fixed: dict, tmp: str
+) -> int | None:
+    """Driver-side twin of the expire rewrite: compute the kept rows in
+    pandas (same visibility / retire-ceiling / declared-schema rules as
+    the Spark plan below) and land them + the expire marker as one
+    pyarrow parquet file in ``tmp``. Returns rows_after, or None on any
+    failure (caller runs the Spark rewrite)."""
+    try:
+        import pandas as _pd
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        old = lman[lman["snapshot_id"] < e]
+        removed_below = set(old.loc[old["op"] == "remove", "path"])
+        adds = old[old["op"] == "add"]
+        keep_old_adds = (
+            adds[~adds["path"].isin(removed_below)] if removed_below else adds
+        )
+        ceilings = (
+            old[old["op"] == "delete_retire"]
+            .groupby("column_name")["min_val"]
+            .max()
+            .to_dict()
+        )
+        dels = old[old["op"] == "delete_eq"]
+
+        def _live(row) -> bool:
+            c = ceilings.get(row["column_name"])
+            return c is None or _pd.isna(c) or row["snapshot_id"] > c
+
+        live_old_deletes = (
+            dels[dels.apply(_live, axis=1)] if len(dels) else dels
+        )
+        keep = localman.concat_rows(
+            [
+                lman[lman["snapshot_id"] >= e],
+                keep_old_adds,
+                live_old_deletes,
+                old[
+                    old["op"].isin(
+                        (
+                            "delete_retire",
+                            "expire",
+                            "schema_add",
+                            "schema_rename",
+                            "schema_drop",
+                            "constraint_add",
+                            "constraint_drop",
+                        )
+                    )
+                ],
+                _pd.DataFrame([marker_fixed]),
+            ]
+        )
+        schema = localman._existing_schema(manifest_dir)
+        if schema is None:
+            return None
+        cols = {}
+        for field in schema:
+            if field.name in keep.columns:
+                cols[field.name] = keep[field.name]
+            else:
+                cols[field.name] = _pd.Series(
+                    [None] * len(keep), dtype="object"
+                )
+        tbl = _pa.Table.from_pandas(
+            _pd.DataFrame(cols), schema=schema, preserve_index=False
+        )
+        os.makedirs(tmp, exist_ok=True)
+        import uuid as _uuid
+
+        _pq.write_table(
+            tbl, os.path.join(tmp, f"local-{_uuid.uuid4().hex}.parquet")
+        )
+        return len(keep)
+    except Exception:
+        return None
+
+
 def expire_manifest_history(
     spark: SparkSession, manifest_dir: str, expire_below: int
 ) -> tuple[int, int]:
@@ -1684,14 +1773,24 @@ def expire_manifest_history(
 
     recover_interrupted_expire(manifest_dir)
     e = int(expire_below)
-    man = spark.read.parquet(_mdd(manifest_dir))
-    # one agg answers both driver-side questions — separate actions
-    # each cost a full (tiny) job under load
-    stats = man.agg(
-        F.max("snapshot_id").alias("cur_max"),
-        F.count(F.lit(1)).alias("n_rows"),
-    ).collect()[0]
-    cur_max, rows_before = stats.cur_max, stats.n_rows
+    # the whole rewrite is metadata-scale: resolved DRIVER-SIDE via
+    # localman when possible (Spark read+rewrite as fallback)
+    lman = localman.load(manifest_dir)
+    man = None
+    if lman is not None:
+        cur_max = (
+            int(lman["snapshot_id"].max()) if len(lman) else None
+        )
+        rows_before = len(lman)
+    else:
+        man = spark.read.parquet(_mdd(manifest_dir))
+        # one agg answers both driver-side questions — separate actions
+        # each cost a full (tiny) job under load
+        stats = man.agg(
+            F.max("snapshot_id").alias("cur_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).collect()[0]
+        cur_max, rows_before = stats.cur_max, stats.n_rows
     if cur_max is None or e > cur_max:
         raise ValueError(
             f"expire_below={e} exceeds max snapshot {cur_max} — refusing "
@@ -1707,55 +1806,6 @@ def expire_manifest_history(
     # blocks writers only until the token goes stale (claim takeover).
     guard = claim_commit(spark, manifest_dir, int(cur_max))
     try:
-        old = man.filter(F.col("snapshot_id") < e)
-        removed_below = (
-            old.filter(F.col("op") == "remove").select("path").distinct()
-        )
-        keep_old_adds = old.filter(F.col("op") == "add").join(
-            removed_below, "path", "left_anti"
-        )
-        # retire ceilings are PER COLUMN, mirroring _live_delete_records'
-        # scoping: a retire marker for column A must never expire column
-        # B's still-live delete records (that would silently resurrect
-        # B's deleted rows on every post-expire read)
-        ceilings = (
-            old.filter(F.col("op") == "delete_retire")
-            .groupBy("column_name")
-            .agg(F.max("min_val").alias("__ceiling"))
-        )
-        live_old_deletes = (
-            old.filter(F.col("op") == "delete_eq")
-            .join(F.broadcast(ceilings), "column_name", "left")
-            .filter(
-                F.col("__ceiling").isNull()
-                | (F.col("snapshot_id") > F.col("__ceiling"))
-            )
-            .drop("__ceiling")
-        )
-        keep = (
-            man.filter(F.col("snapshot_id") >= e)
-            .unionByName(keep_old_adds)
-            .unionByName(live_old_deletes)
-            # schema_add/rename/drop rows are the table's DECLARED
-            # SCHEMA — a committed schema change must survive any
-            # expiry or post-expire reads lose the NULL-backfill /
-            # name re-map / column tombstone (and a re-declaration
-            # stops raising)
-            .unionByName(
-                old.filter(
-                    F.col("op").isin(
-                        "delete_retire",
-                        "expire",
-                        "schema_add",
-                        "schema_rename",
-                        "schema_drop",
-                        "constraint_add",
-                        "constraint_drop",
-                    )
-                )
-            )
-        )
-        schema = man.schema
         marker_fixed = {
             "path": "",
             "file_name": "",
@@ -1765,17 +1815,76 @@ def expire_manifest_history(
             "snapshot_id": int(e),
             "op": "expire",
         }
-        marker = spark.createDataFrame(
-            [tuple(marker_fixed.get(f.name) for f in schema)], schema
-        )
         tmp = manifest_dir + ".expiring"
         _shutil.rmtree(tmp, ignore_errors=True)
-        # the marker lands as its own appended file, NOT unioned into the
-        # rewrite plan: a LocalRelation branch under the coalesced union
-        # measured 4x the whole write (10.5 s vs 2.4 + 0.9 at sf0.1)
-        keep.coalesce(1).write.parquet(tmp)
-        marker.write.mode("append").parquet(tmp)
-        rows_after = spark.read.parquet(tmp).count()
+        rows_after = None
+        if lman is not None:
+            rows_after = _expire_rewrite_local(
+                manifest_dir, lman, e, marker_fixed, tmp
+            )
+        if rows_after is None:
+            if man is None:
+                man = spark.read.parquet(_mdd(manifest_dir))
+            old = man.filter(F.col("snapshot_id") < e)
+            removed_below = (
+                old.filter(F.col("op") == "remove").select("path").distinct()
+            )
+            keep_old_adds = old.filter(F.col("op") == "add").join(
+                removed_below, "path", "left_anti"
+            )
+            # retire ceilings are PER COLUMN, mirroring
+            # _live_delete_records' scoping: a retire marker for column
+            # A must never expire column B's still-live delete records
+            # (that would silently resurrect B's deleted rows on every
+            # post-expire read)
+            ceilings = (
+                old.filter(F.col("op") == "delete_retire")
+                .groupBy("column_name")
+                .agg(F.max("min_val").alias("__ceiling"))
+            )
+            live_old_deletes = (
+                old.filter(F.col("op") == "delete_eq")
+                .join(F.broadcast(ceilings), "column_name", "left")
+                .filter(
+                    F.col("__ceiling").isNull()
+                    | (F.col("snapshot_id") > F.col("__ceiling"))
+                )
+                .drop("__ceiling")
+            )
+            keep = (
+                man.filter(F.col("snapshot_id") >= e)
+                .unionByName(keep_old_adds)
+                .unionByName(live_old_deletes)
+                # schema_add/rename/drop rows are the table's DECLARED
+                # SCHEMA — a committed schema change must survive any
+                # expiry or post-expire reads lose the NULL-backfill /
+                # name re-map / column tombstone (and a re-declaration
+                # stops raising)
+                .unionByName(
+                    old.filter(
+                        F.col("op").isin(
+                            "delete_retire",
+                            "expire",
+                            "schema_add",
+                            "schema_rename",
+                            "schema_drop",
+                            "constraint_add",
+                            "constraint_drop",
+                        )
+                    )
+                )
+            )
+            schema = man.schema
+            marker = spark.createDataFrame(
+                [tuple(marker_fixed.get(f.name) for f in schema)], schema
+            )
+            # the marker lands as its own appended file, NOT unioned
+            # into the rewrite plan: a LocalRelation branch under the
+            # coalesced union measured 4x the whole write (10.5 s vs
+            # 2.4 + 0.9 at sf0.1)
+            keep.coalesce(1).write.parquet(tmp)
+            marker.write.mode("append").parquet(tmp)
+            rows_after = spark.read.parquet(tmp).count()
         aside = manifest_dir + ".expired_old"
         _shutil.rmtree(aside, ignore_errors=True)
         store = log_store_for(manifest_dir)
@@ -2029,28 +2138,49 @@ def _optimize_curve(
     """Shared OPTIMIZE body: bucket every clustering column to 0..255
     from the manifest's global stats, cluster the visible files along
     ``curve_sql([bucket_sql, ...])`` via :func:`_zcluster_rewrite`,
-    and commit add+remove at one snapshot."""
-    manifest = _visible_stats(spark.read.parquet(_mdd(manifest_dir)), None)
-    visible = sorted(
-        r.path for r in manifest.select("path").distinct().collect()
-    )
+    and commit add+remove at one snapshot. Planning metadata (visible
+    files, tracked columns, global stats bounds) resolves DRIVER-SIDE
+    via localman (Spark fallback)."""
+    import pandas as _pd
+
+    lman = localman.load(manifest_dir)
+    if lman is not None:
+        vis_pd = localman.visible(lman, None)
+        visible = sorted(vis_pd["path"].unique())
+        tracked = tuple(sorted(vis_pd["column_name"].unique()))
+        sub = vis_pd[vis_pd["column_name"].isin(list(cols))]
+        bounds = {}
+        for cname, g in sub.groupby("column_name"):
+            lo = g["min_val"].min()
+            hi = g["max_val"].max()
+            bounds[cname] = (
+                None if _pd.isna(lo) else float(lo),
+                None if _pd.isna(hi) else float(hi),
+            )
+    else:
+        manifest = _visible_stats(
+            spark.read.parquet(_mdd(manifest_dir)), None
+        )
+        visible = sorted(
+            r.path for r in manifest.select("path").distinct().collect()
+        )
+        tracked = tuple(
+            sorted(
+                r.column_name
+                for r in manifest.select("column_name").distinct().collect()
+            )
+        )
+        bounds = {
+            r.column_name: (r.lo, r.hi)
+            for r in manifest.filter(F.col("column_name").isin(list(cols)))
+            .groupBy("column_name")
+            .agg(F.min("min_val").alias("lo"), F.max("max_val").alias("hi"))
+            .collect()
+        }
     if not visible:
         raise ValueError(
             f"optimize_{prefix}: no visible files in {manifest_dir}"
         )
-    tracked = tuple(
-        sorted(
-            r.column_name
-            for r in manifest.select("column_name").distinct().collect()
-        )
-    )
-    bounds = {
-        r.column_name: (r.lo, r.hi)
-        for r in manifest.filter(F.col("column_name").isin(list(cols)))
-        .groupBy("column_name")
-        .agg(F.min("min_val").alias("lo"), F.max("max_val").alias("hi"))
-        .collect()
-    }
     for c in cols:
         if c not in bounds or bounds[c][0] is None:
             raise ValueError(
@@ -2076,14 +2206,26 @@ def _optimize_curve(
         prefix,
     )
     verify_claim(manifest_dir, snap)
+    add_pdf = (
+        localman.footer_stats_rows(
+            new_paths, tracked, snap, partition_by=partition_by
+        )
+        if len(new_paths) <= _LOCAL_COMMIT_MAX
+        else None
+    )
+    tomb_pdf = _tombstone_rows_pd(manifest_dir, visible, snap)
     commit_manifest_rows(
         spark,
         manifest_dir,
         [
-            _stats_add_rows(
+            add_pdf
+            if add_pdf is not None
+            else _stats_add_rows(
                 spark, new_paths, tracked, snap, partition_by=partition_by
             ),
-            _tombstone_rows(spark, manifest_dir, visible, snap),
+            tomb_pdf
+            if tomb_pdf is not None
+            else _tombstone_rows(spark, manifest_dir, visible, snap),
         ],
         snapshot_id=snap,
     )
@@ -2286,59 +2428,116 @@ def _optimize_curve_incremental(
 ) -> tuple[int, int, int, int]:
     """Shared incremental-OPTIMIZE body (see the public wrappers for
     semantics): metadata-only selection of scattered files, curve
-    rewrite of only the tail, one atomic add+remove commit."""
-    manifest = _visible_stats(spark.read.parquet(_mdd(manifest_dir)), None)
-    tracked = tuple(
-        sorted(
-            r.column_name
-            for r in manifest.select("column_name").distinct().collect()
-        )
-    )
-    # per-file rectangles AND global bounds for both dims, one metadata agg
-    per_file = (
-        manifest.filter(F.col("column_name").isin(x_col, y_col))
-        .groupBy("path", "column_name")
-        .agg(F.min("min_val").alias("lo"), F.max("max_val").alias("hi"))
-    ).localCheckpoint(eager=True)  # feeds two tiny aggs — plan once
-    # global bounds: |columns| rows to the driver, never |files|
-    glo = {
-        r.column_name: (r.glo, r.ghi)
-        for r in per_file.groupBy("column_name")
-        .agg(F.min("lo").alias("glo"), F.max("hi").alias("ghi"))
-        .collect()
-    }
-    for c in (x_col, y_col):
-        if c not in glo or glo[c][0] is None:
-            raise ValueError(
-                f"optimize_{prefix}: no stats for {c!r} in {manifest_dir}"
-            )
-    spans = {c: max(glo[c][1] - glo[c][0], 1e-12) for c in (x_col, y_col)}
-    # per-file rectangle widths stay a DataFrame (at 10⁷ files the
-    # selection must not be a driver dict); a path missing stats for a
-    # dimension is conservatively full-width (NULL -> 1.0). ONE job
-    # returns the total file count plus ONLY the scattered path list.
-    def _w(col: str) -> F.Column:
-        return F.max(
-            F.when(
-                F.col("column_name") == col,
-                (F.col("hi") - F.col("lo")) / F.lit(spans[col]),
-            )
-        )
+    rewrite of only the tail, one atomic add+remove commit. The
+    selection metadata resolves DRIVER-SIDE via localman below the
+    ``_LOCAL_SELECT_MAX``-files bound (at 10⁷ files the per-file
+    rectangle widths must stay a distributed frame — the Spark branch);
+    identical selection, pytest-pinned by the registered queries."""
+    import pandas as _pd
 
-    sel = per_file.groupBy("path").agg(
-        _w(x_col).alias("_wx"), _w(y_col).alias("_wy")
-    )
-    is_scattered = (
-        F.coalesce(F.col("_wx"), F.lit(1.0)) > F.lit(coverage_threshold)
-    ) & (F.coalesce(F.col("_wy"), F.lit(1.0)) > F.lit(coverage_threshold))
-    agg = sel.agg(
-        F.count(F.lit(1)).alias("n_files"),
-        F.sort_array(
-            F.collect_list(F.when(is_scattered, F.col("path")))
-        ).alias("scattered"),
-    ).collect()[0]
-    scattered = list(agg.scattered)
-    n_untouched = agg.n_files - len(scattered)
+    lman = localman.load(manifest_dir)
+    vis_pd = localman.visible(lman, None) if lman is not None else None
+    if vis_pd is not None and vis_pd["path"].nunique() <= _LOCAL_SELECT_MAX:
+        tracked = tuple(sorted(vis_pd["column_name"].unique()))
+        sub = vis_pd[vis_pd["column_name"].isin((x_col, y_col))]
+        pf = (
+            sub.groupby(["path", "column_name"])
+            .agg(lo=("min_val", "min"), hi=("max_val", "max"))
+            .reset_index()
+        )
+        glo = {}
+        for cname, g in pf.groupby("column_name"):
+            lo = g["lo"].min()
+            hi = g["hi"].max()
+            glo[cname] = (
+                None if _pd.isna(lo) else float(lo),
+                None if _pd.isna(hi) else float(hi),
+            )
+        for c in (x_col, y_col):
+            if c not in glo or glo[c][0] is None:
+                raise ValueError(
+                    f"optimize_{prefix}: no stats for {c!r} in {manifest_dir}"
+                )
+        spans = {
+            c: max(glo[c][1] - glo[c][0], 1e-12) for c in (x_col, y_col)
+        }
+        widths: dict[str, dict[str, float]] = {}
+        for _i, r in pf.iterrows():
+            w = (
+                1.0
+                if _pd.isna(r["lo"]) or _pd.isna(r["hi"])
+                else (r["hi"] - r["lo"]) / spans[r["column_name"]]
+            )
+            widths.setdefault(r["path"], {})[r["column_name"]] = w
+        # only paths with stats rows for either clustering column are
+        # selection members — mirrors the Spark branch's per_file base
+        all_paths = sorted(pf["path"].unique())
+        scattered = sorted(
+            p
+            for p in all_paths
+            if widths.get(p, {}).get(x_col, 1.0) > coverage_threshold
+            and widths.get(p, {}).get(y_col, 1.0) > coverage_threshold
+        )
+        n_untouched = len(all_paths) - len(scattered)
+    else:
+        manifest = _visible_stats(
+            spark.read.parquet(_mdd(manifest_dir)), None
+        )
+        tracked = tuple(
+            sorted(
+                r.column_name
+                for r in manifest.select("column_name").distinct().collect()
+            )
+        )
+        # per-file rectangles AND global bounds for both dims, one
+        # metadata agg
+        per_file = (
+            manifest.filter(F.col("column_name").isin(x_col, y_col))
+            .groupBy("path", "column_name")
+            .agg(F.min("min_val").alias("lo"), F.max("max_val").alias("hi"))
+        ).localCheckpoint(eager=True)  # feeds two tiny aggs — plan once
+        # global bounds: |columns| rows to the driver, never |files|
+        glo = {
+            r.column_name: (r.glo, r.ghi)
+            for r in per_file.groupBy("column_name")
+            .agg(F.min("lo").alias("glo"), F.max("hi").alias("ghi"))
+            .collect()
+        }
+        for c in (x_col, y_col):
+            if c not in glo or glo[c][0] is None:
+                raise ValueError(
+                    f"optimize_{prefix}: no stats for {c!r} in {manifest_dir}"
+                )
+        spans = {
+            c: max(glo[c][1] - glo[c][0], 1e-12) for c in (x_col, y_col)
+        }
+        # per-file rectangle widths stay a DataFrame (at 10⁷ files the
+        # selection must not be a driver dict); a path missing stats
+        # for a dimension is conservatively full-width (NULL -> 1.0).
+        # ONE job returns the total file count plus ONLY the scattered
+        # path list.
+        def _w(col: str) -> F.Column:
+            return F.max(
+                F.when(
+                    F.col("column_name") == col,
+                    (F.col("hi") - F.col("lo")) / F.lit(spans[col]),
+                )
+            )
+
+        sel = per_file.groupBy("path").agg(
+            _w(x_col).alias("_wx"), _w(y_col).alias("_wy")
+        )
+        is_scattered = (
+            F.coalesce(F.col("_wx"), F.lit(1.0)) > F.lit(coverage_threshold)
+        ) & (F.coalesce(F.col("_wy"), F.lit(1.0)) > F.lit(coverage_threshold))
+        agg = sel.agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sort_array(
+                F.collect_list(F.when(is_scattered, F.col("path")))
+            ).alias("scattered"),
+        ).collect()[0]
+        scattered = list(agg.scattered)
+        n_untouched = agg.n_files - len(scattered)
     if not scattered:
         raise ValueError(
             f"optimize_{prefix}: every visible file is already "
@@ -2362,14 +2561,26 @@ def _optimize_curve_incremental(
         prefix,
     )
     verify_claim(manifest_dir, snap)
+    add_pdf = (
+        localman.footer_stats_rows(
+            new_paths, tracked, snap, partition_by=partition_by
+        )
+        if len(new_paths) <= _LOCAL_COMMIT_MAX
+        else None
+    )
+    tomb_pdf = _tombstone_rows_pd(manifest_dir, scattered, snap)
     commit_manifest_rows(
         spark,
         manifest_dir,
         [
-            _stats_add_rows(
+            add_pdf
+            if add_pdf is not None
+            else _stats_add_rows(
                 spark, new_paths, tracked, snap, partition_by=partition_by
             ),
-            _tombstone_rows(spark, manifest_dir, scattered, snap),
+            tomb_pdf
+            if tomb_pdf is not None
+            else _tombstone_rows(spark, manifest_dir, scattered, snap),
         ],
         snapshot_id=snap,
     )
@@ -2727,13 +2938,19 @@ def optimize_table(
     n_files_after)."""
     import itertools as _it
 
-    visible = sorted(
-        r.path
-        for r in _visible_stats(spark.read.parquet(_mdd(manifest_dir)), None)
-        .select("path")
-        .distinct()
-        .collect()
-    )
+    lman = localman.load(manifest_dir)
+    if lman is not None:  # driver-side visible listing (Spark fallback)
+        visible = sorted(localman.visible(lman, None)["path"].unique())
+    else:
+        visible = sorted(
+            r.path
+            for r in _visible_stats(
+                spark.read.parquet(_mdd(manifest_dir)), None
+            )
+            .select("path")
+            .distinct()
+            .collect()
+        )
     n_before = len(visible)
     bins: list[list[str]] = []
     for _dirname, group_iter in _it.groupby(visible, key=os.path.dirname):

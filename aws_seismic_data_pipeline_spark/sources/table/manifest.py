@@ -2024,13 +2024,22 @@ def plan_time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.replace(part, late_path)
         table.append([late_path])
         # the recorded commit clocks, read back off the manifest
-        clocks = {
-            int(r.snapshot_id): r.min_val
-            for r in spark.read.parquet(_mdd(mpath))
-            .filter(F.col("op") == "commit_ts")
-            .select("snapshot_id", "min_val")
-            .collect()
-        }
+        # (driver-side; Spark fallback)
+        lman = localman.load(mpath)
+        if lman is not None:
+            marks = lman[lman["op"] == "commit_ts"]
+            clocks = {
+                int(s): float(v)
+                for s, v in zip(marks["snapshot_id"], marks["min_val"])
+            }
+        else:
+            clocks = {
+                int(r.snapshot_id): r.min_val
+                for r in spark.read.parquet(_mdd(mpath))
+                .filter(F.col("op") == "commit_ts")
+                .select("snapshot_id", "min_val")
+                .collect()
+            }
         out = []
         for pin, snap in ((0, 0), (1, 1)):
             agg = (
@@ -2058,7 +2067,44 @@ def describe_history(spark: SparkSession, manifest_dir: str) -> DataFrame:
     commit_ts marker; NULL for commits that predate timestamp
     stamping). Entirely metadata-scale: a handful of KB-manifest
     aggregates, zero data pages — the audit surface an operator reads
-    before rolling back or pinning a training run."""
+    before rolling back or pinning a training run. Computed
+    DRIVER-SIDE via :mod:`.localman` (the result is |snapshots| rows
+    of local metadata; the Spark 4-way join below re-executed on every
+    action that touched the history view — r15 profiling); identical
+    values, pinned by the registered query's oracle."""
+    lman = localman.load(manifest_dir)
+    if lman is not None:
+        import pandas as _pd
+
+        rows = []
+        for snap in sorted(int(s) for s in lman["snapshot_id"].unique()):
+            sub = lman[lman["snapshot_id"] == snap]
+            non_ts = sub[sub["op"] != "commit_ts"]
+            ops = ",".join(sorted(non_ts["op"].unique()))
+            add = sub[sub["op"] == "add"]
+            addu = add[["path", "row_group", "n_rows"]].drop_duplicates()
+            n_files_added = int(addu["path"].nunique())
+            n_rows_added = int(addu["n_rows"].sum()) if len(addu) else 0
+            n_files_removed = int(
+                sub.loc[sub["op"] == "remove", "path"].nunique()
+            )
+            n_del = int((non_ts["op"] == "delete_eq").sum())
+            tsv = sub.loc[sub["op"] == "commit_ts", "min_val"]
+            commit_ts = (
+                float(tsv.max())
+                if len(tsv) and not tsv.isna().all()
+                else None
+            )
+            rows.append(
+                (snap, ops, n_files_added, n_files_removed,
+                 n_rows_added, n_del, commit_ts)
+            )
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, ops string, n_files_added long,"
+            " n_files_removed long, n_rows_added long,"
+            " n_delete_records long, commit_ts double",
+        )
     man = spark.read.parquet(_mdd(manifest_dir))
     adds = (
         man.filter(F.col("op") == "add")

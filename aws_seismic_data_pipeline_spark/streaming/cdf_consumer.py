@@ -101,8 +101,15 @@ class CdfConsumer:
 
     # -- one authoritative window apply -------------------------------
     def _apply_available(self) -> None:
-        man = self.spark.read.parquet(_mdd(self.manifest_dir))
-        tip = man.agg(F.max("snapshot_id")).collect()[0][0]
+        from aws_seismic_data_pipeline_spark.sources.table.commit import (
+            _next_snapshot,
+        )
+
+        # committed tip off the manifest footers (driver-side pyarrow,
+        # Spark fallback inside _next_snapshot — max(snapshot_id))
+        tip = _next_snapshot(self.spark, self.manifest_dir) - 1
+        if tip < 0:
+            tip = None
         last = self._read_tip()
         if tip is None or int(tip) <= last:
             return

@@ -1253,8 +1253,13 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "p.w1", "p.w2")
         .localCheckpoint(eager=True)
     )
-    c12 = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c12")
+    # vocab-scale count table, materialized ONCE: four consumer
+    # branches (c1, cont, t, the score join) otherwise each re-run the
+    # corpus-wide aggregate — measured 0 ReusedExchange in the plan
+    c12 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint(eager=True)
     )
     c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     v = (
@@ -1364,8 +1369,13 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "p.w1", "p.w2")
         .localCheckpoint(eager=True)
     )
-    c12 = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c12")
+    # vocab-scale count table, materialized ONCE: four consumer
+    # branches (c1, cont, t, the score join) otherwise each re-run the
+    # corpus-wide aggregate — measured 0 ReusedExchange in the plan
+    c12 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint(eager=True)
     )
     c1 = c12.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
@@ -1528,15 +1538,22 @@ def text_kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.w1", "p.w2")
     )
-    c12b = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c12")
+    # count tables materialized ONCE (vocab-scale): without the
+    # checkpoints the final plan re-tokenized the raw corpus once per
+    # consumer branch (4 parquet scans measured; 0 ReusedExchange)
+    c12b = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint(eager=True)
     )
     cont = c12b.groupBy(F.col("w2").alias("w3")).agg(
         F.count(F.lit(1)).cast("long").alias("ncont")
     )
     t = c12b.agg(F.count(F.lit(1)).cast("double").alias("t"))
-    tri = triples.groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).cast("long").alias("c123")
+    tri = (
+        triples.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c123"))
+        .localCheckpoint(eager=True)
     )
     ctx12 = tri.groupBy("w1", "w2").agg(
         F.sum("c123").cast("long").alias("cctx"),
@@ -1752,15 +1769,22 @@ def text_kneser_ney_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.w1", "p.w2")
     )
-    c12b = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c12")
+    # count tables materialized ONCE (vocab-scale): the final plan
+    # otherwise re-tokenized the raw corpus per consumer branch (8
+    # parquet scans measured at 4-gram order; 0 ReusedExchange)
+    c12b = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint(eager=True)
     )
     cont = c12b.groupBy(F.col("w2").alias("w4")).agg(
         F.count(F.lit(1)).cast("long").alias("ncont")
     )
     t = c12b.agg(F.count(F.lit(1)).cast("double").alias("t"))
-    tri = triples.groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).cast("long").alias("c123")
+    tri = (
+        triples.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c123"))
+        .localCheckpoint(eager=True)
     )
     n1p34 = tri.groupBy(
         F.col("w2").alias("w3"), F.col("w3").alias("w4")
@@ -1769,8 +1793,10 @@ def text_kneser_ney_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n34").cast("long").alias("nctx3"),
         F.count(F.lit(1)).cast("long").alias("ntypes3"),
     )
-    quad = quads.groupBy("w1", "w2", "w3", "w4").agg(
-        F.count(F.lit(1)).cast("long").alias("c1234")
+    quad = (
+        quads.groupBy("w1", "w2", "w3", "w4")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1234"))
+        .localCheckpoint(eager=True)
     )
     ctx123 = quad.groupBy("w1", "w2", "w3").agg(
         F.sum("c1234").cast("long").alias("cctx"),

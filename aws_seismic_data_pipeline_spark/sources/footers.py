@@ -18,6 +18,79 @@ from pyspark.sql import functions as F
 from aws_seismic_data_pipeline_spark.catalog import load_table
 
 
+#: commit-scale ceiling for driver-side footer reads (see the gated
+#: branches in read_footer_stats/_multi); bulk builds stay distributed
+_FOOTER_LOCAL_MAX = int(os.environ.get("SPARK_GRAFT_LOCAL_COMMIT_MAX", "64"))
+
+
+def _footer_stats_rows_local(paths: list[str], column: str):
+    """Driver-side twin of :func:`read_footer_stats`'s task body —
+    identical tuples (long min/max), or None on any failure."""
+    try:
+        import pyarrow.parquet as pq
+
+        rows = []
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            col_idx = md.schema.names.index(column)
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(col_idx)
+                st = col.statistics
+                has = st is not None and st.has_min_max
+                rows.append(
+                    (
+                        p,
+                        os.path.basename(p),
+                        rg,
+                        col.num_values,
+                        int(st.min) if has else None,
+                        int(st.max) if has else None,
+                    )
+                )
+        return rows
+    except Exception:
+        return None
+
+
+def _footer_stats_rows_local_multi(paths: list[str], columns):
+    """Driver-side twin of :func:`read_footer_stats_multi`'s task body
+    — identical tuples (double min/max, non-numeric stats NULL), or
+    None on any failure."""
+    try:
+        import pyarrow.parquet as pq
+
+        def _num(v):
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return None
+
+        rows = []
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            names = md.schema.names
+            idx = {c: names.index(c) for c in columns}
+            for rg in range(md.num_row_groups):
+                for c in columns:
+                    col = md.row_group(rg).column(idx[c])
+                    st = col.statistics
+                    has = st is not None and st.has_min_max
+                    rows.append(
+                        (
+                            p,
+                            os.path.basename(p),
+                            rg,
+                            c,
+                            col.num_values,
+                            _num(st.min) if has else None,
+                            _num(st.max) if has else None,
+                        )
+                    )
+        return rows
+    except Exception:
+        return None
+
+
 def _decode_input_file() -> F.Column:
     """``input_file_name()`` as a canonical local path: strip the
     ``file:`` scheme and decode the URI's %-escapes JVM-side, so paths
@@ -50,15 +123,24 @@ def read_footer_stats(
 
     if not paths:
         raise ValueError("read_footer_stats: empty path list")
+    out_schema = (
+        "path string, file_name string, row_group long, n_rows long,"
+        " min_val long, max_val long"
+    )
+    if len(paths) <= _FOOTER_LOCAL_MAX:
+        # commit-scale file list: read the footer KBs on the driver
+        # (~1 ms/file) instead of fanning a mapInPandas stage over
+        # them (~100 ms Python-worker fork per task at local[32]) —
+        # identical rows as a local relation; any failure falls back
+        # to the distributed read below
+        local = _footer_stats_rows_local(sorted(paths), column)
+        if local is not None:
+            return spark.createDataFrame(local, out_schema)
     # pandas input -> one Arrow batch; the tuple-list form pickles
     # through a Python-RDD pipeline (~5 s of overhead per call)
     files = spark.createDataFrame(
         _pd.DataFrame({"path": sorted(paths)}), "path string"
     ).repartition(min(len(paths), 32))
-    out_schema = (
-        "path string, file_name string, row_group long, n_rows long,"
-        " min_val long, max_val long"
-    )
 
     def read_footers(batches):
         import pyarrow.parquet as pq
@@ -139,14 +221,20 @@ def read_footer_stats_multi(
     if not columns:
         raise ValueError("read_footer_stats_multi: no columns requested")
     cols = tuple(columns)
-    # pandas input -> one Arrow batch (see read_footer_stats)
-    files = spark.createDataFrame(
-        _pd.DataFrame({"path": sorted(paths)}), "path string"
-    ).repartition(min(len(paths), 32))
     out_schema = (
         "path string, file_name string, row_group long, column_name string,"
         " n_rows long, min_val double, max_val double"
     )
+    if len(paths) <= _FOOTER_LOCAL_MAX:
+        # commit-scale list: driver-side footer read (see
+        # read_footer_stats); distributed fan-out below is the bulk path
+        local = _footer_stats_rows_local_multi(sorted(paths), cols)
+        if local is not None:
+            return spark.createDataFrame(local, out_schema)
+    # pandas input -> one Arrow batch (see read_footer_stats)
+    files = spark.createDataFrame(
+        _pd.DataFrame({"path": sorted(paths)}), "path string"
+    ).repartition(min(len(paths), 32))
 
     def read_footers(batches):
         import pyarrow.parquet as pq

@@ -571,7 +571,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed partial-agg count. No corpus self-join, no shuffle of
     text: only (doc_id, int64-hash) pairs that match the broadcast
     filter reach the aggregation."""
-    grams = _doc_grams(spread(load_table(spark, sf_dir, "documents"), spark))
+    # materialize the shingle derivation ONCE: the broadcast bench side
+    # and the corpus side otherwise each run the full tokenize+md5 pass
+    # (two corpus scans in one plan — the KN-family defect, guide §1.2)
+    grams = _doc_grams(
+        spread(load_table(spark, sf_dir, "documents"), spark)
+    ).localCheckpoint(eager=True)
     bench = (
         grams.filter(F.col("bucket") < DECON_BENCH_PCT)
         .select(F.explode("gs").alias("h"))
@@ -919,8 +924,13 @@ def curate_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "), 1, 15), 16, 10) as bigint))"
         )
     )
-    grams = docs.filter(F.size(F.split("text", " ")) >= n).select(
-        "doc_id", "bucket", gram_hashes.alias("gs")
+    # materialize the 5-gram md5 derivation once — bench and the
+    # contaminated probe otherwise each run the full shingle pass
+    # (the text_decontaminate fix, applied to the composition)
+    grams = (
+        docs.filter(F.size(F.split("text", " ")) >= n)
+        .select("doc_id", "bucket", gram_hashes.alias("gs"))
+        .localCheckpoint(eager=True)
     )
     bench = (
         grams.filter(F.col("bucket") < DECON_BENCH_PCT)

@@ -2282,11 +2282,14 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" i -> cast(conv(substring(md5(concat_ws(' ',"
         f" slice(split(text, ' '), i, {k}))), 1, 15), 16, 10) as bigint))"
     )
-    # materialize the md5-shingle posexplode once: it feeds both the
-    # dup aggregate and the hits semi-join (see dedup_span_strip)
+    # NOT checkpointed (unlike dedup_span_strip): here the second
+    # consumer is one broadcast semi-join that pipelines into the
+    # shingle scan — materializing the posexploded stream measured a
+    # wash-to-negative in interleaved A/B (the r15 optimization
+    # round's measure-first rule)
     shingled = docs.select(
         "doc_id", F.posexplode(sh_arr).alias("pos", "h")
-    ).localCheckpoint(eager=True)
+    )
     dup = (
         shingled.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))

@@ -625,6 +625,26 @@ def _bench_manifest_lifecycle(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _emit(result: dict) -> None:
+    """The bench contract line, plus a whole-file twin. The stdout JSON
+    line stays the driver contract (printed verbatim, unchanged); it is
+    ALSO written atomically (tmp + rename) to BENCH.json because the
+    r14 driver capture truncated the ~10 KB line mid-stream
+    (BENCH_r14.json parsed:null) and the r15 round lost its official
+    round-over-round PERF table to that — a file the driver can read
+    whole survives any tail truncation (r15 verdict item 8)."""
+    line = json.dumps(result, separators=(",", ":"))
+    print(line)
+    try:
+        path = os.path.join(REPO_ROOT, "BENCH.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(line + "\n")
+        os.replace(tmp, path)
+    except OSError:
+        pass  # stdout already carries the contract
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -733,7 +753,7 @@ def main() -> None:
         # best-prior regression gate (measured: a 1-trial smoke flagged
         # six phantom ~2x "regressions" against min-of-3 priors)
         result["smoke"] = True
-        print(json.dumps(result, separators=(",", ":")))
+        _emit(result)
         spark.stop()
         return
     best_prior = _best_prior(history_path, sf_val)
@@ -766,7 +786,7 @@ def main() -> None:
             refused_entry["steal_pct"] = steal_pct
         with open(history_path, "a") as fh:
             fh.write(json.dumps(refused_entry) + "\n")
-        print(json.dumps(result, separators=(",", ":")))
+        _emit(result)
         spark.stop()
         return
     rebase = None
@@ -802,7 +822,7 @@ def main() -> None:
                 refused_entry["steal_pct"] = steal_pct
             with open(history_path, "a") as fh:
                 fh.write(json.dumps(refused_entry) + "\n")
-            print(json.dumps(result, separators=(",", ":")))
+            _emit(result)
             spark.stop()
             return
         result["boot_rebase"] = rebase
@@ -819,7 +839,7 @@ def main() -> None:
         entry["boot_rebase"] = rebase
     with open(history_path, "a") as fh:
         fh.write(json.dumps(entry) + "\n")
-    print(json.dumps(result, separators=(",", ":")))
+    _emit(result)
     spark.stop()
 
 

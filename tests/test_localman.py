@@ -85,6 +85,20 @@ def test_load_matches_spark_collect(spark, staged):
     assert got == want
 
 
+def test_load_gate_routes_to_spark(spark, staged, monkeypatch):
+    """r15 verdict item 1: ``load()`` must refuse manifests larger
+    than SPARK_GRAFT_LOCAL_MAN_MAX rows (driver-heap guard) so callers
+    fall back to the distributed Spark path — with identical results."""
+    _data, mpath = staged
+    want = manifest_row_count(spark, mpath)  # fast path (gate open)
+    monkeypatch.setattr(localman, "_LOCAL_MAN_MAX", 0)
+    assert localman.load(mpath) is None  # gate closed: fallback signal
+    # the verb still answers, via its original Spark computation
+    assert manifest_row_count(spark, mpath) == want
+    monkeypatch.setattr(localman, "_LOCAL_MAN_MAX", 10**12)
+    assert localman.load(mpath) is not None  # gate open again
+
+
 @pytest.mark.parametrize("as_of", [None, 0, 1, 2])
 def test_visible_matches(spark, staged, as_of):
     _data, mpath = staged

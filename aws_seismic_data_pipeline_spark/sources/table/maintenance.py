@@ -896,39 +896,48 @@ def merge_through_manifest(
         else F.lit(False)
     )
     d = delta.select(*sel, flag.alias("_mtm_del")).localCheckpoint(eager=True)
-    # the join never writes partition cols, nor deletes (delete rows
-    # contribute no update values — their matched base rows vanish)
-    d_upd = d.filter(~F.col("_mtm_del")).select(key, *cols)
+    # ONE delta pass answers BOTH planning questions (r15 profiling: the
+    # dup-check agg and the intersect collect were 7 of the MERGE's 22
+    # jobs): group the delta by key carrying per-key multiplicity, join
+    # the per-key rows against the broadcast per-file stats, and reduce
+    # per path — the null-path group covers keys hitting no file, and
+    # max(_c) over every group is the duplicate-key detector.
     # Delta/Iceberg MERGE raises when multiple source rows match one
     # target row; a duplicate delta key here would silently multiply
     # matched base rows through the left join below (row-count inflation
-    # written into the rewritten files) — fail fast instead. One tiny
-    # agg over the (checkpointed, delta-sized) frame.
-    kc = d.agg(
-        F.count(key).alias("n"),
-        F.countDistinct(key).alias("nd"),
-    ).collect()[0]
-    if kc.n != kc.nd:
+    # written into the rewritten files) — fail fast instead.
+    # F.count(key) per group counts 0 for a NULL-key group, preserving
+    # the original count/countDistinct semantics (SQL null handling:
+    # duplicate NULL keys never counted as duplicates).
+    dk = d.groupBy(key).agg(F.count(key).alias("_c")).select(
+        F.col(key).cast("double").alias("_k"), "_c"
+    )
+    # broadcast the PER-FILE STATS (metadata-scale: |files| rows, bounded
+    # ~10^5 even at 100 TB), never the delta keys — a bulk backfill's
+    # key set is data-scale and must stay distributed
+    hit_rows = (
+        dk.join(
+            F.broadcast(per_file),
+            (F.col("n_statless") > 0)
+            | ((F.col("_k") >= F.col("fmin")) & (F.col("_k") <= F.col("fmax"))),
+            "left",
+        )
+        .groupBy("path")
+        .agg(F.max("_c").alias("_maxc"))
+        .collect()
+    )
+    max_c = max(((r._maxc or 0) for r in hit_rows), default=0)
+    if max_c > 1:
+        # failure path only: recompute the exact counts for the message
+        kc = d.agg(
+            F.count(key).alias("n"), F.countDistinct(key).alias("nd")
+        ).collect()[0]
         raise ValueError(
             f"merge_through_manifest: delta has {kc.n - kc.nd} duplicate "
             f"{key!r} rows — MERGE requires at most one source row per "
             "key (dedup the delta first)"
         )
-    dkeys = d.select(F.col(key).cast("double").alias("_k")).distinct()
-    # broadcast the PER-FILE STATS (metadata-scale: |files| rows, bounded
-    # ~10^5 even at 100 TB), never the delta keys — a bulk backfill's
-    # key set is data-scale and must stay distributed
-    intersecting = sorted(
-        r.path
-        for r in dkeys.join(
-            F.broadcast(per_file),
-            (F.col("n_statless") > 0)
-            | ((F.col("_k") >= F.col("fmin")) & (F.col("_k") <= F.col("fmax"))),
-        )
-        .select("path")
-        .distinct()
-        .collect()
-    )
+    intersecting = sorted(r.path for r in hit_rows if r.path is not None)
     snap = (
         int(snapshot_id)
         if snapshot_id is not None
@@ -946,40 +955,38 @@ def merge_through_manifest(
                 by_dir[os.path.dirname(p)].append(p)
         else:
             by_dir = {os.path.dirname(intersecting[0]): intersecting}
-        del_keys = (
-            d.filter(F.col("_mtm_del")).select(key).distinct()
-            if delete_where
-            else None
-        )
         for out_dir, group in by_dir.items():
             touched_g = spark.read.option("mergeSchema", "true").parquet(*group)
-            if del_keys is not None:
-                # WHEN MATCHED ... THEN DELETE: the rewrite simply
-                # omits the matched-deleted rows (anti-join; the key
-                # set is delta-scale — AQE picks broadcast when small,
-                # same policy as the update join)
-                touched_g = touched_g.join(del_keys, key, "left_anti")
-            rewritten = (
-                touched_g.alias("b")
-                .join(
-                    d_upd.alias("u"),
-                    F.col(f"b.{key}") == F.col(f"u.{key}"),
-                    "left",
+            # ONE join serves both MATCHED clauses (r16 fusion — was a
+            # del-keys anti-join THEN a d_upd left join, two broadcast
+            # builds per partition group): left-join the full flagged
+            # delta; a matched row whose delta row carries _mtm_del
+            # vanishes (WHEN MATCHED ... THEN DELETE), sound because
+            # the dup check above guarantees at most one delta row per
+            # key. Unmatched base rows coalesce to their own values
+            # (_mtm_del null -> kept).
+            joined = touched_g.alias("b").join(
+                d.alias("u"),
+                F.col(f"b.{key}") == F.col(f"u.{key}"),
+                "left",
+            )
+            if delete_where:
+                joined = joined.filter(
+                    ~F.coalesce(F.col("u._mtm_del"), F.lit(False))
                 )
-                .select(
-                    F.col(f"b.{key}").alias(key),
-                    *[
-                        # a col the base files don't physically carry
-                        # (schema evolution: declared, or arriving with
-                        # THIS delta) is delta-only — unmatched base
-                        # rows get NULL, the mergeSchema-on-MERGE
-                        # semantics Delta ships
-                        F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
-                        if c in touched_g.columns
-                        else F.col(f"u.{c}").alias(c)
-                        for c in cols
-                    ],
-                )
+            rewritten = joined.select(
+                F.col(f"b.{key}").alias(key),
+                *[
+                    # a col the base files don't physically carry
+                    # (schema evolution: declared, or arriving with
+                    # THIS delta) is delta-only — unmatched base
+                    # rows get NULL, the mergeSchema-on-MERGE
+                    # semantics Delta ships
+                    F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+                    if c in touched_g.columns
+                    else F.col(f"u.{c}").alias(c)
+                    for c in cols
+                ],
             )
             tmp = os.path.join(out_dir, f".merge_{snap}_stage")
             (
@@ -998,11 +1005,28 @@ def merge_through_manifest(
         touched_keys = spark.read.parquet(*intersecting).select(key)
         # unmatched delete-clause rows do nothing (matched-only
         # semantics); the flag column never reaches a written file
-        inserts = (
-            d.filter(~F.col("_mtm_del"))
-            .join(touched_keys, key, "left_anti")
-            .drop("_mtm_del")
-        )
+        if stats_out is not None:
+            # ONE scan of the intersecting files serves BOTH the insert
+            # anti-join and the per-clause accounting (r16 fusion: the
+            # accounting agg used to re-read the same parquet): mark
+            # each delta row matched/unmatched once, checkpoint the
+            # delta-sized marks, and let inserts + the accounting agg
+            # both read them.
+            dj = d.join(
+                touched_keys.distinct().withColumn("_m", F.lit(1)),
+                key,
+                "left",
+            ).localCheckpoint(eager=True)
+            inserts = dj.filter(
+                F.col("_m").isNull() & ~F.col("_mtm_del")
+            ).drop("_m", "_mtm_del")
+        else:
+            dj = None
+            inserts = (
+                d.filter(~F.col("_mtm_del"))
+                .join(touched_keys, key, "left_anti")
+                .drop("_mtm_del")
+            )
         sample_path = intersecting[0]
     else:
         # no file can contain any delta key: the whole delta inserts
@@ -1017,16 +1041,15 @@ def merge_through_manifest(
                 raise ValueError(f"empty stats manifest at {manifest_dir}")
             sample_path = any_path[0].path
         touched_keys = None
+        dj = None
         inserts = d.filter(~F.col("_mtm_del")).drop("_mtm_del")
     if stats_out is not None:
         # per-clause row accounting (Delta's operationMetrics): one
-        # delta-sized agg against the intersecting files' key set
-        if touched_keys is not None:
-            joined = d.join(
-                touched_keys.distinct().withColumn("_m", F.lit(1)),
-                key,
-                "left",
-            )
+        # delta-sized agg over the checkpointed match marks (shared
+        # with the insert anti-join above — no second scan of the
+        # intersecting files)
+        if dj is not None:
+            joined = dj
         else:
             joined = d.withColumn("_m", F.lit(None).cast("int"))
         acc = joined.agg(

@@ -758,13 +758,86 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _min_label_components(pairs)
 
 
+#: driver-side components bound (r16, the localman pattern): a dedup
+#: edge list is near-dup-pair-scale — a tiny fraction of the corpus —
+#: so up to this many edges the component labels are computed by ONE
+#: collect + union-find on the driver instead of ~5 Spark jobs per
+#: contraction round (measured: the star loop was ~20 of
+#: dedup_embedding_canonical's 31 jobs at sf0.1). Above the bound the
+#: distributed star contraction runs unchanged — at 100 TB with a
+#: pathological edge volume that is the correct engine. Env-overridable
+#: (tests force both paths and pin label equality).
+_LOCAL_CC_MAX = int(os.environ.get("SPARK_GRAFT_LOCAL_CC_MAX", "1000000"))
+
+
+def _local_union_find(pdf) -> "object":
+    """Pure-driver connected components over a pandas edge frame →
+    pandas (doc_id, component_id = component-minimum id). Classic
+    union-find with path halving + union by root-min, so the final
+    root of every tree IS the component minimum — no relabel pass."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]  # path halving
+            r = parent[r]
+        return r
+
+    for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+        a = int(a)
+        b = int(b)
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # hang the larger root under the smaller: roots stay the
+            # component minimum at every step
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    import pandas as pd
+
+    nodes = sorted(parent)
+    return pd.DataFrame(
+        {"doc_id": nodes, "component_id": [find(n) for n in nodes]}
+    )
+
+
 def _min_label_components(pairs: DataFrame, max_rounds: int = 200) -> DataFrame:
     """Connected components over an undirected (doc_a, doc_b) edge
     list → (doc_id, component_id = component-minimum doc_id). Shared by
     the Jaccard-edge clusters above and the verified-LSH clusters
     (``dedup_cluster_canonical``). Raises RuntimeError if convergence
     isn't VERIFIED within ``max_rounds`` — wrong labels must never
-    return silently."""
+    return silently.
+
+    Edge lists at or below ``SPARK_GRAFT_LOCAL_CC_MAX`` rows are
+    labeled driver-side (one checkpoint + one collect + union-find —
+    the contraction loop's per-round Spark jobs were the slot's
+    dominant cost at fixture scale); larger graphs run the distributed
+    star contraction unchanged. Label equality between the two paths
+    is pytest-pinned (tests/test_llm_ops.py)."""
+    # one checkpoint cuts the caller's (often expensive: shingle joins,
+    # LSH verify) lineage ONCE, shared by whichever path runs
+    pairs = pairs.localCheckpoint(eager=True)
+    if pairs.count() <= _LOCAL_CC_MAX:
+        pdf = pairs.select("doc_a", "doc_b").toPandas()
+        if not pdf[["doc_a", "doc_b"]].isna().any().any():
+            spark = pairs.sparkSession
+            from pyspark.sql import types as T
+
+            dt = pairs.schema["doc_a"].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("doc_id", dt, False),
+                    T.StructField("component_id", dt, False),
+                ]
+            )
+            return spark.createDataFrame(_local_union_find(pdf), schema)
     labels, _ = _star_components(pairs, max_rounds)
     return labels
 

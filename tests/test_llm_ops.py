@@ -407,15 +407,19 @@ def test_lsh_verified_matches_exact_jaccard_witness(spark):
             assert r.jaccard < 0.05, r
 
 
-def test_min_label_components_raises_on_exhausted_rounds(spark):
+def test_min_label_components_raises_on_exhausted_rounds(spark, monkeypatch):
     """Non-convergence must raise, never silently return partial
     labels: star contraction cannot form + verify a star over a 6-node
     path in 1 round — and must say so. The same chain converges (to one
-    component) with the default bound."""
+    component) with the default bound. The local-components gate is
+    forced CLOSED so the distributed loop (where the contract lives)
+    is what runs."""
     import pytest as _pytest
 
+    from aws_seismic_data_pipeline_spark.llm import dedup as _dedup
     from aws_seismic_data_pipeline_spark.llm.dedup import _min_label_components
 
+    monkeypatch.setattr(_dedup, "_LOCAL_CC_MAX", -1)
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
     )
@@ -425,6 +429,37 @@ def test_min_label_components_raises_on_exhausted_rounds(spark):
     labels = _min_label_components(chain).collect()
     assert {r.component_id for r in labels} == {0}
     assert len(labels) == 6
+
+
+def test_local_components_equal_star_contraction(spark, monkeypatch):
+    """The r16 driver-side union-find fast path must label EXACTLY like
+    the distributed star contraction — same nodes, same component
+    minima, same schema — on a multi-shape graph (path, triangle,
+    self-loop singleton, one edge, plus duplicate and reversed edges,
+    which the star path canonicalizes away)."""
+    from aws_seismic_data_pipeline_spark.llm import dedup as _dedup
+    from aws_seismic_data_pipeline_spark.llm.dedup import _min_label_components
+
+    edges = (
+        [(i, i + 1) for i in range(40)]
+        + [(300, 301), (301, 302), (302, 300)]
+        + [(400, 400)]
+        + [(500, 501), (501, 500), (500, 501)]  # reversed + duplicate
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+    local_df = _min_label_components(pairs)  # gate open (tiny edge set)
+    local = sorted((r.doc_id, r.component_id) for r in local_df.collect())
+
+    monkeypatch.setattr(_dedup, "_LOCAL_CC_MAX", -1)  # force star path
+    star_df = _min_label_components(pairs)
+    star = sorted((r.doc_id, r.component_id) for r in star_df.collect())
+
+    assert local == star
+    assert [f.dataType for f in local_df.schema.fields] == [
+        f.dataType for f in star_df.schema.fields
+    ]
+    assert local_df.columns == star_df.columns
 
 
 def test_star_components_path_graph_logarithmic_rounds(spark):

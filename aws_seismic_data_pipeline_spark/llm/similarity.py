@@ -56,22 +56,41 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def exact_topk(
-    spark: SparkSession, sf_dir: str, n_queries: int, k: int
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int,
+    k: int,
+    corpus: DataFrame | None = None,
+    queries: list | None = None,
 ) -> DataFrame:
     """Exact brute-force top-k for queries ``vec_id < n_queries`` —
     the correctness baseline itself, and the in-engine ground truth the
     approximate indexes' verified-property surfaces compare against
-    (``llm/vector.py: topk_property_surface``)."""
+    (``llm/vector.py: topk_property_surface``).
+
+    ``corpus``/``queries`` let a caller that ALREADY materialized the
+    (vec_id, embedding) corpus and collected the query vectors share
+    them (r16: the IVF surfaces re-scanned and re-spread the corpus and
+    re-collected the queries just for this recall baseline — one full
+    corpus read per invocation at scale). ``queries`` is the
+    ``(vec_id, embedding)`` pair list the index probes use; the label
+    slot topk_dots expects is filled here."""
     from aws_seismic_data_pipeline_spark.llm.vector import rank_topk, topk_dots
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = [
-        (r["vec_id"], None, r["embedding"])
-        for r in emb.filter(F.col("vec_id") < n_queries)
-        .select("vec_id", "embedding")
-        .collect()
-    ]
-    corpus = spread_dense(emb, spark, sf_dir)
+    if queries is not None:
+        queries = [(q[0], None, q[-1]) for q in queries]
+    else:
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = [
+            (r["vec_id"], None, r["embedding"])
+            for r in emb.filter(F.col("vec_id") < n_queries)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+    if corpus is None:
+        corpus = spread_dense(
+            load_table(spark, sf_dir, "embeddings"), spark, sf_dir
+        )
     candidates = topk_dots(corpus, queries, k=k, same_label_only=False)
     return rank_topk(candidates, k).select(
         "query_id",

@@ -67,10 +67,18 @@ def build_inverted_index(
     distribution. Posting lists for high-document-frequency tokens are
     long by nature — they cost probe I/O only when queried, and the
     conjunctive prober intersects via one count aggregate rather than
-    materializing any list driver-side."""
-    _postings(spread(docs, spark)).write.partitionBy("bucket").mode(
-        "overwrite"
-    ).parquet(index_dir)
+    materializing any list driver-side.
+
+    The write clusters by bucket first (r16; guide §6 small files):
+    without the repartition every tokenize task writes one file into
+    every bucket directory — n_tasks × n_buckets tiny files (measured
+    1410 files at sf0.1/local[32], and the slot anti-scaled: 32-core
+    build 4× the 8-core time, PERF_r15 scaling ratio 0.25; one file
+    per bucket after). Same shuffle-buys-layout trade as the IVF
+    index's cell-partitioned write."""
+    _postings(spread(docs, spark)).repartition("bucket").write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(index_dir)
 
 
 def append_postings(
@@ -81,10 +89,12 @@ def append_postings(
     ingest-batch cost, mirroring ``append_stats_manifest`` and
     ``llm/ivf.py: append_to_index``. Append == rebuild is pinned in
     tests/test_search.py (set-semantic postings make the equality
-    exact, not approximate)."""
-    _postings(spread(new_docs, spark)).write.partitionBy("bucket").mode(
-        "append"
-    ).parquet(index_dir)
+    exact, not approximate). Clusters by bucket before the write for
+    the same small-files reason as ``build_inverted_index`` (one file
+    per touched bucket per batch, not one per task per bucket)."""
+    _postings(spread(new_docs, spark)).repartition("bucket").write.partitionBy(
+        "bucket"
+    ).mode("append").parquet(index_dir)
 
 
 def keyword_search(

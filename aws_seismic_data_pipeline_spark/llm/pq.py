@@ -279,25 +279,30 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = spread_dense(emb, spark, sf_dir)
-    d = len(
-        emb.select("embedding").limit(1).collect()[0]["embedding"]
-    )
-    C = train_codebooks(corpus, d)
-    codes = encode_corpus(corpus, C).localCheckpoint(eager=True)
+    # materialize the spread corpus ONCE (r16; the same shape the IVF
+    # build has had since r13): every k-means training pass, the
+    # encode pass, the re-rank pass and the exact recall baseline
+    # otherwise each re-read the parquet AND re-ran the spread shuffle
+    # — 6+ redundant corpus scans per invocation at 100 TB
+    corpus = spread_dense(emb, spark, sf_dir).localCheckpoint(eager=True)
     queries = [
         (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
-        for r in emb.filter(F.col("vec_id") < 10)
+        for r in corpus.filter(F.col("vec_id") < 10)
         .select("vec_id", "embedding")
         .collect()
     ]
+    d = len(queries[0][1])
+    C = train_codebooks(corpus, d)
+    codes = encode_corpus(corpus, C).localCheckpoint(eager=True)
     approx = pq_search_rerank(corpus, codes, queries, C, k=5).select(
         "query_id",
         "neighbor_id",
         F.round("dot", 4).alias("cosine"),
         "rank",
     )
-    exact = exact_topk(spark, sf_dir, n_queries=10, k=5)
+    exact = exact_topk(
+        spark, sf_dir, n_queries=10, k=5, corpus=corpus, queries=queries
+    )
     return topk_property_surface(approx, exact, min_aggregate_recall=0.45)
 
 

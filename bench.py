@@ -760,7 +760,8 @@ def main() -> None:
         _emit(result)
         spark.stop()
         return
-    best_prior = _best_prior(history_path, sf_val)
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    best_prior = _best_prior(history_path, sf_val, n_cpus)
     regressions, host_factor = _normalized_regressions(timings, best_prior)
     result["host_factor"] = host_factor
     steal_pct = _steal_pct(steal_start, _cpu_steal_snapshot())
@@ -783,6 +784,7 @@ def main() -> None:
             "queries": timings,
             "spread": spreads,
             "host_factor": host_factor,
+            "cpus": n_cpus,
             "refused": True,
             "spiked": still_spiked,
         }
@@ -820,6 +822,7 @@ def main() -> None:
                 "queries": timings,
                 "spread": spreads,
                 "host_factor": host_factor,
+                "cpus": n_cpus,
                 "refused": True,
             }
             if steal_pct is not None:
@@ -836,6 +839,7 @@ def main() -> None:
         "queries": timings,
         "spread": spreads,
         "host_factor": host_factor,
+        "cpus": n_cpus,
     }
     if steal_pct is not None:
         entry["steal_pct"] = steal_pct
@@ -1049,6 +1053,10 @@ def _boot_rebase_evidence(
                     continue
                 if rec.get("sf") != sf_val or rec.get("ts") in POISONED_RUNS:
                     continue
+                if int(rec.get("cpus", 32)) != int(
+                    os.environ.get("SPARK_GRAFT_CPUS", "32")
+                ):
+                    continue  # boot agreement is per core count (r16)
                 if rec.get("refused") or rec.get("boot_rebase"):
                     candidates.append(rec)
     except OSError:
@@ -1272,7 +1280,16 @@ BASELINE_RESETS = {
 }
 
 
-def _best_prior(history_path: str, sf_val) -> dict[str, float]:
+def _best_prior(history_path: str, sf_val, n_cpus: int = 32) -> dict[str, float]:
+    """Per-slot best prior time at the same sf AND the same core count.
+    The regression gate compares like with like (r16): an 8-core run's
+    time recorded into history must not become the best-prior a 32-core
+    run is flagged against — worker-fork-heavy slots are legitimately
+    FASTER on fewer cores at fixture scale, so a cpu-blind minimum
+    manufactures phantom regressions. Entries recorded before the
+    ``cpus`` tag existed are assumed 32-core (every recorded pre-tag
+    entry was a local[32] driver/builder run except the r15 driver c8
+    run, whose per-slot minima the 32-core entries dominate)."""
     best: dict[str, float] = {}
     try:
         with open(history_path) as fh:
@@ -1282,6 +1299,8 @@ def _best_prior(history_path: str, sf_val) -> dict[str, float]:
                 except ValueError:
                     continue
                 if rec.get("sf") != sf_val:
+                    continue
+                if int(rec.get("cpus", 32)) != n_cpus:
                     continue
                 if rec.get("refused"):  # boot-rebase evidence only
                     continue

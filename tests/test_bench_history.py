@@ -62,7 +62,17 @@ def test_latest_bench_within_regression_budget():
     if len(entries) < 2:
         pytest.skip("fewer than two bench runs recorded")
     latest = entries[-1]
-    same_sf = [e for e in entries if e.get("sf") == latest.get("sf")]
+    # like-for-like only: same sf AND same core count (r16 — a recorded
+    # 8-core scaling run must not gate against 32-core priors or vice
+    # versa; worker-fork-heavy slots legitimately differ across core
+    # counts at fixture scale). Pre-tag entries are assumed 32-core,
+    # matching bench.py's _best_prior.
+    same_sf = [
+        e
+        for e in entries
+        if e.get("sf") == latest.get("sf")
+        and int(e.get("cpus", 32)) == int(latest.get("cpus", 32))
+    ]
     recent, prior = same_sf[-2:], same_sf[:-2]
     if not prior and len(same_sf) == 2:
         # young history: with exactly two runs there is no "last two vs
